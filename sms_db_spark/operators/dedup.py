@@ -1,0 +1,253 @@
+"""Deduplication operator family.
+
+The reference's core dedup is exact SHA-256 content hashing with
+first-insert-wins (sms-db.pl:318-339, README.md:113-115) — covered by
+q20_dedup_exact / q21_dedup_anti_join in plans/compat_queries.py and by
+sources/canonical.py for the sms domain. This module adds the fuzzy family
+for 100TB training-data pipelines:
+
+  - MinHash signatures + banded LSH candidate pairs (shingle → minhash →
+    band → bucket self-join)
+  - SimHash signatures (computed map-side with zero shuffle)
+  - n-gram Jaccard similarity over shingle sets
+
+Scale design notes:
+  - shingling + hashing are map-side (explode is linear, no shuffle);
+  - the only shuffles are groupBy(doc_id[, j]) on uniformly-distributed
+    keys (no skew) and the band-bucket self-join, whose build side is
+    (band_id, band_hash, doc_id) triples — tiny relative to the corpus;
+  - SimHash avoids even those: a single `aggregate` higher-order function
+    folds tokens into the 32 bit-counters per row, entirely inside codegen.
+
+Portable hashing: h_j(s) = int64(first 15 hex chars of md5(j || ':' || s)).
+md5 exists in both Spark and DuckDB, so every step has an oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec
+from ..tables import load_table
+
+NUM_HASHES = 16
+BAND_SIZE = 2  # 8 bands of 2 → candidate recall at jaccard ≈ 0.5+
+
+# normalized token array: lower, trim, collapse runs of spaces
+_NORM_TOKENS = "string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')"  # duckdb
+def _tokens_col() -> Column:
+    return F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " "), " ")
+
+
+def shingles_col(tokens: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles; docs shorter than k tokens yield none."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (k - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + off) for off in range(k)]
+    )
+    return F.when(
+        F.size(tokens) >= k, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, list_distinct(
+           list_transform(range(1, greatest(len(tokens) - 1, 1)),
+                          i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+         ) AS shingles
+  FROM (SELECT doc_id, {_NORM_TOKENS} AS tokens FROM documents)
+  WHERE len(tokens) >= 3
+"""
+
+
+def _hash60(prefix: Column, s: Column) -> Column:
+    """Portable 60-bit hash: md5 prefix — identical in Spark and DuckDB."""
+    return F.conv(
+        F.substring(F.md5(F.concat(prefix.cast("string"), F.lit(":"), s)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document banded MinHash: (doc_id, band_id, band_hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(_tokens_col())).alias("shingle")
+    )
+    hashed = sh.join(
+        spark.range(NUM_HASHES).select(F.col("id").alias("j")), how="cross"
+    ).select("doc_id", "j", _hash60(F.col("j"), F.col("shingle")).alias("h"))
+    minhashes = hashed.groupBy("doc_id", "j").agg(F.min("h").alias("mh"))
+    banded = minhashes.withColumn("band_id", (F.col("j") / BAND_SIZE).cast("bigint"))
+    return (
+        banded.groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "mh"))),
+                        lambda s: s.getField("mh").cast("string"),
+                    ),
+                    ":",
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+_BANDS_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hashed AS (
+  SELECT doc_id, j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT AS h
+  FROM ex CROSS JOIN range(0, {NUM_HASHES}) r(j)
+),
+mh AS (SELECT doc_id, j, min(h) AS mh FROM hashed GROUP BY doc_id, j),
+banded AS (SELECT doc_id, j // {BAND_SIZE} AS band_id, j, mh FROM mh)
+SELECT doc_id, band_id,
+       md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY j)) AS band_hash
+FROM banded GROUP BY doc_id, band_id
+"""
+
+
+def q44_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_bands(spark, sf_dir).orderBy("doc_id", "band_id")
+
+
+Q44_SQL = _BANDS_SQL + " ORDER BY doc_id, band_id"
+
+
+def q45_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on any band bucket."""
+    bands = minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+Q45_SQL = f"""
+WITH bands AS ({_BANDS_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+SIMHASH_BITS = 32
+
+
+def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document, folded map-side with `aggregate` —
+    zero shuffle, whole-stage codegen; the 100TB-correct shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_hash = "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"
+    bitsums = F.expr(
+        f"""
+        aggregate(
+          split(regexp_replace(lower(trim(text)), ' +', ' '), ' '),
+          array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}),
+          (acc, t) -> zip_with(
+            acc,
+            transform(sequence(0, {SIMHASH_BITS - 1}),
+              b -> CASE WHEN (shiftright({tok_hash}, b) & 1) = 1
+                        THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+            (x, y) -> x + y))
+        """
+    )
+    simhash = F.expr(
+        f"""
+        aggregate(
+          zip_with(bitsums, sequence(0, {SIMHASH_BITS - 1}),
+            (s, b) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+                           ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)
+        """
+    )
+    return (
+        docs.select("doc_id", bitsums.alias("bitsums"))
+        .select("doc_id", simhash.alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+Q46_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_NORM_TOKENS}) AS t FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS th FROM tok),
+bits AS (
+  SELECT doc_id, b,
+         CAST(SUM(CASE WHEN (th >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+  FROM h CROSS JOIN range(0, {SIMHASH_BITS}) r(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT)
+           AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q47_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard of each doc (doc_id 1..50) against anchor doc 0.
+
+    inter/union computed on distinct shingle sets; jaccard is an int/int
+    double division (bit-deterministic). In a full pipeline this runs on
+    LSH candidate pairs (q45), never all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_sh = docs.select("doc_id", shingles_col(_tokens_col()).alias("sh"))
+    anchor = with_sh.filter(F.col("doc_id") == 0).select(F.col("sh").alias("anchor_sh"))
+    others = with_sh.filter((F.col("doc_id") >= 1) & (F.col("doc_id") <= 50))
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("anchor_sh")))
+    union = F.size("sh") + F.size("anchor_sh") - inter
+    return (
+        others.crossJoin(F.broadcast(anchor))
+        .select(
+            "doc_id",
+            inter.alias("inter_cnt"),
+            union.alias("union_cnt"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q47_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+anchor AS (SELECT shingles AS anchor_sh FROM sh WHERE doc_id = 0),
+pairs AS (
+  SELECT s.doc_id,
+         len(list_filter(s.shingles, x -> list_contains(a.anchor_sh, x))) AS inter_cnt,
+         len(s.shingles) + len(a.anchor_sh)
+           - len(list_filter(s.shingles, x -> list_contains(a.anchor_sh, x))) AS union_cnt
+  FROM sh s CROSS JOIN anchor a
+  WHERE s.doc_id BETWEEN 1 AND 50
+)
+SELECT doc_id, inter_cnt, union_cnt,
+       CAST(inter_cnt AS DOUBLE) / CAST(union_cnt AS DOUBLE) AS jaccard
+FROM pairs ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "q44_minhash_signatures": QuerySpec(
+        q44_minhash_signatures, Q44_SQL, "MinHash banded signatures"
+    ),
+    "q45_minhash_lsh_pairs": QuerySpec(
+        q45_minhash_lsh_pairs, Q45_SQL, "LSH candidate pairs"
+    ),
+    "q46_simhash": QuerySpec(q46_simhash, Q46_SQL, "SimHash (map-side fold)"),
+    "q47_ngram_jaccard": QuerySpec(q47_ngram_jaccard, Q47_SQL, "n-gram Jaccard vs anchor"),
+}

@@ -1,0 +1,189 @@
+"""Similarity search over the `embeddings` table (array<float>, dim 64).
+
+  - brute-force cosine top-k (the exact baseline)
+  - sign-LSH bucketed top-k (the scale path: axis-aligned hyperplane
+    buckets prune the candidate set before scoring)
+  - near-duplicate pairs above a cosine threshold
+
+All scoring uses built-in higher-order functions (zip_with + aggregate):
+a sequential left-to-right double fold, which both Spark and DuckDB
+evaluate with identical IEEE semantics — so scores are bit-comparable
+with the oracle. No Python UDFs in the hot path.
+
+Scale notes: brute-force is O(Q·N) — fine for small Q (re-ranking); the
+LSH variant is the 100TB path: bucket ids are computed map-side, the
+join is an equi-join on bucket id, and per-bucket top-k is a bounded
+window. For real ANN recall targets you'd add multi-probe or IVF; the
+bucketing plumbing here is the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec
+from ..tables import load_table
+
+DIM = 64
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: str, b: str) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# DuckDB twin of the same sequential fold (1-based list indexing)
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+def q48_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id < 5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )
+
+
+Q48_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_sql_cos('q.q_emb', 'e.embedding')} AS cos_sim
+  FROM q CROSS JOIN embeddings e
+  WHERE q.query_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+N_PLANES = 8  # sign-LSH on the first 8 dims
+
+
+def _bucket(col: str) -> Column:
+    # bucket id = sign-bit pattern of the first N_PLANES components —
+    # an axis-aligned random-hyperplane LSH (deterministic, oracle-able).
+    return F.expr(
+        f"aggregate(zip_with(slice({col}, 1, {N_PLANES}), sequence(0, {N_PLANES - 1}),"
+        f" (v, b) -> CASE WHEN v >= CAST(0 AS FLOAT) THEN shiftleft(CAST(1 AS BIGINT), b)"
+        f" ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+_SQL_BUCKET = (
+    f"CAST(list_sum(list_transform(range(1, {N_PLANES + 1}),"
+    f" i -> CASE WHEN {{col}}[i] >= 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END))"
+    f" AS BIGINT)"
+)
+
+
+def q49_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: candidates restricted to the query's sign-LSH bucket."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket("embedding").alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"),
+            "bucket",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "bucket", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+Q49_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET.format(col='embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, q.bucket, e.vec_id AS neighbor_id,
+         {_sql_cos('q.q_emb', 'e.embedding')} AS cos_sim
+  FROM q JOIN b e USING (bucket)
+  WHERE q.query_id <> e.vec_id
+)
+SELECT query_id, bucket, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.2) among vec_id < 200.
+
+    In a full pipeline the pair candidates come from LSH buckets; the
+    bounded id range here keeps the oracle cross join tractable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("emb_a", "emb_b").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q50_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 200 AND b.vec_id < 200
+  AND {_sql_cos('a.embedding', 'b.embedding')} >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {
+    "q48_ann_bruteforce_topk": QuerySpec(q48_ann_bruteforce_topk, Q48_SQL, "exact cosine top-k"),
+    "q49_ann_lsh_topk": QuerySpec(q49_ann_lsh_topk, Q49_SQL, "sign-LSH bucketed top-k"),
+    "q50_embedding_neardup": QuerySpec(q50_embedding_neardup, Q50_SQL, "cosine near-dup pairs"),
+}

@@ -1,0 +1,181 @@
+"""Text analysis operators over the `documents` table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure built-in expressions (JVM-side, whole-stage codegen) — no Python
+UDFs. Each has a DuckDB oracle. Regex patterns are kept to the common
+Java-regex ∩ RE2 subset so both engines agree.
+
+Scale: all operators are per-row map operations — no shuffle, trivially
+linear at 100TB; the only shuffle anywhere here is a final orderBy that
+exists for presentation and would be dropped in a pipeline context.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec
+from ..tables import load_table
+
+# tokens: alpha runs or digit runs (a BPE-ish pre-tokenization regex subset)
+TOKEN_RE = "[A-Za-z]+|[0-9]+"
+PUNCT_RE = "[,.!?;:]"
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _token_count(col):
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
+
+
+def q40_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex (BPE-ish) tokens."""
+    docs = _docs(spark, sf_dir)
+    ws_tokens = F.split(F.trim(F.col("text")), " +")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(ws_tokens).alias("ws_token_cnt"),
+        _token_count(F.col("text")).alias("regex_token_cnt"),
+    ).orderBy("doc_id")
+
+
+Q40_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_measured,
+       len(regexp_split_to_array(trim(text), ' +')) AS ws_token_cnt,
+       len(regexp_extract_all(text, '{TOKEN_RE}')) AS regex_token_cnt
+FROM documents ORDER BY doc_id
+"""
+
+
+def q41_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio heuristics.
+
+    Ratios are int/int double divisions — bit-deterministic across engines.
+    """
+    docs = _docs(spark, sf_dir)
+    n_tokens = _token_count(F.col("text"))
+    punct_cnt = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), 0))
+    stop_pattern = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    stop_cnt = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(stop_pattern), 0))
+    out = docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        n_tokens.alias("n_tokens"),
+        punct_cnt.alias("punct_cnt"),
+        stop_cnt.alias("stop_cnt"),
+    ).withColumn(
+        "stop_ratio",
+        F.col("stop_cnt").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+    )
+    return out.withColumn(
+        "passes_quality",
+        (F.col("len_chars") >= 20) & (F.col("n_tokens") >= 5) & (F.col("stop_ratio") < 0.5),
+    ).orderBy("doc_id")
+
+
+Q41_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS len_chars,
+         len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+         len(regexp_extract_all(text, '{PUNCT_RE}')) AS punct_cnt,
+         len(regexp_extract_all(lower(text), '\\b({"|".join(STOPWORDS)})\\b')) AS stop_cnt
+  FROM documents
+)
+SELECT doc_id, len_chars, n_tokens, punct_cnt, stop_cnt,
+       CAST(stop_cnt AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+       (len_chars >= 20 AND n_tokens >= 5
+        AND CAST(stop_cnt AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) < 0.5)
+           AS passes_quality
+FROM s ORDER BY doc_id
+"""
+
+# language-ID marker lexicons (tiny n-gram/stopword heuristic)
+_EN = ("the", "and", "of", "to", "is")
+_DE = ("der", "die", "das", "und", "ist")
+_ES = ("el", "la", "los", "de", "es")
+
+
+def _marker_count(col, words):
+    return F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(r"\b(" + "|".join(words) + r")\b"), 0)
+    )
+
+
+def q42_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word scores + deterministic argmax.
+
+    Tie-break order en > de > es is encoded identically in both engines.
+    """
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        _marker_count(F.col("text"), _EN).alias("score_en"),
+        _marker_count(F.col("text"), _DE).alias("score_de"),
+        _marker_count(F.col("text"), _ES).alias("score_es"),
+    )
+    pred = (
+        F.when(
+            (F.col("score_en") >= F.col("score_de")) & (F.col("score_en") >= F.col("score_es")),
+            F.lit("en"),
+        )
+        .when(F.col("score_de") >= F.col("score_es"), F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return scored.withColumn("predicted_lang", pred).orderBy("doc_id")
+
+
+Q42_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '\\b({"|".join(_EN)})\\b')) AS score_en,
+         len(regexp_extract_all(lower(text), '\\b({"|".join(_DE)})\\b')) AS score_de,
+         len(regexp_extract_all(lower(text), '\\b({"|".join(_ES)})\\b')) AS score_es
+  FROM documents
+)
+SELECT doc_id, lang, score_en, score_de, score_es,
+       CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+            WHEN score_de >= score_es THEN 'de'
+            ELSE 'es' END AS predicted_lang
+FROM s ORDER BY doc_id
+"""
+
+
+def q43_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-content hash + bag-of-words hash
+    (order-insensitive), the two standard near-dup pre-filters."""
+    docs = _docs(spark, sf_dir)
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    sorted_words = F.array_join(F.array_sort(F.split(normalized, " ")), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("content_fp"),
+        F.md5(sorted_words).alias("bow_fp"),
+    ).orderBy("doc_id")
+
+
+Q43_SQL = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS content_fp,
+       md5(array_to_string(list_sort(string_split(norm, ' ')), ' ')) AS bow_fp
+FROM n ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "q40_text_tokens": QuerySpec(q40_text_tokens, Q40_SQL, "token counting"),
+    "q41_text_quality": QuerySpec(q41_text_quality, Q41_SQL, "quality scoring"),
+    "q42_text_langid": QuerySpec(q42_text_langid, Q42_SQL, "language-ID heuristic"),
+    "q43_text_fingerprint": QuerySpec(q43_text_fingerprint, Q43_SQL, "doc fingerprinting"),
+}

@@ -1,0 +1,788 @@
+"""The reference's query/operator surface (SURVEY.md §2) mapped onto the
+driver's TPC-H-ish tables, per FIXTURES.md §3: orders⋈lineitem stands in for
+messages⋈parts (J11), o_orderdate for timestamp predicates (Q4/Q5),
+customer.c_name for the Alice-style LIKE family (Q1-Q3).
+
+Every query is pure built-in DataFrame API (zero Python UDFs — keeps
+whole-stage codegen, ref SURVEY.md §2.8), with a DuckDB oracle twin.
+
+Determinism rules for the driver's value-hash compare:
+  - aggregate doubles are cast to DECIMAL(18,2) pre-SUM (associative, exact)
+    then back to DOUBLE (correctly-rounded in both engines);
+  - every computed column is aliased identically in Spark and SQL;
+  - LIMIT queries carry a total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import QuerySpec
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q1: equality filter + projection + sort (querying.md:13) -----------------
+
+
+def q01_eq_filter_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    # ts surfaced as epoch micros (bigint): engine-neutral representation —
+    # the parquet physical type is nanos, which not every engine round-trips
+    # at the same precision.
+    return (
+        events.filter(F.col("event_type") == F.lit("click"))
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .orderBy("ts_us", "event_id")
+    )
+
+
+Q01_SQL = """
+SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+FROM events WHERE event_type = 'click'
+ORDER BY ts_us, event_id
+"""
+
+
+# --- Q2: LIKE prefix (querying.md:17) ----------------------------------------
+
+
+def q02_like_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        customer.filter(F.col("c_name").like("Customer#00000001%"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q02_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer WHERE c_name LIKE 'Customer#00000001%'
+ORDER BY c_custkey
+"""
+
+
+# --- Q3: LIKE contains (querying.md:21 — doc writes `= '%Alice%'`, a latent
+# doc bug; we replicate the documented *intent*, SURVEY.md §2.2 Q3) -----------
+
+
+def q03_like_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        customer.filter(F.col("c_name").like("%042%"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+Q03_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_name LIKE '%042%' ORDER BY c_custkey
+"""
+
+
+# --- Q4: BETWEEN range on timestamp (querying.md:25) -------------------------
+
+
+def q04_between_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.col("o_orderdate").between("1996-02-01 00:00:00", "1997-04-30 23:59:59")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+Q04_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-02-01 00:00:00' AND TIMESTAMP '1997-04-30 23:59:59'
+ORDER BY o_orderdate, o_orderkey
+"""
+
+
+# --- Q5: conjunctive `<` + equality (querying.md:31) -------------------------
+
+
+def q05_conj_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") < F.lit("1997-06-01 00:00:00").cast("timestamp"))
+            & (F.col("l_returnflag") == F.lit("R"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q05_SQL = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-06-01 00:00:00' AND l_returnflag = 'R'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- Q6/J11: metadata ⋈ data join (querying.md:35) ---------------------------
+
+
+def q06_join_meta_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    # 1:N equi-join, messages⋈parts stand-in. Shuffle hash join on the key at
+    # scale; AQE converts to broadcast when the filtered side is small.
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "inner")
+        .select("o_orderkey", "o_orderdate", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("o_orderkey", "l_linenumber")
+    )
+
+
+Q06_SQL = """
+SELECT o_orderkey, o_orderdate, l_linenumber, l_partkey, l_quantity
+FROM orders INNER JOIN lineitem ON o_orderkey = l_orderkey
+ORDER BY o_orderkey, l_linenumber
+"""
+
+
+# --- Q7 flagship: join + LIKE on type column (querying.md:39, README.md:105) -
+
+
+def q07_flagship_join_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    # messages⋈parts + content_type LIKE 'text%' stand-in. `part` is the
+    # small dimension → broadcast to avoid shuffling the fact table.
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "inner")
+        .filter(F.col("p_type").like("PROMO%"))
+        .select("l_orderkey", "l_linenumber", "p_name", "p_type", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q07_SQL = """
+SELECT l_orderkey, l_linenumber, p_name, p_type, l_extendedprice
+FROM lineitem INNER JOIN part ON l_partkey = p_partkey
+WHERE p_type LIKE 'PROMO%'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- P2: conditional sender/recipient swap (sms-db.pl:70,80,104,152-153) ------
+
+
+def q08_cond_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    is_open = F.col("o_orderstatus") == F.lit("O")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "o_orderkey",
+            F.when(is_open, F.col("c_name")).otherwise(F.lit("<SELF>")).alias("sender_name"),
+            F.when(is_open, F.lit("<SELF>")).otherwise(F.col("c_name")).alias("recipient_name"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q08_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'O' THEN c_name ELSE '<SELF>' END AS sender_name,
+       CASE WHEN o_orderstatus = 'O' THEN '<SELF>' ELSE c_name END AS recipient_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
+"""
+
+
+# --- P4: IN-list predicate (sms-db.pl:83) ------------------------------------
+
+
+def q09_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+Q09_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+ORDER BY o_orderkey
+"""
+
+
+# --- P5: dictionary decode + reject-unknowns (sms-db.pl:131,136-151) ----------
+
+
+def q10_dict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # literal map expression — stays in codegen, no lookup-table shuffle.
+    # Unmapped codes decode to NULL and are diverted (the reference warns and
+    # counts them as 'ignored'; here the reject branch is the NULL filter).
+    mapping = F.create_map(
+        F.lit("O"), F.lit(1), F.lit("F"), F.lit(2), F.lit("P"), F.lit(3)
+    )
+    return (
+        orders.select(
+            "o_orderkey", mapping.getItem(F.col("o_orderstatus")).alias("status_code")
+        )
+        .filter(F.col("status_code").isNotNull())
+        .orderBy("o_orderkey")
+    )
+
+
+Q10_SQL = """
+SELECT o_orderkey,
+       CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 WHEN 'P' THEN 3 END AS status_code
+FROM orders
+WHERE o_orderstatus IN ('O','F','P')
+ORDER BY o_orderkey
+"""
+
+
+# --- P6: defined-or sentinel default (sms-db.pl:103,142,153) ------------------
+
+
+def q11_coalesce_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("<UNAVAILABLE>")
+        ).alias("segment"),
+    ).orderBy("c_custkey")
+
+
+Q11_SQL = """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '<UNAVAILABLE>') AS segment
+FROM customer ORDER BY c_custkey
+"""
+
+
+# --- P7: base64 decode/encode roundtrip (sms-db.pl:88,280) --------------------
+
+
+def q12_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    b64 = F.base64(F.encode(F.col("c_name"), "UTF-8"))
+    return customer.select(
+        "c_custkey",
+        b64.alias("name_b64"),
+        F.decode(F.unbase64(b64), "UTF-8").alias("name_roundtrip"),
+    ).orderBy("c_custkey")
+
+
+Q12_SQL = """
+SELECT c_custkey,
+       to_base64(encode(c_name)) AS name_b64,
+       decode(from_base64(to_base64(encode(c_name)))) AS name_roundtrip
+FROM customer ORDER BY c_custkey
+"""
+
+
+# --- P9: regex strip non-digits (sms-db.pl:265-266) ---------------------------
+
+
+def q13_regex_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.regexp_replace(F.col("c_name"), "[^0-9]", "").alias("digits_only"),
+    ).orderBy("c_custkey")
+
+
+Q13_SQL = """
+SELECT c_custkey, regexp_replace(c_name, '[^0-9]', '', 'g') AS digits_only
+FROM customer ORDER BY c_custkey
+"""
+
+
+# --- P10: string split / element pick (sms-db.pl:265-266,293) -----------------
+
+
+def q14_split_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_prefix"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_suffix"),
+    ).orderBy("c_custkey")
+
+
+Q14_SQL = """
+SELECT c_custkey,
+       split_part(c_name, '#', 1) AS name_prefix,
+       split_part(c_name, '#', 2) AS name_suffix
+FROM customer ORDER BY c_custkey
+"""
+
+
+# --- P11/A3: group-concat comma-join (sms-db.pl:106-111,184-188) --------------
+
+
+def q15_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    # collect_list order is nondeterministic under parallelism → pin with
+    # array_sort (SURVEY.md A3: deterministic deviation from iteration order).
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("members"))
+        .orderBy("n_regionkey")
+    )
+
+
+Q15_SQL = """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS members
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+# --- P13: SHA-256 digest of concatenated fields (sms-db.pl:325) ---------------
+
+
+def q16_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # empty-separator concat, mirroring Perl join('', @record) at sms-db.pl:325
+    return orders.select(
+        "o_orderkey",
+        F.sha2(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderpriority"),
+            ),
+            256,
+        ).alias("row_hash"),
+    ).orderBy("o_orderkey")
+
+
+Q16_SQL = """
+SELECT o_orderkey,
+       sha256(CAST(o_orderkey AS VARCHAR) || o_orderstatus ||
+              CAST(o_custkey AS VARCHAR) || o_orderpriority) AS row_hash
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# --- P15: epoch-millis convention (README.md:117, querying.md:27) -------------
+
+
+def q17_epoch_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # o_orderdate loads as TIMESTAMP_NTZ; cast to TIMESTAMP interprets it in
+    # the session tz (pinned UTC in session.py) → true epoch millis.
+    return orders.select(
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_ts_ms"),
+    ).orderBy("o_orderkey")
+
+
+Q17_SQL = """
+SELECT o_orderkey, epoch_ms(o_orderdate) AS order_ts_ms
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# --- A1: COUNT(*) (sms-db.pl:232) --------------------------------------------
+
+
+def q18_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+Q18_SQL = "SELECT count(*) AS cnt FROM lineitem"
+
+
+# --- A2: import-statistics counters (sms-db.pl:59,148-149,233) ----------------
+
+
+def q19_import_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    # single-pass conditional aggregation — the Spark shape of the
+    # total/inserted/duplicate/ignored counter quartet.
+    return events.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+        F.sum(
+            F.when(~F.col("event_type").isin("click", "purchase", "error"), 1).otherwise(0)
+        ).alias("other"),
+    )
+
+
+Q19_SQL = """
+SELECT count(*) AS total,
+       count(*) FILTER (WHERE event_type = 'click') AS clicks,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       count(*) FILTER (WHERE event_type = 'error') AS errors,
+       count(*) FILTER (WHERE event_type NOT IN ('click','purchase','error')) AS other
+FROM events
+"""
+
+
+# --- A5 (within-batch): exact dedup by content hash (sms-db.pl:318-339) -------
+
+
+def q20_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = _t(spark, sf_dir, "documents")
+    # hash-groupBy dedup: one shuffle on the 64-hex hash (uniformly
+    # distributed → no skew at 100TB). keeper = min(doc_id) ≙ the reference's
+    # first-insert-wins AUTOINCREMENT semantics.
+    return (
+        documents.select(F.sha2(F.col("text"), 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_id")
+    )
+
+
+Q20_SQL = """
+SELECT sha256(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text) ORDER BY keeper_id
+"""
+
+
+# --- A5 (against-store): anti-join dedup (SURVEY.md A5) -----------------------
+
+
+def q21_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    # left_anti ≙ NOT EXISTS: "new batch rows whose hash is already stored".
+    # The store side projects only the key → broadcastable even when the
+    # store is huge relative to the batch (keys only).
+    existing = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        orders.join(
+            F.broadcast(existing), orders.o_custkey == existing.c_custkey, "left_anti"
+        )
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+Q21_SQL = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 5000
+)
+ORDER BY o_orderkey
+"""
+
+
+# --- W1: deterministic first-row-per-group (sms-db.pl:247, selectrow_array) ---
+
+
+def q22_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata — the window
+    # order must be a total order or "first" is engine-dependent (exactly the
+    # reference's selectrow_array nondeterminism we deliberately pin, W1).
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    return (
+        lineitem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey")
+    )
+
+
+Q22_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+  FROM lineitem
+) WHERE rn = 1 ORDER BY l_orderkey
+"""
+
+
+# --- grouped aggregation rollup (TPC-H Q1 shape; free-from-Spark per §2.4) ----
+
+
+def q23_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    # decimal-cast pre-sum: associative & exact → partial (map-side) agg is
+    # safe and the result is engine-independent. Final cast to double.
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q23_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       count(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- O1/O3: global sort + limit with total-order tiebreak ---------------------
+
+
+def q24_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition top-K
+    # then driver merge, no global sort shuffle. Tiebreak pins determinism.
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(10)
+    )
+
+
+Q24_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --- J12: source union + dedup (README.md:39-43) ------------------------------
+
+
+def q25_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "event_type")
+    b = events.filter(F.col("value") > 50).select("event_id", "user_id", "event_type")
+    return a.unionByName(b).dropDuplicates().orderBy("event_id")
+
+
+Q25_SQL = """
+SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+UNION
+SELECT event_id, user_id, event_type FROM events WHERE value > 50
+ORDER BY event_id
+"""
+
+
+# --- J1: 3-way broadcast join (sms-db.pl:98) ----------------------------------
+
+
+def q26_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    # both lookup sides broadcast → zero shuffle of the fact table; the
+    # reference's SQL 3-way join (pushed to SQLite) becomes two map-side joins.
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", "c_name", "n_name")
+        .orderBy("o_orderkey")
+    )
+
+
+Q26_SQL = """
+SELECT o_orderkey, c_name, n_name
+FROM orders
+INNER JOIN customer ON o_custkey = c_custkey
+INNER JOIN nation ON c_nationkey = n_nationkey
+ORDER BY o_orderkey
+"""
+
+
+# --- J6: comma-joined id list → explode → join → re-aggregate (sms-db.pl:181-205)
+
+
+def q27_explode_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    # Stage 1 fabricates the reference's `groups.members` comma-joined id
+    # string; stage 2 is the operator under test: split → explode → join the
+    # id back to its record → re-join names with ','.
+    groups = nation.groupBy("n_regionkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("n_nationkey").cast("string"))), ","
+        ).alias("members")
+    )
+    exploded = groups.select(
+        "n_regionkey", F.explode(F.split(F.col("members"), ",")).alias("member_id")
+    )
+    resolved = exploded.join(
+        F.broadcast(nation.select(F.col("n_nationkey"), F.col("n_name"))),
+        exploded.member_id.cast("int") == nation.n_nationkey,
+    )
+    return (
+        resolved.groupBy("n_regionkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("member_names"))
+        .orderBy("n_regionkey")
+    )
+
+
+Q27_SQL = """
+WITH groups AS (
+  SELECT n_regionkey,
+         string_agg(CAST(n_nationkey AS VARCHAR), ',' ORDER BY n_nationkey) AS members
+  FROM nation GROUP BY n_regionkey
+), exploded AS (
+  SELECT n_regionkey, unnest(string_split(members, ',')) AS member_id
+  FROM groups
+), resolved AS (
+  SELECT e.n_regionkey, n.n_name
+  FROM exploded e JOIN nation n ON CAST(e.member_id AS INTEGER) = n.n_nationkey
+)
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS member_names
+FROM resolved GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+# --- J7: chained scalar lookups → chained broadcast joins (sms-db.pl:162-163,192-193)
+
+
+def q28_chained_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    # the reference's two chained N+1 scalar lookups become a join chain;
+    # each lookup side pruned to (key, value) before broadcast.
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("l_orderkey", "l_linenumber", "n_name")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q28_SQL = """
+SELECT l_orderkey, l_linenumber, n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- J9: regex-extract key + equi-join (sms-db.pl:213-217) --------------------
+
+
+def q29_regex_extract_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    # the reference scans a filename list with a per-row regex (O(files) each);
+    # Spark shape: extract the join key ONCE with regexp_extract, then hash
+    # equi-join — O(n) total, shuffle-free with broadcast.
+    keyed = customer.select(
+        F.regexp_extract(F.col("c_name"), "([0-9]+)", 1).cast("bigint").alias("extracted_key"),
+        "c_name",
+    )
+    return (
+        orders.join(F.broadcast(keyed), orders.o_custkey == keyed.extracted_key)
+        .select("o_orderkey", "extracted_key", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+Q29_SQL = """
+SELECT o_orderkey, extracted_key, c_name
+FROM orders JOIN (
+  SELECT CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS extracted_key, c_name
+  FROM customer
+) k ON o_custkey = extracted_key
+ORDER BY o_orderkey
+"""
+
+
+# --- tumbling-window aggregation (streaming-shaped, batch semantics) ----------
+
+
+def q30_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    # F.window is the same operator Structured Streaming uses — batch here,
+    # identical semantics under readStream (§2.7 streaming-shaped capability).
+    val = F.col("value").cast("decimal(18,2)")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(val).cast("double").alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_ms")
+    )
+
+
+Q30_SQL = """
+SELECT epoch_ms(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_ms,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1 ORDER BY window_start_ms
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q01_eq_filter_sort": QuerySpec(q01_eq_filter_sort, Q01_SQL, "Q1 querying.md:13"),
+    "q02_like_prefix": QuerySpec(q02_like_prefix, Q02_SQL, "Q2 querying.md:17"),
+    "q03_like_contains": QuerySpec(q03_like_contains, Q03_SQL, "Q3 querying.md:21"),
+    "q04_between_ts": QuerySpec(q04_between_ts, Q04_SQL, "Q4 querying.md:25"),
+    "q05_conj_pred": QuerySpec(q05_conj_pred, Q05_SQL, "Q5 querying.md:31"),
+    "q06_join_meta_data": QuerySpec(q06_join_meta_data, Q06_SQL, "Q6/J11 querying.md:35"),
+    "q07_flagship_join_like": QuerySpec(q07_flagship_join_like, Q07_SQL, "Q7 querying.md:39"),
+    "q08_cond_swap": QuerySpec(q08_cond_swap, Q08_SQL, "P2 sms-db.pl:70"),
+    "q09_in_list": QuerySpec(q09_in_list, Q09_SQL, "P4 sms-db.pl:83"),
+    "q10_dict_decode": QuerySpec(q10_dict_decode, Q10_SQL, "P5 sms-db.pl:131"),
+    "q11_coalesce_sentinel": QuerySpec(q11_coalesce_sentinel, Q11_SQL, "P6 sms-db.pl:103"),
+    "q12_base64_roundtrip": QuerySpec(q12_base64_roundtrip, Q12_SQL, "P7 sms-db.pl:88,280"),
+    "q13_regex_strip": QuerySpec(q13_regex_strip, Q13_SQL, "P9 sms-db.pl:265"),
+    "q14_split_pick": QuerySpec(q14_split_pick, Q14_SQL, "P10 sms-db.pl:265,293"),
+    "q15_group_concat": QuerySpec(q15_group_concat, Q15_SQL, "P11/A3 sms-db.pl:106-111"),
+    "q16_hash_digest": QuerySpec(q16_hash_digest, Q16_SQL, "P13 sms-db.pl:325"),
+    "q17_epoch_millis": QuerySpec(q17_epoch_millis, Q17_SQL, "P15 README.md:117"),
+    "q18_count_star": QuerySpec(q18_count_star, Q18_SQL, "A1 sms-db.pl:232"),
+    "q19_import_stats": QuerySpec(q19_import_stats, Q19_SQL, "A2 sms-db.pl:233"),
+    "q20_dedup_exact": QuerySpec(q20_dedup_exact, Q20_SQL, "A5 sms-db.pl:318-339"),
+    "q21_dedup_anti_join": QuerySpec(q21_dedup_anti_join, Q21_SQL, "A5 left_anti"),
+    "q22_first_per_group": QuerySpec(q22_first_per_group, Q22_SQL, "W1 sms-db.pl:247"),
+    "q23_agg_rollup": QuerySpec(q23_agg_rollup, Q23_SQL, "§2.4 grouped agg"),
+    "q24_top_k": QuerySpec(q24_top_k, Q24_SQL, "O1/O3 sms-db.pl:242"),
+    "q25_union_dedup": QuerySpec(q25_union_dedup, Q25_SQL, "J12 README.md:39-43"),
+    "q26_three_way_join": QuerySpec(q26_three_way_join, Q26_SQL, "J1 sms-db.pl:98"),
+    "q27_explode_rejoin": QuerySpec(q27_explode_rejoin, Q27_SQL, "J6 sms-db.pl:181-205"),
+    "q28_chained_lookup": QuerySpec(q28_chained_lookup, Q28_SQL, "J7 sms-db.pl:162-163"),
+    "q29_regex_extract_join": QuerySpec(q29_regex_extract_join, Q29_SQL, "J9 sms-db.pl:213-217"),
+    "q30_window_agg": QuerySpec(q30_window_agg, Q30_SQL, "§2.7 streaming-shaped"),
+}
