@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Materialization uses the noop sink — full evaluation of every output
+column, no driver collect overhead, no column-pruning shortcut.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sms_db_spark.session import get_spark  # noqa: E402
+from sms_db_spark.plans import registry  # noqa: E402
+
+# representative spread: scans+filters, the flagship join, big 1:N join,
+# hash dedup, grouped agg, window agg, minhash, simhash (map-side fold),
+# ANN brute force + LSH, text stats, pandas-UDF plumbing.
+HEADLINE = [
+    "q01_eq_filter_sort",
+    "q06_join_meta_data",
+    "q07_flagship_join_like",
+    "q20_dedup_exact",
+    "q22_first_per_group",
+    "q23_agg_rollup",
+    "q26_three_way_join",
+    "q30_window_agg",
+    "q41_text_quality",
+    "q44_minhash_signatures",
+    "q46_simhash",
+    "q48_ann_bruteforce_topk",
+    "q49_ann_lsh_topk",
+    "q55_multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("sms-db-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (JIT+IO cache)
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -61,46 +61,74 @@ _SHINGLES_SQL = f"""
 """
 
 
-def _hash60(prefix: Column, s: Column) -> Column:
-    """Portable 60-bit hash: md5 prefix — identical in Spark and DuckDB."""
-    return F.conv(
-        F.substring(F.md5(F.concat(prefix.cast("string"), F.lit(":"), s)), 1, 15), 16, 10
-    ).cast("bigint")
+# hash family: ONE md5 per shingle → 30-bit base, then NUM_HASHES cheap
+# universal hashes h_j = ((2j+1)·base + 7919j) mod P. Avoids md5×NUM_HASHES
+# (16× fewer digests — the dominant cost at scale); (2j+1) is odd ⇒ nonzero
+# mod P ⇒ each h_j is a bijection over Z_P. All arithmetic < 2^40, exact in
+# int64 for both engines.
+MINHASH_P = 1073741789  # largest prime < 2^30
+
+
+def _base30(s: Column) -> Column:
+    """Portable 30-bit base hash: md5 prefix — identical in Spark and DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint") % MINHASH_P
+    )
 
 
 def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document banded MinHash: (doc_id, band_id, band_hash)."""
+    """Per-document banded MinHash: (doc_id, band_id, band_hash).
+
+    The whole signature is folded MAP-SIDE per row (aggregate + zip_with):
+    no explode, no shuffle — at 100TB the only data movement left is the
+    band-bucket join downstream. A naive explode×NUM_HASHES + groupBy
+    formulation shuffles |corpus|·NUM_HASHES rows and was 5× slower at
+    sf0.1 on local[32].
+    """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col(_tokens_col())).alias("shingle")
-    )
-    hashed = sh.join(
-        spark.range(NUM_HASHES).select(F.col("id").alias("j")), how="cross"
-    ).select("doc_id", "j", _hash60(F.col("j"), F.col("shingle")).alias("h"))
-    minhashes = hashed.groupBy("doc_id", "j").agg(F.min("h").alias("mh"))
-    banded = minhashes.withColumn("band_id", (F.col("j") / BAND_SIZE).cast("bigint"))
+    # Everything below is ONE expression with intermediates bound via the
+    # single-element-array + lambda-variable trick: Catalyst's
+    # CollapseProject would otherwise inline an aliased `mins` column into
+    # every band expression, re-running the fold 8× (measured 2.7× slower
+    # end-to-end at sf0.1).
+    tokens_sql = "split(regexp_replace(lower(trim(text)), ' +', ' '), ' ')"
+    shingles_sql = f"""
+      element_at(transform(array({tokens_sql}), toks ->
+        array_distinct(transform(sequence(1, size(toks) - 2),
+          i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),
+                              element_at(toks, i+2))))), 1)
+    """
+    mins_sql = f"""
+      aggregate(
+        transform({shingles_sql},
+                  s -> CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT) % {MINHASH_P}),
+        array_repeat(CAST({MINHASH_P} AS BIGINT), {NUM_HASHES}),
+        (acc, base) -> zip_with(
+          acc, sequence(0, {NUM_HASHES - 1}),
+          (m, j) -> least(m, ((2*j + 1) * base + 7919*j) % {MINHASH_P})))
+    """
+    bands_sql = f"""
+      element_at(transform(array({mins_sql}), mins ->
+        transform(sequence(0, {NUM_HASHES // BAND_SIZE - 1}),
+          b -> md5(concat_ws(':',
+                 transform(sequence(1, {BAND_SIZE}),
+                   k -> CAST(element_at(mins, {BAND_SIZE}*b + k) AS STRING)))))), 1)
+    """
     return (
-        banded.groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("j", "mh"))),
-                        lambda s: s.getField("mh").cast("string"),
-                    ),
-                    ":",
-                )
-            ).alias("band_hash")
-        )
+        docs.filter(F.expr(f"size({tokens_sql}) >= 3"))
+        .select("doc_id", F.posexplode(F.expr(bands_sql)).alias("band_id", "band_hash"))
+        .select("doc_id", F.col("band_id").cast("bigint"), "band_hash")
     )
 
 
 _BANDS_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+ex AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 8))::BIGINT % {MINHASH_P} AS base
+  FROM sh
+),
 hashed AS (
-  SELECT doc_id, j,
-         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT AS h
+  SELECT doc_id, j, ((2*j + 1) * base + 7919*j) % {MINHASH_P} AS h
   FROM ex CROSS JOIN range(0, {NUM_HASHES}) r(j)
 ),
 mh AS (SELECT doc_id, j, min(h) AS mh FROM hashed GROUP BY doc_id, j),
@@ -151,18 +179,18 @@ def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document, folded map-side with `aggregate` —
     zero shuffle, whole-stage codegen; the 100TB-correct shape."""
     docs = load_table(spark, sf_dir, "documents")
-    tok_hash = "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"
+    # hash each token ONCE (outer transform), then fold bit-contributions;
+    # putting md5 inside the per-bit lambda would recompute it ×32.
     bitsums = F.expr(
         f"""
         aggregate(
-          split(regexp_replace(lower(trim(text)), ' +', ' '), ' '),
+          transform(split(regexp_replace(lower(trim(text)), ' +', ' '), ' '),
+                    t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)),
           array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}),
-          (acc, t) -> zip_with(
-            acc,
-            transform(sequence(0, {SIMHASH_BITS - 1}),
-              b -> CASE WHEN (shiftright({tok_hash}, b) & 1) = 1
-                        THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
-            (x, y) -> x + y))
+          (acc, th) -> zip_with(
+            acc, sequence(0, {SIMHASH_BITS - 1}),
+            (x, b) -> x + CASE WHEN (shiftright(th, b) & 1) = 1
+                               THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END))
         """
     )
     simhash = F.expr(
