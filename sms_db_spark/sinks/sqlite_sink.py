@@ -1,0 +1,94 @@
+"""SQLite-compatible sink: the output db is literally queryable with the
+sqlite3 CLI like the reference's store (README.md:103-105, BASELINE.json
+spark_approach "DataFrame ops + JDBC to SQLite").
+
+Two paths:
+  - JDBC (org.sqlite.JDBC / Xerial): the cluster path — df.write.jdbc with
+    batched inserts. Used when the driver jar is on the classpath.
+  - Driver-side fallback (python sqlite3 over toLocalIterator): used in
+    this container (no sqlite-jdbc jar baked in). Streams partition
+    iterators — constant memory — but single-writer; fine for the export
+    scale SQLite itself can handle (SQLite is a single-writer store anyway,
+    so even the JDBC path cannot parallelize the final write).
+
+Schema parity: CREATE TABLE statements mirror sms-db.pl:49,53 including
+`hash INT UNIQUE` (SQLite type affinity stores the hex text) and
+PRAGMA user_version = 2 (sms-db.pl:50).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import DATABASE_VERSION
+
+MESSAGES_DDL = (
+    "CREATE TABLE IF NOT EXISTS messages(_id INTEGER PRIMARY KEY AUTOINCREMENT,"
+    "timestamp INT,sender_address TEXT,sender_name TEXT,recipient_address TEXT,"
+    "recipient_name TEXT,msg_box INT,message_type INT,source_format INT,hash INT UNIQUE)"
+)
+PARTS_DDL = (
+    "CREATE TABLE IF NOT EXISTS parts(_id INTEGER PRIMARY KEY AUTOINCREMENT,"
+    "message_id INT,data BLOB,content_type TEXT,filename TEXT,"
+    "FOREIGN KEY (message_id) REFERENCES messages(_id) ON DELETE CASCADE)"
+)
+
+
+def _jdbc_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.sqlite.JDBC")
+        return True
+    except Exception:
+        return False
+
+
+def write_store_sqlite(messages: DataFrame, parts: DataFrame, db_path: str) -> None:
+    """Write the canonical store to a SQLite file the reference's users can
+    query verbatim (querying.md). Reconstitutes the parts.data polymorphism:
+    text parts store their text in `data` (sms-db.pl:54-55 simplified table)."""
+    spark = messages.sparkSession
+    if _jdbc_available(spark):
+        url = f"jdbc:sqlite:{db_path}"
+        props = {"driver": "org.sqlite.JDBC", "batchsize": "10000"}
+        messages.orderBy("_id").write.jdbc(url, "messages", mode="append", properties=props)
+        parts_flat = parts.withColumn(
+            "data", F.coalesce(F.col("data"), F.encode(F.col("text"), "UTF-8"))
+        ).drop("text")
+        parts_flat.orderBy("_id").write.jdbc(url, "parts", mode="append", properties=props)
+        return
+
+    con = sqlite3.connect(db_path)
+    try:
+        con.execute(MESSAGES_DDL)
+        con.execute(PARTS_DDL)
+        con.execute(f"PRAGMA user_version = {DATABASE_VERSION}")
+        con.executemany(
+            "INSERT INTO messages(_id,timestamp,sender_address,sender_name,"
+            "recipient_address,recipient_name,msg_box,message_type,source_format,hash)"
+            " VALUES(?,?,?,?,?,?,?,?,?,?)",
+            (
+                (
+                    r["_id"], r["timestamp"], r["sender_address"], r["sender_name"],
+                    r["recipient_address"], r["recipient_name"], r["msg_box"],
+                    r["message_type"], r["source_format"], r["hash"],
+                )
+                for r in messages.orderBy("_id").toLocalIterator()
+            ),
+        )
+        con.executemany(
+            "INSERT INTO parts(_id,message_id,data,content_type,filename) VALUES(?,?,?,?,?)",
+            (
+                (
+                    r["_id"], r["message_id"],
+                    r["data"] if r["data"] is not None else r["text"],
+                    r["content_type"], r["filename"],
+                )
+                for r in parts.orderBy("_id").toLocalIterator()
+            ),
+        )
+        con.commit()
+    finally:
+        con.close()

@@ -1,0 +1,138 @@
+"""Synctech XML exporter (reference: sms-db.pl:235-313).
+
+Spark shape (SURVEY.md E2): the per-message scalar subqueries (J10) become
+one join + deterministic first-part pick (W1); ordering is the reference's
+ORDER BY timestamp with an _id tiebreak for a stable total order; the
+single-document XML serialization is inherently sequential → driver-side
+via toLocalIterator (constant driver memory, no full collect).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from base64 import b64encode
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import MSG_MMS, MSG_SMS
+
+# MMS attrs the reference hard-nulls (sms-db.pl:269) and constants (:270)
+_MMS_NULL_ATTRS = (
+    "retr_st ct_cls sub_cs ct_l tr_id st m_cls d_tm read_status retr_txt_cs "
+    "m_id ct_t exp resp_txt rpt_a retr_txt resp_st m_size"
+).split()
+_MMS_CONST_ATTRS = {
+    "d_rpt": "0", "read": "1", "seen": "1", "date_sent": "1", "m_type": "0",
+    "v": "0", "pri": "0", "rr": "0", "locked": "0",
+}
+_PART_CONST_ATTRS = {
+    "seq": "0", "chset": "null", "cd": "null", "fn": "null", "cid": "null",
+    "cl": "null", "ctt_s": "null", "ctt_t": "null",
+}
+
+
+def sms_export_frame(messages: DataFrame, parts: DataFrame) -> DataFrame:
+    """SMS rows with body = first part (W1: row_number by part _id replaces
+    the reference's unordered selectrow_array, sms-db.pl:247)."""
+    w = Window.partitionBy("message_id").orderBy("_id")
+    first_part = (
+        parts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("message_id", F.coalesce(F.col("text"), F.decode(F.col("data"), "UTF-8")).alias("body"))
+    )
+    return (
+        messages.filter(F.col("message_type") == MSG_SMS)
+        .join(first_part, messages._id == first_part.message_id, "left")
+        .select(
+            F.when(F.col("msg_box") == 1, F.col("sender_address"))
+            .otherwise(F.col("recipient_address"))
+            .alias("address"),
+            F.col("timestamp").alias("date"),
+            F.col("msg_box").alias("type"),
+            "body",
+        )
+        .orderBy("date", "address")
+    )
+
+
+def mms_export_frame(messages: DataFrame, parts: DataFrame) -> DataFrame:
+    """MMS rows with nested parts collected per message in _id order."""
+    parts_nested = parts.groupBy("message_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("_id", "text", "data", "content_type", "filename"))
+        ).alias("parts")
+    )
+    return (
+        messages.filter(F.col("message_type") == MSG_MMS)
+        .join(parts_nested, messages._id == parts_nested.message_id, "left")
+        .select(
+            "timestamp", "msg_box", "sender_address", "sender_name",
+            "recipient_address", "recipient_name", "parts",
+        )
+        .orderBy("timestamp", "sender_address")
+    )
+
+
+def export_xml(messages: DataFrame, parts: DataFrame, path: str, message_type: str = "all") -> int:
+    """Write the Synctech XML document; returns exported-message count
+    (the root `count` attribute, sms-db.pl:306)."""
+    root = ET.Element("smses")
+    total = 0
+
+    if message_type in ("sms", "all"):
+        for row in sms_export_frame(messages, parts).toLocalIterator():
+            e = ET.SubElement(root, "sms")
+            e.set("address", row["address"] or "")
+            e.set("date", str(row["date"]))
+            e.set("type", str(row["type"]))
+            e.set("body", row["body"] if row["body"] is not None else "")
+            e.set("read", "1")   # not stored; sms-db.pl:248
+            e.set("status", "-1")  # not stored; sms-db.pl:249
+            total += 1
+
+    if message_type in ("mms", "all"):
+        for row in mms_export_frame(messages, parts).toLocalIterator():
+            e = ET.SubElement(root, "mms")
+            e.set("date", str(row["timestamp"]))
+            e.set("msg_box", str(row["msg_box"]))
+            if row["msg_box"] == 1:
+                e.set("address", row["sender_address"] or "")
+                e.set("contact_name", row["sender_name"] or "")
+            else:
+                # first recipient, digits only (sms-db.pl:265-266)
+                first = (row["recipient_address"] or "").split(",")[0]
+                e.set("address", "".join(ch for ch in first if ch.isdigit()))
+                e.set("contact_name", row["recipient_name"] or "")
+            for a in _MMS_NULL_ATTRS:
+                e.set(a, "null")
+            for k, v in _MMS_CONST_ATTRS.items():
+                e.set(k, v)
+            parts_el = ET.SubElement(e, "parts")
+            for p in row["parts"] or []:
+                pe = ET.SubElement(parts_el, "part")
+                pe.set("ct", p["content_type"] or "")
+                pe.set("name", p["filename"] if p["filename"] is not None else "null")
+                if (p["content_type"] or "").startswith("text/"):
+                    pe.set("text", p["text"] if p["text"] is not None else "")
+                else:
+                    pe.set("text", "null")
+                    pe.set("data", b64encode(p["data"] or b"").decode("ascii"))
+                for k, v in _PART_CONST_ATTRS.items():
+                    pe.set(k, v)
+            addrs_el = ET.SubElement(e, "addrs")
+            sender_addr = ET.SubElement(addrs_el, "addr")
+            sender_addr.set("address", row["sender_address"] or "")
+            sender_addr.set("type", "137")
+            sender_addr.set("charset", "0")
+            for recipient in (row["recipient_address"] or "").split(","):
+                ae = ET.SubElement(addrs_el, "addr")
+                ae.set("address", recipient)
+                ae.set("type", "151")
+                ae.set("charset", "0")
+            total += 1
+
+    root.set("count", str(total))
+    ET.indent(ET.ElementTree(root))
+    ET.ElementTree(root).write(path, encoding="UTF-8", xml_declaration=True)
+    return total
