@@ -754,6 +754,139 @@ FROM events GROUP BY 1 ORDER BY window_start_ms
 """
 
 
+# --- §2.4 note: grouping sets / rollup "free from Spark if wanted" — wanted.
+
+
+def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(qty).cast("double").alias("sum_qty"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "cnt",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+Q31_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS cnt
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+# --- sessionization: gap-based event sessions (streaming-shaped) --------------
+
+
+def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    # session_window is THE Spark-native operator (identical under
+    # Structured Streaming); the oracle reproduces its gap semantics with
+    # lag + cumulative sum.
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.unix_millis(F.col("w.start")).alias("session_start_ms"), "n_events"
+        )
+        .orderBy("user_id", "session_start_ms")
+    )
+
+
+Q32_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes' OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       epoch_ms(CAST(min(ts) AS TIMESTAMP)) AS session_start_ms,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+ORDER BY user_id, session_start_ms
+"""
+
+
+# --- as-of join: latest order at-or-before each event (beyond-ref operator) ---
+
+
+def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    # as-of = equi-join on key + predicate ts>=orderdate + latest-wins
+    # row_number. At scale: orders side is pre-shrunk to (key, date, id),
+    # the join shuffles on user key (uniform), and the window is bounded
+    # per (event, user) group.
+    o = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").cast("timestamp").alias("odate"),
+        "o_orderkey",
+    )
+    j = events.select("event_id", F.col("user_id").alias("key"), "ts").join(o, "key", "inner")
+    j = j.filter(F.col("odate") <= F.col("ts"))
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("odate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "key", F.col("o_orderkey").alias("asof_orderkey"))
+        .orderBy("event_id")
+    )
+
+
+Q33_SQL = """
+SELECT event_id, key, asof_orderkey FROM (
+  SELECT e.event_id, e.user_id AS key, o.o_orderkey AS asof_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND CAST(o.o_orderdate AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+) WHERE rn = 1 ORDER BY event_id
+"""
+
+
+# --- top-k per group (rank window; general form of W1) ------------------------
+
+
+def q34_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+Q34_SQL = """
+SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3 ORDER BY o_custkey, rk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_eq_filter_sort": QuerySpec(q01_eq_filter_sort, Q01_SQL, "Q1 querying.md:13"),
     "q02_like_prefix": QuerySpec(q02_like_prefix, Q02_SQL, "Q2 querying.md:17"),
@@ -785,4 +918,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q28_chained_lookup": QuerySpec(q28_chained_lookup, Q28_SQL, "J7 sms-db.pl:162-163"),
     "q29_regex_extract_join": QuerySpec(q29_regex_extract_join, Q29_SQL, "J9 sms-db.pl:213-217"),
     "q30_window_agg": QuerySpec(q30_window_agg, Q30_SQL, "§2.7 streaming-shaped"),
+    "q31_rollup": QuerySpec(q31_rollup, Q31_SQL, "§2.4 rollup/grouping sets"),
+    "q32_sessionize": QuerySpec(q32_sessionize, Q32_SQL, "session_window gap sessions"),
+    "q33_asof_join": QuerySpec(q33_asof_join, Q33_SQL, "as-of join (beyond-ref)"),
+    "q34_topk_per_group": QuerySpec(q34_topk_per_group, Q34_SQL, "top-k per group"),
 }

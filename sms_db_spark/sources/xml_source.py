@@ -159,6 +159,130 @@ def normalize_xml(
     return msgs, parts
 
 
+def read_xml_staging_distributed(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Parse Synctech backup XML(s) into the four staging frames with
+    Spark 4's NATIVE xml data source (S1) — the 100TB path: rowTag splits
+    the document into per-element rows parsed across executors; attributes
+    surface as `_attr` columns; nested part/addr children arrive as
+    ArrayType(Struct) to posexplode.
+
+    Element ids are assigned by a deterministic total order over content
+    (the single-doc ElementTree path uses document order; a distributed
+    parse has no document order — a pinned deviation per SURVEY.md §7d).
+    """
+    from .canonical import dense_ids
+
+    # EXPLICIT read schemas (never inference, SURVEY.md §1.2): inference
+    # would parse '+1555…' addresses as numbers and strip the '+'.
+    sms_read_schema = T.StructType(
+        [
+            T.StructField("_date", T.LongType()),
+            T.StructField("_type", T.IntegerType()),
+            T.StructField("_address", T.StringType()),
+            T.StructField("_contact_name", T.StringType()),
+            T.StructField("_body", T.StringType()),
+        ]
+    )
+    mms_read_schema = T.StructType(
+        [
+            T.StructField("_date", T.LongType()),
+            T.StructField("_msg_box", T.IntegerType()),
+            T.StructField("_address", T.StringType()),
+            T.StructField("_contact_name", T.StringType()),
+            T.StructField(
+                "addrs",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "addr",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("_address", T.StringType()),
+                                        T.StructField("_type", T.StringType()),
+                                    ]
+                                )
+                            ),
+                        )
+                    ]
+                ),
+            ),
+            T.StructField(
+                "parts",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "part",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("_ct", T.StringType()),
+                                        T.StructField("_name", T.StringType()),
+                                        T.StructField("_text", T.StringType()),
+                                        T.StructField("_data", T.StringType()),
+                                    ]
+                                )
+                            ),
+                        )
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    raw = (
+        spark.read.format("xml").option("rowTag", "sms").schema(sms_read_schema).load(path)
+    )
+    sms_raw = raw.select(
+        F.col("_date").alias("date"),
+        F.col("_type").alias("type"),
+        F.col("_address").alias("address"),
+        F.col("_contact_name").alias("contact_name"),
+        F.col("_body").alias("body"),
+    )
+    sms = dense_ids(sms_raw, ["date", "address", "body"], "sms_id", start=0).select(
+        "sms_id", "date", "type", "address", "contact_name", "body"
+    )
+
+    mms_raw = (
+        spark.read.format("xml").option("rowTag", "mms").schema(mms_read_schema).load(path)
+    )
+    mms_keyed = dense_ids(
+        mms_raw.withColumn("date", F.col("_date")).withColumn("address", F.col("_address")),
+        ["date", "address"],
+        "mms_id",
+        start=0,
+    )
+    mms = mms_keyed.select(
+        "mms_id",
+        "date",
+        F.col("_msg_box").alias("msg_box"),
+        "address",
+        F.col("_contact_name").alias("contact_name"),
+    )
+    addr = mms_keyed.select(
+        "mms_id", F.posexplode_outer(F.col("addrs.addr")).alias("addr_seq", "a")
+    ).select(
+        "mms_id",
+        F.col("addr_seq").cast("int"),
+        F.col("a._address").cast("string").alias("address"),
+        F.col("a._type").cast("string").alias("type"),
+    ).filter(F.col("address").isNotNull() | F.col("type").isNotNull())
+    part = mms_keyed.select(
+        "mms_id", F.posexplode_outer(F.col("parts.part")).alias("part_seq", "p")
+    ).select(
+        "mms_id",
+        F.col("part_seq").cast("int"),
+        F.col("p._ct").cast("string").alias("ct"),
+        F.col("p._name").cast("string").alias("name"),
+        F.col("p._text").cast("string").alias("text"),
+        F.col("p._data").cast("string").alias("data_b64"),
+    ).filter(F.col("ct").isNotNull())
+    return sms, mms, addr, part
+
+
 def read_xml_staging(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
