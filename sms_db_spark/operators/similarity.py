@@ -182,8 +182,121 @@ ORDER BY id_a, id_b
 """
 
 
+N_CENTROIDS = 16  # coarse-quantizer size (stand-in for k-means output)
+N_PROBE = 2  # centroid lists probed per query
+
+
+def q51_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus onto centroid
+    lists, probe only the query's nearest N_PROBE lists, then score.
+
+    Centroids here are the first N_CENTROIDS vectors (a deterministic,
+    oracle-able stand-in for k-means output — real training happens
+    offline; the serving plan below is identical either way).
+
+    Scale shape (the part that matters at 100 TB):
+      - assignment is a crossJoin against a BROADCAST centroid table
+        followed by groupBy(vec_id) + max_by — the partial aggregate
+        collapses the N×K rows back to N map-side (each vec_id lives in
+        one input partition), so no K-amplified shuffle;
+      - the probe table is Q×N_PROBE rows and broadcasts into the
+        candidate join, so candidate selection is also shuffle-free;
+      - only the final per-query top-k window shuffles, on query_id
+        (cardinality Q, uniform).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+
+    # coarse assignment: argmax cosine, ties -> smallest cid (struct
+    # ordering: max sim, then max(-cid) == min cid)
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine("embedding", "c_emb").alias("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
+            F.first("embedding").alias("c_emb"),
+        )
+    )
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("q_sim").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "q_emb", "cid", cosine("q_emb", "c_emb").alias("q_sim"))
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", "q_emb", "cid")
+    )
+
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("q_emb", "c_emb").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+Q51_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, q_emb, cid FROM (
+    SELECT q.query_id, q.q_emb, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_cos('q.q_emb', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_sql_cos('p.q_emb', 'a.embedding')} AS cos_sim
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "q48_ann_bruteforce_topk": QuerySpec(q48_ann_bruteforce_topk, Q48_SQL, "exact cosine top-k"),
     "q49_ann_lsh_topk": QuerySpec(q49_ann_lsh_topk, Q49_SQL, "sign-LSH bucketed top-k"),
     "q50_embedding_neardup": QuerySpec(q50_embedding_neardup, Q50_SQL, "cosine near-dup pairs"),
+    "q51_ann_ivf_topk": QuerySpec(q51_ann_ivf_topk, Q51_SQL, "IVF coarse-quantized top-k"),
 }

@@ -1,0 +1,143 @@
+"""Physical-plan assertions: the scale-design claims in README.md
+("Scale design rules used throughout") checked mechanically against
+`.explain("formatted")` output, so a regression that silently drops a
+pushdown, un-broadcasts a lookup join, or adds a shuffle fails CI.
+
+These run at sf0.001 — plan shape is scale-independent (modulo AQE
+runtime re-planning, which rewrites *downward*: it can only turn a
+planned sort-merge join into a broadcast join, never the reverse).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from sms_db_spark.plans import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str, mode: str = "formatted") -> str:
+    df = registry()[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def n_exchanges(text: str) -> int:
+    # count shuffle exchanges only (broadcast exchanges are cheap by design)
+    return len(re.findall(r"\bExchange (?:hash|range|Single)partitioning", text)) + len(
+        re.findall(r"\(\d+\) Exchange\b", text)
+    )
+
+
+def test_q01_filter_pushdown(spark):
+    """Q1 equality filter reaches the parquet scan (SURVEY §4: predicate
+    pushdown is automatic — verify it actually happened)."""
+    p = plan(spark, "q01_eq_filter_sort")
+    assert "EqualTo(event_type,click)" in p, p
+
+
+def test_q23_column_pruning(spark):
+    """Grouped agg over lineitem (16 columns) reads only the columns the
+    query touches — a scan of all 16 for a 4-column agg is wrong."""
+    p = plan(spark, "q23_agg_rollup")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "l_comment" not in cols, cols
+    assert len(cols) <= 8, cols
+
+
+def test_q02_prefix_pushdown(spark):
+    """LIKE 'prefix%' pushes as StringStartsWith (stays in the scan)."""
+    p = plan(spark, "q02_like_prefix")
+    assert "StringStartsWith" in p, p
+
+
+def test_q07_flagship_broadcast_and_pushdown(spark):
+    """Flagship join: lookup side broadcast, LIKE 'text%' pushed to scan."""
+    p = plan(spark, "q07_flagship_join_like")
+    assert "BroadcastHashJoin" in p, p
+    assert "StringStartsWith" in p, p
+
+
+def test_q26_three_way_join_all_broadcast(spark):
+    """J1's 3-way join: both lookup sides must be broadcast — zero
+    shuffle joins (SortMergeJoin/ShuffledHashJoin would shuffle the fact
+    table twice at 100 TB)."""
+    p = plan(spark, "q26_three_way_join")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+def test_q20_dedup_partial_aggregate(spark):
+    """Exact dedup: map-side partial aggregation before the hash shuffle
+    (two HashAggregate levels around one Exchange)."""
+    p = plan(spark, "q20_dedup_exact")
+    assert len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate", p)) >= 2, p
+
+
+def test_q23_rollup_single_shuffle(spark):
+    """Grouped agg: exactly one hash-partition shuffle (partial agg
+    upstream), nothing re-shuffled downstream."""
+    p = plan(spark, "q23_agg_rollup", mode="simple")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1, p
+
+
+def test_q44_minhash_no_explode_shuffle(spark):
+    """MinHash signatures are a map-side fold: the only shuffle allowed
+    is the final output; no |corpus|x16 explode+groupBy amplification."""
+    p = plan(spark, "q44_minhash_signatures", mode="simple")
+    assert "Generate explode" not in p or "Exchange hashpartitioning" not in p.split("Generate explode")[0], p
+
+
+def test_q46_simhash_zero_shuffles(spark):
+    """SimHash is per-row: the plan must contain no shuffle at all."""
+    p = plan(spark, "q46_simhash", mode="simple")
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_q48_broadcast_not_cartesian(spark):
+    """Brute-force ANN: the small query side broadcasts (BroadcastNested
+    LoopJoin), never a shuffle-based CartesianProduct."""
+    p = plan(spark, "q48_ann_bruteforce_topk", mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_q49_lsh_bucket_equijoin(spark):
+    """LSH ANN: candidate selection is an equi-join on bucket id with the
+    query side broadcast — no cross join anywhere."""
+    p = plan(spark, "q49_ann_lsh_topk", mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q51_ivf_broadcasts(spark):
+    """IVF ANN: centroid assign + probe joins broadcast the small sides;
+    no sort-merge join of the corpus."""
+    p = plan(spark, "q51_ann_ivf_topk", mode="simple")
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_q41_text_quality_no_python_udf(spark):
+    """Text quality scoring stays JVM-side: no BatchEvalPython /
+    ArrowEvalPython nodes (rule 1: zero Python UDFs in the compat path)."""
+    p = plan(spark, "q41_text_quality", mode="simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_compat_surface_has_no_python_udfs(spark):
+    """Every q01-q34 compat query plans without any Python eval node."""
+    for name in sorted(registry()):
+        if not re.match(r"q(0\d|1\d|2\d|3[0-4])_", name):
+            continue
+        p = plan(spark, name, mode="simple")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
