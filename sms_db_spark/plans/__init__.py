@@ -24,11 +24,11 @@ class QuerySpec:
 
 
 def registry() -> dict[str, QuerySpec]:
-    from . import compat_queries
+    from . import compat_queries, importer_queries
     from ..operators import dedup, similarity, textstats, multimodal
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (compat_queries, dedup, similarity, textstats, multimodal):
+    for mod in (compat_queries, importer_queries, dedup, similarity, textstats, multimodal):
         overlap = specs.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

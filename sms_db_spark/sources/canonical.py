@@ -111,7 +111,10 @@ def finalize_import(
     first-wins within batch: min(local_id) per hash (staging order ≙ the
     reference's insert order). Store-side dedup: left_anti on hash.
     """
-    hashed = with_message_hash(staged_messages, staged_parts)
+    # persist the hashed batch: this function drives several actions over
+    # it (counts, id-offset collect, final select) — without a persist each
+    # action re-executes the normalizer join chain from the source
+    hashed = with_message_hash(staged_messages, staged_parts).persist()
 
     keeper = hashed.groupBy("hash").agg(F.min("local_id").alias("local_id"))
     batch_unique = hashed.join(keeper, ["hash", "local_id"], "inner")
