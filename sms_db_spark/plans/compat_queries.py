@@ -887,6 +887,80 @@ SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
 """
 
 
+# --- salted skew join: the scale technique for hot keys, demonstrated --------
+
+
+def q35_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact shuffle join with deterministic key salting.
+
+    When one join key dominates (a hot orderkey, a viral doc), the plain
+    hash-shuffle join lands the whole hot key on one reducer. Salting
+    splits each left key into N_SALT sub-keys (here deterministically by
+    l_linenumber so the oracle agrees row-for-row) and replicates the
+    right side N_SALT ways, so the hot key spreads over N_SALT reducers.
+    Results are identical to the unsalted join — the oracle is the plain
+    SQL join, which is the point. AQE's skew-join handles moderate skew
+    automatically; explicit salting is the tool when a single key exceeds
+    what one task can hold.
+    """
+    n_salt = 8
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        F.pmod(F.col("l_linenumber"), F.lit(n_salt)).alias("salt"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    )
+    return (
+        lineitem.join(
+            orders,
+            (lineitem.l_orderkey == orders.o_orderkey)
+            & (lineitem.salt == orders.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q35_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- cube / grouping sets (§2.4: free from Spark — claimed, so proven) --------
+
+
+def q36_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+Q36_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_eq_filter_sort": QuerySpec(q01_eq_filter_sort, Q01_SQL, "Q1 querying.md:13"),
     "q02_like_prefix": QuerySpec(q02_like_prefix, Q02_SQL, "Q2 querying.md:17"),
@@ -922,4 +996,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q32_sessionize": QuerySpec(q32_sessionize, Q32_SQL, "session_window gap sessions"),
     "q33_asof_join": QuerySpec(q33_asof_join, Q33_SQL, "as-of join (beyond-ref)"),
     "q34_topk_per_group": QuerySpec(q34_topk_per_group, Q34_SQL, "top-k per group"),
+    "q35_salted_skew_join": QuerySpec(q35_salted_skew_join, Q35_SQL, "salted skew join"),
+    "q36_cube": QuerySpec(q36_cube, Q36_SQL, "cube / grouping sets"),
 }

@@ -135,9 +135,9 @@ def test_q41_text_quality_no_python_udf(spark):
 
 
 def test_compat_surface_has_no_python_udfs(spark):
-    """Every q01-q34 compat query plans without any Python eval node."""
+    """Every q01-q36 compat query plans without any Python eval node."""
     for name in sorted(registry()):
-        if not re.match(r"q(0\d|1\d|2\d|3[0-4])_", name):
+        if not re.match(r"q(0\d|1\d|2\d|3[0-6])_", name):
             continue
         p = plan(spark, name, mode="simple")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
