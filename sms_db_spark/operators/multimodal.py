@@ -101,9 +101,100 @@ def extract_features(media: DataFrame, decoder=fake_decode_image) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resizer: truncate/zero-pad to width*height bytes
+    (stands in for a real resample; preserves the bytes-in/bytes-out
+    contract and output-size invariant a real kernel has)."""
+    n = width * height
+    return payload[:n] + b"\x00" * max(0, n - len(payload))
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, resizer=fake_resize
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads (1:1 rows).
+
+    Production injects a Pillow/libvips-backed `resizer`; the stub keeps
+    the Spark plumbing (schema, batch shape, constant task memory) real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(lambda p: resizer(p, width, height)),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SIZE = 16  # bytes per fake "frame"
+FRAME_STRIDE = 4  # sample every 4th frame
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_text", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = FRAME_SIZE, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Video frame sampling: payload treated as a sequence of fixed-size
+    frames; every `stride`-th frame is emitted as its own row (1:N output
+    — the mapInPandas batch shape real frame extraction needs; a real
+    decoder swaps the byte-slice for an ffmpeg/pyav keyframe read).
+
+    Frame content is surfaced as text (the synthetic corpus is ASCII) so
+    the oracle can compare values across engines.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(
+                        payload[i * frame_size : (i + 1) * frame_size].decode("utf-8")
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_text": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def q55_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(to_media_frame(docs))
+
+
+def q56_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the fabricated media column (1:N mapInPandas)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(to_media_frame(docs))
 
 
 # oracle twin: the fake features are pure byte functions, SQL-expressible.
@@ -119,8 +210,21 @@ FROM documents
 """
 
 
+Q56_SQL = f"""
+SELECT doc_id, i AS frame_idx, substr(text, CAST(i * {FRAME_SIZE} + 1 AS INTEGER), {FRAME_SIZE}) AS frame_text
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, (octet_length(encode(text)) + {FRAME_SIZE - 1}) // {FRAME_SIZE}, {FRAME_STRIDE})) AS i
+  FROM documents
+)
+"""
+
+
 QUERIES = {
     "q55_multimodal_features": QuerySpec(
         q55_multimodal_features, Q55_SQL, "binary-column mapInPandas plumbing"
+    ),
+    "q56_multimodal_frames": QuerySpec(
+        q56_multimodal_frames, Q56_SQL, "frame sampling (1:N mapInPandas)"
     ),
 }

@@ -1,0 +1,69 @@
+"""Multimodal binary-column plumbing: decode stub contract, resize and
+frame-sample batch shapes (the Spark-side mechanics are real; decoders
+are deterministic fakes, SURVEY-brief stub policy)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sms_db_spark.operators.multimodal import (
+    FRAME_SIZE,
+    FRAME_STRIDE,
+    decode_image,
+    extract_features,
+    fake_resize,
+    resize_images,
+    sample_frames,
+    to_media_frame,
+)
+
+
+def _media(spark):
+    docs = spark.createDataFrame(
+        [(0, "a" * 40), (1, "xy"), (2, "b" * (FRAME_SIZE * FRAME_STRIDE + 1))],
+        "doc_id long, text string",
+    )
+    return to_media_frame(docs)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00")
+
+
+def test_extract_features_shapes(spark):
+    rows = {r["doc_id"]: r.asDict() for r in extract_features(_media(spark)).collect()}
+    assert rows[0]["n_bytes"] == 40
+    assert rows[0]["width"] == ord("a") and rows[0]["height"] == ord("a")
+    assert len(rows[0]["payload_sha256"]) == 64
+
+
+def test_resize_pads_and_truncates(spark):
+    rows = {r["doc_id"]: r.asDict() for r in resize_images(_media(spark), 4, 3).collect()}
+    assert all(len(r["payload"]) == 12 for r in rows.values())
+    assert rows[0]["payload"] == b"a" * 12  # truncated
+    assert rows[1]["payload"] == b"xy" + b"\x00" * 10  # zero-padded
+    assert rows[1]["width"] == 4 and rows[1]["height"] == 3
+    assert fake_resize(b"", 2, 2) == b"\x00" * 4
+
+
+def test_sample_frames_one_to_many(spark):
+    out = sample_frames(_media(spark)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 40 bytes -> 3 frames (16,16,8), stride 4 -> only frame 0
+    assert [r["frame_idx"] for r in by_doc[0]] == [0]
+    assert by_doc[0][0]["frame_text"] == "a" * FRAME_SIZE
+    # doc 2: 65 bytes -> 5 frames, stride 4 -> frames 0 and 4
+    idxs = sorted(r["frame_idx"] for r in by_doc[2])
+    assert idxs == [0, 4]
+    tail = [r for r in by_doc[2] if r["frame_idx"] == 4][0]
+    assert tail["frame_text"] == "b"  # last partial frame, 1 byte
+
+
+def test_media_frame_is_binary(spark):
+    schema = {f.name: f.dataType.simpleString() for f in _media(spark).schema.fields}
+    assert schema["payload"] == "binary"
