@@ -33,9 +33,11 @@ HEADLINE = [
     "q30_window_agg",
     "q41_text_quality",
     "q44_minhash_signatures",
+    "q45_minhash_lsh_pairs",
     "q46_simhash",
     "q48_ann_bruteforce_topk",
     "q49_ann_lsh_topk",
+    "q51_ann_ivf_topk",
     "q55_multimodal_features",
 ]
 

@@ -490,14 +490,29 @@ ORDER BY o_orderkey
 
 def q22_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
-    # (l_orderkey, l_linenumber) is NOT unique in the testdata — the window
-    # order must be a total order or "first" is engine-dependent (exactly the
-    # reference's selectrow_array nondeterminism we deliberately pin, W1).
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata — the pick
+    # needs a total order (l_linenumber, l_partkey, l_suppkey) or "first"
+    # is engine-dependent (exactly the reference's selectrow_array
+    # nondeterminism we deliberately pin, W1).
+    #
+    # Scale form: min_by over an ordering struct instead of a row_number
+    # sort-window — min_by partial-aggregates map-side, so the shuffle
+    # carries ~one row per group instead of every row sorted; the window
+    # formulation (kept as the general top-k form in q34) shuffles and
+    # sorts the whole fact table.
+    first = F.min_by(
+        F.struct("l_linenumber", "l_partkey", "l_quantity"),
+        F.struct("l_linenumber", "l_partkey", "l_suppkey"),
+    )
     return (
-        lineitem.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        lineitem.groupBy("l_orderkey")
+        .agg(first.alias("f"))
+        .select(
+            "l_orderkey",
+            F.col("f.l_linenumber").alias("l_linenumber"),
+            F.col("f.l_partkey").alias("l_partkey"),
+            F.col("f.l_quantity").alias("l_quantity"),
+        )
         .orderBy("l_orderkey")
     )
 
