@@ -112,10 +112,35 @@ def q64_export_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sms_export_frame(res.messages, res.parts)
 
 
+def q65_sql_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: the reference's promised ad-hoc SQL surface, verbatim.
+
+    querying.md:35-39 / README.md:105 run SQLite SQL over messages/parts;
+    the identical SQL text (ANSI subset) runs through spark.sql over the
+    canonical store registered as temp views — parse/optimize/execute is
+    Catalyst+Tungsten instead of SQLite's VDBE, queries port unchanged.
+    (LIKE case-sensitivity is the one documented deviation, SURVEY §7g.)
+    """
+    xm, xp = normalize_xml(*xml_frames(spark))
+    xm, xp = _ckpt(xm, xp)
+    res = finalize_import(xm, xp)
+    res.messages.createOrReplaceTempView("messages")
+    res.parts.createOrReplaceTempView("parts")
+    return spark.sql(
+        """
+        SELECT messages.timestamp, messages.sender_name, parts.text
+        FROM messages INNER JOIN parts ON messages._id = parts.message_id
+        WHERE parts.content_type LIKE 'text%'
+        ORDER BY messages.timestamp
+        """
+    )
+
+
 QUERIES = {
     "q60_import_xml": QuerySpec(q60_import_xml, None, "XML importer dataflow"),
     "q61_import_bugle": QuerySpec(q61_import_bugle, None, "Bugle importer dataflow"),
     "q62_import_signal": QuerySpec(q62_import_signal, None, "Signal importer dataflow"),
     "q63_import_pipeline": QuerySpec(q63_import_pipeline, None, "full import lifecycle"),
     "q64_export_frame": QuerySpec(q64_export_frame, None, "ordered SMS export frame"),
+    "q65_sql_verbatim": QuerySpec(q65_sql_verbatim, None, "ad-hoc SQL surface (E3)"),
 }

@@ -83,3 +83,23 @@ def test_sqlite_sink_queryable(spark, tmp_path):
     assert rows[0][1] == "Alice" and rows[0][2] == "hi there"
     assert con.execute("PRAGMA user_version").fetchone()[0] == 2
     con.close()
+
+
+def test_csv_export_documented_query(spark, tmp_path):
+    """S7: the README.md:103-105 `sqlite3 -csv` join as a CSV write."""
+    import csv
+    import glob
+
+    from sms_db_spark.sinks.csv_export import export_csv
+
+    res = _store(spark)
+    out = tmp_path / "texts_csv"
+    export_csv(res.messages, res.parts, str(out))
+    (csv_file,) = glob.glob(str(out / "part-*.csv"))
+    with open(csv_file, newline="") as fh:
+        rows = list(csv.DictReader(fh))
+    # every text/plain part of the 5-message fixture store, time-ordered
+    assert [r["text"] for r in rows] == [
+        "hi there", "hello back ünïcödé", "lunch?", "photo attached", "see you",
+    ]
+    assert rows[0]["sender_name"] == "Alice"

@@ -67,3 +67,82 @@ def test_multibyte_text_hashes_as_utf8(spark):
         [("hello back ünïcödé", "text/plain")],
     )
     assert row["hash"] == expected
+
+
+# --- property test: byte parity on arbitrary generated records ---------------
+
+from hypothesis import given, settings, strategies as st
+
+from sms_db_spark.schemas import MESSAGE_HASH_FIELDS
+
+_text = st.text(max_size=24)  # arbitrary unicode (incl. astral, excl. surrogates)
+_maybe_text = st.one_of(st.none(), _text)
+_part = st.tuples(
+    st.one_of(
+        st.none(),
+        _text,                                 # text-lane part
+        st.binary(min_size=0, max_size=24),    # binary lane (latin1→utf8 expansion)
+    ),
+    st.one_of(st.none(), st.sampled_from(["text/plain", "image/jpeg", "video/mp4"])),
+)
+_record = st.tuples(
+    st.integers(min_value=0, max_value=2**53),  # timestamp
+    _maybe_text, _maybe_text, _maybe_text, _maybe_text,  # addresses/names
+    st.integers(min_value=1, max_value=4),      # msg_box
+    st.integers(min_value=0, max_value=1),      # message_type
+    st.integers(min_value=0, max_value=2),      # source_format
+    st.lists(_part, max_size=3),                # parts
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_record, min_size=1, max_size=6))
+def test_spark_hash_parity_on_generated_records(spark, records):
+    """with_message_hash must byte-match the Perl-recipe oracle for ANY
+    record: unicode, None fields, binary payloads, partless messages."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    msg_rows, part_rows = [], []
+    for lid, rec in enumerate(records):
+        *meta, parts = rec
+        msg_rows.append((lid, *meta))
+        for seq, (data, ct) in enumerate(parts):
+            is_bin = isinstance(data, bytes)
+            part_rows.append(
+                (lid, seq, data if is_bin else None, None if is_bin else data, ct, None)
+            )
+
+    msg_schema = T.StructType(
+        [T.StructField("local_id", T.LongType(), False)]
+        + [
+            T.StructField(name, T.LongType() if name in ("timestamp",) else
+                          T.IntegerType() if name in ("msg_box", "message_type", "source_format")
+                          else T.StringType(), True)
+            for name in MESSAGE_HASH_FIELDS
+        ]
+    )
+    part_schema = T.StructType(
+        [
+            T.StructField("local_id", T.LongType(), False),
+            T.StructField("part_seq", T.IntegerType(), False),
+            T.StructField("data", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("content_type", T.StringType(), True),
+            T.StructField("filename", T.StringType(), True),
+        ]
+    )
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    msgs = spark.createDataFrame(
+        pd.DataFrame(msg_rows, columns=[f.name for f in msg_schema.fields], dtype=object),
+        msg_schema,
+    )
+    parts = spark.createDataFrame(
+        pd.DataFrame(part_rows, columns=[f.name for f in part_schema.fields], dtype=object),
+        part_schema,
+    )
+
+    got = {r["local_id"]: r["hash"] for r in with_message_hash(msgs, parts).collect()}
+    for lid, rec in enumerate(records):
+        *meta, parts_list = rec
+        assert got[lid] == python_reference_hash(list(meta), parts_list), (lid, rec)
