@@ -976,6 +976,28 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+# --- set ops (§2.5: unused by the reference; provided for completeness) -------
+
+
+def q37_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT over customer-key sets: customers with open orders
+    but no finished ones. Both are shuffle dedup-aggregations on uniform
+    keys (the same shape as dedup A5)."""
+    orders = _t(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract = set-semantics EXCEPT (deduplicating), matching SQL EXCEPT
+    return open_c.subtract(fin_c).orderBy("o_custkey")
+
+
+Q37_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_eq_filter_sort": QuerySpec(q01_eq_filter_sort, Q01_SQL, "Q1 querying.md:13"),
     "q02_like_prefix": QuerySpec(q02_like_prefix, Q02_SQL, "Q2 querying.md:17"),
@@ -1013,4 +1035,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q34_topk_per_group": QuerySpec(q34_topk_per_group, Q34_SQL, "top-k per group"),
     "q35_salted_skew_join": QuerySpec(q35_salted_skew_join, Q35_SQL, "salted skew join"),
     "q36_cube": QuerySpec(q36_cube, Q36_SQL, "cube / grouping sets"),
+    "q37_set_ops": QuerySpec(q37_set_ops, Q37_SQL, "intersect/except set ops"),
 }
