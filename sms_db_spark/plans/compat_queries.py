@@ -998,6 +998,39 @@ ORDER BY o_custkey
 """
 
 
+# --- dimension-chain join over the remaining dims (J7 shape on dims) ----------
+
+
+def q38_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier -> nation -> region chained broadcast lookups (the J7
+    chained-scalar-lookup shape on pure dimension tables), aggregated per
+    region. All three frames broadcast-sized; zero fact shuffle."""
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey"))
+    region = F.broadcast(_t(spark, sf_dir, "region").select("r_regionkey", "r_name"))
+    return (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+Q38_SQL = """
+SELECT r_name,
+       count(*) AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_eq_filter_sort": QuerySpec(q01_eq_filter_sort, Q01_SQL, "Q1 querying.md:13"),
     "q02_like_prefix": QuerySpec(q02_like_prefix, Q02_SQL, "Q2 querying.md:17"),
@@ -1036,4 +1069,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q35_salted_skew_join": QuerySpec(q35_salted_skew_join, Q35_SQL, "salted skew join"),
     "q36_cube": QuerySpec(q36_cube, Q36_SQL, "cube / grouping sets"),
     "q37_set_ops": QuerySpec(q37_set_ops, Q37_SQL, "intersect/except set ops"),
+    "q38_dim_chain": QuerySpec(q38_dim_chain, Q38_SQL, "dim-chain broadcast joins"),
 }
