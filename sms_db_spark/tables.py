@@ -29,6 +29,11 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown test table {name!r}")
+    # Pin the session tz at the data boundary (runtime-settable, so it also
+    # holds under a caller-provided vanilla session): parquet timestamps are
+    # instants; rendering them in a machine-local zone would make query
+    # output — and the driver's value-hash — depend on the host TZ.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in parquet — a type Spark cannot represent.
         # Set the legacy read conf HERE (runtime-settable SQL conf) so the
