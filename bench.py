@@ -38,7 +38,9 @@ HEADLINE = [
     "q48_ann_bruteforce_topk",
     "q49_ann_lsh_topk",
     "q51_ann_ivf_topk",
+    "q53_clean_pipeline",
     "q55_multimodal_features",
+    "q57_tfidf_topk",
 ]
 
 

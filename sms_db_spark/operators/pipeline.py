@@ -1,0 +1,291 @@
+"""Composite training-data pipeline operators over the `documents` table.
+
+These stitch the primitive extension operators (textstats quality/langid,
+fingerprint dedup, MinHash-LSH candidate pairs) into the end-to-end shapes
+an LLM-corpus preparation job actually runs:
+
+  - q52_neardup_resolve: LSH candidate pairs -> survivor set (greedy
+    keep-lowest-id within each direct collision pair)
+  - q53_clean_pipeline:  quality filter + language filter + exact
+    normalized-content dedup, in one declarative plan
+  - q54_corpus_stats:    post-clean per-language corpus statistics
+  - q57_tfidf_topk:      top-k distinguishing terms per document by
+    (tf DESC, df ASC, term ASC) - the float-free TF-IDF ranking
+
+Reference parity: the reference's only dedup is exact-hash first-wins
+(sms-db.pl:318-339, README.md:113-115); everything here is the clearly
+separated beyond-reference extension family (SURVEY.md §7 step 7).
+
+Scale design (100 TB):
+  - q52: the pair table is tiny relative to the corpus (only colliding
+    docs); survivors = one left_anti shuffle join on doc_id. No windows.
+  - q53: per-row scoring is map-side codegen; the single shuffle is the
+    groupBy on content_fp (md5 -> uniform, no skew). Keep-first uses
+    min(doc_id) aggregation, not a global window.
+  - q54: two shuffles total (fp-dedup, then lang rollup on a 3-value key
+    whose partial aggregation collapses map-side).
+  - q57: explode is linear; tf groupBy keys are (doc_id, term) - doc_id
+    spreads hot terms so no salt needed; df table is vocab-sized and the
+    tf<->df join shuffles on term where AQE skew-split handles stopword
+    skew; final top-k is a bounded per-doc window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec
+from ..tables import load_table
+from .dedup import _BANDS_SQL, minhash_bands
+from .textstats import TOKEN_RE
+
+# ---------------------------------------------------------------- q52
+
+
+def q52_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup survivor set from MinHash-LSH collisions.
+
+    A document is dropped iff it collides (any shared band bucket) with a
+    lower-id document; the lowest id in every collision pair survives.
+    This is the greedy pairwise policy (not transitive-closure connected
+    components - a doc surviving its own pairs stays even if its partner
+    also pairs elsewhere), which is the standard single-pass policy at
+    corpus scale because it needs no iterative computation.
+    """
+    bands = minhash_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    dropped = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(dropped, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+Q52_SQL = f"""
+WITH bands AS ({_BANDS_SQL}),
+dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d ANTI JOIN dropped USING (doc_id)
+"""
+
+# ---------------------------------------------------------------- q53
+
+PUNCT_RE = "[,.!?;:]"
+_STOP = ("the", "a", "an", "and", "of", "to", "in", "is")
+_EN_MARKERS = ("the", "and", "of", "to", "is")
+_DE_MARKERS = ("der", "die", "das", "und", "ist")
+_ES_MARKERS = ("el", "la", "los", "de", "es")
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document map-side scoring frame shared by q53/q54."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+    stop_cnt = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"\b(" + "|".join(_STOP) + r")\b"), 0
+        )
+    )
+    mk = lambda ws: F.size(  # noqa: E731
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(" + "|".join(ws) + r")\b"), 0)
+    )
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("len_chars"),
+        n_tokens.alias("n_tokens"),
+        stop_cnt.alias("stop_cnt"),
+        mk(_EN_MARKERS).alias("score_en"),
+        mk(_DE_MARKERS).alias("score_de"),
+        mk(_ES_MARKERS).alias("score_es"),
+        F.md5(normalized).alias("content_fp"),
+    )
+    pred = (
+        F.when(
+            (F.col("score_en") >= F.col("score_de")) & (F.col("score_en") >= F.col("score_es")),
+            F.lit("en"),
+        )
+        .when(F.col("score_de") >= F.col("score_es"), F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return scored.withColumn("predicted_lang", pred)
+
+
+_SCORED_SQL = f"""
+  SELECT doc_id, lang,
+         length(text) AS len_chars,
+         len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+         len(regexp_extract_all(lower(text), '\\b({"|".join(_STOP)})\\b')) AS stop_cnt,
+         len(regexp_extract_all(lower(text), '\\b({"|".join(_EN_MARKERS)})\\b')) AS score_en,
+         len(regexp_extract_all(lower(text), '\\b({"|".join(_DE_MARKERS)})\\b')) AS score_de,
+         len(regexp_extract_all(lower(text), '\\b({"|".join(_ES_MARKERS)})\\b')) AS score_es,
+         md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS content_fp,
+         CASE WHEN len(regexp_extract_all(lower(text), '\\b({"|".join(_EN_MARKERS)})\\b'))
+                   >= len(regexp_extract_all(lower(text), '\\b({"|".join(_DE_MARKERS)})\\b'))
+               AND len(regexp_extract_all(lower(text), '\\b({"|".join(_EN_MARKERS)})\\b'))
+                   >= len(regexp_extract_all(lower(text), '\\b({"|".join(_ES_MARKERS)})\\b'))
+              THEN 'en'
+              WHEN len(regexp_extract_all(lower(text), '\\b({"|".join(_DE_MARKERS)})\\b'))
+                   >= len(regexp_extract_all(lower(text), '\\b({"|".join(_ES_MARKERS)})\\b'))
+              THEN 'de' ELSE 'es' END AS predicted_lang
+  FROM documents
+"""
+
+# the cleaning policy (shared constants so Spark and oracle agree)
+MIN_CHARS = 20
+MIN_TOKENS = 5
+MAX_STOP_RATIO = 0.5
+
+
+def q53_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: quality gate -> exact-content dedup.
+
+    Keep-first dedup is expressed as min(doc_id) per content_fp + semi-join
+    back (two passes over a tiny aggregate, no global window): the
+    aggregation is partial/map-side combining and the join key (doc_id)
+    re-uses the survivor ids - at 100 TB this is one uniform shuffle on a
+    cryptographic-hash key plus one broadcast-able survivors join.
+    """
+    s = _scored(spark, sf_dir)
+    passing = s.filter(
+        (F.col("len_chars") >= MIN_CHARS)
+        & (F.col("n_tokens") >= MIN_TOKENS)
+        & (
+            F.col("stop_cnt").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+            < MAX_STOP_RATIO
+        )
+    )
+    survivors = passing.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        passing.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "lang", "predicted_lang", "len_chars", "n_tokens", "content_fp")
+    )
+
+
+Q53_SQL = f"""
+WITH s AS ({_SCORED_SQL}),
+passing AS (
+  SELECT * FROM s
+  WHERE len_chars >= {MIN_CHARS} AND n_tokens >= {MIN_TOKENS}
+    AND CAST(stop_cnt AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) < {MAX_STOP_RATIO}
+),
+survivors AS (SELECT min(doc_id) AS doc_id FROM passing GROUP BY content_fp)
+SELECT doc_id, lang, predicted_lang, len_chars, n_tokens, content_fp
+FROM passing SEMI JOIN survivors USING (doc_id)
+"""
+
+# ---------------------------------------------------------------- q54
+
+
+def q54_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-clean per-language corpus statistics (the report a data-prep
+    run emits): doc count, token volume, char volume, mean doc length.
+
+    avg is sum/count in both engines over int64 - bit-deterministic as an
+    int/int double division.
+    """
+    cleaned = q53_clean_pipeline(spark, sf_dir)
+    return (
+        cleaned.groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("len_chars").alias("total_chars"),
+            (
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_tokens"),
+        )
+        .orderBy("predicted_lang")
+    )
+
+
+Q54_SQL = f"""
+WITH cleaned AS ({Q53_SQL})
+SELECT predicted_lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(len_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
+FROM cleaned GROUP BY predicted_lang ORDER BY predicted_lang
+"""
+
+# ---------------------------------------------------------------- q57
+
+TFIDF_TOPK = 5
+
+
+def q57_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k distinguishing terms per document, ranked (tf DESC, df ASC,
+    term ASC) - TF-IDF ordering without floats (N is constant per corpus,
+    so ranking by tf/df is ranking by tf*idf; ties pinned by term).
+
+    Plan: explode (linear) -> tf groupBy on (doc_id, term) - the doc_id
+    component spreads hot stopword terms uniformly, so the big shuffle has
+    no skew -> df groupBy on term (skewed, but rows are already one per
+    (doc, term) so the reduce side holds only vocab-sized partials; AQE
+    skew-split covers the residual) -> tf<->df equi-join on term ->
+    bounded per-doc window for the top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+Q57_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= {TFIDF_TOPK}
+"""
+
+
+QUERIES = {
+    "q52_neardup_resolve": QuerySpec(
+        q52_neardup_resolve, Q52_SQL, "LSH fuzzy-dedup survivor set"
+    ),
+    "q53_clean_pipeline": QuerySpec(
+        q53_clean_pipeline, Q53_SQL, "quality+lang+exact-dedup cleaning pipeline"
+    ),
+    "q54_corpus_stats": QuerySpec(q54_corpus_stats, Q54_SQL, "post-clean corpus stats"),
+    "q57_tfidf_topk": QuerySpec(q57_tfidf_topk, Q57_SQL, "float-free TF-IDF top-k terms"),
+}

@@ -25,10 +25,18 @@ class QuerySpec:
 
 def registry() -> dict[str, QuerySpec]:
     from . import compat_queries, importer_queries
-    from ..operators import dedup, similarity, textstats, multimodal
+    from ..operators import dedup, similarity, textstats, multimodal, pipeline
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (compat_queries, importer_queries, dedup, similarity, textstats, multimodal):
+    for mod in (
+        compat_queries,
+        importer_queries,
+        dedup,
+        similarity,
+        textstats,
+        multimodal,
+        pipeline,
+    ):
         overlap = specs.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,65 @@
+"""Composite training-data pipeline operators (operators/pipeline.py):
+semantic pins beyond the DuckDB-oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sms_db_spark.operators import pipeline
+from sms_db_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_neardup_resolve_keeps_lowest_id(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    survivors = pipeline.q52_neardup_resolve(spark, SF_DIR)
+    n_docs, n_surv = docs.count(), survivors.count()
+    # survivor set is a subset of the corpus
+    assert n_surv <= n_docs
+    assert survivors.join(docs, "doc_id", "left_anti").count() == 0
+    # every dropped doc collided with a LOWER id: doc 0 (the global
+    # minimum id with >= 3 tokens, if banded) can never be dropped
+    from sms_db_spark.operators.dedup import minhash_bands
+
+    banded_ids = {r.doc_id for r in minhash_bands(spark, SF_DIR).select("doc_id").distinct().collect()}
+    surv_ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    if banded_ids:
+        assert min(banded_ids) in surv_ids
+
+
+def test_clean_pipeline_gates_and_dedups(spark):
+    cleaned = pipeline.q53_clean_pipeline(spark, SF_DIR)
+    rows = cleaned.collect()
+    assert rows, "cleaning removed the entire corpus"
+    # exact-content dedup: content_fp unique in the output
+    fps = [r.content_fp for r in rows]
+    assert len(fps) == len(set(fps))
+    # quality gate honored
+    assert all(r.len_chars >= pipeline.MIN_CHARS for r in rows)
+    assert all(r.n_tokens >= pipeline.MIN_TOKENS for r in rows)
+
+
+def test_corpus_stats_reconcile_with_clean_output(spark):
+    cleaned = pipeline.q53_clean_pipeline(spark, SF_DIR)
+    stats = pipeline.q54_corpus_stats(spark, SF_DIR)
+    assert stats.agg(F.sum("n_docs")).first()[0] == cleaned.count()
+
+
+def test_tfidf_topk_rank_is_dense_and_bounded(spark):
+    out = pipeline.q57_tfidf_topk(spark, SF_DIR)
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("rank").alias("max_rank"),
+        F.min("rank").alias("min_rank"),
+    )
+    bad = per_doc.filter(
+        (F.col("n") > pipeline.TFIDF_TOPK)
+        | (F.col("max_rank") != F.col("n"))
+        | (F.col("min_rank") != 1)
+    )
+    assert bad.count() == 0
+    # determinism: rank-1 term per doc is stable across runs
+    first = {r.doc_id: r.term for r in out.filter("rank = 1").collect()}
+    second = {r.doc_id: r.term for r in out.filter("rank = 1").collect()}
+    assert first == second
