@@ -279,9 +279,90 @@ SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= {TFIDF_TOPK}
 """
 
 
+# ---------------------------------------------------------------- q58
+
+ANN_TOPK = 5
+
+
+def q58_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated retrieval: ANN top-k restricted to documents that pass
+    the cleaning quality gate (doc_id keys the embeddings table 1:1 here).
+
+    The realistic serving shape: metadata predicates prune the candidate
+    set BEFORE vector scoring - at 100 TB the semi-join against the
+    (small, broadcastable) passing-id set cuts the scored corpus by the
+    filter selectivity, which dominates end-to-end latency; the scoring
+    fold and bounded top-k window are the same plan as q48.
+    """
+    from .similarity import cosine
+
+    s = _scored(spark, sf_dir)
+    passing_ids = s.filter(
+        (F.col("len_chars") >= MIN_CHARS)
+        & (F.col("n_tokens") >= MIN_TOKENS)
+        & (
+            F.col("stop_cnt").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+            < MAX_STOP_RATIO
+        )
+    ).select(F.col("doc_id").alias("vec_id"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.join(F.broadcast(passing_ids), "vec_id", "left_semi").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _q58_sql() -> str:
+    from .similarity import _sql_cos
+
+    return f"""
+WITH s AS ({_SCORED_SQL}),
+passing AS (
+  SELECT doc_id AS vec_id FROM s
+  WHERE len_chars >= {MIN_CHARS} AND n_tokens >= {MIN_TOKENS}
+    AND CAST(stop_cnt AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) < {MAX_STOP_RATIO}
+),
+cand AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb
+  FROM embeddings e SEMI JOIN passing USING (vec_id)
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {_sql_cos('q.q_emb', 'c.c_emb')} AS cos_sim
+  FROM q CROSS JOIN cand c
+  WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "q52_neardup_resolve": QuerySpec(
         q52_neardup_resolve, Q52_SQL, "LSH fuzzy-dedup survivor set"
+    ),
+    "q58_filtered_ann": QuerySpec(
+        q58_filtered_ann, _q58_sql(), "quality-gated ANN retrieval"
     ),
     "q53_clean_pipeline": QuerySpec(
         q53_clean_pipeline, Q53_SQL, "quality+lang+exact-dedup cleaning pipeline"

@@ -141,3 +141,37 @@ def test_compat_surface_has_no_python_udfs(spark):
             continue
         p = plan(spark, name, mode="simple")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_q53_clean_pipeline_single_shuffle_and_pruned_scan(spark):
+    """Cleaning pipeline: ONE shuffle (the content_fp dedup agg; the
+    survivor semi-join broadcasts), and the documents scan reads only the
+    three needed columns (column pruning reached parquet)."""
+    p = plan(spark, "q53_clean_pipeline")
+    assert n_exchanges(p) <= 2, p
+    assert "struct<doc_id:bigint,text:string,lang:string>" in p, p
+
+
+def test_q57_tfidf_df_side_broadcasts(spark):
+    """TF-IDF: the vocab-sized df table broadcasts into the tf join —
+    the corpus-sized tf side must NOT shuffle for the join."""
+    p = plan(spark, "q57_tfidf_topk", mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_q58_filtered_ann_pruned_and_broadcast(spark):
+    """Quality-gated ANN: passing-id set and query side broadcast; the
+    documents scan is pruned to (doc_id, text)."""
+    p = plan(spark, "q58_filtered_ann")
+    assert "struct<doc_id:bigint,text:string>" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_q52_neardup_no_cartesian_no_broadcast_of_bands(spark):
+    """Fuzzy-dedup resolution: the band self-join is shuffle-hash (a
+    broadcast would duplicate the signature fold and cannot hold the
+    corpus-scale signature table); survivors via anti-join."""
+    p = plan(spark, "q52_neardup_resolve", mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "ShuffledHashJoin" in p, p
