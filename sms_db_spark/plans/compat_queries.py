@@ -1031,6 +1031,82 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+# --- semi-structured extraction: JSON props column (beyond-ref operator) ---
+
+
+def q39_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events.props JSON column and aggregate on an extracted
+    field — the semi-structured lane every training-data pipeline has.
+
+    from_json with an explicit schema (never schema inference at scale)
+    stays JVM-side; the parse + extraction are map-side codegen, the only
+    shuffle is the low-cardinality event_type agg.
+    """
+    from pyspark.sql import types as T
+
+    events = _t(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.LongType(), True)])
+    k = F.from_json(F.col("props"), props_schema)["k"]
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_k_gt_50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q39_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_k_gt_50
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- sliding (overlapping) windows: q30's tumbling twin (beyond-ref) ---
+
+
+def q59_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — each event contributes to
+    two windows. Same F.window operator as q30 (and as Structured
+    Streaming); the fan-out is a map-side explode of window assignments,
+    then one agg shuffle on window start (uniform keys)."""
+    events = _t(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(val).cast("double").alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_ms")
+    )
+
+
+Q59_SQL = """
+WITH fanout AS (
+  SELECT value,
+         unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                 time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - INTERVAL '30 minutes']) AS ws
+  FROM events
+)
+SELECT epoch_ms(ws) AS window_start_ms,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM fanout GROUP BY ws ORDER BY window_start_ms
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_eq_filter_sort": QuerySpec(q01_eq_filter_sort, Q01_SQL, "Q1 querying.md:13"),
     "q02_like_prefix": QuerySpec(q02_like_prefix, Q02_SQL, "Q2 querying.md:17"),
@@ -1070,4 +1146,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q36_cube": QuerySpec(q36_cube, Q36_SQL, "cube / grouping sets"),
     "q37_set_ops": QuerySpec(q37_set_ops, Q37_SQL, "intersect/except set ops"),
     "q38_dim_chain": QuerySpec(q38_dim_chain, Q38_SQL, "dim-chain broadcast joins"),
+    "q39_json_extract": QuerySpec(q39_json_extract, Q39_SQL, "JSON props extraction"),
+    "q59_sliding_window": QuerySpec(q59_sliding_window, Q59_SQL, "sliding window agg"),
 }
