@@ -1107,6 +1107,116 @@ FROM fanout GROUP BY ws ORDER BY window_start_ms
 """
 
 
+# --- exact distributed percentiles (beyond-ref OLAP aggregate) ---
+
+
+def q66_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group.
+
+    Quartile fractions (0.25/0.5/0.75) make the interpolation arithmetic
+    dyadic-exact over the integer-valued quantity domain, so Spark's
+    `percentile` and DuckDB's `quantile_cont` agree bit-for-bit. Exact
+    percentile shuffles the group's values to one reducer per group —
+    correct here (5 groups × ~N/5 values); the unmergeable-state scale
+    path is `percentile_approx` (KLL-sketch-like, partial-aggregable),
+    same plan shape.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q66_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5)  AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- correlated EXISTS subquery (Catalyst decorrelation → semi-join) ---
+
+
+def q67_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped correlated EXISTS, written as the user would write
+    it (SQL text): Catalyst decorrelates it into a left semi-join — the
+    set-oriented form the reference's N+1 loops never reach. The same
+    spark.sql surface the ad-hoc querying.md contract promises (E3).
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders_v
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem_v
+          WHERE l_orderkey = o_orderkey AND l_quantity > 45
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+Q67_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- pivot (wide-format conditional aggregation) ---
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q68_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event_type value matrix via pivot.
+
+    The pivot value list is EXPLICIT: without it Spark runs an extra
+    collect-distinct job over the corpus just to learn the column set —
+    the classic avoidable full pass at 100 TB. Pivot compiles to one
+    groupBy with a conditional-sum per pivot value (exactly the oracle's
+    CASE WHEN form): one shuffle on the 24-key group column.
+    """
+    events = _t(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    out = (
+        events.select(F.hour("ts").alias("hour_of_day"), "event_type", val.alias("v"))
+        .groupBy("hour_of_day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.sum("v").cast("double"))
+        .orderBy("hour_of_day")
+    )
+    renamed = out.select(
+        "hour_of_day", *[F.col(t).alias(f"sum_{t}") for t in _EVENT_TYPES]
+    )
+    return renamed
+
+
+Q68_SQL = f"""
+SELECT hour(CAST(ts AS TIMESTAMP)) AS hour_of_day,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,2)) END)"
+           f" AS DOUBLE) AS sum_{t}" for t in _EVENT_TYPES
+       )}
+FROM events GROUP BY 1 ORDER BY hour_of_day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_eq_filter_sort": QuerySpec(q01_eq_filter_sort, Q01_SQL, "Q1 querying.md:13"),
     "q02_like_prefix": QuerySpec(q02_like_prefix, Q02_SQL, "Q2 querying.md:17"),
@@ -1148,4 +1258,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q38_dim_chain": QuerySpec(q38_dim_chain, Q38_SQL, "dim-chain broadcast joins"),
     "q39_json_extract": QuerySpec(q39_json_extract, Q39_SQL, "JSON props extraction"),
     "q59_sliding_window": QuerySpec(q59_sliding_window, Q59_SQL, "sliding window agg"),
+    "q66_percentiles": QuerySpec(q66_percentiles, Q66_SQL, "exact group percentiles"),
+    "q67_exists_subquery": QuerySpec(
+        q67_exists_subquery, Q67_SQL, "correlated EXISTS decorrelation"
+    ),
+    "q68_pivot": QuerySpec(q68_pivot, Q68_SQL, "pivot with explicit value list"),
 }

@@ -175,3 +175,20 @@ def test_q52_neardup_no_cartesian_no_broadcast_of_bands(spark):
     p = plan(spark, "q52_neardup_resolve", mode="simple")
     assert "CartesianProduct" not in p, p
     assert "ShuffledHashJoin" in p, p
+
+
+def test_q67_exists_decorrelates_to_semi_join(spark):
+    """Correlated EXISTS must decorrelate into a semi-join, not a
+    per-row subquery plan."""
+    p = plan(spark, "q67_exists_subquery", mode="simple")
+    assert "LeftSemi" in p, p
+
+
+def test_q68_pivot_bounded_shuffles_no_extra_job(spark):
+    """Explicit pivot values: no collect-distinct pass over the corpus.
+    The plan is the two-phase pivot aggregate ((hour,type) pre-agg, then
+    pivot per hour) + the orderBy range exchange — 3 shuffles, all on
+    tiny keys; and the scan is pruned to the three used columns."""
+    p = plan(spark, "q68_pivot")
+    assert n_exchanges(p) <= 3, p
+    assert "struct<ts:bigint,event_type:string,value:double>" in p, p
