@@ -41,6 +41,7 @@ HEADLINE = [
     "q53_clean_pipeline",
     "q55_multimodal_features",
     "q57_tfidf_topk",
+    "q69_import_scale",
 ]
 
 

@@ -26,6 +26,7 @@ from ..sources.demo import bugle_frames, signal_frames, xml_frames
 from ..sources.signal import normalize_signal
 from ..sources.xml_source import normalize_xml
 from ..sinks.xml_export import sms_export_frame
+from ..tables import load_table
 
 
 def _ckpt(*dfs: DataFrame) -> tuple[DataFrame, ...]:
@@ -136,6 +137,79 @@ def q65_sql_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bench-scale import dataflow (oracle-checked, unlike the fixture ones) ---
+
+
+def q69_import_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The import hot path (E1: stage -> hash -> dedup -> count) at table
+    scale: 600k staged messages at sf0.1, against the reference's
+    single-threaded ~one-INSERT-per-row loop (sms-db.pl:318-339).
+
+    lineitem rows stage one message each, with content derived from
+    l_orderkey only — so an order's extra lineitems are exact content
+    duplicates and dedup must collapse to one message per order (the
+    within-batch first-wins of A5). The digest is the byte-exact
+    reference recipe (functions/hashing.py); the output is the
+    per-msg_box statistics report (A2, sms-db.pl:233) plus min(hash) so
+    the oracle checks digest bytes, not just counts.
+
+    Scale: staging + hashing are map-side codegen over the scan; the one
+    shuffle is the count-distinct agg on msg_box (4 keys, partial
+    distinct on uniform sha-256 values map-side first).
+    """
+    from ..functions.hashing import message_hash
+
+    li = load_table(spark, sf_dir, "lineitem")
+    okey = F.col("l_orderkey")
+    staged = li.select(
+        (okey * 86400).alias("timestamp"),
+        F.concat(F.lit("+1555"), okey.cast("string")).alias("sender_address"),
+        F.when(okey % 2 == 0, F.lit("<SELF>"))
+        .otherwise(F.concat(F.lit("Contact "), okey.cast("string")))
+        .alias("sender_name"),
+        F.lit("<UNAVAILABLE>").alias("recipient_address"),
+        F.lit("<UNAVAILABLE>").alias("recipient_name"),
+        (okey % 4 + 1).cast("int").alias("msg_box"),
+        (okey % 2).cast("int").alias("message_type"),
+        F.lit(0).alias("source_format"),
+    )
+    hashed = staged.withColumn(
+        "hash", message_hash(F.encode(F.lit(""), "UTF-8"))
+    )
+    return (
+        hashed.groupBy("msg_box")
+        .agg(
+            F.count(F.lit(1)).alias("n_staged"),
+            F.count_distinct(F.col("hash")).alias("n_inserted"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col("hash"))).alias("n_duplicate"),
+            F.min("hash").alias("min_hash"),
+        )
+        .orderBy("msg_box")
+    )
+
+
+Q69_SQL = """
+WITH staged AS (
+  SELECT CAST(l_orderkey * 86400 AS VARCHAR)
+         || '+1555' || CAST(l_orderkey AS VARCHAR)
+         || CASE WHEN l_orderkey % 2 = 0 THEN '<SELF>'
+                 ELSE 'Contact ' || CAST(l_orderkey AS VARCHAR) END
+         || '<UNAVAILABLE>' || '<UNAVAILABLE>'
+         || CAST(l_orderkey % 4 + 1 AS VARCHAR)
+         || CAST(l_orderkey % 2 AS VARCHAR)
+         || '0' AS hash_input,
+         CAST(l_orderkey % 4 + 1 AS INT) AS msg_box
+  FROM lineitem
+)
+SELECT msg_box,
+       count(*) AS n_staged,
+       count(DISTINCT sha256(hash_input)) AS n_inserted,
+       count(*) - count(DISTINCT sha256(hash_input)) AS n_duplicate,
+       min(sha256(hash_input)) AS min_hash
+FROM staged GROUP BY msg_box ORDER BY msg_box
+"""
+
+
 QUERIES = {
     "q60_import_xml": QuerySpec(q60_import_xml, None, "XML importer dataflow"),
     "q61_import_bugle": QuerySpec(q61_import_bugle, None, "Bugle importer dataflow"),
@@ -143,4 +217,7 @@ QUERIES = {
     "q63_import_pipeline": QuerySpec(q63_import_pipeline, None, "full import lifecycle"),
     "q64_export_frame": QuerySpec(q64_export_frame, None, "ordered SMS export frame"),
     "q65_sql_verbatim": QuerySpec(q65_sql_verbatim, None, "ad-hoc SQL surface (E3)"),
+    "q69_import_scale": QuerySpec(
+        q69_import_scale, Q69_SQL, "bench-scale import hash+dedup dataflow"
+    ),
 }
