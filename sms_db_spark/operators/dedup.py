@@ -283,6 +283,79 @@ FROM pairs ORDER BY doc_id
 """
 
 
+def q70_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the LSH
+    collision graph, labels = min doc_id reachable. The closure q52's
+    greedy pairwise policy deliberately skips — a doc chained A~B~C lands
+    in one cluster here even if A and C never collide directly.
+
+    Iterative min-label propagation (one hop per round, converges in
+    graph-diameter rounds — near-dup clusters are shallow); per round:
+    one join of the bidirectional edge list against current labels + one
+    min-agg, lineage cut with localCheckpoint so round N's plan doesn't
+    replay rounds 1..N-1. Convergence test is sum(cluster_id): labels
+    only ever decrease, so an unchanged sum IS the fixpoint. At 10^11
+    docs you'd switch to the alternating large-star/small-star rounds
+    (O(log n) instead of diameter) — same per-round join/agg plan shape.
+
+    Non-colliding docs keep themselves as singleton clusters.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bands = minhash_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    edges = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    bi = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(20):  # diameter cap; near-dup graphs converge in a few hops
+        neigh = bi.join(labels, bi.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "cluster_id"
+        )
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.orderBy("doc_id")
+
+
+Q70_SQL = f"""
+WITH RECURSIVE bands AS ({_BANDS_SQL}),
+edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+bi AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT bi.dst, reach.lab FROM reach JOIN bi ON reach.doc_id = bi.src
+)
+SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q44_minhash_signatures": QuerySpec(
         q44_minhash_signatures, Q44_SQL, "MinHash banded signatures"
@@ -292,4 +365,7 @@ QUERIES = {
     ),
     "q46_simhash": QuerySpec(q46_simhash, Q46_SQL, "SimHash (map-side fold)"),
     "q47_ngram_jaccard": QuerySpec(q47_ngram_jaccard, Q47_SQL, "n-gram Jaccard vs anchor"),
+    "q70_dedup_clusters": QuerySpec(
+        q70_dedup_clusters, Q70_SQL, "transitive near-dup connected components"
+    ),
 }

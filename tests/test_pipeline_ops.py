@@ -63,3 +63,21 @@ def test_tfidf_topk_rank_is_dense_and_bounded(spark):
     first = {r.doc_id: r.term for r in out.filter("rank = 1").collect()}
     second = {r.doc_id: r.term for r in out.filter("rank = 1").collect()}
     assert first == second
+
+
+def test_dedup_clusters_are_valid_connected_components(spark):
+    from sms_db_spark.operators.dedup import q45_minhash_lsh_pairs, q70_dedup_clusters
+
+    labels = {r.doc_id: r.cluster_id for r in q70_dedup_clusters(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents")
+    # a total labeling: every doc labeled, label <= id (min-reachable)
+    assert set(labels) == {r.doc_id for r in docs.select("doc_id").collect()}
+    assert all(lab <= d for d, lab in labels.items())
+    # every cluster's id is the minimum of its members
+    by_cluster: dict[int, list[int]] = {}
+    for d, lab in labels.items():
+        by_cluster.setdefault(lab, []).append(d)
+    assert all(min(members) == lab for lab, members in by_cluster.items())
+    # directly-colliding pairs always co-cluster (transitivity superset of q52)
+    for r in q45_minhash_lsh_pairs(spark, SF_DIR).collect():
+        assert labels[r.doc_a] == labels[r.doc_b], (r.doc_a, r.doc_b)
