@@ -92,3 +92,55 @@ def write_store_sqlite(messages: DataFrame, parts: DataFrame, db_path: str) -> N
         con.commit()
     finally:
         con.close()
+
+
+def read_store_sqlite(spark, db_path: str):
+    """Load an existing store db back into the canonical frames.
+
+    Inverts the write's parts.data polymorphism (P8, sms-db.pl:277-281):
+    'text/*' parts surface their bytes in the text lane (UTF-8), others in
+    the binary lane — so import→write→read round-trips the two-lane model.
+    """
+    from ..schemas import MESSAGES_SCHEMA, PARTS_SCHEMA
+
+    con = sqlite3.connect(db_path)
+    try:
+        msg_rows = con.execute(
+            "SELECT _id,timestamp,sender_address,sender_name,recipient_address,"
+            "recipient_name,msg_box,message_type,source_format,hash FROM messages"
+        ).fetchall()
+        part_rows = con.execute(
+            "SELECT _id,message_id,data,content_type,filename FROM parts"
+        ).fetchall()
+    finally:
+        con.close()
+    messages = spark.createDataFrame(msg_rows, MESSAGES_SCHEMA)
+    raw = [
+        (
+            _id,
+            mid,
+            None if _is_text(ct) else _as_bytes(data),
+            _as_text(data) if _is_text(ct) else None,
+            ct,
+            fn,
+        )
+        for (_id, mid, data, ct, fn) in part_rows
+    ]
+    parts = spark.createDataFrame(raw, PARTS_SCHEMA)
+    return messages, parts
+
+
+def _is_text(content_type) -> bool:
+    return content_type is not None and content_type.startswith("text/")
+
+
+def _as_bytes(data):
+    if data is None:
+        return None
+    return data if isinstance(data, (bytes, bytearray)) else str(data).encode("utf-8")
+
+
+def _as_text(data):
+    if data is None:
+        return None
+    return data.decode("utf-8") if isinstance(data, (bytes, bytearray)) else str(data)
