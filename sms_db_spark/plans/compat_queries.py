@@ -1217,6 +1217,88 @@ FROM events GROUP BY 1 ORDER BY hour_of_day
 """
 
 
+# --- window frames: moving aggregate + lag/lead (beyond-ref analytics) ---
+
+
+def q71_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average (current + 6 preceding days) over daily order
+    totals. Pre-aggregate to days FIRST — the frame walks ~thousands of
+    day rows, not the raw fact table; at 100 TB the windowed input is
+    dim-table-sized so the single-partition ordered frame is fine (for a
+    per-key frame you'd partitionBy the key and keep parallelism).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("o_orderdate").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "o_orderdate",
+            F.col("day_total").cast("double").alias("day_total"),
+            "n_orders",
+            F.avg(F.col("day_total").cast("double")).over(w).alias("ma7"),
+            F.count(F.lit(1)).over(w).alias("frame_n"),
+        )
+        .orderBy("o_orderdate")
+    )
+
+
+Q71_SQL = """
+WITH daily AS (
+  SELECT o_orderdate,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_orderdate
+)
+SELECT o_orderdate,
+       CAST(day_total AS DOUBLE) AS day_total,
+       n_orders,
+       avg(CAST(day_total AS DOUBLE))
+         OVER (ORDER BY o_orderdate ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
+       count(*) OVER (ORDER BY o_orderdate ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS frame_n
+FROM daily ORDER BY o_orderdate
+"""
+
+
+def q72_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order gaps: lag/lead over (customer, date) — the
+    standard sequential-diff window. Partitioned by o_custkey so the sort
+    is per-partition-key (parallel, no global order); day diffs are exact
+    int arithmetic.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_d = F.lag("o_orderdate").over(w)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.datediff(F.col("o_orderdate"), prev_d).alias("days_since_prev"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+        .filter(F.col("o_custkey") < 1000)
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+Q72_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       datediff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS days_since_prev,
+       lead(o_orderkey) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+FROM orders
+WHERE o_custkey < 1000
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_eq_filter_sort": QuerySpec(q01_eq_filter_sort, Q01_SQL, "Q1 querying.md:13"),
     "q02_like_prefix": QuerySpec(q02_like_prefix, Q02_SQL, "Q2 querying.md:17"),
@@ -1263,4 +1345,6 @@ QUERIES: dict[str, QuerySpec] = {
         q67_exists_subquery, Q67_SQL, "correlated EXISTS decorrelation"
     ),
     "q68_pivot": QuerySpec(q68_pivot, Q68_SQL, "pivot with explicit value list"),
+    "q71_moving_avg": QuerySpec(q71_moving_avg, Q71_SQL, "7-row moving-average frame"),
+    "q72_lag_lead": QuerySpec(q72_lag_lead, Q72_SQL, "lag/lead sequential diffs"),
 }
