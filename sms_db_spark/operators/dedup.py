@@ -356,6 +356,74 @@ SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id
 """
 
 
+JACCARD_THRESHOLD = 0.5
+
+
+def q73_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full candidate→verify near-dup pipeline in one plan: LSH
+    candidate pairs (q45) re-scored with exact shingle-set Jaccard and
+    kept only above threshold — the production shape where the expensive
+    exact measure runs on |candidates| pairs, never |corpus|² (q47's
+    anchored variant is the oracle-sized demonstration of the scorer).
+
+    Join strategy: the pair list (collision survivors only) broadcasts;
+    the shingle table streams through twice (side a, side b) as hash
+    joins on doc_id. At corpus scale the pair list is the small side by
+    construction — LSH's entire point.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_sh = docs.select("doc_id", shingles_col(_tokens_col()).alias("sh"))
+    bands = minhash_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jaccard = inter.cast("double") / union.cast("double")
+    return (
+        F.broadcast(pairs)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+Q73_SQL = f"""
+WITH bands AS ({_BANDS_SQL}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sh AS ({_SHINGLES_SQL}),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+           / CAST(len(sa.shingles) + len(sb.shingles)
+                  - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+                  AS DOUBLE) AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored
+WHERE jaccard >= {JACCARD_THRESHOLD} ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "q44_minhash_signatures": QuerySpec(
         q44_minhash_signatures, Q44_SQL, "MinHash banded signatures"
@@ -367,5 +435,8 @@ QUERIES = {
     "q47_ngram_jaccard": QuerySpec(q47_ngram_jaccard, Q47_SQL, "n-gram Jaccard vs anchor"),
     "q70_dedup_clusters": QuerySpec(
         q70_dedup_clusters, Q70_SQL, "transitive near-dup connected components"
+    ),
+    "q73_lsh_jaccard_verified": QuerySpec(
+        q73_lsh_jaccard_verified, Q73_SQL, "LSH candidates verified by exact Jaccard"
     ),
 }
