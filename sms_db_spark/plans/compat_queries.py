@@ -842,26 +842,49 @@ ORDER BY user_id, session_start_ms
 
 
 def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join in the union-sort form: no events×orders fan-out.
+
+    The naive shape (equi-join on user key, filter odate<=ts, rank per
+    event) materializes |events_per_user| × |orders_per_user| rows before
+    the window — the classic as-of blow-up on a hot key at scale. Instead,
+    tag both sides, union them, and sort once per user key; a running
+    `last(..., ignorenulls)` over an unbounded-preceding frame carries the
+    latest qualifying order forward onto each event row. One shuffle on
+    the (uniform) user key, state per row is a single scalar, and the
+    row count never exceeds |events| + |orders|.
+
+    Sort order encodes the as-of semantics: (t asc, is_event asc,
+    o_orderkey asc) puts an order dated exactly at the event time BEFORE
+    the event (<= bound), and among same-date orders the largest
+    o_orderkey is carried last, matching the DESC/DESC latest-wins
+    tie-break of the rank formulation.
+    """
     events = _t(spark, sf_dir, "events")
     orders = _t(spark, sf_dir, "orders")
-    # as-of = equi-join on key + predicate ts>=orderdate + latest-wins
-    # row_number. At scale: orders side is pre-shrunk to (key, date, id),
-    # the join shuffles on user key (uniform), and the window is bounded
-    # per (event, user) group.
     o = orders.select(
         F.col("o_custkey").alias("key"),
-        F.col("o_orderdate").cast("timestamp").alias("odate"),
-        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
     )
-    j = events.select("event_id", F.col("user_id").alias("key"), "ts").join(o, "key", "inner")
-    j = j.filter(F.col("odate") <= F.col("ts"))
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("odate").desc(), F.col("o_orderkey").desc()
+    e = events.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "key", F.col("o_orderkey").alias("asof_orderkey"))
+        o.unionByName(e)
+        .withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .filter((F.col("is_event") == 1) & F.col("asof_orderkey").isNotNull())
+        .select("event_id", "key", "asof_orderkey")
         .orderBy("event_id")
     )
 
@@ -980,21 +1003,34 @@ ORDER BY o_orderstatus, o_orderpriority
 
 
 def q37_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT/EXCEPT over customer-key sets: customers with open orders
-    but no finished ones. Both are shuffle dedup-aggregations on uniform
-    keys (the same shape as dedup A5)."""
+    """INTERSECT and EXCEPT over customer-key sets: customers with only
+    open orders (EXCEPT arm) and customers with both open and finished
+    ones (INTERSECT arm), tagged and unioned. Both set ops are shuffle
+    dedup-aggregations on uniform keys (the same shape as dedup A5)."""
     orders = _t(spark, sf_dir, "orders")
     open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     fin_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    # subtract = set-semantics EXCEPT (deduplicating), matching SQL EXCEPT
-    return open_c.subtract(fin_c).orderBy("o_custkey")
+    # subtract/intersect = set-semantics EXCEPT/INTERSECT (deduplicating)
+    open_only = open_c.subtract(fin_c).withColumn("set_kind", F.lit("open_only"))
+    both = open_c.intersect(fin_c).withColumn("set_kind", F.lit("both"))
+    return open_only.unionByName(both).select("set_kind", "o_custkey").orderBy(
+        "set_kind", "o_custkey"
+    )
 
 
 Q37_SQL = """
-SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
-EXCEPT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-ORDER BY o_custkey
+SELECT 'open_only' AS set_kind, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'both' AS set_kind, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+ORDER BY set_kind, o_custkey
 """
 
 

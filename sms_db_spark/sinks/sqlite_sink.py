@@ -45,12 +45,31 @@ def _jdbc_available(spark) -> bool:
         return False
 
 
+def _create_store_schema(db_path: str) -> None:
+    """Driver-side store-schema bootstrap shared by both write lanes:
+    the reference DDL (sms-db.pl:49,53) + PRAGMA user_version (sms-db.pl:50)."""
+    con = sqlite3.connect(db_path)
+    try:
+        con.execute(MESSAGES_DDL)
+        con.execute(PARTS_DDL)
+        con.execute(f"PRAGMA user_version = {DATABASE_VERSION}")
+        con.commit()
+    finally:
+        con.close()
+
+
 def write_store_sqlite(messages: DataFrame, parts: DataFrame, db_path: str) -> None:
     """Write the canonical store to a SQLite file the reference's users can
     query verbatim (querying.md). Reconstitutes the parts.data polymorphism:
     text parts store their text in `data` (sms-db.pl:54-55 simplified table)."""
     spark = messages.sparkSession
     if _jdbc_available(spark):
+        # DDL parity on the JDBC lane too: mode="append" on auto-created
+        # tables would let Spark infer DDL — no AUTOINCREMENT, no
+        # `hash INT UNIQUE`, no FK, no user_version pragma. Pre-create the
+        # reference schema (sms-db.pl:49-53) driver-side so both lanes
+        # produce the identical store format.
+        _create_store_schema(db_path)
         url = f"jdbc:sqlite:{db_path}"
         props = {"driver": "org.sqlite.JDBC", "batchsize": "10000"}
         messages.orderBy("_id").write.jdbc(url, "messages", mode="append", properties=props)
@@ -60,11 +79,9 @@ def write_store_sqlite(messages: DataFrame, parts: DataFrame, db_path: str) -> N
         parts_flat.orderBy("_id").write.jdbc(url, "parts", mode="append", properties=props)
         return
 
+    _create_store_schema(db_path)
     con = sqlite3.connect(db_path)
     try:
-        con.execute(MESSAGES_DDL)
-        con.execute(PARTS_DDL)
-        con.execute(f"PRAGMA user_version = {DATABASE_VERSION}")
         con.executemany(
             "INSERT INTO messages(_id,timestamp,sender_address,sender_name,"
             "recipient_address,recipient_name,msg_box,message_type,source_format,hash)"

@@ -9,12 +9,14 @@ via toLocalIterator (constant driver memory, no full collect).
 
 from __future__ import annotations
 
+import time
 import xml.etree.ElementTree as ET
 from base64 import b64encode
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import __version__
 from ..schemas import MSG_MMS, MSG_SMS
 
 # MMS attrs the reference hard-nulls (sms-db.pl:269) and constants (:270)
@@ -74,65 +76,94 @@ def mms_export_frame(messages: DataFrame, parts: DataFrame) -> DataFrame:
     )
 
 
+def _sms_element(row) -> ET.Element:
+    e = ET.Element("sms")
+    e.set("address", row["address"] or "")
+    e.set("date", str(row["date"]))
+    e.set("type", str(row["type"]))
+    e.set("body", row["body"] if row["body"] is not None else "")
+    e.set("read", "1")   # not stored; sms-db.pl:248
+    e.set("status", "-1")  # not stored; sms-db.pl:249
+    return e
+
+
+def _mms_element(row) -> ET.Element:
+    e = ET.Element("mms")
+    e.set("date", str(row["timestamp"]))
+    e.set("msg_box", str(row["msg_box"]))
+    if row["msg_box"] == 1:
+        e.set("address", row["sender_address"] or "")
+        e.set("contact_name", row["sender_name"] or "")
+    else:
+        # first recipient, digits only (sms-db.pl:265-266). Perl split of
+        # undef/'' yields an empty list, so a NULL recipient sets no
+        # address at all — do not emit address="".
+        recipients = [r for r in (row["recipient_address"] or "").split(",") if r]
+        if recipients:
+            e.set("address", "".join(ch for ch in recipients[0] if ch.isdigit()))
+        e.set("contact_name", row["recipient_name"] or "")
+    for a in _MMS_NULL_ATTRS:
+        e.set(a, "null")
+    for k, v in _MMS_CONST_ATTRS.items():
+        e.set(k, v)
+    parts_el = ET.SubElement(e, "parts")
+    for p in row["parts"] or []:
+        pe = ET.SubElement(parts_el, "part")
+        pe.set("ct", p["content_type"] or "")
+        pe.set("name", p["filename"] if p["filename"] is not None else "null")
+        if (p["content_type"] or "").startswith("text/"):
+            pe.set("text", p["text"] if p["text"] is not None else "")
+        else:
+            pe.set("text", "null")
+            pe.set("data", b64encode(p["data"] or b"").decode("ascii"))
+        for k, v in _PART_CONST_ATTRS.items():
+            pe.set(k, v)
+    addrs_el = ET.SubElement(e, "addrs")
+    sender_addr = ET.SubElement(addrs_el, "addr")
+    sender_addr.set("address", row["sender_address"] or "")
+    sender_addr.set("type", "137")
+    sender_addr.set("charset", "0")
+    # Perl split of undef yields an empty list (sms-db.pl:293-300): a NULL
+    # recipient list emits NO <addr type="151"> rows — never address="".
+    for recipient in filter(None, (row["recipient_address"] or "").split(",")):
+        ae = ET.SubElement(addrs_el, "addr")
+        ae.set("address", recipient)
+        ae.set("type", "151")
+        ae.set("charset", "0")
+    return e
+
+
 def export_xml(messages: DataFrame, parts: DataFrame, path: str, message_type: str = "all") -> int:
     """Write the Synctech XML document; returns exported-message count
-    (the root `count` attribute, sms-db.pl:306)."""
-    root = ET.Element("smses")
-    total = 0
+    (the root `count` attribute, sms-db.pl:306).
 
-    if message_type in ("sms", "all"):
-        for row in sms_export_frame(messages, parts).toLocalIterator():
-            e = ET.SubElement(root, "sms")
-            e.set("address", row["address"] or "")
-            e.set("date", str(row["date"]))
-            e.set("type", str(row["type"]))
-            e.set("body", row["body"] if row["body"] is not None else "")
-            e.set("read", "1")   # not stored; sms-db.pl:248
-            e.set("status", "-1")  # not stored; sms-db.pl:249
-            total += 1
+    Stream-serialized: counts come from cheap count() actions, then each
+    message element is serialized and written as it arrives from
+    toLocalIterator — driver memory is O(one message), not O(document).
+    (The reference builds the whole XML::LibXML doc in memory; a 100 GB
+    export would OOM there but streams here.)
+    """
+    sms_frame = sms_export_frame(messages, parts) if message_type in ("sms", "all") else None
+    mms_frame = mms_export_frame(messages, parts) if message_type in ("mms", "all") else None
+    total = (sms_frame.count() if sms_frame is not None else 0) + (
+        mms_frame.count() if mms_frame is not None else 0
+    )
 
-    if message_type in ("mms", "all"):
-        for row in mms_export_frame(messages, parts).toLocalIterator():
-            e = ET.SubElement(root, "mms")
-            e.set("date", str(row["timestamp"]))
-            e.set("msg_box", str(row["msg_box"]))
-            if row["msg_box"] == 1:
-                e.set("address", row["sender_address"] or "")
-                e.set("contact_name", row["sender_name"] or "")
-            else:
-                # first recipient, digits only (sms-db.pl:265-266)
-                first = (row["recipient_address"] or "").split(",")[0]
-                e.set("address", "".join(ch for ch in first if ch.isdigit()))
-                e.set("contact_name", row["recipient_name"] or "")
-            for a in _MMS_NULL_ATTRS:
-                e.set(a, "null")
-            for k, v in _MMS_CONST_ATTRS.items():
-                e.set(k, v)
-            parts_el = ET.SubElement(e, "parts")
-            for p in row["parts"] or []:
-                pe = ET.SubElement(parts_el, "part")
-                pe.set("ct", p["content_type"] or "")
-                pe.set("name", p["filename"] if p["filename"] is not None else "null")
-                if (p["content_type"] or "").startswith("text/"):
-                    pe.set("text", p["text"] if p["text"] is not None else "")
-                else:
-                    pe.set("text", "null")
-                    pe.set("data", b64encode(p["data"] or b"").decode("ascii"))
-                for k, v in _PART_CONST_ATTRS.items():
-                    pe.set(k, v)
-            addrs_el = ET.SubElement(e, "addrs")
-            sender_addr = ET.SubElement(addrs_el, "addr")
-            sender_addr.set("address", row["sender_address"] or "")
-            sender_addr.set("type", "137")
-            sender_addr.set("charset", "0")
-            for recipient in (row["recipient_address"] or "").split(","):
-                ae = ET.SubElement(addrs_el, "addr")
-                ae.set("address", recipient)
-                ae.set("type", "151")
-                ae.set("charset", "0")
-            total += 1
-
-    root.set("count", str(total))
-    ET.indent(ET.ElementTree(root))
-    ET.ElementTree(root).write(path, encoding="UTF-8", xml_declaration=True)
+    with open(path, "wb") as fh:
+        fh.write(b"<?xml version='1.0' encoding='UTF-8' standalone='yes'?>\n")
+        # the reference stamps a creation comment (sms-db.pl:240)
+        fh.write(
+            f"<!--File Created By sms-db-spark v{__version__} on {time.ctime()}-->\n".encode()
+        )
+        fh.write(f'<smses count="{total}">\n'.encode())
+        for frame, build in ((sms_frame, _sms_element), (mms_frame, _mms_element)):
+            if frame is None:
+                continue
+            for row in frame.toLocalIterator():
+                e = build(row)
+                ET.indent(e, level=1)
+                fh.write(b"  ")
+                fh.write(ET.tostring(e))
+                fh.write(b"\n")
+        fh.write(b"</smses>\n")
     return total

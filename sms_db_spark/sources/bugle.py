@@ -157,8 +157,11 @@ def normalize_bugle(
             "local_id",
             F.col("_id").alias("part_seq"),
             F.lit(None).cast("binary").alias("data"),
+            # concat_ws, not concat: Perl "<$uri>" with undef uri is the
+            # literal '<>' (sms-db.pl:114), but F.concat null-propagates —
+            # a NULL-text NULL-uri part must still hash as '<>'.
             F.when(F.col("text").isNotNull(), F.col("text"))
-            .otherwise(F.concat(F.lit("<"), F.col("uri"), F.lit(">")))
+            .otherwise(F.concat_ws("", F.lit("<"), F.col("uri"), F.lit(">")))
             .alias("text"),
             "content_type",
             F.lit(None).cast("string").alias("filename"),

@@ -152,10 +152,10 @@ def signal_frames(spark):
     )
     groups = _df(spark, [("g1", "10,12")], SIGNAL_GROUPS_SCHEMA)
     thread = _df(spark, [(1, 10), (2, 30)], SIGNAL_THREAD_SCHEMA)
-    part = _df(spark, 
+    part = _df(spark,
         [
-            (1, "image/jpeg", "photo.jpg", 4001),
-            (1, "image/png", "missing.png", 4999),  # no matching file → skipped
+            (1, "image/jpeg", "photo.jpg", 4001, 1),
+            (1, "image/png", "missing.png", 4999, 2),  # no matching file → skipped
         ],
         SIGNAL_PART_SCHEMA,
     )

@@ -16,7 +16,7 @@ Reference inefficiencies deliberately NOT replicated (SURVEY.md §4):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -74,6 +74,12 @@ SIGNAL_PART_SCHEMA = T.StructType(
         T.StructField("ct", T.StringType(), True),
         T.StructField("file_name", T.StringType(), True),
         T.StructField("unique_id", T.LongType(), False),
+        # SQLite rowid of the part row: the reference appends attachment
+        # parts in part-*table* row order (sms-db.pl:211-223), and part
+        # order feeds the dedup hash (sms-db.pl:325) — so ordering by
+        # unique_id would hash out-of-order multi-attachment messages
+        # differently than the reference.
+        T.StructField("rowid", T.LongType(), False),
     ]
 )
 SIGNAL_ATTACHMENTS_SCHEMA = T.StructType(
@@ -155,8 +161,7 @@ def normalize_signal(
     type/msg_box codes, incl. 'is on Signal!' and call records,
     sms-db.pl:136-151, 174-180).
     """
-    out_msgs, out_parts = [], []
-    ignored = 0
+    out_msgs, out_parts, reject_flags = [], [], []
 
     rec = recipient.select(
         F.col("_id").alias("rid"),
@@ -170,7 +175,7 @@ def normalize_signal(
         j = sms.join(F.broadcast(rec), sms.address == rec.rid, "inner").withColumn(
             "box", _decode_expr("type")
         )
-        ignored += j.filter(F.col("box").isNull()).count()
+        reject_flags.append(j.select(F.col("box").isNull().alias("rejected")))
         ok = j.filter(F.col("box").isNotNull())
         sent = F.col("box") == 2
         m = ok.select(
@@ -208,7 +213,7 @@ def normalize_signal(
         j = mms.join(F.broadcast(rec), mms.address == rec.rid, "inner").withColumn(
             "box", _decode_expr("msg_box")
         )
-        ignored += j.filter(F.col("box").isNull()).count()
+        reject_flags.append(j.select(F.col("box").isNull().alias("rejected")))
         ok = j.filter(F.col("box").isNotNull())
 
         # sender-side group expansion (sms-db.pl:181-189): if the message's
@@ -302,6 +307,13 @@ def normalize_signal(
         first_match = att_keyed.groupBy("att_uid").agg(
             F.min_by(F.col("content"), F.col("path")).alias("content")
         )
+        # part_seq follows the part-*table* row order (rowid), matching the
+        # reference's append order (sms-db.pl:211-223) — NOT unique_id
+        # order, which can invert it and diverge the dedup hash. Sequence
+        # is assigned after the attachment join, like the reference's
+        # @parts push (missing-file parts never enter the order). The
+        # window shuffles on local_id with a handful of rows per message.
+        seq_w = Window.partitionBy("local_id").orderBy("rowid")
         att_parts = (
             part.join(
                 ok.select((F.col("_id")).alias("msg_mid"), (F.col("_id") * 2 + 1).alias("local_id")),
@@ -311,7 +323,7 @@ def normalize_signal(
             .join(F.broadcast(first_match), part.unique_id == first_match.att_uid, "inner")
             .select(
                 "local_id",
-                (F.col("unique_id") + 1).alias("part_seq"),
+                F.row_number().over(seq_w).alias("part_seq"),
                 F.col("content").alias("data"),
                 F.lit(None).cast("string").alias("text"),
                 F.col("ct").alias("content_type"),
@@ -322,4 +334,14 @@ def normalize_signal(
 
     msgs = out_msgs[0] if len(out_msgs) == 1 else out_msgs[0].unionByName(out_msgs[1])
     parts = out_parts[0] if len(out_parts) == 1 else out_parts[0].unionByName(out_parts[1])
-    return msgs, parts, ignored
+    # ignored_messages counter (sms-db.pl:136-151, 174-180) as ONE
+    # conditional-agg Spark job over both sources' reject indicators (A2
+    # shape) — not one eager .count() job per source re-running each
+    # staging join separately.
+    flags = reject_flags[0]
+    for extra in reject_flags[1:]:
+        flags = flags.unionAll(extra)
+    ignored = flags.agg(
+        F.sum(F.col("rejected").cast("long")).alias("n")
+    ).collect()[0]["n"] or 0
+    return msgs, parts, int(ignored)

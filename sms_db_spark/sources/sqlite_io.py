@@ -52,8 +52,12 @@ def read_sqlite_table(
             present = set()
         if not present:
             return spark.createDataFrame([], schema)
+        # `rowid` never appears in PRAGMA table_info but is always
+        # selectable (non-WITHOUT-ROWID tables) — the part importer needs
+        # it to pin the reference's part-table row order.
         cols = ", ".join(
-            f.name if f.name in present else f"NULL AS {f.name}" for f in schema.fields
+            f.name if f.name in present or f.name == "rowid" else f"NULL AS {f.name}"
+            for f in schema.fields
         )
         rows = con.execute(f"SELECT {cols} FROM {table}").fetchall()
     finally:

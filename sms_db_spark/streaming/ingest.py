@@ -47,12 +47,19 @@ def stream_ingest(
     """Watch drop_dir for hashed staged-message batches; append new-hash
     rows to the parquet store at store_dir. Returns the StreamingQuery
     (caller decides trigger/await; tests use trigger(availableNow=True))."""
+    # dropDuplicatesWithinWatermark, not dropDuplicates: with a plain
+    # dropDuplicates(['hash']) the event-time column is not part of the
+    # dedup key, so the watermark never evicts dedup state and it grows
+    # unboundedly. The WithinWatermark variant (Spark 3.5+) keys state by
+    # hash but expires entries once they age past the watermark — bounded
+    # state; cross-microbatch dups older than the watermark are still
+    # caught by the foreachBatch left_anti against the store.
     stream = (
         spark.readStream.schema(STAGED_HASHED_SCHEMA)
         .parquet(drop_dir)
         .withColumn("ingest_time", F.current_timestamp())
         .withWatermark("ingest_time", watermark)
-        .dropDuplicates(["hash"])
+        .dropDuplicatesWithinWatermark(["hash"])
     )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:

@@ -103,3 +103,32 @@ def test_csv_export_documented_query(spark, tmp_path):
         "hi there", "hello back ünïcödé", "lunch?", "photo attached", "see you",
     ]
     assert rows[0]["sender_name"] == "Alice"
+
+
+def test_store_schema_parity_shared_by_both_lanes(tmp_path):
+    """Both write lanes (JDBC append and the sqlite3 fallback) bootstrap
+    the store through the same _create_store_schema, so the JDBC lane can
+    never fall back to Spark-inferred DDL: reference DDL (sms-db.pl:49,53)
+    with AUTOINCREMENT, hash UNIQUE, FK cascade, and PRAGMA user_version=2
+    (sms-db.pl:50)."""
+    import pytest
+
+    from sms_db_spark.sinks.sqlite_sink import _create_store_schema
+
+    db = tmp_path / "schema.db"
+    _create_store_schema(str(db))
+    con = sqlite3.connect(db)
+    msgs_sql = con.execute(
+        "SELECT sql FROM sqlite_master WHERE name='messages'"
+    ).fetchone()[0]
+    parts_sql = con.execute(
+        "SELECT sql FROM sqlite_master WHERE name='parts'"
+    ).fetchone()[0]
+    assert "AUTOINCREMENT" in msgs_sql and "hash INT UNIQUE" in msgs_sql
+    assert "FOREIGN KEY" in parts_sql and "ON DELETE CASCADE" in parts_sql
+    assert con.execute("PRAGMA user_version").fetchone()[0] == 2
+    # the UNIQUE probe the reference relies on (sms-db.pl:326-328) holds
+    # for rows appended AFTER the bootstrap — i.e. on the JDBC append path
+    con.execute("INSERT INTO messages(timestamp,hash) VALUES (1,'aa')")
+    with pytest.raises(sqlite3.IntegrityError):
+        con.execute("INSERT INTO messages(timestamp,hash) VALUES (2,'aa')")

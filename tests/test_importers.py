@@ -116,3 +116,66 @@ class TestSignal:
         # body text part exists for mms 1
         body = [x for x in parts if x["local_id"] == 3 and x["part_seq"] == 0]
         assert body and body[0]["text"] == "mms body"
+
+    def test_attachment_part_order_follows_table_rows_not_unique_id(self, spark):
+        """Reference appends attachment parts in part-TABLE row order
+        (sms-db.pl:211-223), and part order feeds the dedup hash
+        (sms-db.pl:325). Two attachments whose unique_ids INVERT the table
+        order must still hash in table order."""
+        from sms_db_spark.functions.hashing import python_reference_hash
+        from sms_db_spark.sources.canonical import with_message_hash
+        from sms_db_spark.sources.signal import (
+            SIGNAL_ATTACHMENTS_SCHEMA,
+            SIGNAL_GROUPS_SCHEMA,
+            SIGNAL_MMS_SCHEMA,
+            SIGNAL_PART_SCHEMA,
+            SIGNAL_RECIPIENT_SCHEMA,
+            SIGNAL_SMS_SCHEMA,
+            SIGNAL_THREAD_SCHEMA,
+        )
+
+        sms = spark.createDataFrame([], SIGNAL_SMS_SCHEMA)
+        mms = spark.createDataFrame(
+            [(1, 1, 10, 1610001000000, 20, "two pics")], SIGNAL_MMS_SCHEMA
+        )
+        recipient = spark.createDataFrame(
+            [(10, "+15556660000", "Grace", None)], SIGNAL_RECIPIENT_SCHEMA
+        )
+        groups = spark.createDataFrame([], SIGNAL_GROUPS_SCHEMA)
+        thread = spark.createDataFrame([(1, 10)], SIGNAL_THREAD_SCHEMA)
+        # table order (rowid 1, 2) inverts unique_id order (9002, 9001)
+        part = spark.createDataFrame(
+            [
+                (1, "image/jpeg", "b.jpg", 9002, 1),
+                (1, "image/png", "a.png", 9001, 2),
+            ],
+            SIGNAL_PART_SCHEMA,
+        )
+        attachments = spark.createDataFrame(
+            [
+                ("/backup/attachment/9001_1.png", b"AAAA"),
+                ("/backup/attachment/9002_1.jpg", b"BBBB"),
+            ],
+            SIGNAL_ATTACHMENTS_SCHEMA,
+        )
+        m, p, ignored = normalize_signal(
+            sms, mms, recipient, groups, thread, part, attachments, message_type="mms"
+        )
+        assert ignored == 0
+        seq = {
+            r["part_seq"]: r.asDict()
+            for r in p.orderBy("part_seq").collect()
+        }
+        assert seq[0]["text"] == "two pics"
+        assert bytes(seq[1]["data"]) == b"BBBB" and seq[1]["content_type"] == "image/jpeg"
+        assert bytes(seq[2]["data"]) == b"AAAA" and seq[2]["content_type"] == "image/png"
+        row = with_message_hash(m, p).collect()[0]
+        expected = python_reference_hash(
+            [
+                row["timestamp"], row["sender_address"], row["sender_name"],
+                row["recipient_address"], row["recipient_name"], row["msg_box"],
+                row["message_type"], row["source_format"],
+            ],
+            [("two pics", "text/plain"), (b"BBBB", "image/jpeg"), (b"AAAA", "image/png")],
+        )
+        assert row["hash"] == expected
