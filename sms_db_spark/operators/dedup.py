@@ -14,8 +14,8 @@ for 100TB training-data pipelines:
 Scale design notes:
   - shingling + hashing are map-side (explode is linear, no shuffle);
   - the only shuffles are groupBy(doc_id[, j]) on uniformly-distributed
-    keys (no skew) and the band-bucket self-join, whose build side is
-    (band_id, band_hash, doc_id) triples — tiny relative to the corpus;
+    keys (no skew) and ONE bucket-grouping shuffle for candidate pairs,
+    with a hot-bucket cap bounding within-bucket pair fan-out;
   - SimHash avoids even those: a single `aggregate` higher-order function
     folds tokens into the 32 bit-counters per row, entirely inside codegen.
 
@@ -152,37 +152,68 @@ def q44_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q44_SQL = _BANDS_SQL
 
 
-def q45_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs agreeing on any band bucket.
+# Hot-bucket cap: a degenerate band bucket (empty/boilerplate docs all
+# sharing one signature band) generates pairs quadratically — the classic
+# LSH scale-killer. Buckets above this size are dropped from candidate
+# generation (the standard guard: such buckets are near-identical
+# boilerplate that exact dedup already collapses, and genuinely-similar
+# docs still pair through their other 7 bands).
+LSH_MAX_BUCKET = 64
 
-    shuffle_hash hint: the optimizer would otherwise BROADCAST one side of
-    the self-join, evaluating the signature fold twice (once to build the
-    broadcast, once streamed) — measured 2x slower at sf0.1, and a
-    broadcast of the full signature table is impossible at corpus scale
-    anyway. With both sides hash-shuffled on the identical band keys the
-    fold's exchange is computed once and reused.
+
+def lsh_candidate_pairs(bands: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) from banded signatures, hot-bucket
+    capped.
+
+    Shape: ONE shuffle — groupBy (band_id, band_hash) collects each
+    bucket's doc list; the size cap is a free filter on the grouped row;
+    pair expansion is map-side over the sorted in-bucket array (bounded by
+    max_bucket², so no within-bucket quadratic blow-up can reach the
+    shuffle). This replaces the earlier band self-join: same output below
+    the cap, but the join could not bound within-bucket fan-out and
+    re-shuffled the signature table twice.
     """
-    bands = minhash_bands(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = bands.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("docs")
+    )
+    pairs = F.expr(
+        """
+        flatten(transform(docs, (x, i) ->
+          transform(slice(docs, i + 2, size(docs) - i - 1),
+                    y -> struct(x AS doc_a, y AS doc_b))))
+        """
+    )
     return (
-        a.hint("shuffle_hash").join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
+def _pairs_sql(max_bucket: int = LSH_MAX_BUCKET) -> str:
+    """DuckDB twin of lsh_candidate_pairs over the `bands` CTE (identical
+    cap semantics: buckets above max_bucket contribute no pairs)."""
+    return f"""
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  JOIN (SELECT band_id, band_hash, count(*) AS n FROM bands GROUP BY band_id, band_hash) k
+    ON k.band_id = a.band_id AND k.band_hash = a.band_hash AND k.n <= {max_bucket}
+"""
+
+
+def q45_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on any band bucket, with the
+    hot-bucket cap (see lsh_candidate_pairs)."""
+    return lsh_candidate_pairs(minhash_bands(spark, sf_dir)).orderBy("doc_a", "doc_b")
+
+
 Q45_SQL = f"""
-WITH bands AS ({_BANDS_SQL})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+WITH bands AS ({_BANDS_SQL}),
+pairs AS ({_pairs_sql()})
+SELECT doc_a, doc_b FROM pairs
 ORDER BY doc_a, doc_b
 """
 
@@ -301,18 +332,8 @@ def q70_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Non-colliding docs keep themselves as singleton clusters.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    bands = minhash_bands(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    edges = (
-        a.hint("shuffle_hash")
-        .join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
+    edges = lsh_candidate_pairs(minhash_bands(spark, sf_dir)).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     bi = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -342,9 +363,7 @@ def q70_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q70_SQL = f"""
 WITH RECURSIVE bands AS ({_BANDS_SQL}),
 edges AS (
-  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  SELECT doc_a AS src, doc_b AS dst FROM ({_pairs_sql()})
 ),
 bi AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
 reach(doc_id, lab) AS (
@@ -373,19 +392,7 @@ def q73_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     with_sh = docs.select("doc_id", shingles_col(_tokens_col()).alias("sh"))
-    bands = minhash_bands(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.hint("shuffle_hash")
-        .join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = lsh_candidate_pairs(minhash_bands(spark, sf_dir))
     sa = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -403,11 +410,7 @@ def q73_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q73_SQL = f"""
 WITH bands AS ({_BANDS_SQL}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-),
+pairs AS ({_pairs_sql()}),
 sh AS ({_SHINGLES_SQL}),
 scored AS (
   SELECT p.doc_a, p.doc_b,

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..plans import QuerySpec
 from ..tables import load_table
-from .dedup import _BANDS_SQL, minhash_bands
+from .dedup import _BANDS_SQL, _pairs_sql, lsh_candidate_pairs, minhash_bands
 from .textstats import TOKEN_RE
 
 # ---------------------------------------------------------------- q52
@@ -51,19 +51,12 @@ def q52_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the greedy pairwise policy (not transitive-closure connected
     components - a doc surviving its own pairs stays even if its partner
     also pairs elsewhere), which is the standard single-pass policy at
-    corpus scale because it needs no iterative computation.
+    corpus scale because it needs no iterative computation. Candidate
+    generation is hot-bucket capped (dedup.LSH_MAX_BUCKET).
     """
-    bands = minhash_bands(spark, sf_dir)
-    a, b = bands.alias("a"), bands.alias("b")
     dropped = (
-        a.hint("shuffle_hash")
-        .join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("b.doc_id").alias("doc_id"))
+        lsh_candidate_pairs(minhash_bands(spark, sf_dir))
+        .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
     docs = load_table(spark, sf_dir, "documents")
@@ -72,12 +65,8 @@ def q52_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q52_SQL = f"""
 WITH bands AS ({_BANDS_SQL}),
-dropped AS (
-  SELECT DISTINCT b.doc_id
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
-)
+pairs AS ({_pairs_sql()}),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
 SELECT d.doc_id, d.lang, d.source
 FROM documents d ANTI JOIN dropped USING (doc_id)
 """

@@ -157,8 +157,10 @@ SELECT query_id, bucket, neighbor_id, cos_sim, rank FROM (
 def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.2) among vec_id < 200.
 
-    In a full pipeline the pair candidates come from LSH buckets; the
-    bounded id range here keeps the oracle cross join tractable.
+    This is the EXACT all-pairs baseline on a bounded id range (the
+    oracle-tractable ground truth); the production path over the full
+    corpus is q74_embedding_neardup_lsh, where candidates come from
+    sign-LSH band buckets and only candidates are scored.
     """
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
@@ -179,6 +181,85 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE a.vec_id < 200 AND b.vec_id < 200
   AND {_sql_cos('a.embedding', 'b.embedding')} >= 0.2
 ORDER BY id_a, id_b
+"""
+
+
+NEARDUP_BANDS = 8  # sign-LSH bands for q74: band b covers dims 8b+1..8b+8
+NEARDUP_THRESHOLD = 0.35
+
+
+def q74_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup over the FULL corpus via sign-LSH candidates —
+    the q45-style candidate→verify shape for vectors.
+
+    Candidate generation: 8 sign-LSH bands (band b = the 8-bit sign
+    pattern of dims 8b+1..8b+8, computed map-side), then the shared
+    bucket-group pair expansion with the hot-bucket cap — ONE shuffle, no
+    self-join, no within-bucket quadratic blow-up. Exact cosine runs only
+    on candidates (broadcast pair list into two hash joins on vec_id),
+    so the corpus is never crossed with itself: |pairs| ≈ collision
+    survivors, not N².
+
+    Similar vectors agree on a random hyperplane with prob 1 - θ/π, so a
+    cos≥0.35 pair collides in a given 8-plane band with p≈(0.62)^8 and in
+    ≥1 of 8 bands with useful recall, while random pairs (cos≈0) collide
+    at (1/2)^8 per band — the standard banded-LSH recall/precision dial.
+    """
+    from .dedup import lsh_candidate_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bands_arr = F.expr(
+        f"""
+        transform(sequence(0, {NEARDUP_BANDS - 1}), b ->
+          aggregate(zip_with(slice(embedding, b * 8 + 1, 8), sequence(0, 7),
+            (v, i) -> IF(v >= CAST(0 AS FLOAT),
+                         shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x))
+        """
+    )
+    bands = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode(bands_arr).alias("band_id", "band_hash"),
+    ).select("doc_id", F.col("band_id").cast("bigint"), "band_hash")
+    pairs = lsh_candidate_pairs(bands)
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("emb_b"))
+    return (
+        F.broadcast(pairs)
+        .join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            cosine("emb_a", "emb_b").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q74_sql() -> str:
+    from .dedup import _pairs_sql
+
+    return f"""
+WITH bands AS (
+  SELECT vec_id AS doc_id, b AS band_id,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> CASE WHEN embedding[8*b + i] >= 0
+                        THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)) ELSE 0 END))
+              AS BIGINT) AS band_hash
+  FROM embeddings CROSS JOIN range(0, {NEARDUP_BANDS}) r(b)
+),
+pairs AS ({_pairs_sql()}),
+scored AS (
+  SELECT p.doc_a AS id_a, p.doc_b AS id_b,
+         {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
+  FROM pairs p
+  JOIN embeddings a ON a.vec_id = p.doc_a
+  JOIN embeddings b ON b.vec_id = p.doc_b
+)
+SELECT id_a, id_b, cos_sim FROM scored
+WHERE cos_sim >= {NEARDUP_THRESHOLD} ORDER BY id_a, id_b
 """
 
 
@@ -299,4 +380,7 @@ QUERIES = {
     "q49_ann_lsh_topk": QuerySpec(q49_ann_lsh_topk, Q49_SQL, "sign-LSH bucketed top-k"),
     "q50_embedding_neardup": QuerySpec(q50_embedding_neardup, Q50_SQL, "cosine near-dup pairs"),
     "q51_ann_ivf_topk": QuerySpec(q51_ann_ivf_topk, Q51_SQL, "IVF coarse-quantized top-k"),
+    "q74_embedding_neardup_lsh": QuerySpec(
+        q74_embedding_neardup_lsh, _q74_sql(), "sign-LSH candidate embedding near-dup"
+    ),
 }

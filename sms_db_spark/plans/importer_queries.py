@@ -34,8 +34,11 @@ def _ckpt(*dfs: DataFrame) -> tuple[DataFrame, ...]:
     # an un-checkpointed normalizer tree re-plans the whole join/agg chain
     # (~2-3s of Catalyst+AQE overhead per action even on 5-row demo data;
     # at real scale, checkpointing a staged batch before a count/dedup/
-    # id-assign sequence is the same standard move).
-    return tuple(df.localCheckpoint(eager=True) for df in dfs)
+    # id-assign sequence is the same standard move). coalesce(1) first:
+    # these are fixture-sized frames, and checkpointing them at the
+    # session's shuffle width (200 under a vanilla session) materializes
+    # hundreds of empty partitions per frame for nothing.
+    return tuple(df.coalesce(1).localCheckpoint(eager=True) for df in dfs)
 
 
 def _stable(df: DataFrame) -> DataFrame:
@@ -215,14 +218,16 @@ FROM staged GROUP BY msg_box ORDER BY msg_box
 """
 
 
+# q69/q65 first: the two entries with no row in CORRECTNESS_r01.json
+# (the driver's gate ran out of budget mid-module) — see plans.registry().
 QUERIES = {
+    "q69_import_scale": QuerySpec(
+        q69_import_scale, Q69_SQL, "bench-scale import hash+dedup dataflow"
+    ),
+    "q65_sql_verbatim": QuerySpec(q65_sql_verbatim, None, "ad-hoc SQL surface (E3)"),
     "q60_import_xml": QuerySpec(q60_import_xml, None, "XML importer dataflow"),
     "q61_import_bugle": QuerySpec(q61_import_bugle, None, "Bugle importer dataflow"),
     "q62_import_signal": QuerySpec(q62_import_signal, None, "Signal importer dataflow"),
     "q63_import_pipeline": QuerySpec(q63_import_pipeline, None, "full import lifecycle"),
     "q64_export_frame": QuerySpec(q64_export_frame, None, "ordered SMS export frame"),
-    "q65_sql_verbatim": QuerySpec(q65_sql_verbatim, None, "ad-hoc SQL surface (E3)"),
-    "q69_import_scale": QuerySpec(
-        q69_import_scale, Q69_SQL, "bench-scale import hash+dedup dataflow"
-    ),
 }

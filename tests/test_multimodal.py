@@ -1,4 +1,4 @@
-"""Multimodal binary-column plumbing: decode stub contract, resize and
+"""Multimodal binary-column plumbing: real header decoders, resize and
 frame-sample batch shapes (the Spark-side mechanics are real; decoders
 are deterministic fakes, SURVEY-brief stub policy)."""
 
@@ -28,9 +28,44 @@ def _media(spark):
     return to_media_frame(docs)
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x00")
+def test_decode_image_real_headers():
+    """decode_image is a REAL pure-python header parser: golden bytes for
+    each supported container, hand-assembled per the format specs."""
+    bmp = b"BM" + b"\x00" * 16 + (640).to_bytes(4, "little") + (480).to_bytes(4, "little")
+    assert decode_image(bmp) == {"width": 640, "height": 480}
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (320).to_bytes(4, "big") + (200).to_bytes(4, "big")
+    )
+    assert decode_image(png) == {"width": 320, "height": 200}
+    gif = b"GIF89a" + (99).to_bytes(2, "little") + (77).to_bytes(2, "little")
+    assert decode_image(gif) == {"width": 99, "height": 77}
+    # JPEG: SOI, APP0 (skipped via its length), then SOF0 with dims
+    app0 = b"\xff\xe0" + (4).to_bytes(2, "big") + b"JF"
+    sof0 = b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08" + (600).to_bytes(2, "big") + (800).to_bytes(2, "big")
+    assert decode_image(b"\xff\xd8" + app0 + sof0 + b"\x00" * 12) == {
+        "width": 800, "height": 600,
+    }
+    with pytest.raises(ValueError):
+        decode_image(b"\x00\x01\x02\x03 not an image")
+
+
+def test_decode_audio_wav_header():
+    from sms_db_spark.operators.multimodal import decode_audio
+
+    wav = (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVE" + b"fmt "
+        + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")          # channels
+        + (44100).to_bytes(4, "little")      # sample rate
+        + (176400).to_bytes(4, "little") + (4).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")         # bits/sample
+    )
+    assert decode_audio(wav) == {
+        "channels": 2, "sample_rate": 44100, "bits_per_sample": 16,
+    }
+    with pytest.raises(ValueError):
+        decode_audio(b"OggS")
 
 
 def test_extract_features_shapes(spark):

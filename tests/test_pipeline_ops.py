@@ -81,3 +81,28 @@ def test_dedup_clusters_are_valid_connected_components(spark):
     # directly-colliding pairs always co-cluster (transitivity superset of q52)
     for r in q45_minhash_lsh_pairs(spark, SF_DIR).collect():
         assert labels[r.doc_a] == labels[r.doc_b], (r.doc_a, r.doc_b)
+
+
+def test_lsh_hot_bucket_cap_bounds_pair_generation(spark):
+    """A degenerate bucket (500 identical/boilerplate docs sharing a band
+    hash) must contribute ZERO pairs — not 500·499/2 — while normal-sized
+    buckets still pair. The cap is the guard against quadratic in-bucket
+    fan-out at corpus scale."""
+    from sms_db_spark.operators.dedup import LSH_MAX_BUCKET, lsh_candidate_pairs
+
+    hot = [(doc_id, 0, "hotbucket") for doc_id in range(500)]
+    small = [(doc_id, 1, "okbucket") for doc_id in (1000, 1001, 1002)]
+    bands = spark.createDataFrame(
+        hot + small, "doc_id long, band_id long, band_hash string"
+    )
+    pairs = lsh_candidate_pairs(bands).collect()
+    # only the 3-doc bucket pairs: (1000,1001) (1000,1002) (1001,1002)
+    assert sorted((r["doc_a"], r["doc_b"]) for r in pairs) == [
+        (1000, 1001), (1000, 1002), (1001, 1002)
+    ]
+    # boundary: a bucket exactly at the cap still pairs fully
+    at_cap = [(i, 2, "cap") for i in range(LSH_MAX_BUCKET)]
+    n = lsh_candidate_pairs(
+        spark.createDataFrame(at_cap, "doc_id long, band_id long, band_hash string")
+    ).count()
+    assert n == LSH_MAX_BUCKET * (LSH_MAX_BUCKET - 1) // 2

@@ -168,13 +168,24 @@ def test_q58_filtered_ann_pruned_and_broadcast(spark):
     assert "CartesianProduct" not in p, p
 
 
-def test_q52_neardup_no_cartesian_no_broadcast_of_bands(spark):
-    """Fuzzy-dedup resolution: the band self-join is shuffle-hash (a
-    broadcast would duplicate the signature fold and cannot hold the
-    corpus-scale signature table); survivors via anti-join."""
+def test_q52_neardup_no_cartesian_no_self_join_of_bands(spark):
+    """Fuzzy-dedup resolution: candidate pairs come from ONE bucket
+    groupBy + map-side in-bucket expansion (hot-bucket capped) — no band
+    self-join at all, so the signature fold is evaluated once and no plan
+    node can fan out quadratically; survivors via anti-join."""
     p = plan(spark, "q52_neardup_resolve", mode="simple")
     assert "CartesianProduct" not in p, p
-    assert "ShuffledHashJoin" in p, p
+    assert "ShuffledHashJoin" not in p and "SortMergeJoin" not in p, p
+    assert "Generate explode" in p, p  # the bounded in-bucket pair expansion
+
+
+def test_q45_lsh_single_bucket_shuffle(spark):
+    """LSH candidate pairs: one hash shuffle to group buckets, one for
+    distinct, the final orderBy range exchange — and no join operator
+    before the pair expansion."""
+    p = plan(spark, "q45_minhash_lsh_pairs")
+    assert "Join" not in p, p
+    assert n_exchanges(p) <= 3, p
 
 
 def test_q67_exists_decorrelates_to_semi_join(spark):
@@ -192,3 +203,26 @@ def test_q68_pivot_bounded_shuffles_no_extra_job(spark):
     p = plan(spark, "q68_pivot")
     assert n_exchanges(p) <= 3, p
     assert "struct<ts:bigint,event_type:string,value:double>" in p, p
+
+
+def test_q33_asof_union_sort_no_join(spark):
+    """The as-of join must be the union-sort form: no physical join
+    operator at all (the naive join-then-rank materializes
+    |events_per_user| x |orders_per_user| rows before the window — the
+    classic hot-key blow-up at scale). Expected shape: one hash exchange
+    on the user key for the window, plus the final range exchange for
+    the documented ORDER BY."""
+    p = plan(spark, "q33_asof_join")
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert n_exchanges(p) <= 2, p
+
+
+def test_q74_embedding_neardup_no_cartesian(spark):
+    """LSH-candidate embedding near-dup: the corpus is never crossed with
+    itself — no cartesian/nested-loop anywhere; the pair list broadcasts
+    into equi-joins on vec_id."""
+    p = plan(spark, "q74_embedding_neardup_lsh", mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
