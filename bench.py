@@ -42,6 +42,10 @@ HEADLINE = [
     "q55_multimodal_features",
     "q57_tfidf_topk",
     "q69_import_scale",
+    "q33_asof_join",
+    "q73_lsh_jaccard_verified",
+    "q74_embedding_neardup_lsh",
+    "q75_multimodal_real_decode",
 ]
 
 

@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from . import __version__
+
+    # the reference's startup banner (sms-db.pl:43)
+    print(f"sms-db-spark version {__version__}")
     args = build_parser().parse_args(argv)
     if bool(args.i) == bool(args.o):
         print(
