@@ -5,6 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Materialization uses the noop sink — full evaluation of every output
 column, no driver collect overhead, no column-pruning shortcut.
+
+Methodology: one untimed warm-up run per query (JIT + IO cache), then
+BEST-OF-3 timed runs — round-over-round comparisons isolate real plan
+changes from ambient stage-pressure noise (the r1→r2 shared-query total
+drifted 1.38× with zero plan changes under single-warm-run timing).
 """
 
 from __future__ import annotations
@@ -46,7 +51,10 @@ HEADLINE = [
     "q73_lsh_jaccard_verified",
     "q74_embedding_neardup_lsh",
     "q75_multimodal_real_decode",
+    "q76_filtered_ann_lsh",
 ]
+
+BEST_OF = 3
 
 
 def main() -> None:
@@ -60,9 +68,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = specs[name].fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (JIT+IO cache)
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(BEST_OF):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
@@ -72,6 +83,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "methodology": f"per-query best-of-{BEST_OF} after one warm-up run",
             }
         )
     )

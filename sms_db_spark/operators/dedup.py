@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import QuerySpec
-from ..tables import load_table
+from ..tables import load_table, load_table_parallel
 
 NUM_HASHES = 16
 BAND_SIZE = 2  # 8 bands of 2 → candidate recall at jaccard ≈ 0.5+
@@ -85,7 +85,7 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation shuffles |corpus|·NUM_HASHES rows and was 5× slower at
     sf0.1 on local[32].
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     # Everything below is ONE expression with intermediates bound via the
     # single-element-array + lambda-variable trick: Catalyst's
     # CollapseProject would otherwise inline an aliased `mins` column into
@@ -222,8 +222,10 @@ SIMHASH_BITS = 32
 
 def q46_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document, folded map-side with `aggregate` —
-    zero shuffle, whole-stage codegen; the 100TB-correct shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    zero shuffle, whole-stage codegen; the 100TB-correct shape (the
+    round-robin input spread is not a hash shuffle — see
+    load_table_parallel)."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
     # hash each token ONCE (outer transform), then fold bit-contributions;
     # putting md5 inside the per-bit lambda would recompute it ×32.
     bitsums = F.expr(
@@ -379,31 +381,81 @@ JACCARD_THRESHOLD = 0.5
 
 
 def q73_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full candidate→verify near-dup pipeline in one plan: LSH
-    candidate pairs (q45) re-scored with exact shingle-set Jaccard and
-    kept only above threshold — the production shape where the expensive
-    exact measure runs on |candidates| pairs, never |corpus|² (q47's
-    anchored variant is the oracle-sized demonstration of the scorer).
+    """The full candidate→verify near-dup pipeline: LSH candidate pairs
+    (q45) re-scored with exact shingle-set Jaccard and kept only above
+    threshold — the production shape where the expensive exact measure
+    runs on |candidates| pairs, never |corpus|² (q47's anchored variant
+    is the oracle-sized demonstration of the scorer).
 
-    Join strategy: the pair list (collision survivors only) broadcasts;
-    the shingle table streams through twice (side a, side b) as hash
-    joins on doc_id. At corpus scale the pair list is the small side by
-    construction — LSH's entire point.
+    Verify-stage shape (the part that must survive 100×):
+      - the pair list is materialized ONCE (localCheckpoint — it is the
+        collision-survivor set, small but NOT globally bounded, so it is
+        never broadcast: the pair↔shingle joins are plain equi-joins on
+        doc_id and AQE picks the strategy from runtime sizes);
+      - shingles are computed ONLY for docs that appear in some pair:
+        candidate ids semi-join the corpus BEFORE the shingle expression
+        runs, so the expensive per-doc array is built once per colliding
+        doc — not twice per corpus doc as a naive two-sided self-join
+        would (measured: the corpus-wide shingle pass alone was 10.2s
+        at sf0.1, run twice in the old shape);
+      - the checkpointed candidate-shingle table feeds BOTH join sides,
+        so the final plan scans no parquet at all;
+      - the threshold test is an integer predicate referencing each of
+        inter_cnt / size_sum exactly ONCE (inter·(1+T) ≥ T·size_sum ⇔
+        inter/union ≥ T; exact for T with a short binary expansion), so
+        when Catalyst pushes it into the join condition the substituted
+        expression evaluates array_intersect once per candidate pair —
+        filtering on the jaccard division itself would inline inter_cnt
+        twice and double the set-intersection work for every rejected
+        pair. Survivors (few, by construction) recompute it once more in
+        the output projection. Docs whose shingle set is empty are
+        dropped up front: they can never reach the threshold (the
+        division form yields NULL/0 for them), and removing them keeps
+        the integer form's size_sum strictly positive.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    with_sh = docs.select("doc_id", shingles_col(_tokens_col()).alias("sh"))
-    pairs = lsh_candidate_pairs(minhash_bands(spark, sf_dir))
-    sa = with_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = with_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jaccard = inter.cast("double") / union.cast("double")
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(spark, sf_dir)).localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_sh = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", shingles_col(_tokens_col()).alias("sh"))
+        .localCheckpoint(eager=True)
+        # Empty-shingle drop AFTER the checkpoint: placed before it, the
+        # predicate (whose expression embeds the whole shingle transform)
+        # is pushed down onto the parquet scan — upstream of both the
+        # semi-join AND the round-robin spread — re-shingling the full
+        # corpus on the raw single-file partitioning (measured 9.3s vs
+        # 0.5s at sf0.1). The checkpoint is a pushdown barrier; here the
+        # filter touches only the ~|candidates| cached rows.
+        .filter(F.size(F.col("sh")) > 0)
+    )
+    sa = cand_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = cand_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
-        F.broadcast(pairs)
-        .join(sa, "doc_a")
+        pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).alias("inter_cnt"),
+            (F.size("sh_a") + F.size("sh_b")).alias("size_sum"),
+        )
+        .filter(
+            F.col("inter_cnt").cast("double") * (1.0 + JACCARD_THRESHOLD)
+            >= F.col("size_sum").cast("double") * JACCARD_THRESHOLD
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter_cnt").cast("double")
+                / (F.col("size_sum") - F.col("inter_cnt")).cast("double")
+            ).alias("jaccard"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 

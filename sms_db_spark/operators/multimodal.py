@@ -84,15 +84,27 @@ def decode_image(payload: bytes) -> dict:
         }
     if payload[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to SOFn
         i = 2
-        while i + 9 <= len(payload):
+        while i + 1 < len(payload):
             if payload[i] != 0xFF:
                 break
+            # repeated 0xFF bytes before a marker are legal fill/padding
+            while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                i += 1
             marker = payload[i + 1]
+            if marker == 0xD9:  # EOI with no SOF seen
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2  # TEM / RST0-7 / SOI: standalone, no length field
+                continue
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                return {
-                    "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
-                    "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
-                }
+                if i + 9 <= len(payload):
+                    return {
+                        "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
+                        "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    }
+                break
+            if i + 4 > len(payload):
+                break
             i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
         raise ValueError("truncated JPEG: no SOF segment found")
     raise ValueError("unrecognized image container (BMP/PNG/GIF/JPEG supported)")

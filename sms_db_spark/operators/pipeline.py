@@ -346,12 +346,98 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+# ---------------------------------------------------------------- q76
+
+
+def q76_filtered_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated ANN, served through sign-LSH buckets — the default
+    serving path at corpus scale (q58 stays as the documented exact
+    baseline for recall measurement).
+
+    Plan shape: candidate selection is an EQUI-join on the sign-LSH
+    bucket id (no crossJoin over the corpus anywhere — plan-asserted in
+    tests/test_plans.py), the quality gate semi-join prunes candidates
+    BEFORE any cosine is evaluated, and the per-query top-k is a bounded
+    window on query_id. At 100 TB the scored set is
+    |bucket ∩ passing| per query instead of |passing| — the crossJoin
+    baseline's O(Q·N) scoring collapses to O(Q·N/2^planes) expected.
+    """
+    from .similarity import _bucket, cosine
+
+    s = _scored(spark, sf_dir)
+    passing_ids = s.filter(
+        (F.col("len_chars") >= MIN_CHARS)
+        & (F.col("n_tokens") >= MIN_TOKENS)
+        & (
+            F.col("stop_cnt").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+            < MAX_STOP_RATIO
+        )
+    ).select(F.col("doc_id").alias("vec_id"))
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket("embedding").alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    cand = emb.join(F.broadcast(passing_ids), "vec_id", "left_semi").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "bucket", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _q76_sql() -> str:
+    from .similarity import _SQL_BUCKET, _sql_cos
+
+    return f"""
+WITH s AS ({_SCORED_SQL}),
+passing AS (
+  SELECT doc_id AS vec_id FROM s
+  WHERE len_chars >= {MIN_CHARS} AND n_tokens >= {MIN_TOKENS}
+    AND CAST(stop_cnt AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) < {MAX_STOP_RATIO}
+),
+b AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET.format(col='embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 5),
+cand AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb, e.bucket
+  FROM b e SEMI JOIN passing p ON e.vec_id = p.vec_id
+),
+scored AS (
+  SELECT q.query_id, q.bucket, c.neighbor_id, {_sql_cos('q.q_emb', 'c.c_emb')} AS cos_sim
+  FROM q JOIN cand c USING (bucket)
+  WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, bucket, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {ANN_TOPK} ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "q52_neardup_resolve": QuerySpec(
         q52_neardup_resolve, Q52_SQL, "LSH fuzzy-dedup survivor set"
     ),
     "q58_filtered_ann": QuerySpec(
-        q58_filtered_ann, _q58_sql(), "quality-gated ANN retrieval"
+        q58_filtered_ann, _q58_sql(), "quality-gated ANN retrieval (exact baseline)"
+    ),
+    "q76_filtered_ann_lsh": QuerySpec(
+        q76_filtered_ann_lsh, _q76_sql(), "quality-gated ANN via sign-LSH buckets"
     ),
     "q53_clean_pipeline": QuerySpec(
         q53_clean_pipeline, Q53_SQL, "quality+lang+exact-dedup cleaning pipeline"

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import QuerySpec
-from ..tables import load_table
+from ..tables import load_table, load_table_parallel
 
 DIM = 64
 
@@ -196,9 +196,15 @@ def q74_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern of dims 8b+1..8b+8, computed map-side), then the shared
     bucket-group pair expansion with the hot-bucket cap — ONE shuffle, no
     self-join, no within-bucket quadratic blow-up. Exact cosine runs only
-    on candidates (broadcast pair list into two hash joins on vec_id),
-    so the corpus is never crossed with itself: |pairs| ≈ collision
-    survivors, not N².
+    on candidates, so the corpus is never crossed with itself: |pairs| ≈
+    collision survivors, not N².
+
+    Verify-stage shape mirrors q73: pairs are materialized once
+    (localCheckpoint) and NEVER broadcast — the survivor set is small but
+    not globally bounded, so the pair↔embedding joins are plain equi-joins
+    on vec_id (AQE picks the strategy); the embedding table is semi-join
+    pruned to candidate ids once and that checkpointed slice feeds both
+    join sides, so the verify plan re-scans nothing.
 
     Similar vectors agree on a random hyperplane with prob 1 - θ/π, so a
     cos≥0.35 pair collides in a given 8-plane band with p≈(0.62)^8 and in
@@ -207,7 +213,7 @@ def q74_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import lsh_candidate_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     bands_arr = F.expr(
         f"""
         transform(sequence(0, {NEARDUP_BANDS - 1}), b ->
@@ -221,12 +227,21 @@ def q74_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         F.posexplode(bands_arr).alias("band_id", "band_hash"),
     ).select("doc_id", F.col("band_id").cast("bigint"), "band_hash")
-    pairs = lsh_candidate_pairs(bands)
-    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("emb_b"))
+    pairs = lsh_candidate_pairs(bands).localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("vec_id"))
+        .union(pairs.select(F.col("doc_b").alias("vec_id")))
+        .distinct()
+    )
+    cand_emb = (
+        emb.join(cand_ids, "vec_id", "left_semi")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    ea = cand_emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a"))
+    eb = cand_emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("emb_b"))
     return (
-        F.broadcast(pairs)
-        .join(ea, "doc_a")
+        pairs.join(ea, "doc_a")
         .join(eb, "doc_b")
         .select(
             F.col("doc_a").alias("id_a"),

@@ -861,7 +861,12 @@ def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = _t(spark, sf_dir, "events")
     orders = _t(spark, sf_dir, "orders")
-    o = orders.select(
+    # A NULL o_orderdate would sort first (asc NULLS FIRST) and be carried
+    # by last(..., ignorenulls) into events with no qualifying order; the
+    # rank formulation's NULL <= ts is false, so such orders must not
+    # participate at all. TPC-H dates are non-null, but the operator
+    # contract shouldn't depend on that.
+    o = orders.filter(F.col("o_orderdate").isNotNull()).select(
         F.col("o_custkey").alias("key"),
         F.col("o_orderdate").cast("timestamp").alias("t"),
         F.col("o_orderkey").alias("o_orderkey"),

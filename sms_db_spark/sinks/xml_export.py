@@ -145,25 +145,33 @@ def export_xml(messages: DataFrame, parts: DataFrame, path: str, message_type: s
     """
     sms_frame = sms_export_frame(messages, parts) if message_type in ("sms", "all") else None
     mms_frame = mms_export_frame(messages, parts) if message_type in ("mms", "all") else None
-    total = (sms_frame.count() if sms_frame is not None else 0) + (
-        mms_frame.count() if mms_frame is not None else 0
-    )
-
-    with open(path, "wb") as fh:
-        fh.write(b"<?xml version='1.0' encoding='UTF-8' standalone='yes'?>\n")
-        # the reference stamps a creation comment (sms-db.pl:240)
-        fh.write(
-            f"<!--File Created By sms-db-spark v{__version__} on {time.ctime()}-->\n".encode()
-        )
-        fh.write(f'<smses count="{total}">\n'.encode())
-        for frame, build in ((sms_frame, _sms_element), (mms_frame, _mms_element)):
-            if frame is None:
-                continue
-            for row in frame.toLocalIterator():
-                e = build(row)
-                ET.indent(e, level=1)
-                fh.write(b"  ")
-                fh.write(ET.tostring(e))
-                fh.write(b"\n")
-        fh.write(b"</smses>\n")
+    frames = [f for f in (sms_frame, mms_frame) if f is not None]
+    # The root `count` attribute is written before any row, so each frame
+    # is needed twice (count, then iterate). Persist so the plan executes
+    # ONCE into the block cache and both actions read the cached result —
+    # without this the whole export pipeline ran twice per frame.
+    for f in frames:
+        f.persist()
+    try:
+        total = sum(f.count() for f in frames)
+        with open(path, "wb") as fh:
+            fh.write(b"<?xml version='1.0' encoding='UTF-8' standalone='yes'?>\n")
+            # the reference stamps a creation comment (sms-db.pl:240)
+            fh.write(
+                f"<!--File Created By sms-db-spark v{__version__} on {time.ctime()}-->\n".encode()
+            )
+            fh.write(f'<smses count="{total}">\n'.encode())
+            for frame, build in ((sms_frame, _sms_element), (mms_frame, _mms_element)):
+                if frame is None:
+                    continue
+                for row in frame.toLocalIterator():
+                    e = build(row)
+                    ET.indent(e, level=1)
+                    fh.write(b"  ")
+                    fh.write(ET.tostring(e))
+                    fh.write(b"\n")
+            fh.write(b"</smses>\n")
+    finally:
+        for f in frames:
+            f.unpersist()
     return total

@@ -52,11 +52,21 @@ def read_sqlite_table(
             present = set()
         if not present:
             return spark.createDataFrame([], schema)
-        # `rowid` never appears in PRAGMA table_info but is always
-        # selectable (non-WITHOUT-ROWID tables) — the part importer needs
-        # it to pin the reference's part-table row order.
+        # `rowid` never appears in PRAGMA table_info but is usually
+        # selectable — the part importer needs it to pin the reference's
+        # part-table row order. WITHOUT ROWID tables raise on it, so probe
+        # once and degrade to NULL like any other absent column.
+        rowid_ok = False
+        if any(f.name == "rowid" and f.name not in present for f in schema.fields):
+            try:
+                con.execute(f"SELECT rowid FROM {table} LIMIT 1")
+                rowid_ok = True
+            except sqlite3.OperationalError:
+                rowid_ok = False
         cols = ", ".join(
-            f.name if f.name in present or f.name == "rowid" else f"NULL AS {f.name}"
+            f.name
+            if f.name in present or (f.name == "rowid" and rowid_ok)
+            else f"NULL AS {f.name}"
             for f in schema.fields
         )
         rows = con.execute(f"SELECT {cols} FROM {table}").fetchall()

@@ -105,6 +105,63 @@ def test_csv_export_documented_query(spark, tmp_path):
     assert rows[0]["sender_name"] == "Alice"
 
 
+def test_export_xml_executes_each_frame_once(spark, tmp_path, monkeypatch):
+    """export_xml needs each frame twice (root `count` attr, then row
+    iteration) — both actions must read the persisted result, not
+    re-execute the export plan (the r2 verdict's double-materialization).
+    Asserted by intercepting the two actions and checking the frame is
+    cached at call time. Patches the CONCRETE DataFrame class (Spark 4's
+    pyspark.sql.DataFrame is an abstract base whose methods the classic
+    subclass overrides, so patching the base never fires)."""
+    res = _store(spark)
+    DataFrame = type(res.messages)
+    actions = []
+    orig_count, orig_iter = DataFrame.count, DataFrame.toLocalIterator
+
+    def counting(self):
+        actions.append(("count", self.storageLevel.useMemory or self.storageLevel.useDisk))
+        return orig_count(self)
+
+    def iterating(self, *a, **k):
+        actions.append(("iter", self.storageLevel.useMemory or self.storageLevel.useDisk))
+        return orig_iter(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "count", counting)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", iterating)
+    export_xml(res.messages, res.parts, str(tmp_path / "once.xml"))
+    kinds = [k for k, _ in actions]
+    assert kinds.count("count") == 2 and kinds.count("iter") == 2, actions
+    assert all(cached for _, cached in actions), actions
+
+
+def test_jdbc_lane_schema_parity(spark, tmp_path):
+    """S5 JDBC lane: when a sqlite-jdbc driver is on the classpath, the
+    cluster write path must produce the identical store format as the
+    driver-side fallback (reference DDL, user_version=2, queryable rows).
+    Skipped where the jar is absent (this container ships none) — the
+    test pins the code path wherever the jar IS available."""
+    import pytest
+
+    from sms_db_spark.sinks.sqlite_sink import _jdbc_available
+
+    if not _jdbc_available(spark):
+        pytest.skip("sqlite-jdbc driver not on the classpath")
+    res = _store(spark)
+    db = tmp_path / "jdbc.db"
+    write_store_sqlite(res.messages, res.parts, str(db))
+    con = sqlite3.connect(db)
+    msgs_sql = con.execute("SELECT sql FROM sqlite_master WHERE name='messages'").fetchone()[0]
+    assert "AUTOINCREMENT" in msgs_sql and "hash INT UNIQUE" in msgs_sql
+    assert con.execute("PRAGMA user_version").fetchone()[0] == 2
+    rows = con.execute(
+        "SELECT timestamp, sender_name, data FROM messages INNER JOIN parts"
+        " ON messages._id = parts.message_id WHERE content_type LIKE 'text%'"
+        " ORDER BY timestamp"
+    ).fetchall()
+    assert len(rows) == 5
+    con.close()
+
+
 def test_store_schema_parity_shared_by_both_lanes(tmp_path):
     """Both write lanes (JDBC append and the sqlite3 fallback) bootstrap
     the store through the same _create_store_schema, so the JDBC lane can

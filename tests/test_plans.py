@@ -21,12 +21,15 @@ from sms_db_spark.plans import registry
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def plan(spark, name: str, mode: str = "formatted") -> str:
-    df = registry()[name].fn(spark, SF_DIR)
+def _explain_str(df, mode: str = "formatted") -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode)
     return buf.getvalue()
+
+
+def plan(spark, name: str, mode: str = "formatted") -> str:
+    return _explain_str(registry()[name].fn(spark, SF_DIR), mode)
 
 
 def n_exchanges(text: str) -> int:
@@ -182,8 +185,10 @@ def test_q52_neardup_no_cartesian_no_self_join_of_bands(spark):
 def test_q45_lsh_single_bucket_shuffle(spark):
     """LSH candidate pairs: one hash shuffle to group buckets, one for
     distinct, the final orderBy range exchange — and no join operator
-    before the pair expansion."""
-    p = plan(spark, "q45_minhash_lsh_pairs")
+    before the pair expansion. Counted in simple mode so the deliberate
+    round-robin input spread (load_table_parallel — not a keyed shuffle,
+    a no-op on multi-split cluster scans) is excluded."""
+    p = plan(spark, "q45_minhash_lsh_pairs", mode="simple")
     assert "Join" not in p, p
     assert n_exchanges(p) <= 3, p
 
@@ -220,9 +225,45 @@ def test_q33_asof_union_sort_no_join(spark):
 
 def test_q74_embedding_neardup_no_cartesian(spark):
     """LSH-candidate embedding near-dup: the corpus is never crossed with
-    itself — no cartesian/nested-loop anywhere; the pair list broadcasts
-    into equi-joins on vec_id."""
-    p = plan(spark, "q74_embedding_neardup_lsh", mode="simple")
+    itself — no cartesian/nested-loop anywhere; the verify stage joins the
+    checkpointed candidate slice (so the final plan re-scans no parquet)
+    and never FORCES a broadcast of the unbounded pair list (no broadcast
+    hint in the logical plan — AQE may still pick one from runtime sizes,
+    which is fine)."""
+    df = registry()["q74_embedding_neardup_lsh"].fn(spark, SF_DIR)
+    p = _explain_str(df, "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Scan parquet" not in p, p  # checkpoint feeds both join sides
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical, logical
+
+
+def test_q73_verify_stage_single_scan_no_forced_broadcast(spark):
+    """q73's verify stage (the 100×-scale hazard fixed in r3): the
+    candidate-shingle table is computed ONCE (localCheckpoint) and feeds
+    BOTH join sides — the final plan contains no parquet scan at all; the
+    pair list is never hint-broadcast; and the threshold predicate pushed
+    into the join condition evaluates array_intersect exactly ONCE per
+    candidate pair (the single-reference integer form — the old division
+    filter inlined it twice into the condition plus once per projection,
+    3 set-intersections per rejected pair). Exactly two occurrences
+    plan-wide: the pushed condition + the survivors-only jaccard
+    projection."""
+    df = registry()["q73_lsh_jaccard_verified"].fn(spark, SF_DIR)
+    p = _explain_str(df, "formatted")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Scan parquet" not in p, p  # both sides read the checkpointed slice
+    assert p.count("array_intersect") == 2, p
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical, logical
+
+
+def test_q76_filtered_ann_lsh_bucket_equijoin(spark):
+    """Serving-path quality-gated ANN: candidate selection is an equi-join
+    on the sign-LSH bucket with the tiny query side broadcast — no
+    crossJoin over the corpus anywhere (the verdict's q58 scale fix)."""
+    p = plan(spark, "q76_filtered_ann_lsh", mode="simple")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
