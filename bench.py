@@ -52,6 +52,8 @@ HEADLINE = [
     "q74_embedding_neardup_lsh",
     "q75_multimodal_real_decode",
     "q76_filtered_ann_lsh",
+    "q79_sequence_packing",
+    "q81_contamination",
 ]
 
 BEST_OF = 3

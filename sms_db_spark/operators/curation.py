@@ -1,0 +1,400 @@
+"""Corpus-curation operators for a training-data pipeline: deterministic
+train/val/test splitting, hash-threshold sampling, sequence packing, PII
+scrubbing, benchmark-contamination detection, and repetition-based
+quality stats (Gopher-style).
+
+All are pure built-in-expression plans (JVM-side, whole-stage codegen) —
+no Python UDFs, each with a DuckDB oracle. Portability rules follow the
+rest of the repo: md5-prefix hashes (identical bytes both engines),
+Java-regex ∩ RE2 patterns, int/int double divisions only.
+
+Scale notes (the 100 TB story, per operator):
+  - q77/q78: per-row map over a hash of the STABLE document id — no
+    shuffle, no sampling pass, no count; re-running on a grown corpus
+    never reassigns an existing doc (the property that makes hash splits
+    the standard over random() splits for training data).
+  - q79: one shuffle, on the shard key; packing is a running sum within
+    each shard partition — no global window (a global cumsum would
+    single-thread the corpus; sharding is also what a real loader wants,
+    since bins must be readable per-worker).
+  - q80: per-row regexp_replace chain — linear, pushdown-friendly.
+  - q81: the benchmark side is small BY DEFINITION (an eval set), so it
+    is explicitly broadcast; the corpus side explodes its shingles once
+    and aggregates on doc_id — one shuffle on uniform keys.
+  - q82: per-row array expressions; the per-doc max-multiplicity scan is
+    O(distinct·len) on SHORT documents — for book-length docs swap in
+    the explode + groupBy(doc_id, token) formulation noted in the
+    docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec
+from ..tables import load_table, load_table_parallel
+
+# ------------------------------------------------------------------ q77
+
+SPLIT_BUCKETS = 1000
+TRAIN_UPTO = 900  # [0, 900) → train
+VALID_UPTO = 950  # [900, 950) → valid; [950, 1000) → test
+
+
+def _hash_bucket(col):
+    """md5-prefix bucket in [0, SPLIT_BUCKETS) — byte-identical in DuckDB
+    (same trick as dedup._base30)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % SPLIT_BUCKETS
+    )
+
+
+def _sql_bucket(expr: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % {SPLIT_BUCKETS}"
+    )
+
+
+def q77_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment from a hash of doc_id.
+
+    The split is a pure function of the id: stable under reruns, corpus
+    growth, and partitioning — no random(), no global count, no shuffle.
+    Behavioral parity: the reference's exact-dedup keeps a canonical row
+    per content hash (sms-db.pl:214 `hash INT UNIQUE`); this is the same
+    hash-the-key discipline applied to dataset membership.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_UPTO, "train")
+        .when(bucket < VALID_UPTO, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+Q77_SQL = f"""
+SELECT doc_id,
+       {_sql_bucket('doc_id')} AS bucket,
+       CASE WHEN {_sql_bucket('doc_id')} < {TRAIN_UPTO} THEN 'train'
+            WHEN {_sql_bucket('doc_id')} < {VALID_UPTO} THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+# ------------------------------------------------------------------ q78
+
+SAMPLE_UPTO = 100  # 100/1000 → a 10% expected-rate sample
+
+
+def q78_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: keep docs whose id-hash bucket
+    falls below the threshold.
+
+    Unlike df.sample() this needs no seed plumbing, is reproducible
+    across engines and reruns, composes with q77 (a doc's sample
+    membership never changes as the corpus grows), and is a pushdown-able
+    per-row filter — no sort, no count, no shuffle at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _hash_bucket(F.col("doc_id")).alias("sample_key"), "source", "n_chars"
+    ).filter(F.col("sample_key") < SAMPLE_UPTO)
+
+
+Q78_SQL = f"""
+SELECT doc_id, {_sql_bucket('doc_id')} AS sample_key, source, n_chars
+FROM documents
+WHERE {_sql_bucket('doc_id')} < {SAMPLE_UPTO}
+"""
+
+# ------------------------------------------------------------------ q79
+
+PACK_BUDGET = 512  # tokens per training sequence (bin)
+
+# whitespace token count on the dedup-normalized tokenization, so packing
+# and dedup agree on what a "token" is
+_WS_TOKENS = "string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ')"
+
+
+def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each shard (source),
+    documents are laid end-to-end in doc_id order and cut into
+    PACK_BUDGET-token bins; each doc is assigned the bin where it starts.
+
+    This is the standard LLM-pretraining packing discipline expressed as
+    ONE window: a running token sum per shard, then integer division.
+    Partitioning by shard keeps the window distributed (a global cumsum
+    would funnel 100 TB through one task) and matches how a data loader
+    consumes bins — per shard, in order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " "), " ")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select("doc_id", "source", F.size(tokens).alias("n_tok"))
+    cum = F.sum("n_tok").over(w)
+    return sized.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        (cum - F.col("n_tok")).alias("start_offset"),
+        F.floor((cum - F.col("n_tok")) / F.lit(PACK_BUDGET))
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+
+
+Q79_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, source, len({_WS_TOKENS}) AS n_tok FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM sized
+)
+SELECT doc_id, source, n_tok,
+       CAST(c - n_tok AS BIGINT) AS start_offset,  -- duckdb SUM(BIGINT) yields HUGEINT
+       CAST(floor((c - n_tok) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+FROM cum
+"""
+
+# ------------------------------------------------------------------ q80
+
+# Java-regex ∩ RE2 (no backrefs, no lookaround)
+PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+
+
+def q80_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass over free text: find-and-mask phone numbers and
+    email addresses, reporting per-row match counts.
+
+    The synthetic tables carry no PII-shaped strings, so the scrub input
+    is built deterministically from customer keys (a TPC-H-format phone
+    `NN-NNN-NNN-NNNN` derived from c_custkey digits, an email from
+    c_name) — the regexes are exercised over realistic embedded contact
+    info and the oracle verifies every mask byte-for-byte. At corpus
+    scale the scrub itself is a per-row regexp_replace chain: linear, no
+    shuffle, safe to run as the first map stage of any ingest.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        (F.lit(10) + k % 90).cast("string"),
+        F.lpad(((k * 7) % 1000).cast("string"), 3, "0"),
+        F.lpad(((k * 13) % 1000).cast("string"), 3, "0"),
+        F.lpad(((k * 31) % 10000).cast("string"), 4, "0"),
+    )
+    email = F.concat(F.replace(F.lower(F.col("c_name")), F.lit("#"), F.lit("")), F.lit("@example.com"))
+    raw = F.concat_ws(
+        " ", F.col("c_mktsegment"), F.lit("customer"), email, F.lit("phone"), phone
+    )
+    return cust.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all(raw, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.regexp_replace(
+            F.regexp_replace(raw, PHONE_RE, "[PHONE]"), EMAIL_RE, "[EMAIL]"
+        ).alias("redacted"),
+    )
+
+
+Q80_SQL = f"""
+WITH raw AS (
+  SELECT c_custkey,
+         c_mktsegment || ' customer '
+           || replace(lower(c_name), '#', '') || '@example.com'
+           || ' phone '
+           || CAST(10 + c_custkey % 90 AS VARCHAR) || '-'
+           || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+           || lpad(CAST((c_custkey * 13) % 1000 AS VARCHAR), 3, '0') || '-'
+           || lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0') AS t
+  FROM customer
+)
+SELECT c_custkey,
+       len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+       regexp_replace(regexp_replace(t, '{PHONE_RE}', '[PHONE]', 'g'),
+                      '{EMAIL_RE}', '[EMAIL]', 'g') AS redacted
+FROM raw
+"""
+
+# ------------------------------------------------------------------ q81
+
+BENCH_MAX_ID = 50  # doc_id < 50 stands in for the held-out benchmark set
+
+
+def q81_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: which training docs share word
+    3-gram shingles with a held-out eval set, and how much.
+
+    The canonical decontamination shape: the eval side is SMALL by
+    definition, so its distinct shingle set is broadcast; the corpus
+    explodes its shingles once (linear) and aggregates hits per doc —
+    one shuffle, on doc_id. contaminated_frac is the per-doc share of
+    shingles that appear anywhere in the benchmark.
+    """
+    from .dedup import _tokens_col, shingles_col
+
+    # parallel load: the corpus-side shingle pass is the dominant cost and
+    # must not run on a single input split (see load_table_parallel)
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    with_sh = docs.select("doc_id", shingles_col(_tokens_col()).alias("sh"))
+    bench_sh = (
+        with_sh.filter(F.col("doc_id") < BENCH_MAX_ID)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    # No size(sh)>0 filter: explode already emits nothing for empty
+    # arrays, and such a predicate (it embeds the whole shingle
+    # transform) would be pushed below the round-robin spread onto the
+    # raw single-split scan — the q73 pathology (measured 18s vs 2s).
+    corpus = with_sh.filter(F.col("doc_id") >= BENCH_MAX_ID).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "contaminated_frac"
+            ),
+        )
+    )
+
+
+def _q81_sql() -> str:
+    from .dedup import _SHINGLES_SQL
+
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id < {BENCH_MAX_ID}
+),
+corpus AS (
+  SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle
+  FROM sh WHERE doc_id >= {BENCH_MAX_ID}
+)
+SELECT c.doc_id, c.n_shingles, count(*) AS n_shared,
+       CAST(count(*) AS DOUBLE) / CAST(c.n_shingles AS DOUBLE) AS contaminated_frac
+FROM corpus c JOIN bench b USING (shingle)
+GROUP BY c.doc_id, c.n_shingles
+"""
+
+# ------------------------------------------------------------------ q82
+
+MAX_TOP_TOKEN_RATIO = 0.2
+MAX_DUP_BIGRAM_FRAC = 0.4
+
+
+def q82_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: type-token ratio, most-frequent-
+    token share, duplicate-bigram fraction, and the pass/fail gate.
+
+    All computed as per-row array expressions over the dedup-normalized
+    tokenization. The max-multiplicity scan is O(distinct·len) per doc —
+    right for short/medium documents; for book-length inputs the same
+    statistic is an explode + groupBy(doc_id, token) + max, which trades
+    one shuffle for linear per-doc work.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " "), " ")
+    t = docs.select("doc_id", tokens.alias("toks"))
+    n = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    # multiplicity of each distinct token, then its max (one pass per
+    # distinct token — the short-doc shape, see docstring)
+    max_mult = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda d: F.size(F.filter(F.col("toks"), lambda x: x == d)),
+        )
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = t.select(
+        "doc_id",
+        n.alias("n_tok"),
+        (n_distinct.cast("double") / n.cast("double")).alias("type_token_ratio"),
+        (max_mult.cast("double") / n.cast("double")).alias("top_token_ratio"),
+        F.when(
+            F.size(bigrams) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / F.size(bigrams).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+    return stats.withColumn(
+        "passes_repetition",
+        (F.col("top_token_ratio") <= MAX_TOP_TOKEN_RATIO)
+        & (F.col("dup_bigram_frac") <= MAX_DUP_BIGRAM_FRAC),
+    )
+
+
+Q82_SQL = f"""
+WITH t AS (SELECT doc_id, {_WS_TOKENS} AS toks FROM documents),
+stats AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             AS type_token_ratio,
+         CAST(list_max(list_transform(list_distinct(toks),
+                  d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS top_token_ratio,
+         CASE WHEN len(toks) >= 2 THEN
+           1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+                 / CAST(len(toks) - 1 AS DOUBLE)
+         ELSE 0.0 END AS dup_bigram_frac
+  FROM t
+)
+SELECT doc_id, n_tok, type_token_ratio, top_token_ratio, dup_bigram_frac,
+       (top_token_ratio <= {MAX_TOP_TOKEN_RATIO}
+        AND dup_bigram_frac <= {MAX_DUP_BIGRAM_FRAC}) AS passes_repetition
+FROM stats
+"""
+
+
+QUERIES = {
+    "q77_split_assign": QuerySpec(
+        q77_split_assign, Q77_SQL, "deterministic hash train/valid/test split"
+    ),
+    "q78_hash_sample": QuerySpec(
+        q78_hash_sample, Q78_SQL, "deterministic hash-threshold corpus sample"
+    ),
+    "q79_sequence_packing": QuerySpec(
+        q79_sequence_packing, Q79_SQL, "concat-then-chunk sequence packing per shard"
+    ),
+    "q80_pii_redact": QuerySpec(q80_pii_redact, Q80_SQL, "PII find-and-mask scrub"),
+    "q81_contamination": QuerySpec(
+        q81_contamination, _q81_sql(), "benchmark 3-gram contamination detection"
+    ),
+    "q82_repetition_stats": QuerySpec(
+        q82_repetition_stats, Q82_SQL, "Gopher-style repetition quality stats"
+    ),
+}

@@ -40,6 +40,19 @@ def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
         session = spark.newSession()
         session.conf.set("spark.sql.shuffle.partitions", "32")
         session.conf.set("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate synthesizes `size(e)>0 AND isnotnull(e)`
+        # ahead of every explode; when the generator input is an EXPENSIVE
+        # derived array (shingles: regex+transform over the full text) the
+        # inferred predicate embeds that whole expression and predicate
+        # pushdown then drags it below the parallelizing exchange onto the
+        # raw scan — re-evaluating the heavy transform once per row on the
+        # narrowest partitioning (measured on q81: 18s vs 2.3s at sf0.1,
+        # local[32]). The rule is a skip-empty-rows micro-optimization with
+        # no correctness content, so exclude it session-wide.
+        session.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         return fn(session, sf_dir)
 
     wrapper.__name__ = getattr(fn, "__name__", "query")
@@ -58,6 +71,12 @@ _CHANGED_THIS_ROUND = [
     "q74_embedding_neardup_lsh",
     # new this round
     "q76_filtered_ann_lsh",
+    "q77_split_assign",
+    "q78_hash_sample",
+    "q79_sequence_packing",
+    "q80_pii_redact",
+    "q81_contamination",
+    "q82_repetition_stats",
     # input-repartition plan change (load_table_parallel)
     "q44_minhash_signatures",
     "q45_minhash_lsh_pairs",
@@ -89,7 +108,7 @@ def registry() -> dict[str, QuerySpec]:
     only green evidence is a stale round, then the rest in module order
     (see _CHANGED_THIS_ROUND / _STALE_EVIDENCE)."""
     from . import compat_queries, importer_queries
-    from ..operators import dedup, similarity, textstats, multimodal, pipeline
+    from ..operators import curation, dedup, similarity, textstats, multimodal, pipeline
 
     specs: dict[str, QuerySpec] = {}
     for mod in (
@@ -97,6 +116,7 @@ def registry() -> dict[str, QuerySpec]:
         dedup,
         similarity,
         pipeline,
+        curation,
         multimodal,
         importer_queries,
         compat_queries,

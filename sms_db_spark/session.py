@@ -49,6 +49,14 @@ def get_spark(
         # type for; read as long and convert in tables.load_table (lossless:
         # the generator's values are micro-precision).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # inferred size(e)>0 pre-explode filters duplicate expensive
+        # generator expressions below the parallelizing exchange (see
+        # plans._tuned for the measurement); skip-empty-rows only, no
+        # correctness content.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

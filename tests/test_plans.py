@@ -267,3 +267,36 @@ def test_q76_filtered_ann_lsh_bucket_equijoin(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_curation_map_ops_zero_shuffle(spark):
+    """q77/q78/q80/q82 are pure per-row map plans: no shuffle exchange,
+    no join, no Python eval node — the shape that stays linear at 100TB."""
+    for name in (
+        "q77_split_assign",
+        "q78_hash_sample",
+        "q80_pii_redact",
+        "q82_repetition_stats",
+    ):
+        p = plan(spark, name)
+        assert n_exchanges(p) == 0, (name, p)
+        assert "Join" not in p, (name, p)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_q79_packing_single_shard_shuffle(spark):
+    """Sequence packing: exactly ONE shuffle (hash on the shard key for
+    the per-shard window) — no global-order range exchange, which would
+    funnel the corpus through one task."""
+    p = plan(spark, "q79_sequence_packing")
+    assert n_exchanges(p) == 1, p
+    assert "rangepartitioning" not in p.lower(), p
+
+
+def test_q81_contamination_bench_side_broadcasts(spark):
+    """Contamination: the (small by definition) benchmark shingle set
+    broadcasts into the corpus-side join — no shuffle of the exploded
+    corpus shingles for the join, no cartesian anywhere."""
+    p = plan(spark, "q81_contamination")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
