@@ -377,6 +377,87 @@ SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _oriented(e: DataFrame, big: str, small: str) -> DataFrame:
+    return e.select(F.col(big).alias("src"), F.col(small).alias("dst"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its neighborhood. ONE window shuffle on
+    src (full-partition min, no ordering) + a distinct."""
+    from pyspark.sql import Window
+
+    sym = edges.union(_oriented(edges, "dst", "src"))
+    m = F.least(F.col("src"), F.min("dst").over(Window.partitionBy("src")))
+    return (
+        sym.withColumn("m", m)
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round over (big, small)-oriented edges: every node
+    rewires its smaller-or-equal neighbors (and itself) to their min."""
+    from pyspark.sql import Window
+
+    m = F.min("dst").over(Window.partitionBy("src"))
+    with_m = edges.withColumn("m", m)
+    rewired = with_m.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
+        with_m.select("src", F.col("m").alias("dst"))
+    )
+    return rewired.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def q83_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round formulation q70's docstring names as the swap-in
+    at 10^11 docs, where diameter-bound label propagation (q70) would
+    need as many rounds as the longest collision chain.
+
+    Per round: large-star + small-star, each ONE window shuffle (a
+    full-partition min on the grouping key — no join against a label
+    table at all, unlike q70) + a distinct; lineage cut per round with
+    localCheckpoint. Convergence: the oriented edge set only ever
+    rewires DOWNWARD (dst is a neighborhood min, and node ids are
+    non-negative), so an unchanged (count, sum(src), sum(dst)) checksum
+    is a fixpoint. At the fixpoint every non-root points directly at its
+    component minimum; singleton docs keep themselves.
+
+    Oracle: identical labels to q70's recursive-CTE closure — the two
+    algorithms must agree exactly, which is the strongest cross-check of
+    both.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = lsh_candidate_pairs(minhash_bands(spark, sf_dir))
+    # orient (big, small): lsh_candidate_pairs emits doc_a < doc_b
+    edges = _oriented(pairs, "doc_b", "doc_a").localCheckpoint(eager=True)
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)), F.sum("src"), F.sum("dst")
+        ).first()
+        return tuple(row)
+
+    prev = checksum(edges)
+    for _ in range(15):  # ~log2(components span); tiny for real graphs
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    labels = edges.groupBy("src").agg(F.min("dst").alias("lab"))
+    return (
+        docs.join(labels, docs.doc_id == labels.src, "left")
+        .select("doc_id", F.coalesce("lab", "doc_id").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
 JACCARD_THRESHOLD = 0.5
 
 
@@ -490,6 +571,11 @@ QUERIES = {
     "q47_ngram_jaccard": QuerySpec(q47_ngram_jaccard, Q47_SQL, "n-gram Jaccard vs anchor"),
     "q70_dedup_clusters": QuerySpec(
         q70_dedup_clusters, Q70_SQL, "transitive near-dup connected components"
+    ),
+    "q83_dedup_clusters_star": QuerySpec(
+        q83_dedup_clusters_star,
+        Q70_SQL,
+        "connected components via large-star/small-star (O(log n) rounds)",
     ),
     "q73_lsh_jaccard_verified": QuerySpec(
         q73_lsh_jaccard_verified, Q73_SQL, "LSH candidates verified by exact Jaccard"

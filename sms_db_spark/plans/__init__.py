@@ -77,6 +77,7 @@ _CHANGED_THIS_ROUND = [
     "q80_pii_redact",
     "q81_contamination",
     "q82_repetition_stats",
+    "q83_dedup_clusters_star",
     # input-repartition plan change (load_table_parallel)
     "q44_minhash_signatures",
     "q45_minhash_lsh_pairs",
