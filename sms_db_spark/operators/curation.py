@@ -380,6 +380,87 @@ FROM stats
 """
 
 
+# ------------------------------------------------------------------ q84
+
+STRATUM_N = 10  # docs kept per source
+
+
+def q84_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample: exactly STRATUM_N docs per source,
+    chosen by deterministic hash order (bucket, then doc_id as the
+    total-order tie-break) — reproducible across engines and reruns.
+
+    ONE shuffle (the per-source window); no global sort, no count pass.
+    At 100 TB the per-stratum top-N never materializes a stratum: the
+    window's rank is computed streaming within each source partition
+    (skewed sources are exactly what AQE skew handling addresses, and
+    the alternative two-phase per-partition top-N is documented in
+    SCALE.md should a single stratum exceed a partition).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("bucket", "doc_id")
+    return (
+        docs.select("doc_id", "source", _hash_bucket(F.col("doc_id")).alias("bucket"))
+        .withColumn("rank_in_stratum", F.row_number().over(w))
+        .filter(F.col("rank_in_stratum") <= STRATUM_N)
+    )
+
+
+Q84_SQL = f"""
+SELECT doc_id, source, bucket, rank_in_stratum FROM (
+  SELECT doc_id, source, {_sql_bucket('doc_id')} AS bucket,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_sql_bucket('doc_id')}, doc_id) AS rank_in_stratum
+  FROM documents
+) WHERE rank_in_stratum <= {STRATUM_N}
+"""
+
+# ------------------------------------------------------------------ q85
+
+# mixture rates in hash-buckets-of-1000 per language tier
+MIX_RATES = {"en": 500, "de": 300, "es": 300}
+MIX_DEFAULT = 100
+
+
+def q85_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling: each language tier keeps a different
+    deterministic fraction of its docs (en 50%, de/es 30%, rest 10%) —
+    how a pretraining mixture up/down-weights sources without a shuffle,
+    a count, or a random() (the same doc set comes back on every rerun
+    and after corpus growth).
+
+    Pure map-side filter on (lang tier rate, id-hash bucket): linear at
+    any scale, pushdown-friendly, composable with q77's split.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", MIX_RATES["en"])
+    for lang, r in MIX_RATES.items():
+        if lang != "en":
+            rate = rate.when(F.col("lang") == lang, r)
+    rate = rate.otherwise(MIX_DEFAULT)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            _hash_bucket(F.col("doc_id")).alias("bucket"),
+            rate.alias("keep_rate"),
+        )
+        .filter(F.col("bucket") < F.col("keep_rate"))
+    )
+
+
+Q85_SQL = f"""
+SELECT doc_id, lang, bucket, keep_rate FROM (
+  SELECT doc_id, lang, {_sql_bucket('doc_id')} AS bucket,
+         CASE WHEN lang = 'en' THEN {MIX_RATES['en']}
+              WHEN lang = 'de' THEN {MIX_RATES['de']}
+              WHEN lang = 'es' THEN {MIX_RATES['es']}
+              ELSE {MIX_DEFAULT} END AS keep_rate
+  FROM documents
+) WHERE bucket < keep_rate
+"""
+
+
 QUERIES = {
     "q77_split_assign": QuerySpec(
         q77_split_assign, Q77_SQL, "deterministic hash train/valid/test split"
@@ -396,5 +477,11 @@ QUERIES = {
     ),
     "q82_repetition_stats": QuerySpec(
         q82_repetition_stats, Q82_SQL, "Gopher-style repetition quality stats"
+    ),
+    "q84_stratified_sample": QuerySpec(
+        q84_stratified_sample, Q84_SQL, "fixed-size per-stratum hash sample"
+    ),
+    "q85_weighted_mixture": QuerySpec(
+        q85_weighted_mixture, Q85_SQL, "weighted pretraining-mixture sampling"
     ),
 }

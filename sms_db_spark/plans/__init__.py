@@ -78,6 +78,8 @@ _CHANGED_THIS_ROUND = [
     "q81_contamination",
     "q82_repetition_stats",
     "q83_dedup_clusters_star",
+    "q84_stratified_sample",
+    "q85_weighted_mixture",
     # input-repartition plan change (load_table_parallel)
     "q44_minhash_signatures",
     "q45_minhash_lsh_pairs",

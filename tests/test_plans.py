@@ -300,3 +300,19 @@ def test_q81_contamination_bench_side_broadcasts(spark):
     p = plan(spark, "q81_contamination")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_q84_stratified_single_window_shuffle(spark):
+    """Per-stratum sample: exactly one shuffle (the per-source window) —
+    no global range sort of the corpus."""
+    p = plan(spark, "q84_stratified_sample")
+    assert n_exchanges(p) == 1, p
+    assert "rangepartitioning" not in p.lower(), p
+
+
+def test_q85_mixture_zero_shuffle(spark):
+    """Weighted mixture sampling is a pure map-side filter: no exchange,
+    no join, no Python eval."""
+    p = plan(spark, "q85_weighted_mixture")
+    assert n_exchanges(p) == 0, p
+    assert "Join" not in p, p
