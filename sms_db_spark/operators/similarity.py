@@ -390,6 +390,105 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+KMEANS_ITERS = 2
+KMEANS_SCALE = 1_000_000  # centroid means quantized to 1e-6 (exact int sums)
+
+
+def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: crossJoin against the broadcast
+    centroid table, then a map-side max_by partial agg (q51's shape)."""
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", cosine("embedding", "c_emb").alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Element-wise centroid means, exactly and order-independently:
+    each component is floored to 1e-6 resolution and summed as int64
+    (bit-identical under any aggregation order / engine), then divided
+    back out. 64 scalar aggregates in ONE groupBy — no posexplode to
+    |N|·D rows, partial aggregation stays map-side. At 10^12 rows per
+    cluster swap the int64 sums for DECIMAL(38,0)."""
+    sums = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.floor(F.col("embedding")[d] * KMEANS_SCALE).cast("bigint")
+            ).alias(f"s{d}")
+            for d in range(DIM)
+        ],
+    )
+    mean = lambda d: (  # noqa: E731
+        F.col(f"s{d}").cast("double") / F.col("n").cast("double") / F.lit(float(KMEANS_SCALE))
+    )
+    return sums.select("cid", F.array(*[mean(d) for d in range(DIM)]).alias("c_emb"))
+
+
+def q86_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means training for the IVF coarse quantizer — the piece
+    q51 stands in for with "first K vectors": KMEANS_ITERS deterministic
+    assign→update rounds from that same seed, then the final assignment.
+
+    Everything is reproducible to the bit across engines and cluster
+    layouts: assignment compares per-row cosine doubles (no accumulation
+    across rows), and the update step's means are exact integer sums of
+    1e-6-floored components — no float-summation order sensitivity, so
+    the DuckDB oracle (same two rounds unrolled as SQL) must agree
+    hash-exactly. Per round: one broadcast crossJoin + two map-side
+    partial aggs; nothing shuffles more than K×(D+1) scalars. Empty
+    clusters drop out (both engines aggregate only present cids).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    for _ in range(KMEANS_ITERS):
+        cent = _update(_assign(emb, cent))
+    return (
+        _assign(emb, cent)
+        .select("vec_id", "cid")
+        .orderBy("vec_id")
+    )
+
+
+def _q86_sql() -> str:
+    mean = (
+        lambda d: f"CAST(SUM(CAST(floor(embedding[{d + 1}] * {KMEANS_SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / CAST(COUNT(*) AS DOUBLE) / {float(KMEANS_SCALE)}"
+    )
+    assign = lambda cent: f"""
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN {cent} c
+  ) WHERE rn = 1"""
+    update = (
+        lambda assigned: "SELECT cid, list_value("
+        + ", ".join(mean(d) for d in range(DIM))
+        + f") AS c_emb FROM {assigned} GROUP BY cid"
+    )
+    return f"""
+WITH cent0 AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+a1 AS ({assign('cent0')}),
+cent1 AS ({update('a1')}),
+a2 AS ({assign('cent1')}),
+cent2 AS ({update('a2')}),
+a3 AS ({assign('cent2')})
+SELECT vec_id, cid FROM a3 ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q48_ann_bruteforce_topk": QuerySpec(q48_ann_bruteforce_topk, Q48_SQL, "exact cosine top-k"),
     "q49_ann_lsh_topk": QuerySpec(q49_ann_lsh_topk, Q49_SQL, "sign-LSH bucketed top-k"),
@@ -397,5 +496,8 @@ QUERIES = {
     "q51_ann_ivf_topk": QuerySpec(q51_ann_ivf_topk, Q51_SQL, "IVF coarse-quantized top-k"),
     "q74_embedding_neardup_lsh": QuerySpec(
         q74_embedding_neardup_lsh, _q74_sql(), "sign-LSH candidate embedding near-dup"
+    ),
+    "q86_kmeans_ivf_train": QuerySpec(
+        q86_kmeans_ivf_train, _q86_sql(), "Lloyd k-means IVF centroid training"
     ),
 }

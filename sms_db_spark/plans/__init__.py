@@ -80,6 +80,7 @@ _CHANGED_THIS_ROUND = [
     "q83_dedup_clusters_star",
     "q84_stratified_sample",
     "q85_weighted_mixture",
+    "q86_kmeans_ivf_train",
     # input-repartition plan change (load_table_parallel)
     "q44_minhash_signatures",
     "q45_minhash_lsh_pairs",
