@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import QuerySpec
-from ..tables import load_table
+from ..tables import load_table, load_table_parallel
 from .dedup import _BANDS_SQL, _pairs_sql, lsh_candidate_pairs, minhash_bands
 from .textstats import TOKEN_RE
 
@@ -59,7 +59,7 @@ def q52_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     return docs.join(dropped, "doc_id", "left_anti").select("doc_id", "lang", "source")
 
 
@@ -82,7 +82,7 @@ _ES_MARKERS = ("el", "la", "los", "de", "es")
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document map-side scoring frame shared by q53/q54."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
     stop_cnt = F.size(
         F.regexp_extract_all(
@@ -231,7 +231,7 @@ def q57_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-split covers the residual) -> tf<->df equi-join on term ->
     bounded per-doc window for the top-k.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         F.explode(
@@ -296,7 +296,7 @@ def q58_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(F.col("doc_id").alias("vec_id"))
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     cand = emb.join(F.broadcast(passing_ids), "vec_id", "left_semi").select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
     )
@@ -375,7 +375,7 @@ def q76_filtered_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(F.col("doc_id").alias("vec_id"))
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _bucket("embedding").alias("bucket")
     )
     q = emb.filter(F.col("vec_id") < 5).select(

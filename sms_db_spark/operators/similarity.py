@@ -57,7 +57,7 @@ def _sql_cos(a: str, b: str) -> str:
 
 def q48_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for query vectors vec_id < 5."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -112,7 +112,7 @@ _SQL_BUCKET = (
 
 def q49_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: candidates restricted to the query's sign-LSH bucket."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _bucket("embedding").alias("bucket")
     )
     q = emb.filter(F.col("vec_id") < 20).select(
@@ -162,7 +162,7 @@ def q50_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is q74_embedding_neardup_lsh, where candidates come from
     sign-LSH band buckets and only candidates are scored.
     """
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = load_table_parallel(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
     return (
@@ -300,7 +300,7 @@ def q51_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       - only the final per-query top-k window shuffles, on query_id
         (cardinality Q, uniform).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
@@ -444,7 +444,7 @@ def q86_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggs; nothing shuffles more than K×(D+1) scalars. Empty
     clusters drop out (both engines aggregate only present cids).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )

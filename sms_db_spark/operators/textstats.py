@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import QuerySpec
-from ..tables import load_table
+from ..tables import load_table_parallel
 
 # tokens: alpha runs or digit runs (a BPE-ish pre-tokenization regex subset)
 TOKEN_RE = "[A-Za-z]+|[0-9]+"
@@ -27,7 +27,7 @@ STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return load_table_parallel(spark, sf_dir, "documents")
 
 
 def _token_count(col):
