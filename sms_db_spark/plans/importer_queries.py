@@ -26,7 +26,7 @@ from ..sources.demo import bugle_frames, signal_frames, xml_frames
 from ..sources.signal import normalize_signal
 from ..sources.xml_source import normalize_xml
 from ..sinks.xml_export import sms_export_frame
-from ..tables import load_table
+from ..tables import load_table, load_table_parallel
 
 
 def _ckpt(*dfs: DataFrame) -> tuple[DataFrame, ...]:
@@ -166,7 +166,9 @@ def q69_import_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.hashing import message_hash
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread the 3-split local scan across all cores for the sha256 pass
+    # (no-op on a many-split cluster read — see load_table_parallel)
+    li = load_table_parallel(spark, sf_dir, "lineitem")
     okey = F.col("l_orderkey")
     staged = li.select(
         (okey * 86400).alias("timestamp"),
