@@ -1,0 +1,118 @@
+"""Behavioral edge-semantics tests for the curation operators (q77-q86)
+— the oracle gate proves engine parity; these pin the CONTRACTS: split
+stability, packing contiguity, scrub completeness, gate consistency,
+stratum bounds, and cross-algorithm clustering agreement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sms_db_spark.operators import curation, dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q77_split_partitions_corpus_and_is_stable(spark):
+    rows = curation.q77_split_assign(spark, SF_DIR).collect()
+    again = curation.q77_split_assign(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))  # rerun-stable
+    by_id = {r.doc_id: r.split for r in rows}
+    assert len(by_id) == len(rows)  # every doc exactly once
+    assert set(by_id.values()) <= {"train", "valid", "test"}
+    n = len(rows)
+    train = sum(1 for s in by_id.values() if s == "train")
+    assert 0.8 * n <= train <= 1.0 * n  # ~90% expected rate
+
+
+def test_q78_sample_is_subset_of_corpus_and_of_train_hash_space(spark):
+    sample = curation.q78_hash_sample(spark, SF_DIR)
+    assert sample.filter(F.col("sample_key") >= curation.SAMPLE_UPTO).count() == 0
+    # composability with q77: the 10% sample lives inside the train slice
+    # (rates are nested prefixes of the same hash space)
+    assert curation.SAMPLE_UPTO <= curation.TRAIN_UPTO
+
+
+def test_q79_packing_contiguous_within_shard(spark):
+    rows = curation.q79_sequence_packing(spark, SF_DIR).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in docs:
+            assert r.start_offset == offset, (source, r)
+            assert r.bin_id == offset // curation.PACK_BUDGET
+            offset += r.n_tok
+
+
+def test_q80_redaction_is_complete(spark):
+    import re
+
+    rows = curation.q80_pii_redact(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_phones == 1 and r.n_emails == 1
+        assert "[PHONE]" in r.redacted and "[EMAIL]" in r.redacted
+        assert not re.search(curation.PHONE_RE, r.redacted)
+        assert not re.search(curation.EMAIL_RE, r.redacted)
+
+
+def test_q81_fractions_bounded(spark):
+    rows = curation.q81_contamination(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.doc_id >= curation.BENCH_MAX_ID  # bench docs never flagged
+        assert 1 <= r.n_shared <= r.n_shingles
+        assert 0.0 < r.contaminated_frac <= 1.0
+
+
+def test_q82_gate_consistent_with_stats(spark):
+    rows = curation.q82_repetition_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.type_token_ratio <= 1.0
+        assert 0.0 < r.top_token_ratio <= 1.0
+        assert 0.0 <= r.dup_bigram_frac < 1.0
+        assert r.passes_repetition == (
+            r.top_token_ratio <= curation.MAX_TOP_TOKEN_RATIO
+            and r.dup_bigram_frac <= curation.MAX_DUP_BIGRAM_FRAC
+        )
+
+
+def test_q84_stratum_bounds(spark):
+    rows = curation.q84_stratified_sample(spark, SF_DIR).collect()
+    per_source: dict = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r.rank_in_stratum)
+    for source, ranks in per_source.items():
+        assert len(ranks) <= curation.STRATUM_N
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), source
+
+
+def test_q85_mixture_respects_rates(spark):
+    rows = curation.q85_weighted_mixture(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.bucket < r.keep_rate
+        expected = curation.MIX_RATES.get(r.lang, curation.MIX_DEFAULT)
+        assert r.keep_rate == expected
+
+
+def test_q83_agrees_with_q70_label_propagation(spark):
+    """The two connected-components algorithms (diameter-round label
+    propagation vs large-star/small-star) must produce identical
+    clusterings — the strongest cross-check of both."""
+    a = {(r.doc_id, r.cluster_id) for r in dedup.q70_dedup_clusters(spark, SF_DIR).collect()}
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.q83_dedup_clusters_star(spark, SF_DIR).collect()
+    }
+    assert a == b
+
+
+def test_q86_assignment_valid_and_deterministic(spark):
+    rows = similarity.q86_kmeans_ivf_train(spark, SF_DIR).collect()
+    again = similarity.q86_kmeans_ivf_train(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    cids = {r.cid for r in rows}
+    assert cids <= set(range(similarity.N_CENTROIDS))
