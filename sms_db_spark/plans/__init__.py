@@ -81,18 +81,32 @@ _CHANGED_THIS_ROUND = [
     "q84_stratified_sample",
     "q85_weighted_mixture",
     "q86_kmeans_ivf_train",
-    # input-repartition plan change (load_table_parallel)
-    "q44_minhash_signatures",
-    "q45_minhash_lsh_pairs",
-    "q46_simhash",
-    "q70_dedup_clusters",
-    "q52_neardup_resolve",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # rewritten in r2, never driver-checked since
     "q37_set_ops",
     # JPEG marker-scan fix (q75 emits BMP/PNG, but the code path changed)
     "q75_multimodal_real_decode",
+    # input-repartition plan change (load_table_parallel) + the
+    # InferFiltersFromGenerate exclusion (affects every explode plan)
+    "q44_minhash_signatures",
+    "q45_minhash_lsh_pairs",
+    "q46_simhash",
+    "q70_dedup_clusters",
+    "q52_neardup_resolve",
+    "q48_ann_bruteforce_topk",
+    "q49_ann_lsh_topk",
+    "q50_embedding_neardup",
+    "q51_ann_ivf_topk",
+    "q53_clean_pipeline",
+    "q54_corpus_stats",
+    "q58_filtered_ann",
+    "q69_import_scale",
+    "q40_text_tokens",
+    "q41_text_quality",
+    "q42_text_langid",
+    "q43_text_fingerprint",
+    "q57_tfidf_topk",
 ]
 _STALE_EVIDENCE = [  # green only in round 1's gate, unchanged since
     *(f"q2{i}" for i in range(1, 10)),
