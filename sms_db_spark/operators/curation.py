@@ -461,6 +461,86 @@ SELECT doc_id, lang, bucket, keep_rate FROM (
 """
 
 
+# ------------------------------------------------------------------ q87
+
+RARITY_TOKEN_RE = "[A-Za-z]+|[0-9]+"  # textstats.TOKEN_RE (shared contract)
+RARE_THRESHOLD = 0.002  # mean corpus frequency below which a doc is "rare"
+
+
+def q87_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality signal without the float hazard: per-doc MEAN
+    TOKEN FREQUENCY under the corpus unigram model — the log-free stand-in
+    for perplexity filtering (CCNet-style). Low mean frequency = the doc
+    is built from rare tokens (gibberish, boilerplate IDs, wrong-language
+    residue); high = stopword soup. Both tails are filter candidates.
+
+    Exactness discipline: a per-doc SUM of per-token log-probs is
+    float-order-sensitive AND libm-sensitive (ln differs in the last ulp
+    across engines, which a quantizer can amplify across a floor
+    boundary). Mean frequency instead needs ONE division at the end:
+    sum(count[token]) is an exact int64 sum, and
+    mean = sum / (n_tok · total_tokens) is a single deterministic IEEE
+    multiply+divide — bit-identical everywhere, hence oracle-hashable.
+
+    Plan: explode (linear) → vocab groupBy(term) (one shuffle; stopword
+    skew dies in the map-side partial agg) → tok ⋈ broadcast(vocab)
+    (vocab is min-df-prunable to executor-memory size at corpus scale —
+    same argument as q57's df table) → groupBy(doc_id) (one uniform
+    shuffle). The corpus-wide total rides along as a broadcast scalar.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(RARITY_TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("term_cnt"))
+    total = vocab.agg(F.sum("term_cnt").alias("total_tokens"))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("term_cnt").alias("sum_cnt"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tok",
+            "sum_cnt",
+            (
+                F.col("sum_cnt").cast("double")
+                / (F.col("n_tok").cast("double") * F.col("total_tokens").cast("double"))
+            ).alias("mean_token_freq"),
+        )
+        .withColumn("is_rare", F.col("mean_token_freq") < RARE_THRESHOLD)
+    )
+
+
+Q87_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{RARITY_TOKEN_RE}')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, count(*) AS term_cnt FROM tok GROUP BY term),
+total AS (SELECT CAST(SUM(term_cnt) AS BIGINT) AS total_tokens FROM vocab),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tok, CAST(SUM(v.term_cnt) AS BIGINT) AS sum_cnt
+  FROM tok t JOIN vocab v USING (term) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tok, sum_cnt,
+       CAST(sum_cnt AS DOUBLE)
+         / (CAST(n_tok AS DOUBLE) * CAST(total_tokens AS DOUBLE)) AS mean_token_freq,
+       CAST(sum_cnt AS DOUBLE)
+         / (CAST(n_tok AS DOUBLE) * CAST(total_tokens AS DOUBLE)) < {RARE_THRESHOLD}
+         AS is_rare
+FROM per_doc CROSS JOIN total
+"""
+
+
 QUERIES = {
     "q77_split_assign": QuerySpec(
         q77_split_assign, Q77_SQL, "deterministic hash train/valid/test split"
@@ -483,5 +563,8 @@ QUERIES = {
     ),
     "q85_weighted_mixture": QuerySpec(
         q85_weighted_mixture, Q85_SQL, "weighted pretraining-mixture sampling"
+    ),
+    "q87_token_rarity": QuerySpec(
+        q87_token_rarity, Q87_SQL, "unigram-LM mean-token-frequency quality signal"
     ),
 }

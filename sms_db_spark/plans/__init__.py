@@ -81,6 +81,7 @@ _CHANGED_THIS_ROUND = [
     "q84_stratified_sample",
     "q85_weighted_mixture",
     "q86_kmeans_ivf_train",
+    "q87_token_rarity",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # rewritten in r2, never driver-checked since

@@ -116,3 +116,12 @@ def test_q86_assignment_valid_and_deterministic(spark):
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
     cids = {r.cid for r in rows}
     assert cids <= set(range(similarity.N_CENTROIDS))
+
+
+def test_q87_rarity_bounded_and_gate_consistent(spark):
+    rows = curation.q87_token_rarity(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.mean_token_freq <= 1.0
+        assert r.n_tok <= r.sum_cnt  # every token occurs at least once
+        assert r.is_rare == (r.mean_token_freq < curation.RARE_THRESHOLD)
