@@ -154,3 +154,42 @@ def test_signal_layout_probe(tmp_path):
     assert detect_signal_layout(d)["db_name"] == "database.sqlite"
     with pytest.raises(ValueError, match="Unrecognized Signal backup format"):
         detect_signal_layout(str(tmp_path))
+
+
+def test_read_sqlite_without_rowid_table_degrades_to_null(spark, tmp_path):
+    """A WITHOUT ROWID table raises on `SELECT rowid`; the reader must
+    probe and fall back to NULL (like any other absent column) instead of
+    failing the whole import."""
+    import sqlite3
+
+    from pyspark.sql import types as T
+
+    from sms_db_spark.sources.sqlite_io import read_sqlite_table
+
+    db = str(tmp_path / "worowid.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (k TEXT PRIMARY KEY, v INT) WITHOUT ROWID")
+    con.execute("INSERT INTO t VALUES ('a', 1), ('b', 2)")
+    con.commit()
+    con.close()
+
+    schema = T.StructType(
+        [
+            T.StructField("rowid", T.LongType()),
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    rows = {r.k: r for r in read_sqlite_table(spark, db, "t", schema).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].rowid is None and rows["a"].v == 1
+
+    # ... and a normal (rowid) table still surfaces real rowids
+    db2 = str(tmp_path / "rowid.db")
+    con = sqlite3.connect(db2)
+    con.execute("CREATE TABLE t (k TEXT, v INT)")
+    con.execute("INSERT INTO t VALUES ('a', 1), ('b', 2)")
+    con.commit()
+    con.close()
+    rows2 = {r.k: r for r in read_sqlite_table(spark, db2, "t", schema).collect()}
+    assert rows2["a"].rowid == 1 and rows2["b"].rowid == 2

@@ -102,3 +102,25 @@ def test_sample_frames_one_to_many(spark):
 def test_media_frame_is_binary(spark):
     schema = {f.name: f.dataType.simpleString() for f in _media(spark).schema.fields}
     assert schema["payload"] == "binary"
+
+
+def test_decode_image_jpeg_fill_bytes_and_standalone_markers():
+    """Real-world JPEG quirks the segment walker must survive: 0xFF fill
+    bytes between segments, standalone (length-less) markers (TEM,
+    RST0-7), and EOI with no SOF."""
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (600).to_bytes(2, "big") + (800).to_bytes(2, "big")
+    )
+    # fill bytes before the SOF marker
+    assert decode_image(b"\xff\xd8" + b"\xff\xff\xff" + sof0[1:] + b"\x00" * 12) == {
+        "width": 800, "height": 600,
+    }
+    # standalone TEM and RST markers interleaved before SOF
+    standalone = b"\xff\x01" + b"\xff\xd0" + b"\xff\xd7"
+    assert decode_image(b"\xff\xd8" + standalone + sof0 + b"\x00" * 12) == {
+        "width": 800, "height": 600,
+    }
+    # EOI before any SOF -> clean "no SOF" error, not a garbage length read
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8" + b"\xff\xd9")
