@@ -26,7 +26,8 @@ from sms_db_spark.plans import registry  # noqa: E402
 
 # representative spread: scans+filters, the flagship join, big 1:N join,
 # hash dedup, grouped agg, window agg, minhash, simhash (map-side fold),
-# ANN brute force + LSH, text stats, pandas-UDF plumbing.
+# ANN brute force + LSH, text stats, pandas-UDF plumbing, exact-substring
+# dup-span signal, hashed-feature classifier inference.
 HEADLINE = [
     "q01_eq_filter_sort",
     "q06_join_meta_data",
@@ -54,6 +55,8 @@ HEADLINE = [
     "q76_filtered_ann_lsh",
     "q79_sequence_packing",
     "q81_contamination",
+    "q88_dup_ngram_coverage",
+    "q90_hashed_classifier",
 ]
 
 BEST_OF = 3

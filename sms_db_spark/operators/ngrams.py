@@ -1,0 +1,297 @@
+"""Exact-substring and term-index operators over the `documents` table:
+cross-document duplicated n-gram coverage (the exact-substring dedup
+signal), inverted-index posting lists, and hashed-feature linear
+classifier inference (fastText-shaped scoring without a model file).
+
+All three are pure built-in-expression pipelines (JVM-side, whole-stage
+codegen for the map phases) with DuckDB oracles. They complement the
+fuzzy-dedup family in `dedup.py`: MinHash/LSH answers "are these DOCS
+near-duplicates", while q88 answers "which SPANS are verbatim-copied
+across documents" — the signal exact-substring dedup pipelines gate on.
+
+Scale notes (the 100 TB story):
+- q88: the gram-occurrence relation is O(total tokens) rows, but each row
+  is (doc_id, 16-byte md5 prefix) — the gram TEXT never shuffles; grams
+  are hashed map-side before the exchange. Duplicate detection is
+  `min(doc_id) <> max(doc_id)` (two scalars of agg state per gram), not
+  `count(distinct)`. One shuffle on the (uniform, hashed) gram key plus
+  one shuffle join back; both AQE-planned. The suffix-array formulation
+  (one pass, O(n log n) memory-external) is the published alternative
+  when even the hashed relation is too wide; this relational form is the
+  one that composes with Catalyst.
+- q89: posting lists are capped at POSTING_K via a sort-based window
+  (spills, never collects a hot term's full doc list into one agg
+  buffer); document frequency and total tf aggregate separately with
+  map-side partial aggregation soaking up stopword skew.
+- q90: classifier inference is embarrassingly parallel — hash features
+  map-side into a fixed bucket space, weights are a pure function of the
+  bucket id (no model broadcast needed for this demo; a real weight
+  vector would be a broadcast array lookup of the same shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec
+from ..tables import load_table_parallel
+
+# ------------------------------------------------------------------ q88
+
+NGRAM_N = 8  # the exact-substring dedup literature's canonical span width
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table_parallel(spark, sf_dir, "documents")
+
+
+def q88_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-gram coverage per document.
+
+    For every document: how many of its 8-token spans also occur verbatim
+    in at least one OTHER document, and what fraction of its spans that
+    is. This is the per-doc signal exact-substring deduplication uses to
+    decide removal — near-1.0 means the doc is assembled from text that
+    exists elsewhere in the corpus.
+
+    Grams are md5-hashed map-side so only (doc_id, hash) ever shuffles;
+    "appears in ≥2 docs" is min(doc_id) <> max(doc_id), constant agg
+    state. Documents shorter than 8 tokens are reported with zero spans
+    (second scan of the parquet is column-pruned to doc_id+text and is
+    the cheap way to keep them — cheaper than a distinct over the
+    exploded relation).
+    """
+    docs = _docs(spark, sf_dir)
+    tk = F.split(F.trim(F.col("text")), " ")
+    n_pos = F.greatest(F.size(tk) - (NGRAM_N - 1), F.lit(0)).cast("bigint")
+    grams = F.when(
+        F.size(tk) >= NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (NGRAM_N - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, NGRAM_N))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select("doc_id", F.explode(grams).alias("g"))
+    dup_grams = (
+        occ.groupBy("g")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("g")
+    )
+    dup_per_doc = (
+        occ.join(dup_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
+    )
+    base = docs.select("doc_id", n_pos.alias("n_spans"))
+    return (
+        base.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("bigint").alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("dup_spans").cast("double")
+            / F.greatest(F.col("n_spans"), F.lit(1)).cast("double"),
+        )
+    )
+
+
+Q88_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+),
+occ AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string(tk[i:i+{NGRAM_N - 1}], ' '))
+                 for i in generate_series(1, len(tk) - {NGRAM_N - 1})]) AS g
+  FROM toks
+),
+dup_grams AS (
+  SELECT g FROM occ GROUP BY g HAVING min(doc_id) <> max(doc_id)
+),
+dpd AS (
+  SELECT doc_id, count(*) AS dup_spans
+  FROM occ JOIN dup_grams USING (g) GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         greatest(len(string_split(trim(text), ' ')) - {NGRAM_N - 1}, 0) AS n_spans
+  FROM documents
+)
+SELECT b.doc_id,
+       CAST(b.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(d.dup_spans, 0) AS BIGINT) AS dup_spans,
+       CAST(coalesce(d.dup_spans, 0) AS DOUBLE)
+         / CAST(greatest(b.n_spans, 1) AS DOUBLE) AS dup_fraction
+FROM base b LEFT JOIN dpd d USING (doc_id)
+"""
+
+
+# ------------------------------------------------------------------ q89
+
+TOKEN_RE = "[A-Za-z]+|[0-9]+"  # textstats.TOKEN_RE (shared contract)
+POSTING_K = 10
+
+
+def q89_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: per term, document frequency, total term
+    frequency, and the first POSTING_K doc_ids (ascending) as the posting
+    list head.
+
+    The posting cap goes through a sort-based row_number window — a hot
+    term (stopword) becomes a big external sort partition, never an
+    in-memory collect_list of the whole corpus. df/total_tf aggregate
+    separately so their partial aggregation absorbs the skew map-side.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    postings = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= POSTING_K)
+        .groupBy("term")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings")
+        )
+    )
+    return stats.join(postings, "term")
+
+
+Q89_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+)
+SELECT term,
+       count(*) AS doc_freq,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       array_to_string((list(doc_id ORDER BY doc_id))[1:{POSTING_K}], ',') AS postings
+FROM tf
+GROUP BY term
+"""
+
+
+# ------------------------------------------------------------------ q90
+
+FEAT_BUCKETS = 1024
+WEIGHT_MOD = 1000003  # prime; weights span [-(M-1)/2, (M-1)/2]
+WEIGHT_MULT = 2654435761  # Knuth multiplicative-hash constant
+
+
+def _bucket(col):
+    """md5-prefix feature bucket in [0, FEAT_BUCKETS) — byte-identical in
+    DuckDB (same recipe as curation._hash_bucket)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % FEAT_BUCKETS
+    )
+
+
+def q90_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier inference (fastText inference
+    shape): unigram + bigram features hash into a fixed bucket space,
+    each bucket carries an integer weight, a document's score is the
+    mean bucket weight over its features.
+
+    The weight is a pure integer function of the bucket id
+    ((bucket·KNUTH) mod M, recentered) so the pipeline is self-contained
+    and bit-deterministic across engines; swapping in trained weights is
+    a broadcast-array `element_at` of identical plan shape. Everything up
+    to the per-doc aggregate is map-side codegen; the single shuffle is
+    the uniform doc_id groupBy. The normalizer (M-1)/2 bounds |score| ≤ 1
+    with one exact IEEE divide at the end.
+    """
+    docs = _docs(spark, sf_dir)
+    tk = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws("_", F.element_at(tk, i), F.element_at(tk, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        "doc_id", F.explode(F.concat(tk, bigrams)).alias("feat")
+    )
+    weight = (
+        (_bucket(F.col("feat")) * F.lit(WEIGHT_MULT)) % WEIGHT_MOD
+        - (WEIGHT_MOD - 1) // 2
+    )
+    per_doc = (
+        feats.select("doc_id", weight.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_features"), F.sum("w").alias("weight_sum"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_features",
+        "weight_sum",
+        (
+            F.col("weight_sum").cast("double")
+            / (F.col("n_features").cast("double") * ((WEIGHT_MOD - 1) / 2))
+        ).alias("score"),
+    ).withColumn("label_keep", F.col("score") > 0)
+
+
+_Q90_BUCKET = f"('0x' || substr(md5(feat), 1, 8))::BIGINT % {FEAT_BUCKETS}"
+
+Q90_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tk FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(list_concat(
+           tk,
+           [tk[i] || '_' || tk[i+1] for i in generate_series(1, len(tk) - 1)]
+         )) AS feat
+  FROM toks
+),
+weighted AS (
+  SELECT doc_id,
+         ({_Q90_BUCKET}) * {WEIGHT_MULT} % {WEIGHT_MOD} - {(WEIGHT_MOD - 1) // 2} AS w
+  FROM feats
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_features, CAST(SUM(w) AS BIGINT) AS weight_sum
+  FROM weighted GROUP BY doc_id
+)
+SELECT doc_id, n_features, weight_sum,
+       CAST(weight_sum AS DOUBLE)
+         / (CAST(n_features AS DOUBLE) * {(WEIGHT_MOD - 1) / 2}) AS score,
+       CAST(weight_sum AS DOUBLE)
+         / (CAST(n_features AS DOUBLE) * {(WEIGHT_MOD - 1) / 2}) > 0 AS label_keep
+FROM per_doc
+"""
+
+
+QUERIES = {
+    "q88_dup_ngram_coverage": QuerySpec(
+        q88_dup_ngram_coverage,
+        Q88_SQL,
+        "cross-doc duplicated 8-gram coverage (exact-substring dedup signal)",
+    ),
+    "q89_inverted_index": QuerySpec(
+        q89_inverted_index, Q89_SQL, "inverted-index posting lists, capped via window"
+    ),
+    "q90_hashed_classifier": QuerySpec(
+        q90_hashed_classifier,
+        Q90_SQL,
+        "hashed unigram+bigram linear classifier inference (fastText shape)",
+    ),
+}

@@ -82,6 +82,9 @@ _CHANGED_THIS_ROUND = [
     "q85_weighted_mixture",
     "q86_kmeans_ivf_train",
     "q87_token_rarity",
+    "q88_dup_ngram_coverage",
+    "q89_inverted_index",
+    "q90_hashed_classifier",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # rewritten in r2, never driver-checked since
@@ -127,7 +130,7 @@ def registry() -> dict[str, QuerySpec]:
     only green evidence is a stale round, then the rest in module order
     (see _CHANGED_THIS_ROUND / _STALE_EVIDENCE)."""
     from . import compat_queries, importer_queries
-    from ..operators import curation, dedup, similarity, textstats, multimodal, pipeline
+    from ..operators import curation, dedup, ngrams, similarity, textstats, multimodal, pipeline
 
     specs: dict[str, QuerySpec] = {}
     for mod in (
@@ -136,6 +139,7 @@ def registry() -> dict[str, QuerySpec]:
         similarity,
         pipeline,
         curation,
+        ngrams,
         multimodal,
         importer_queries,
         compat_queries,

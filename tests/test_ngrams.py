@@ -1,0 +1,72 @@
+"""Behavioral edge-semantics tests for the n-gram / index operators
+(q88-q90) — the oracle gate proves engine parity; these pin the
+CONTRACTS: span accounting, within-doc-repeat exclusion, posting-list
+cap and order, classifier determinism and score bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sms_db_spark.operators import ngrams
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _doc_frame(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _run_q88_on(spark, texts, monkeypatch):
+    monkeypatch.setattr(
+        ngrams, "_docs", lambda _spark, _sf: _doc_frame(spark, texts)
+    )
+    return {r.doc_id: r for r in ngrams.q88_dup_ngram_coverage(spark, "unused").collect()}
+
+
+def test_q88_shared_span_counted_both_sides(spark, monkeypatch):
+    span = "a b c d e f g h"  # exactly NGRAM_N tokens
+    rows = _run_q88_on(
+        spark, [f"x {span} y", f"p q {span}", "totally different words here"], monkeypatch
+    )
+    # doc0: 10 tokens -> 3 spans; only the exact shared one is duplicated
+    assert rows[0].n_spans == 3 and rows[0].dup_spans == 1
+    assert rows[1].n_spans == 3 and rows[1].dup_spans == 1
+    assert rows[2].dup_spans == 0
+    assert abs(rows[0].dup_fraction - 1 / 3) < 1e-12
+
+
+def test_q88_within_doc_repeat_is_not_cross_doc(spark, monkeypatch):
+    span = "a b c d e f g h"
+    rows = _run_q88_on(spark, [f"{span} z {span}", "unrelated text"], monkeypatch)
+    # the span occurs twice but only inside doc0: min==max doc_id -> not duplicated
+    assert rows[0].dup_spans == 0
+
+
+def test_q88_short_doc_reports_zero_spans(spark, monkeypatch):
+    rows = _run_q88_on(spark, ["one two three", "four five six"], monkeypatch)
+    assert rows[0].n_spans == 0 and rows[0].dup_spans == 0
+    assert rows[0].dup_fraction == 0.0
+
+
+def test_q89_posting_list_capped_sorted_and_df_uncapped(spark):
+    rows = ngrams.q89_inverted_index(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        postings = [int(x) for x in r.postings.split(",")]
+        assert postings == sorted(postings)
+        assert len(postings) == min(r.doc_freq, ngrams.POSTING_K)
+        assert r.total_tf >= r.doc_freq  # tf >= 1 per posting
+
+
+def test_q90_score_bounded_and_deterministic(spark):
+    a = ngrams.q90_hashed_classifier(spark, SF_DIR).collect()
+    b = ngrams.q90_hashed_classifier(spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert -1.0 <= r.score <= 1.0
+        assert r.label_keep == (r.score > 0)
+        # unigrams + bigrams: n features = 2*tokens - 1 for >=1-token docs
+        assert r.n_features % 2 == 1
