@@ -57,10 +57,16 @@ def q88_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Grams are md5-hashed map-side so only (doc_id, hash) ever shuffles;
     "appears in ≥2 docs" is min(doc_id) <> max(doc_id), constant agg
-    state. Documents shorter than 8 tokens are reported with zero spans
-    (second scan of the parquet is column-pruned to doc_id+text and is
-    the cheap way to keep them — cheaper than a distinct over the
-    exploded relation).
+    state. The exploded gram relation — the expensive transform — is
+    built ONCE: it pre-aggregates to (gram, doc_id, cnt) with map-side
+    partial agg, a sort-based window over the gram key flags cross-doc
+    grams (spills, never joins the relation against itself — the
+    self-join form would re-run the whole split+hash transform for the
+    probe side), and a final uniform doc_id groupBy sums covered spans.
+    Documents shorter than 8 tokens are reported with zero spans (second
+    scan of the parquet is column-pruned to doc_id+text and is the cheap
+    way to keep them — cheaper than a distinct over the exploded
+    relation).
     """
     docs = _docs(spark, sf_dir)
     tk = F.split(F.trim(F.col("text")), " ")
@@ -73,16 +79,14 @@ def q88_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     occ = docs.select("doc_id", F.explode(grams).alias("g"))
-    dup_grams = (
-        occ.groupBy("g")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-        .filter(F.col("lo") != F.col("hi"))
-        .select("g")
-    )
+    pre = occ.groupBy("g", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("g")
     dup_per_doc = (
-        occ.join(dup_grams, "g")
+        pre.withColumn("lo", F.min("doc_id").over(w))
+        .withColumn("hi", F.max("doc_id").over(w))
+        .filter(F.col("lo") != F.col("hi"))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dup_spans"))
+        .agg(F.sum("cnt").alias("dup_spans"))
     )
     base = docs.select("doc_id", n_pos.alias("n_spans"))
     return (
