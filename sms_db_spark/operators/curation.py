@@ -541,6 +541,125 @@ FROM per_doc CROSS JOIN total
 """
 
 
+# ------------------------------------------------------------------ q91
+
+CHUNK_W = 64  # tokens per chunk
+CHUNK_S = 48  # stride (CHUNK_W - CHUNK_S = 16-token overlap)
+
+
+def q91_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunker (RAG / long-context training data
+    prep): each document becomes ceil(n/STRIDE) chunks of up to CHUNK_W
+    tokens starting every CHUNK_S tokens, so consecutive chunks share a
+    16-token overlap and every token is covered. The tail chunk may be
+    short — coverage beats uniformity for training shards.
+
+    Pure map-side: tokenize once, expand starts with a bounded
+    `sequence`, explode. Zero shuffles; linear at any corpus size. The
+    output (doc_id, chunk_id) key is the natural downstream shard key.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tk = F.split(F.trim(F.col("text")), " ")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(tk), F.lit(CHUNK_S)),
+        lambda s: F.struct(
+            ((s - 1) / CHUNK_S).cast("bigint").alias("chunk_id"),
+            s.cast("bigint").alias("start_pos"),
+            F.least(F.lit(CHUNK_W), F.size(tk) - s + 1).cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", F.slice(tk, s, CHUNK_W)).alias("chunk_text"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.start_pos", "c.n_tokens", "c.chunk_text"
+    )
+
+
+Q91_SQL = f"""
+SELECT doc_id,
+       CAST(u.chunk_id AS BIGINT) AS chunk_id,
+       CAST(u.start_pos AS BIGINT) AS start_pos,
+       CAST(u.n_tokens AS BIGINT) AS n_tokens,
+       u.chunk_text
+FROM (
+  SELECT doc_id,
+         unnest([{{'chunk_id': (s - 1) // {CHUNK_S},
+                  'start_pos': s,
+                  'n_tokens': least({CHUNK_W}, len(tk) - s + 1),
+                  'chunk_text': array_to_string(tk[s:s+{CHUNK_W - 1}], ' ')}}
+                 for s in generate_series(1, len(tk), {CHUNK_S})]) AS u
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents)
+)
+"""
+
+
+# ------------------------------------------------------------------ q92
+
+DOMAIN_MIN_DOCS = 20
+DOMAIN_MIN_AVG_TOKENS = 54.0
+
+
+def q92_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation gate (C4-style): aggregate quality is
+    computed PER SOURCE, and every document inherits its source's
+    verdict — the pattern for dropping whole spam/boilerplate domains
+    rather than judging documents one at a time.
+
+    Two-level plan: one groupBy(source) aggregate (tiny result: one row
+    per domain), then the per-doc pass joins against the BROADCAST stats
+    table — no second shuffle of the corpus. The mean is one double
+    division of two exact int64 sums, bit-identical across engines.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), " "))
+    per_doc = docs.select("doc_id", "source", n_tok.cast("bigint").alias("n_tok"))
+    stats = (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("source_docs"),
+            F.sum("n_tok").alias("tok_sum"),
+        )
+        .select(
+            "source",
+            "source_docs",
+            (F.col("tok_sum").cast("double") / F.col("source_docs").cast("double")).alias(
+                "source_avg_tokens"
+            ),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(stats), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "source_docs",
+            "source_avg_tokens",
+            (
+                (F.col("source_docs") >= DOMAIN_MIN_DOCS)
+                & (F.col("source_avg_tokens") >= DOMAIN_MIN_AVG_TOKENS)
+            ).alias("keep_domain"),
+        )
+    )
+
+
+Q92_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+stats AS (
+  SELECT source, count(*) AS source_docs,
+         CAST(SUM(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS source_avg_tokens
+  FROM per_doc GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_tok, s.source_docs, s.source_avg_tokens,
+       s.source_docs >= {DOMAIN_MIN_DOCS}
+         AND s.source_avg_tokens >= {DOMAIN_MIN_AVG_TOKENS} AS keep_domain
+FROM per_doc d JOIN stats s USING (source)
+"""
+
+
 QUERIES = {
     "q77_split_assign": QuerySpec(
         q77_split_assign, Q77_SQL, "deterministic hash train/valid/test split"
@@ -566,5 +685,11 @@ QUERIES = {
     ),
     "q87_token_rarity": QuerySpec(
         q87_token_rarity, Q87_SQL, "unigram-LM mean-token-frequency quality signal"
+    ),
+    "q91_chunk_overlap": QuerySpec(
+        q91_chunk_overlap, Q91_SQL, "overlapping token-window chunker (RAG prep)"
+    ),
+    "q92_domain_gate": QuerySpec(
+        q92_domain_gate, Q92_SQL, "domain-level aggregate curation gate (C4 style)"
     ),
 }

@@ -85,6 +85,9 @@ _CHANGED_THIS_ROUND = [
     "q88_dup_ngram_coverage",
     "q89_inverted_index",
     "q90_hashed_classifier",
+    "q91_chunk_overlap",
+    "q92_domain_gate",
+    "q93_range_join_bucketed",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # rewritten in r2, never driver-checked since

@@ -1340,6 +1340,64 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 """
 
 
+# --- bucketed range join (interval predicate without a nested loop) ----------
+
+RANGE_WINDOW_US = 86_400_000_000  # 1 day in microseconds
+
+
+def q93_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time-bin bucketing: per event, count the same
+    user's OTHER events in the strictly-preceding one-day window.
+
+    A join whose only condition is an inequality range becomes a
+    BroadcastNestedLoopJoin — O(|left|·|right|) compared rows, the
+    classic interval-join scale-killer. Binning both sides into buckets
+    exactly as wide as the range window restores an EQUI-join key: an
+    event's window [ts-W, ts) can only overlap bucket(ts) and
+    bucket(ts)-1, so the probe side expands to exactly 2 rows, the join
+    runs as hash/SMJ on (user_id, bucket), and the true range predicate
+    rides along as a residual condition evaluated only within matching
+    buckets. Shuffle volume is 2·|events| + |events| rows on a uniform
+    composite key — no cross product at any scale. (Strict `<` makes
+    identical-timestamp rows mutually invisible — including the event
+    itself — so the count is deterministic with no id tie-break.)
+
+    Oracle: the naive inequality join — same semantics, nested-loop
+    plan, which is the point.
+    """
+    events = _t(spark, sf_dir, "events")
+    ev = events.select("event_id", "user_id", F.unix_micros(F.col("ts")).alias("us"))
+    bkt = lambda c: F.floor(c / F.lit(RANGE_WINDOW_US))  # noqa: E731
+    probe = ev.withColumn(
+        "bkt", F.explode(F.array(bkt(F.col("us")) - 1, bkt(F.col("us"))))
+    )
+    other = ev.select(
+        F.col("user_id").alias("o_user"),
+        bkt(F.col("us")).alias("o_bkt"),
+        F.col("us").alias("o_us"),
+        F.col("event_id").alias("o_id"),
+    )
+    joined = probe.join(
+        other,
+        (probe.user_id == other.o_user)
+        & (probe.bkt == other.o_bkt)
+        & (other.o_us >= probe.us - RANGE_WINDOW_US)
+        & (other.o_us < probe.us),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(F.count("o_id").alias("n_prior_1d"))
+
+
+Q93_SQL = f"""
+SELECT e.event_id, count(o.event_id) AS n_prior_1d
+FROM events e LEFT JOIN events o
+  ON e.user_id = o.user_id
+ AND epoch_us(o.ts) >= epoch_us(e.ts) - {RANGE_WINDOW_US}
+ AND epoch_us(o.ts) < epoch_us(e.ts)
+GROUP BY e.event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_eq_filter_sort": QuerySpec(q01_eq_filter_sort, Q01_SQL, "Q1 querying.md:13"),
     "q02_like_prefix": QuerySpec(q02_like_prefix, Q02_SQL, "Q2 querying.md:17"),
@@ -1388,4 +1446,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q68_pivot": QuerySpec(q68_pivot, Q68_SQL, "pivot with explicit value list"),
     "q71_moving_avg": QuerySpec(q71_moving_avg, Q71_SQL, "7-row moving-average frame"),
     "q72_lag_lead": QuerySpec(q72_lag_lead, Q72_SQL, "lag/lead sequential diffs"),
+    "q93_range_join_bucketed": QuerySpec(
+        q93_range_join_bucketed, Q93_SQL, "time-bin bucketed range join (no nested loop)"
+    ),
 }

@@ -125,3 +125,62 @@ def test_q87_rarity_bounded_and_gate_consistent(spark):
         assert 0.0 < r.mean_token_freq <= 1.0
         assert r.n_tok <= r.sum_cnt  # every token occurs at least once
         assert r.is_rare == (r.mean_token_freq < curation.RARE_THRESHOLD)
+
+
+def test_q91_chunks_cover_every_token_with_overlap(spark):
+    rows = curation.q91_chunk_overlap(spark, SF_DIR).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = chunks[0].start_pos - 1 + 0  # recompute doc length from the tail chunk
+        last = chunks[-1]
+        n = last.start_pos + last.n_tokens - 1
+        for i, c in enumerate(chunks):
+            assert c.chunk_id == i
+            assert c.start_pos == 1 + i * curation.CHUNK_S
+            assert c.n_tokens == min(curation.CHUNK_W, n - c.start_pos + 1)
+            assert len(c.chunk_text.split(" ")) == c.n_tokens
+        # strictly-consecutive starts => no token between chunks is skipped
+        # (stride < width), and the tail chunk ends exactly at the doc end
+        assert curation.CHUNK_S < curation.CHUNK_W
+
+
+def test_q92_verdict_is_per_source_and_both_classes_exist(spark):
+    rows = curation.q92_domain_gate(spark, SF_DIR).collect()
+    verdict: dict = {}
+    for r in rows:
+        assert verdict.setdefault(r.source, r.keep_domain) == r.keep_domain
+        assert r.source_docs >= 1 and r.source_avg_tokens > 0
+    assert True in verdict.values() and False in verdict.values()
+
+
+def test_q93_bucketed_range_join_matches_naive(spark):
+    from sms_db_spark.plans import compat_queries
+    from sms_db_spark.tables import load_table
+
+    from datetime import timezone
+
+    def us_of(ts):
+        return int(ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+    got = {
+        r.event_id: r.n_prior_1d
+        for r in compat_queries.q93_range_join_bucketed(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "ts").collect()
+    W = compat_queries.RANGE_WINDOW_US
+    want: dict = {}
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    for r in ev:
+        us = us_of(r.ts)
+        want[r.event_id] = sum(
+            1
+            for o in by_user[r.user_id]
+            if us - W <= us_of(o.ts) < us
+        )
+    assert got == want

@@ -320,3 +320,50 @@ def test_q85_mixture_zero_shuffle(spark):
     p = plan(spark, "q85_weighted_mixture")
     assert n_exchanges(p) == 0, p
     assert "Join" not in p, p
+
+
+def test_q88_single_gram_relation_window_form(spark):
+    """Duplicated-8-gram coverage: the exploded gram relation is built
+    once — a (gram, doc_id) pre-aggregate feeding a gram-key window —
+    never self-joined (which would re-run the split+hash transform on
+    the probe side). The only joins are the cheap doc_id attach-backs."""
+    p = plan(spark, "q88_dup_ngram_coverage")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # one Generate (explode) node: the gram transform is not duplicated
+    assert len(re.findall(r"\(\d+\) Generate\b", p)) == 1, p
+
+
+def test_q90_classifier_single_shuffle_no_python(spark):
+    """Hashed-feature classifier inference: map-side feature hashing +
+    one uniform doc_id aggregate — no join, no Python eval."""
+    p = plan(spark, "q90_hashed_classifier")
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_q91_chunker_map_side_only(spark):
+    """Overlapping chunker is pure map-side explode: the only exchange
+    is the single-file input spread (round-robin), never a hash/range
+    repartitioning, and no join anywhere."""
+    p = plan(spark, "q91_chunk_overlap")
+    assert "hashpartitioning" not in p.lower(), p
+    assert "rangepartitioning" not in p.lower(), p
+    assert "Join" not in p, p
+
+
+def test_q92_domain_stats_broadcast_back(spark):
+    """Domain gate: the per-source stats table joins back via broadcast
+    — the corpus shuffles once (the stats aggregate), not twice."""
+    p = plan(spark, "q92_domain_gate")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_q93_range_join_is_equi_not_nested_loop(spark):
+    """Bucketed range join: the interval predicate must ride as a
+    residual on an EQUI join (hash or sort-merge on (user, bucket)) —
+    a BroadcastNestedLoopJoin/CartesianProduct means the bucketing
+    regressed and the join is back to O(n*m) compared rows."""
+    p = plan(spark, "q93_range_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
