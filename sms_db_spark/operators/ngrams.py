@@ -284,6 +284,156 @@ FROM per_doc
 """
 
 
+# ------------------------------------------------------------------ q94
+
+BPE_TOP_K = 20
+BPE_WORD_RE = "[a-z]+"  # letters only: clean single-char base symbols
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-frequency table — the ONE corpus-wide pass BPE
+    training needs; every merge round after it runs on |vocab| rows."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_WORD_RE), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a (sym_str, freq) vocabulary,
+    where sym_str is the word's current symbol sequence joined by
+    spaces. Map-side explode + one groupBy on the pair string."""
+    parts = F.split(F.col("sym_str"), " ")
+    pairs = F.when(
+        F.size(parts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(parts) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(parts, i), F.element_at(parts, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        syms.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def q94_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed kernel of BPE tokenizer training: adjacent
+    character-pair counts over the corpus word-frequency table, top
+    BPE_TOP_K with a deterministic (count desc, pair asc) tie-break —
+    i.e. the statistics from which round 1 of `bpe_train` picks its
+    merge.
+
+    The corpus is touched exactly once (the word-frequency aggregate,
+    one shuffle on the word key); pair counting then runs on |vocab|
+    rows — the property that makes corpus-scale BPE training feasible,
+    and why the iterative trainer below loops over the vocab table,
+    never the corpus. The global top-k is a 20-row sort after the
+    pair aggregate, not a corpus sort.
+    """
+    wf = _word_freqs(spark, sf_dir)
+    syms = wf.filter(F.length("word") >= 2).select(
+        F.col("freq"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ),
+        ).alias("sym_str"),
+    )
+    pc = _pair_counts(syms)
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        pc.orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
+Q94_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{BPE_WORD_RE}')) AS word
+  FROM documents
+),
+wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+pairs AS (
+  SELECT freq,
+         unnest([substr(word, i, 1) || ' ' || substr(word, i+1, 1)
+                 for i in generate_series(1, length(word) - 1)]) AS pair
+  FROM wf WHERE length(word) >= 2
+),
+pc AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM pairs GROUP BY pair)
+SELECT pair, pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT) AS rank
+FROM pc
+ORDER BY pair_count DESC, pair
+LIMIT {BPE_TOP_K}
+"""
+
+
+def bpe_train(spark: SparkSession, sf_dir: str, rounds: int = 8) -> list[str]:
+    """Iterative BPE training: `rounds` merge rounds over the vocabulary
+    table, returning the learned merges in order ("x y" means symbols x
+    and y fuse to xy).
+
+    Driver loop like q86's Lloyd rounds: each round is ONE vocab-sized
+    pair aggregate (shuffle of |vocab| rows, corpus never re-read), a
+    1-row `first()` to pick the argmax (deterministic tie-break), and a
+    map-side literal replace applying the merge leftmost-first —
+    `regexp_replace` with word-boundary anchors so symbol "a b" never
+    fuses inside the merged symbol "ab". Lineage is cut per round with
+    localCheckpoint (same discipline as q83/q86).
+    """
+    wf = _word_freqs(spark, sf_dir)
+    syms = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            "freq",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.col("word").substr(i, F.lit(1)),
+                ),
+            ).alias("sym_str"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[str] = []
+    for _ in range(rounds):
+        top = (
+            _pair_counts(syms)
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .first()
+        )
+        if top is None:
+            break
+        merges.append(top["pair"])
+        a, b = top["pair"].split(" ")
+        # leftmost-first, whole-symbol anchored. The trailing boundary is
+        # a LOOKAHEAD so consecutive matches can share the separating
+        # space ("a a a a a a" must become "aa aa aa" in one pass —
+        # consuming the boundary would skip every other match). Symbols
+        # are [a-z]+ by construction: no regex metachars to escape.
+        pat = f"(^| ){a} {b}(?= |$)"
+        rep = f"$1{a}{b}"
+        syms = syms.select(
+            "freq",
+            F.regexp_replace(F.col("sym_str"), pat, rep).alias("sym_str"),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
 QUERIES = {
     "q88_dup_ngram_coverage": QuerySpec(
         q88_dup_ngram_coverage,
@@ -297,5 +447,8 @@ QUERIES = {
         q90_hashed_classifier,
         Q90_SQL,
         "hashed unigram+bigram linear classifier inference (fastText shape)",
+    ),
+    "q94_bpe_pair_counts": QuerySpec(
+        q94_bpe_pair_counts, Q94_SQL, "BPE training kernel: top adjacent-pair counts"
     ),
 }

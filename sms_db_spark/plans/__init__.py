@@ -88,6 +88,7 @@ _CHANGED_THIS_ROUND = [
     "q91_chunk_overlap",
     "q92_domain_gate",
     "q93_range_join_bucketed",
+    "q94_bpe_pair_counts",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # rewritten in r2, never driver-checked since

@@ -70,3 +70,39 @@ def test_q90_score_bounded_and_deterministic(spark):
         assert r.label_keep == (r.score > 0)
         # unigrams + bigrams: n features = 2*tokens - 1 for >=1-token docs
         assert r.n_features % 2 == 1
+
+
+def test_q94_topk_ranked_and_deterministic(spark):
+    rows = ngrams.q94_bpe_pair_counts(spark, SF_DIR).collect()
+    assert len(rows) == ngrams.BPE_TOP_K
+    assert [r.rank for r in rows] == list(range(1, ngrams.BPE_TOP_K + 1))
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for prev, cur in zip(rows, rows[1:]):
+        if prev.pair_count == cur.pair_count:
+            assert prev.pair < cur.pair  # deterministic tie-break
+
+
+def test_bpe_train_learns_expected_merges(spark, monkeypatch):
+    texts = ["low low low lower lowest", "low lower newest newest"]
+    monkeypatch.setattr(
+        ngrams, "_docs", lambda _s, _d: _doc_frame(spark, texts)
+    )
+    merges = ngrams.bpe_train(spark, "unused", rounds=3)
+    # 'lo' wins round 1 (every word starts l-o: freq 7); then 'lo w'
+    # (still 7); tie-break picks deterministically after that
+    assert merges[0] == "l o"
+    assert merges[1] == "lo w"
+    assert len(merges) == 3
+
+
+def test_bpe_merge_apply_is_greedy_leftmost(spark, monkeypatch):
+    # 'aaaaaa' must merge pairwise to aa aa aa, not skip alternating pairs
+    monkeypatch.setattr(
+        ngrams, "_docs", lambda _s, _d: _doc_frame(spark, ["aaaaaa bb"])
+    )
+    merges = ngrams.bpe_train(spark, "unused", rounds=2)
+    # round 2 seeing "aa aa" twice proves round 1 produced aa aa aa:
+    # a skip-alternating apply would leave "aa a a aa" (pair count 1)
+    # and "b b" would win instead
+    assert merges == ["a a", "aa aa"]
