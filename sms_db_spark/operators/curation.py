@@ -660,6 +660,51 @@ FROM per_doc d JOIN stats s USING (source)
 """
 
 
+# ------------------------------------------------------------------ q96
+
+DECONTAM_MAX_FRAC = 0.1
+
+
+def q96_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination APPLY: the surviving training corpus after
+    dropping docs whose benchmark 3-gram overlap (q81's signal) reaches
+    DECONTAM_MAX_FRAC. Detection and removal are separate operators on
+    purpose — the flagged set gets audited, the apply is this cheap
+    join.
+
+    Docs with no q81 row (zero shared shingles, or too short to shingle)
+    are clean by definition: left join + coalesce(frac, 0) keeps them.
+    Plan adds ONE doc_id-keyed join (AQE-decided; the hits side is
+    usually tiny) on top of q81's single-shuffle pipeline.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    hits = q81_contamination(spark, sf_dir).select("doc_id", "contaminated_frac")
+    corpus = docs.filter(F.col("doc_id") >= BENCH_MAX_ID).select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        corpus.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce("contaminated_frac", F.lit(0.0)).alias("contaminated_frac"),
+        )
+        .filter(F.col("contaminated_frac") < DECONTAM_MAX_FRAC)
+    )
+
+
+def _q96_sql() -> str:
+    return f"""
+WITH hits AS ({_q81_sql()})
+SELECT d.doc_id, d.source, d.n_chars,
+       coalesce(h.contaminated_frac, 0.0) AS contaminated_frac
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id >= {BENCH_MAX_ID}
+  AND coalesce(h.contaminated_frac, 0.0) < {DECONTAM_MAX_FRAC}
+"""
+
+
 QUERIES = {
     "q77_split_assign": QuerySpec(
         q77_split_assign, Q77_SQL, "deterministic hash train/valid/test split"
@@ -691,5 +736,8 @@ QUERIES = {
     ),
     "q92_domain_gate": QuerySpec(
         q92_domain_gate, Q92_SQL, "domain-level aggregate curation gate (C4 style)"
+    ),
+    "q96_decontaminate": QuerySpec(
+        q96_decontaminate, _q96_sql(), "decontamination apply: drop flagged docs"
     ),
 }

@@ -175,9 +175,42 @@ FROM n
 """
 
 
+def q95_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf frequency-of-frequencies: how many distinct terms occur
+    exactly k times. The standard corpus-health fingerprint (a healthy
+    natural-language corpus is near-Zipfian; boilerplate/spam floods
+    break the low-k tail) and the input to Good-Turing smoothing.
+
+    Two cascaded aggregates, each with map-side partials: terms (one
+    shuffle on the term key, Zipf skew dies in the partial agg) then the
+    tiny spectrum groupBy — output is O(max term frequency) rows.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    return vocab.groupBy("freq").agg(F.count(F.lit(1)).alias("n_terms"))
+
+
+Q95_SQL = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, count(*) AS freq FROM tok GROUP BY term)
+SELECT freq, count(*) AS n_terms FROM vocab GROUP BY freq
+"""
+
+
 QUERIES = {
     "q40_text_tokens": QuerySpec(q40_text_tokens, Q40_SQL, "token counting"),
     "q41_text_quality": QuerySpec(q41_text_quality, Q41_SQL, "quality scoring"),
     "q42_text_langid": QuerySpec(q42_text_langid, Q42_SQL, "language-ID heuristic"),
     "q43_text_fingerprint": QuerySpec(q43_text_fingerprint, Q43_SQL, "doc fingerprinting"),
+    "q95_freq_spectrum": QuerySpec(
+        q95_freq_spectrum, Q95_SQL, "Zipf frequency-of-frequencies corpus fingerprint"
+    ),
 }

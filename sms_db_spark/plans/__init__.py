@@ -89,6 +89,8 @@ _CHANGED_THIS_ROUND = [
     "q92_domain_gate",
     "q93_range_join_bucketed",
     "q94_bpe_pair_counts",
+    "q95_freq_spectrum",
+    "q96_decontaminate",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # rewritten in r2, never driver-checked since
