@@ -458,6 +458,65 @@ def q83_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q97_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: one surviving document per
+    near-dup cluster — the step that turns cluster labels (q83) into a
+    deduplicated corpus. Representative = longest doc (n_chars), doc_id
+    ascending as the deterministic tie-break; singleton docs represent
+    themselves, so the output is exactly one row per cluster.
+
+    Plan: q83's O(log n)-round components feed a doc_id equi-join onto
+    the (doc_id, n_chars) projection, then ONE sort-based window per
+    cluster key picks the representative and counts the cluster — no
+    collect of cluster members, no second corpus pass. Cluster keys are
+    near-unique (most clusters are singletons), so the window shuffle is
+    uniform.
+
+    Oracle: the recursive-CTE closure (Q70's) + the same window — the
+    Spark side must reproduce the CTE's clusters exactly for the hash to
+    match, which cross-checks the star algorithm end-to-end a second
+    way.
+    """
+    from pyspark.sql import Window
+
+    clusters = q83_dedup_clusters_star(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+        )
+    )
+
+
+def _q97_sql() -> str:
+    closure = Q70_SQL.replace("ORDER BY doc_id", "")
+    return f"""
+WITH clusters AS ({closure})
+SELECT cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       doc_id AS rep_doc_id,
+       n_chars AS rep_n_chars
+FROM (
+  SELECT c.cluster_id, d.doc_id, d.n_chars,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+WHERE rn = 1
+"""
+
+
 JACCARD_THRESHOLD = 0.5
 
 
@@ -579,5 +638,10 @@ QUERIES = {
     ),
     "q73_lsh_jaccard_verified": QuerySpec(
         q73_lsh_jaccard_verified, Q73_SQL, "LSH candidates verified by exact Jaccard"
+    ),
+    "q97_cluster_representatives": QuerySpec(
+        q97_cluster_representatives,
+        _q97_sql(),
+        "canonical representative per near-dup cluster (longest, id tie-break)",
     ),
 }

@@ -91,6 +91,7 @@ _CHANGED_THIS_ROUND = [
     "q94_bpe_pair_counts",
     "q95_freq_spectrum",
     "q96_decontaminate",
+    "q97_cluster_representatives",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # rewritten in r2, never driver-checked since

@@ -184,3 +184,17 @@ def test_q93_bucketed_range_join_matches_naive(spark):
             if us - W <= us_of(o.ts) < us
         )
     assert got == want
+
+
+def test_q97_one_representative_per_cluster_covering_corpus(spark):
+    reps = dedup.q97_cluster_representatives(spark, SF_DIR).collect()
+    clusters = {r.cluster_id for r in reps}
+    assert len(clusters) == len(reps)  # exactly one row per cluster
+    labels = dedup.q83_dedup_clusters_star(spark, SF_DIR).collect()
+    assert sum(r.cluster_size for r in reps) == len(labels)  # partition of corpus
+    by_cluster: dict = {}
+    for r in labels:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for r in reps:
+        assert r.rep_doc_id in by_cluster[r.cluster_id]
+        assert len(by_cluster[r.cluster_id]) == r.cluster_size
