@@ -705,6 +705,104 @@ WHERE d.doc_id >= {BENCH_MAX_ID}
 """
 
 
+# ------------------------------------------------------------------ q99
+
+DSIR_BUCKETS = 4096  # hashed-unigram feature space (DSIR uses 10^4-ish)
+DSIR_TARGET_SOURCE = "src0"  # the "high-quality target" domain
+
+
+def q99_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data-selection importance weighting: score every
+    document by how much its hashed-unigram distribution looks like a
+    TARGET domain (here `source = 'src0'`) versus the raw corpus.
+
+    The published estimator is Σ log(p_target(h(w)) / p_raw(h(w))) over
+    the doc's tokens. Log-of-float sums are not bit-portable across
+    engines, so this computes the linear-domain excess-mass equivalent
+    exactly in int64 — per token with bucket b:
+
+        v(b) = target_cnt(b) * raw_total  -  raw_cnt(b) * target_total
+
+    (the sign of v matches the sign of the log-ratio term; a doc's sum is
+    an exact integer, and the normalized double is one division of exact
+    ints — bit-identical in any engine). At 10^13-token scale the int64
+    products overflow — swap the two sums to DECIMAL(38,0) there; the
+    plan is unchanged.
+
+    Scale shape: the distribution pass collapses to DSIR_BUCKETS rows via
+    map-side partial agg (one tiny shuffle); the scoring pass joins the
+    exploded tokens against that BROADCAST stats table and aggregates on
+    doc_id — one corpus shuffle on a uniform key. Two passes over the
+    corpus is inherent (the distribution must be complete before any doc
+    can be scored); at 100 TB you would checkpoint the tokenized
+    pre-aggregate between the passes instead of re-reading the raw text.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    occ = docs.select("doc_id", "source", tok).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    is_target = (F.col("source") == DSIR_TARGET_SOURCE).cast("bigint")
+    stats = occ.groupBy("bucket").agg(
+        F.sum(is_target).alias("target_cnt"),
+        F.count(F.lit(1)).alias("raw_cnt"),
+    )
+    totals = stats.agg(
+        F.sum("target_cnt").alias("target_total"), F.sum("raw_cnt").alias("raw_total")
+    )
+    stats = stats.crossJoin(F.broadcast(totals))
+    v = F.col("target_cnt") * F.col("raw_total") - F.col("raw_cnt") * F.col("target_total")
+    scored = (
+        occ.join(F.broadcast(stats), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(v).alias("excess_mass"),
+            F.first("target_total").alias("tt"),
+            F.first("raw_total").alias("rt"),
+        )
+    )
+    importance = F.col("excess_mass").cast("double") / (
+        F.col("tt").cast("double") * F.col("rt").cast("double")
+    )
+    return scored.select(
+        "doc_id", "n_toks", "excess_mass", importance.alias("importance")
+    ).orderBy("doc_id")
+
+
+Q99_SQL = f"""
+WITH occ AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents)
+),
+stats AS (
+  SELECT bucket,
+         SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS target_cnt,
+         COUNT(*) AS raw_cnt
+  FROM occ GROUP BY bucket
+),
+totals AS (
+  SELECT SUM(target_cnt) AS target_total, SUM(raw_cnt) AS raw_total FROM stats
+)
+SELECT o.doc_id,
+       COUNT(*) AS n_toks,
+       CAST(SUM(s.target_cnt * t.raw_total - s.raw_cnt * t.target_total) AS BIGINT)
+         AS excess_mass,
+       CAST(SUM(s.target_cnt * t.raw_total - s.raw_cnt * t.target_total) AS DOUBLE)
+         / (CAST(t.target_total AS DOUBLE) * CAST(t.raw_total AS DOUBLE)) AS importance
+FROM occ o JOIN stats s USING (bucket) CROSS JOIN totals t
+GROUP BY o.doc_id, t.target_total, t.raw_total
+ORDER BY o.doc_id
+"""
+
+
 QUERIES = {
     "q77_split_assign": QuerySpec(
         q77_split_assign, Q77_SQL, "deterministic hash train/valid/test split"
@@ -739,5 +837,8 @@ QUERIES = {
     ),
     "q96_decontaminate": QuerySpec(
         q96_decontaminate, _q96_sql(), "decontamination apply: drop flagged docs"
+    ),
+    "q99_dsir_importance": QuerySpec(
+        q99_dsir_importance, Q99_SQL, "DSIR hashed-unigram importance weighting"
     ),
 }

@@ -489,6 +489,165 @@ SELECT vec_id, cid FROM a3 ORDER BY vec_id
 """
 
 
+# ------------------------------------------------------------ q98 / q100
+
+SEMDEDUP_THRESHOLD = NEARDUP_THRESHOLD  # same synthetic-embedding scale as q50/q74
+SEMDEDUP_MAX_CLUSTER = 1024  # per-cluster pair-expansion cap (rank by vec_id)
+OUTLIER_DECILES = 10  # q100: per-cluster decile binning of centroid similarity
+
+
+def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster-bucketed cosine
+    pruning over the embedding table.
+
+    Where q74 buckets candidates by sign-LSH, this is the k-means flavor
+    published for LAION/web-text curation: assign every vector to its
+    nearest coarse centroid, compare pairs ONLY within a cluster, and
+    drop every member that has a more-canonical (smaller vec_id)
+    near-duplicate (cosine >= threshold) in the same cluster.
+
+    Scale shape:
+      - assignment is q51's broadcast-crossJoin + map-side max_by — no
+        K-amplified shuffle;
+      - the pair stage shuffles once on cid; in-cluster expansion is
+        bounded by SEMDEDUP_MAX_CLUSTER² (rank-by-vec_id head, the same
+        discipline as the LSH hot-bucket cap) — at 100 TB you grow
+        N_CENTROIDS so expected cluster size stays ~10³, which is exactly
+        how SemDeDup is run in production (k ≈ N / 1000);
+      - the verdict join is a left join on vec_id against the (tiny)
+        removed-id set — no broadcast of an unbounded pair list.
+
+    Output: every vector with its cluster and a kept/pruned verdict.
+    """
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    # assigned feeds BOTH the pair stage and the final verdict join —
+    # materialize once (same discipline as q70/q73's pair lists) so the
+    # broadcast-crossJoin assignment isn't executed twice
+    assigned = _assign(emb, cent).localCheckpoint(eager=True)
+
+    w = Window.partitionBy("cid").orderBy("vec_id")
+    ranked = (
+        assigned.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= SEMDEDUP_MAX_CLUSTER)
+        .select("cid", "vec_id", "embedding")
+    )
+    a = ranked.select(
+        "cid", F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = ranked.select(
+        "cid", F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    )
+    removed = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine("emb_a", "emb_b") >= SEMDEDUP_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("pruned", F.lit(1))
+    )
+    return (
+        assigned.join(removed, "vec_id", "left")
+        .select("vec_id", "cid", F.col("pruned").isNull().alias("kept"))
+        .orderBy("vec_id")
+    )
+
+
+Q98_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT cid, vec_id, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rnk
+    FROM assigned
+  ) WHERE rnk <= {SEMDEDUP_MAX_CLUSTER}
+),
+removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT s.vec_id, s.cid, (r.vec_id IS NULL) AS kept
+FROM assigned s LEFT JOIN removed r ON s.vec_id = r.vec_id
+ORDER BY s.vec_id
+"""
+
+
+def q100_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality filter (the SemDeDup/D4 companion op): per-cluster
+    decile binning of each member's cosine similarity to its OWN nearest
+    centroid; the lowest decile — the least-prototypical members — are
+    flagged as outliers (candidates for removal as noise, or for UPWEIGHT
+    under D4-style diversification).
+
+    The winning similarity is max(sim) from the same single
+    broadcast-crossJoin pass that picks the centroid — no second scoring
+    pass. One window shuffle on cid; deciles are ntile over (sim, vec_id)
+    so ties bin identically in any engine.
+    """
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", cosine("embedding", "c_emb").alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
+            F.max("sim").alias("centroid_sim"),
+        )
+    )
+    w = Window.partitionBy("cid").orderBy("centroid_sim", "vec_id")
+    return (
+        assigned.withColumn("decile", F.ntile(OUTLIER_DECILES).over(w))
+        .select(
+            "vec_id",
+            "cid",
+            "centroid_sim",
+            "decile",
+            (F.col("decile") == 1).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q100_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, cid, sim AS centroid_sim FROM (
+    SELECT e.vec_id, c.cid,
+           {_sql_cos('e.embedding', 'c.c_emb')} AS sim,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT vec_id, cid, centroid_sim,
+       ntile({OUTLIER_DECILES}) OVER (PARTITION BY cid ORDER BY centroid_sim, vec_id) AS decile,
+       (ntile({OUTLIER_DECILES}) OVER (PARTITION BY cid ORDER BY centroid_sim, vec_id) = 1)
+         AS is_outlier
+FROM assigned ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q48_ann_bruteforce_topk": QuerySpec(q48_ann_bruteforce_topk, Q48_SQL, "exact cosine top-k"),
     "q49_ann_lsh_topk": QuerySpec(q49_ann_lsh_topk, Q49_SQL, "sign-LSH bucketed top-k"),
@@ -499,5 +658,11 @@ QUERIES = {
     ),
     "q86_kmeans_ivf_train": QuerySpec(
         q86_kmeans_ivf_train, _q86_sql(), "Lloyd k-means IVF centroid training"
+    ),
+    "q98_semantic_dedup": QuerySpec(
+        q98_semantic_dedup, Q98_SQL, "SemDeDup cluster-bucketed cosine pruning"
+    ),
+    "q100_centroid_outliers": QuerySpec(
+        q100_centroid_outliers, Q100_SQL, "per-cluster centroid-similarity outlier deciles"
     ),
 }

@@ -205,6 +205,58 @@ SELECT freq, count(*) AS n_terms FROM vocab GROUP BY freq
 """
 
 
+# ----------------------------------------------------------------- q101
+
+PCTS = (0.25, 0.5, 0.9, 0.95, 0.99)
+
+
+def q101_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution summary: doc count, exact
+    mean, and exact interpolated percentiles of n_chars — the summary a
+    curation run reports per domain to pick length cutoffs.
+
+    Spark's `percentile` and DuckDB's `quantile_cont` interpolate with
+    the same linear rule and agree bit-for-bit (verified on this data,
+    including fractional interpolations), so the oracle hashes exactly.
+
+    Scale note: exact percentile buffers each group's values — fine for
+    per-domain groups up to ~10^8 docs; beyond that swap in
+    `approx_percentile` (t-digest sketch, mergeable map-side, bounded
+    memory) and accept the documented rank error. The mean is one double
+    division of two exact int64 sums either way.
+    """
+    docs = _docs(spark, sf_dir)
+    pcols = [
+        F.expr(f"percentile(n_chars, {p})").alias(f"p{int(p * 100)}") for p in PCTS
+    ]
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+            *pcols,
+        )
+        .select(
+            "source",
+            "n_docs",
+            (F.col("chars_sum").cast("double") / F.col("n_docs").cast("double")).alias(
+                "mean_chars"
+            ),
+            *[F.col(f"p{int(p * 100)}") for p in PCTS],
+        )
+        .orderBy("source")
+    )
+
+
+Q101_SQL = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+       {", ".join(f"quantile_cont(n_chars, {p}) AS p{int(p * 100)}" for p in PCTS)}
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q40_text_tokens": QuerySpec(q40_text_tokens, Q40_SQL, "token counting"),
     "q41_text_quality": QuerySpec(q41_text_quality, Q41_SQL, "quality scoring"),
@@ -212,5 +264,8 @@ QUERIES = {
     "q43_text_fingerprint": QuerySpec(q43_text_fingerprint, Q43_SQL, "doc fingerprinting"),
     "q95_freq_spectrum": QuerySpec(
         q95_freq_spectrum, Q95_SQL, "Zipf frequency-of-frequencies corpus fingerprint"
+    ),
+    "q101_length_percentiles": QuerySpec(
+        q101_length_percentiles, Q101_SQL, "per-source exact length percentiles"
     ),
 }

@@ -92,6 +92,10 @@ _CHANGED_THIS_ROUND = [
     "q95_freq_spectrum",
     "q96_decontaminate",
     "q97_cluster_representatives",
+    "q98_semantic_dedup",
+    "q99_dsir_importance",
+    "q100_centroid_outliers",
+    "q101_length_percentiles",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # rewritten in r2, never driver-checked since
