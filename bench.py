@@ -57,6 +57,14 @@ HEADLINE = [
     "q81_contamination",
     "q88_dup_ngram_coverage",
     "q90_hashed_classifier",
+    "q83_dedup_clusters_star",
+    "q92_domain_gate",
+    "q94_bpe_pair_counts",
+    "q97_cluster_representatives",
+    "q98_semantic_dedup",
+    "q99_dsir_importance",
+    "q100_centroid_outliers",
+    "q101_length_percentiles",
 ]
 
 BEST_OF = 3

@@ -394,12 +394,27 @@ KMEANS_ITERS = 2
 KMEANS_SCALE = 1_000_000  # centroid means quantized to 1e-6 (exact int sums)
 
 
+def _unit(col_name: str, nrm_col: str) -> Column:
+    """Embedding divided by its (precomputed) L2 norm, as double[]."""
+    return F.transform(F.col(col_name), lambda x: x.cast("double") / F.col(nrm_col))
+
+
 def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: crossJoin against the broadcast
-    centroid table, then a map-side max_by partial agg (q51's shape)."""
+    centroid table, then a map-side max_by partial agg (q51's shape).
+
+    Centroids are L2-normalized ONCE (K rows, driver-cheap) so the
+    per-row ranking is a single dot-product fold instead of the full
+    3-fold cosine: argmax_c cos(e, c) == argmax_c dot(e, c/|c|) because
+    |e| is a per-row positive constant. This cuts the arithmetic of the
+    N x K scoring stage 3x; the oracle ranks by the identical
+    normalized-dot expression so near-tie rounding agrees."""
+    cent_n = cent.select(
+        "cid", _norm("c_emb").alias("c_nrm"), F.col("c_emb")
+    ).select("cid", _unit("c_emb", "c_nrm").alias("c_unit"))
     return (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", cosine("embedding", "c_emb").alias("sim"))
+        emb.crossJoin(F.broadcast(cent_n))
+        .select("vec_id", "embedding", "cid", _dot("embedding", "c_unit").alias("sim"))
         .groupBy("vec_id")
         .agg(
             F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
@@ -467,9 +482,14 @@ def _q86_sql() -> str:
     SELECT e.vec_id, e.embedding, c.cid,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY {_sql_cos('e.embedding', 'c.c_emb')} DESC, c.cid
+             ORDER BY {_sql_dot('e.embedding', 'c.c_unit')} DESC, c.cid
            ) AS rn
-    FROM embeddings e CROSS JOIN {cent} c
+    FROM embeddings e CROSS JOIN (
+      SELECT cid,
+             list_transform(c_emb, x -> CAST(x AS DOUBLE)
+               / sqrt({_sql_dot('c_emb', 'c_emb')})) AS c_unit
+      FROM {cent}
+    ) c
   ) WHERE rn = 1"""
     update = (
         lambda assigned: "SELECT cid, list_value("
@@ -529,21 +549,21 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _assign(emb, cent).localCheckpoint(eager=True)
 
     w = Window.partitionBy("cid").orderBy("vec_id")
+    # L2-normalize each surviving member ONCE so the quadratic in-cluster
+    # stage is a single dot fold per pair (cos(a,b) == dot(a/|a|, b/|b|));
+    # the oracle thresholds the identical normalized-dot expression
     ranked = (
         assigned.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= SEMDEDUP_MAX_CLUSTER)
-        .select("cid", "vec_id", "embedding")
+        .withColumn("nrm", _norm("embedding"))
+        .select("cid", "vec_id", _unit("embedding", "nrm").alias("unit"))
     )
-    a = ranked.select(
-        "cid", F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
-    )
-    b = ranked.select(
-        "cid", F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
-    )
+    a = ranked.select("cid", F.col("vec_id").alias("id_a"), F.col("unit").alias("unit_a"))
+    b = ranked.select("cid", F.col("vec_id").alias("id_b"), F.col("unit").alias("unit_b"))
     removed = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine("emb_a", "emb_b") >= SEMDEDUP_THRESHOLD)
+        .filter(_dot("unit_a", "unit_b") >= SEMDEDUP_THRESHOLD)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("pruned", F.lit(1))
@@ -557,20 +577,26 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q98_SQL = f"""
 WITH cent AS (
-  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CENTROIDS}
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)
+           / sqrt({_sql_dot('embedding', 'embedding')})) AS c_unit
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
 ),
 assigned AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, c.cid,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY {_sql_cos('e.embedding', 'c.c_emb')} DESC, c.cid
+             ORDER BY {_sql_dot('e.embedding', 'c.c_unit')} DESC, c.cid
            ) AS rn
     FROM embeddings e CROSS JOIN cent c
   ) WHERE rn = 1
 ),
 ranked AS (
-  SELECT cid, vec_id, embedding FROM (
+  SELECT cid, vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)
+           / sqrt({_sql_dot('embedding', 'embedding')})) AS unit
+  FROM (
     SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rnk
     FROM assigned
   ) WHERE rnk <= {SEMDEDUP_MAX_CLUSTER}
@@ -578,7 +604,7 @@ ranked AS (
 removed AS (
   SELECT DISTINCT b.vec_id
   FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {SEMDEDUP_THRESHOLD}
+  WHERE {_sql_dot('a.unit', 'b.unit')} >= {SEMDEDUP_THRESHOLD}
 )
 SELECT s.vec_id, s.cid, (r.vec_id IS NULL) AS kept
 FROM assigned s LEFT JOIN removed r ON s.vec_id = r.vec_id
