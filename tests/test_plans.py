@@ -367,3 +367,44 @@ def test_q93_range_join_is_equi_not_nested_loop(spark):
     p = plan(spark, "q93_range_join_bucketed")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
+
+
+def test_q98_semdedup_pair_stage_is_equijoin_on_cid(spark):
+    """SemDeDup: the in-cluster pair stage must be an EQUI join on cid
+    (never a corpus cross product), and the verdict join must not force
+    a broadcast of an unbounded removed-id list."""
+    p = plan(spark, "q98_semantic_dedup")
+    assert "CartesianProduct" not in p, p
+    # the only nested-loop join allowed is the K-row broadcast centroid
+    # crossJoin in the assignment pass
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+
+
+def test_q99_dsir_stats_broadcast_single_doc_shuffle(spark):
+    """DSIR: the bucket-stats table joins the exploded tokens via
+    broadcast (the corpus never shuffles on bucket), and scoring
+    aggregates on doc_id."""
+    p = plan(spark, "q99_dsir_importance")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    simple = plan(spark, "q99_dsir_importance", "simple")
+    # corpus-sized shuffles: the doc_id scoring agg only (bucket stats
+    # collapse to DSIR_BUCKETS rows via map-side partials first)
+    assert re.findall(r"hashpartitioning\(doc_id", simple), simple
+
+
+def test_q100_outliers_single_assignment_pass(spark):
+    """Prototypicality: the winning similarity comes from the SAME
+    aggregate that picks the centroid — one crossJoin, no second
+    scoring pass (two would show two nested-loop joins)."""
+    p = plan(spark, "q100_centroid_outliers")
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1, p
+
+
+def test_q101_percentiles_pruned_scan(spark):
+    """Length percentiles: the documents scan must read only
+    (source, n_chars) — not text."""
+    p = plan(spark, "q101_length_percentiles")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "text" not in m.group(1), p
+    assert "n_chars" in m.group(1) and "source" in m.group(1), p
