@@ -98,6 +98,15 @@ _CHANGED_THIS_ROUND = [
     "q101_length_percentiles",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
+    # events.ts load path rewritten (runtime reads parquet NANOS as
+    # TIMESTAMP_NTZ now; load_table branches on the observed type) —
+    # every events-reading query gets fresh gate evidence
+    "q01_eq_filter_sort",
+    "q19_import_stats",
+    "q25_union_dedup",
+    "q30_window_agg",
+    "q32_sessionize",
+    "q59_sliding_window",
     # rewritten in r2, never driver-checked since
     "q37_set_ops",
     # JPEG marker-scan fix (q75 emits BMP/PNG, but the code path changed)

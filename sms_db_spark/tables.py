@@ -35,16 +35,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # output — and the driver's value-hash — depend on the host TZ.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet — a type Spark cannot represent.
-        # Set the legacy read conf HERE (runtime-settable SQL conf) so the
-        # contract also works under a caller-provided vanilla session (the
-        # driver builds its own), then convert long-nanos → TimestampType
-        # micros (lossless: the generator emits micro precision).
+        # ts is TIMESTAMP(NANOS) in parquet. How Spark surfaces that type
+        # depends on the runtime: with spark.sql.legacy.parquet.nanosAsLong
+        # honored it arrives as LongType nanos; newer runtimes (4.1+) read
+        # it natively as TIMESTAMP_NTZ (truncated to micros — lossless here:
+        # the generator emits micro precision) and ignore the legacy conf.
+        # Set the conf for the former case, then branch on the OBSERVED type
+        # so the contract holds under any caller-provided session.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(ts_type, TimestampNTZType):
+            # NTZ wall-clock == UTC instant here (session tz pinned above),
+            # so the cast reproduces the long-nanos path bit-for-bit.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
