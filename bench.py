@@ -65,6 +65,8 @@ HEADLINE = [
     "q99_dsir_importance",
     "q100_centroid_outliers",
     "q101_length_percentiles",
+    "q102_hll_registers",
+    "q104_count_min",
 ]
 
 BEST_OF = 3

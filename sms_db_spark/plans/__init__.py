@@ -96,6 +96,10 @@ _CHANGED_THIS_ROUND = [
     "q99_dsir_importance",
     "q100_centroid_outliers",
     "q101_length_percentiles",
+    "q102_hll_registers",
+    "q103_hll_estimate",
+    "q104_count_min",
+    "q105_bloom_prune",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as
@@ -150,7 +154,16 @@ def registry() -> dict[str, QuerySpec]:
     only green evidence is a stale round, then the rest in module order
     (see _CHANGED_THIS_ROUND / _STALE_EVIDENCE)."""
     from . import compat_queries, importer_queries
-    from ..operators import curation, dedup, ngrams, similarity, textstats, multimodal, pipeline
+    from ..operators import (
+        curation,
+        dedup,
+        ngrams,
+        similarity,
+        sketches,
+        textstats,
+        multimodal,
+        pipeline,
+    )
 
     specs: dict[str, QuerySpec] = {}
     for mod in (
@@ -160,6 +173,7 @@ def registry() -> dict[str, QuerySpec]:
         pipeline,
         curation,
         ngrams,
+        sketches,
         multimodal,
         importer_queries,
         compat_queries,

@@ -1,0 +1,76 @@
+"""Sketch-operator guarantees (q102-q105): the mathematical properties a
+user relies on, checked behaviorally at sf0.001, plus plan assertions
+that the builds stay JVM-side with bounded shuffles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sms_db_spark.operators.sketches import (
+    BLOOM_K,
+    HLL_M,
+    q102_hll_registers,
+    q103_hll_estimate,
+    q104_count_min,
+    q105_bloom_prune,
+)
+from tests.test_plans import n_exchanges, plan
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # standard error ≈ 1.04/sqrt(m) ≈ 1.6% at m=4096; allow 5%
+    row = q103_hll_estimate(spark, SF_DIR).collect()[0]
+    assert row.exact_distinct > 1000  # shingle space is non-degenerate
+    rel = abs(row.hll_estimate / row.exact_distinct - 1.0)
+    assert rel < 0.05, (row.hll_estimate, row.exact_distinct)
+
+
+def test_hll_registers_bounded_and_mergeable_shape(spark):
+    regs = q102_hll_registers(spark, SF_DIR).collect()
+    assert 0 < len(regs) <= HLL_M
+    assert all(1 <= r.max_rho <= 49 for r in regs)
+    # merging a sketch with itself must be the identity (max is idempotent)
+    assert len({r.bucket for r in regs}) == len(regs)
+
+
+def test_cms_never_underestimates(spark):
+    rows = q104_count_min(spark, SF_DIR).collect()
+    assert rows, "probe set empty"
+    assert all(r.cms_estimate >= r.true_count for r in rows)
+    assert all(r.overestimate == r.cms_estimate - r.true_count for r in rows)
+
+
+def test_bloom_no_false_negatives(spark):
+    out = q105_bloom_prune(spark, SF_DIR)
+    # every true blocklist member must survive the bloom pass
+    members = out.filter(F.col("in_blocklist") == 1).count()
+    from sms_db_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    expected = docs.filter(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("bl#"), F.col("doc_id").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000
+        )
+        < 50
+    ).count()
+    assert members == expected
+
+
+def test_sketch_plans_jvm_side_bounded_shuffles(spark):
+    for name, max_ex in [
+        ("q102_hll_registers", 3),  # agg exchange + orderBy range exchange
+        ("q104_count_min", 6),
+        ("q105_bloom_prune", 5),
+    ]:
+        p = plan(spark, name)
+        assert "BatchEvalPython" not in p, name  # no row-at-a-time Python
+        assert n_exchanges(p) <= max_ex, (name, n_exchanges(p), p)
