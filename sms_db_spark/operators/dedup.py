@@ -25,7 +25,7 @@ md5 exists in both Spark and DuckDB, so every step has an oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import QuerySpec
@@ -619,6 +619,90 @@ WHERE jaccard >= {JACCARD_THRESHOLD} ORDER BY doc_a, doc_b
 """
 
 
+# ------------------------------------------------------------------ q107
+
+LEV_BLOCK_CAP = 64  # hot-block cap, same discipline as LSH_MAX_BUCKET
+LEV_PREFIX_CHARS = 120  # edit-distance window: bounds the O(len^2) DP
+LEV_MAX_DIST = 20
+
+
+def q107_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage near-dup pairs: block on the first word 3-shingle,
+    then verify candidates with exact edit distance over a bounded prefix
+    window. Generalizes the reference's exact-hash linkage
+    (sms-db.pl:325-331: identical bytes ⇒ same message) to
+    almost-identical records — the classic blocking+verify shape of
+    entity resolution.
+
+    Scale shape: the blocker is ONE shuffle on the (uniformly hashed)
+    leading shingle; in-block pair expansion is capped at
+    LEV_BLOCK_CAP², and the O(len²) Levenshtein DP only ever sees
+    LEV_PREFIX_CHARS-char prefixes of docs that already share their
+    opening shingle — never the corpus cross product. Both engines
+    compute unbounded levenshtein() on the same truncated UTF-8 text,
+    so distances agree exactly.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = _tokens_col()
+    norm = F.concat_ws(" ", toks)
+    blocked = (
+        docs.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at(toks, 1),
+                F.element_at(toks, 2),
+                F.element_at(toks, 3),
+            ).alias("block"),
+            F.substring(norm, 1, LEV_PREFIX_CHARS).alias("head"),
+        )
+    )
+    w = Window.partitionBy("block").orderBy("doc_id")
+    capped = blocked.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= LEV_BLOCK_CAP
+    )
+    a = capped.select(
+        F.col("block"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("head").alias("head_a"),
+    )
+    b = capped.select(
+        F.col("block"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("head").alias("head_b"),
+    )
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_dist", F.levenshtein("head_a", "head_b"))
+        .filter(F.col("edit_dist") <= LEV_MAX_DIST)
+    )
+    return pairs.select("doc_a", "doc_b", "edit_dist").orderBy("doc_a", "doc_b")
+
+
+Q107_SQL = f"""
+WITH blocked AS (
+  SELECT doc_id,
+         tokens[1] || ' ' || tokens[2] || ' ' || tokens[3] AS block,
+         substr(array_to_string(tokens, ' '), 1, {LEV_PREFIX_CHARS}) AS head
+  FROM (SELECT doc_id, {_NORM_TOKENS} AS tokens FROM documents)
+  WHERE len(tokens) >= 3
+), capped AS (
+  SELECT * FROM (
+    SELECT doc_id, block, head,
+           ROW_NUMBER() OVER (PARTITION BY block ORDER BY doc_id) AS rn
+    FROM blocked)
+  WHERE rn <= {LEV_BLOCK_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.head, b.head) AS edit_dist
+FROM capped a JOIN capped b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= {LEV_MAX_DIST}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "q44_minhash_signatures": QuerySpec(
         q44_minhash_signatures, Q44_SQL, "MinHash banded signatures"
@@ -643,5 +727,10 @@ QUERIES = {
         q97_cluster_representatives,
         _q97_sql(),
         "canonical representative per near-dup cluster (longest, id tie-break)",
+    ),
+    "q107_blocked_levenshtein": QuerySpec(
+        q107_blocked_levenshtein,
+        Q107_SQL,
+        "blocked edit-distance record linkage (shingle block + capped verify)",
     ),
 }

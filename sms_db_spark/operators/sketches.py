@@ -399,6 +399,88 @@ ORDER BY h.doc_id
 """
 
 
+# ------------------------------------------------------------------ q106
+
+
+def q106_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches THE distributed-cardinality tool:
+    registers built on disjoint corpus halves and max-merged are
+    identical to registers built in one pass — so shards/days/clusters
+    can sketch independently and a tiny final merge answers the global
+    question. Emits both estimates plus the equality flag (must be 1).
+
+    This is exactly what Spark's partial-aggregation does inside ONE
+    query; here it is demonstrated ACROSS queries, i.e. across pipeline
+    runs — the incremental-accumulation discipline of the reference's
+    re-runnable imports (README.md:39-43) lifted to sublinear state.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    h = _h60(F.col("gram"))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, _HLL_WBITS + 1).otherwise(
+        _HLL_WBITS + 1 - F.length(F.bin(w))
+    )
+    grams = _gram_rows(docs).select(
+        (F.col("doc_id") % 2).alias("half"),
+        (h % HLL_M).alias("bucket"),
+        rho.alias("rho"),
+    )
+    per_half = grams.groupBy("half", "bucket").agg(F.max("rho").alias("max_rho"))
+    merged = per_half.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    whole = grams.groupBy("bucket").agg(F.max("rho").alias("max_rho"))
+
+    def fold(regs: DataFrame, out: str) -> DataFrame:
+        return regs.agg(
+            F.sum(
+                F.expr(f"shiftleft(cast(1 as bigint), {_HLL_WBITS + 1} - max_rho)")
+            ).alias(f"{out}_s"),
+            F.count("*").alias(f"{out}_m"),
+        )
+
+    return (
+        fold(merged, "merged")
+        .crossJoin(fold(whole, "whole"))
+        .select(
+            F.col("merged_s"),
+            F.col("merged_m"),
+            (
+                (F.col("merged_s") == F.col("whole_s"))
+                & (F.col("merged_m") == F.col("whole_m"))
+            )
+            .cast("int")
+            .alias("merge_equals_whole"),
+        )
+    )
+
+
+Q106_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id % 2 AS half, {_h60_sql('gram')} AS h FROM ({_SHINGLE_ROWS_SQL})
+), grams AS (
+  SELECT half, h % {HLL_M} AS bucket,
+         CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1} - length(bin(h >> {HLL_P})) END AS rho
+  FROM hashed
+), per_half AS (
+  SELECT half, bucket, MAX(rho) AS max_rho FROM grams GROUP BY half, bucket
+), merged AS (
+  SELECT bucket, MAX(max_rho) AS max_rho FROM per_half GROUP BY bucket
+), whole AS (
+  SELECT bucket, MAX(rho) AS max_rho FROM grams GROUP BY bucket
+), fm AS (
+  SELECT SUM((1::BIGINT << ({_HLL_WBITS + 1} - max_rho)))::BIGINT AS merged_s,
+         COUNT(*) AS merged_m FROM merged
+), fw AS (
+  SELECT SUM((1::BIGINT << ({_HLL_WBITS + 1} - max_rho)))::BIGINT AS whole_s,
+         COUNT(*) AS whole_m FROM whole
+)
+SELECT merged_s, merged_m,
+       CASE WHEN merged_s = whole_s AND merged_m = whole_m THEN 1 ELSE 0 END
+         AS merge_equals_whole
+FROM fm, fw
+"""
+
+
 QUERIES = {
     "q102_hll_registers": QuerySpec(
         q102_hll_registers, Q102_SQL, "HyperLogLog register table (mergeable sketch state)"
@@ -411,5 +493,10 @@ QUERIES = {
     ),
     "q105_bloom_prune": QuerySpec(
         q105_bloom_prune, _q105_sql(), "Bloom-filter corpus pruning with oracle-checked FPs"
+    ),
+    "q106_sketch_merge": QuerySpec(
+        q106_sketch_merge,
+        Q106_SQL,
+        "HLL merge-equals-whole: shard sketches max-merge losslessly",
     ),
 }

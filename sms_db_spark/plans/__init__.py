@@ -100,6 +100,8 @@ _CHANGED_THIS_ROUND = [
     "q103_hll_estimate",
     "q104_count_min",
     "q105_bloom_prune",
+    "q106_sketch_merge",
+    "q107_blocked_levenshtein",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as

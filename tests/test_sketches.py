@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from sms_db_spark.operators.dedup import LEV_MAX_DIST, q107_blocked_levenshtein
 from sms_db_spark.operators.sketches import (
     BLOOM_K,
     HLL_M,
@@ -13,6 +14,7 @@ from sms_db_spark.operators.sketches import (
     q103_hll_estimate,
     q104_count_min,
     q105_bloom_prune,
+    q106_sketch_merge,
 )
 from tests.test_plans import n_exchanges, plan
 
@@ -63,6 +65,19 @@ def test_bloom_no_false_negatives(spark):
         < 50
     ).count()
     assert members == expected
+
+
+def test_sketch_merge_is_lossless(spark):
+    # disjoint-half registers max-merged == one-pass registers, exactly
+    row = q106_sketch_merge(spark, SF_DIR).collect()[0]
+    assert row.merge_equals_whole == 1
+
+
+def test_blocked_levenshtein_symmetric_and_bounded(spark):
+    rows = q107_blocked_levenshtein(spark, SF_DIR).collect()
+    assert rows, "no linkage pairs at test scale"
+    assert all(r.doc_a < r.doc_b for r in rows)  # each pair emitted once
+    assert all(0 <= r.edit_dist <= LEV_MAX_DIST for r in rows)
 
 
 def test_sketch_plans_jvm_side_bounded_shuffles(spark):
