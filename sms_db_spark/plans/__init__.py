@@ -102,6 +102,7 @@ _CHANGED_THIS_ROUND = [
     "q105_bloom_prune",
     "q106_sketch_merge",
     "q107_blocked_levenshtein",
+    "q108_jsonl_roundtrip",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as
@@ -166,6 +167,7 @@ def registry() -> dict[str, QuerySpec]:
         multimodal,
         pipeline,
     )
+    from ..sources import jsonl
 
     specs: dict[str, QuerySpec] = {}
     for mod in (
@@ -177,6 +179,7 @@ def registry() -> dict[str, QuerySpec]:
         ngrams,
         sketches,
         multimodal,
+        jsonl,
         importer_queries,
         compat_queries,
     ):
