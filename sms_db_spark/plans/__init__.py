@@ -103,6 +103,8 @@ _CHANGED_THIS_ROUND = [
     "q106_sketch_merge",
     "q107_blocked_levenshtein",
     "q108_jsonl_roundtrip",
+    "q109_funnel_stages",
+    "q110_cohort_retention",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as

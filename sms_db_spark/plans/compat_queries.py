@@ -1398,6 +1398,127 @@ GROUP BY e.event_id
 """
 
 
+# --- q109/q110: sequential-event analytics over the events table --------------
+
+
+def q109_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase) per user: each stage's
+    timestamp is the earliest qualifying event AT OR AFTER the previous
+    stage — the order-sensitive semantics that a naive per-type min gets
+    wrong (a purchase before the first view must not count).
+
+    Scale shape: three conditional-min aggregates, each a groupBy on
+    user_id (uniform key); the per-user stage tables are tiny relative
+    to the event log, so the stage joins broadcast — the event log
+    itself is scanned, filtered by type, and shuffled once per stage,
+    never self-joined row-to-row.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("us") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("us") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy("user_id")
+    )
+
+
+Q109_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+), v AS (
+  SELECT user_id, MIN(us) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.us) AS t_click
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.us >= v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.us) AS t_purchase
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.us >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id
+"""
+
+
+def q110_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted as
+    active per day-offset — the activity matrix every growth dashboard
+    is built from.
+
+    Scale shape: the cohort table is one row per user (groupBy on the
+    uniform user key, min-date agg), broadcast back into the event log;
+    the activity count is a second groupBy on (cohort_day, offset) —
+    tiny key space — with an exact distinct that stays shuffle-bounded
+    because (cohort, offset, user) triples are first deduplicated
+    map-side.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(F.broadcast(cohort), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "active_users",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+Q110_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
+), triples AS (
+  SELECT DISTINCT e.user_id, c.cohort_day,
+         datediff('day', c.cohort_day, e.day) AS day_offset
+  FROM e JOIN cohort c ON e.user_id = c.user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+       COUNT(*) AS active_users
+FROM triples
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_eq_filter_sort": QuerySpec(q01_eq_filter_sort, Q01_SQL, "Q1 querying.md:13"),
     "q02_like_prefix": QuerySpec(q02_like_prefix, Q02_SQL, "Q2 querying.md:17"),
@@ -1448,5 +1569,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q72_lag_lead": QuerySpec(q72_lag_lead, Q72_SQL, "lag/lead sequential diffs"),
     "q93_range_join_bucketed": QuerySpec(
         q93_range_join_bucketed, Q93_SQL, "time-bin bucketed range join (no nested loop)"
+    ),
+    "q109_funnel_stages": QuerySpec(
+        q109_funnel_stages, Q109_SQL, "order-sensitive view→click→purchase funnel"
+    ),
+    "q110_cohort_retention": QuerySpec(
+        q110_cohort_retention, Q110_SQL, "first-seen cohort × day-offset retention matrix"
     ),
 }
