@@ -414,3 +414,24 @@ def test_q101_percentiles_pruned_scan(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m and "text" not in m.group(1), p
     assert "n_chars" in m.group(1) and "source" in m.group(1), p
+
+
+def test_q109_funnel_stage_joins_broadcast_no_self_join(spark):
+    """Funnel: the per-user stage tables broadcast into the event log;
+    the log is never row-to-row self-joined (no nested loop) and the
+    whole plan stays JVM-side."""
+    p = plan(spark, "q109_funnel_stages")
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_q110_retention_cohort_broadcast_pruned_scan(spark):
+    """Retention: cohort table broadcasts back into the log, and the
+    events scan reads only (ts, user_id)."""
+    p = plan(spark, "q110_cohort_retention")
+    assert "BroadcastHashJoin" in p, p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "event_type" not in m.group(1), p
+    assert "user_id" in m.group(1), p
