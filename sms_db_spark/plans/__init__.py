@@ -105,6 +105,7 @@ _CHANGED_THIS_ROUND = [
     "q108_jsonl_roundtrip",
     "q109_funnel_stages",
     "q110_cohort_retention",
+    "q111_reconcile_full_outer",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as

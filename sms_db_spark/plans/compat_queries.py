@@ -1519,6 +1519,78 @@ ORDER BY cohort_day, day_offset
 """
 
 
+# --- q111: full-outer snapshot reconciliation ---------------------------------
+
+
+def q111_reconcile_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: order headers FULL OUTER JOINed
+    against per-order totals recomputed from (a shipped-date slice of)
+    their line items, classified as matched / header_only / lines_only.
+    This is the audit query every ingest pipeline runs after a load —
+    the reference's seen = inserted + duplicate + ignored counter
+    reconciliation (sms-db.pl:233) generalized to two-sided set drift.
+
+    Scale note: this is the ONE join in the repo where sort-merge is the
+    RIGHT physical plan — both sides are corpus-sized so neither can
+    broadcast, and full-outer semantics need both sides' unmatched rows.
+    Both inputs arrive pre-aggregated to one row per orderkey (uniform
+    key), so the join shuffles each side once with zero skew; monetary
+    sums are DECIMAL end to end (exact, order-independent).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hdr = orders.select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("header_total")
+    )
+    lines = (
+        li.filter(F.col("l_shipdate") < F.lit("1997-01-01"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("lines_total"))
+    )
+    j = hdr.join(lines, hdr.o_orderkey == lines.l_orderkey, "full_outer")
+    status = (
+        F.when(F.col("o_orderkey").isNotNull() & F.col("l_orderkey").isNotNull(), "matched")
+        .when(F.col("o_orderkey").isNotNull(), "header_only")
+        .otherwise("lines_only")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce("header_total", F.lit(0).cast("decimal(18,2)")).alias("h"),
+            F.coalesce("lines_total", F.lit(0).cast("decimal(18,2)")).alias("l"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # exact DECIMAL sum internally, DOUBLE at the boundary (repo
+            # convention: comparison-stable across engines)
+            F.sum("h").cast("double").alias("sum_header"),
+            F.sum("l").cast("double").alias("sum_lines"),
+        )
+        .orderBy("status")
+    )
+
+
+Q111_SQL = """
+WITH hdr AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS header_total
+  FROM orders
+), lines AS (
+  SELECT l_orderkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS lines_total
+  FROM lineitem WHERE l_shipdate < '1997-01-01' GROUP BY l_orderkey
+)
+SELECT CASE WHEN hdr.o_orderkey IS NOT NULL AND lines.l_orderkey IS NOT NULL THEN 'matched'
+            WHEN hdr.o_orderkey IS NOT NULL THEN 'header_only'
+            ELSE 'lines_only' END AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(COALESCE(header_total, 0)) AS DOUBLE) AS sum_header,
+       CAST(SUM(COALESCE(lines_total, 0)) AS DOUBLE) AS sum_lines
+FROM hdr FULL OUTER JOIN lines ON hdr.o_orderkey = lines.l_orderkey
+GROUP BY 1
+ORDER BY status
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_eq_filter_sort": QuerySpec(q01_eq_filter_sort, Q01_SQL, "Q1 querying.md:13"),
     "q02_like_prefix": QuerySpec(q02_like_prefix, Q02_SQL, "Q2 querying.md:17"),
@@ -1575,5 +1647,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q110_cohort_retention": QuerySpec(
         q110_cohort_retention, Q110_SQL, "first-seen cohort × day-offset retention matrix"
+    ),
+    "q111_reconcile_full_outer": QuerySpec(
+        q111_reconcile_full_outer,
+        Q111_SQL,
+        "full-outer header-vs-lines reconciliation (the one rightful sort-merge join)",
     ),
 }

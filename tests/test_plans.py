@@ -435,3 +435,15 @@ def test_q110_retention_cohort_broadcast_pruned_scan(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m and "event_type" not in m.group(1), p
     assert "user_id" in m.group(1), p
+
+
+def test_q111_full_outer_is_sort_merge_on_prejoined_aggregates(spark):
+    """Reconciliation is the ONE rightful sort-merge join: both sides are
+    corpus-sized (no broadcast possible under full-outer semantics), and
+    both arrive pre-aggregated to one row per key before the join."""
+    p = plan(spark, "q111_reconcile_full_outer")
+    assert "SortMergeJoin" in p and "FullOuter" in p, p
+    # the lineitem side must aggregate BEFORE joining (partial agg soaks
+    # the multi-line fan-in; joining raw lines then aggregating would
+    # shuffle |lineitem| rows into the join)
+    assert p.index("HashAggregate") < p.index("SortMergeJoin"), p
