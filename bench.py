@@ -67,6 +67,7 @@ HEADLINE = [
     "q101_length_percentiles",
     "q102_hll_registers",
     "q104_count_min",
+    "q111_reconcile_full_outer",
 ]
 
 BEST_OF = 3

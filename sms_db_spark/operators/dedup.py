@@ -619,6 +619,90 @@ WHERE jaccard >= {JACCARD_THRESHOLD} ORDER BY doc_a, doc_b
 """
 
 
+# ------------------------------------------------------------------ q112
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q112_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scoring over the SAME LSH candidate pairs
+    as q73: containment(A→B) = |A∩B| / |A|. Catches what Jaccard
+    structurally cannot — a short document quoted wholesale inside a
+    long one has high containment but low Jaccard (the union is
+    dominated by the long doc), and partial-overlap/quote removal is a
+    distinct curation decision from near-dup removal.
+
+    Emits each surviving pair with both directional containments and
+    the direction flag (which side is the contained one). Verify-stage
+    shape is q73's verbatim: candidates only, shingles computed once
+    per colliding doc, no pair-list broadcast, integer-safe threshold
+    on max(inter/|A|, inter/|B|) ⇔ inter ≥ T·min(|A|,|B|).
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(spark, sf_dir)).localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_sh = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", shingles_col(_tokens_col()).alias("sh"))
+        .localCheckpoint(eager=True)
+        .filter(F.size(F.col("sh")) > 0)
+    )
+    sa = cand_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = cand_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_cnt"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .filter(
+            F.col("inter_cnt").cast("double")
+            >= F.least("n_a", "n_b").cast("double") * CONTAINMENT_THRESHOLD
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter_cnt") / F.col("n_a")).alias("containment_a_in_b"),
+            (F.col("inter_cnt") / F.col("n_b")).alias("containment_b_in_a"),
+            F.when(F.col("n_a") <= F.col("n_b"), "a_in_b")
+            .otherwise("b_in_a")
+            .alias("direction"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+Q112_SQL = f"""
+WITH bands AS ({_BANDS_SQL}),
+pairs AS ({_pairs_sql()}),
+sh AS ({_SHINGLES_SQL}),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter_cnt,
+         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(inter_cnt AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment_a_in_b,
+       CAST(inter_cnt AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment_b_in_a,
+       CASE WHEN n_a <= n_b THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM scored
+WHERE CAST(inter_cnt AS DOUBLE) >= CAST(least(n_a, n_b) AS DOUBLE) * {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 # ------------------------------------------------------------------ q107
 
 LEV_BLOCK_CAP = 64  # hot-block cap, same discipline as LSH_MAX_BUCKET
@@ -732,5 +816,10 @@ QUERIES = {
         q107_blocked_levenshtein,
         Q107_SQL,
         "blocked edit-distance record linkage (shingle block + capped verify)",
+    ),
+    "q112_containment_pairs": QuerySpec(
+        q112_containment_pairs,
+        Q112_SQL,
+        "asymmetric containment (quote/subset detection) over LSH candidates",
     ),
 }

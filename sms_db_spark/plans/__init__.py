@@ -106,6 +106,7 @@ _CHANGED_THIS_ROUND = [
     "q109_funnel_stages",
     "q110_cohort_retention",
     "q111_reconcile_full_outer",
+    "q112_containment_pairs",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as
