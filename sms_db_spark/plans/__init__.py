@@ -107,6 +107,7 @@ _CHANGED_THIS_ROUND = [
     "q110_cohort_retention",
     "q111_reconcile_full_outer",
     "q112_containment_pairs",
+    "q113_asof_cogroup",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as
@@ -171,6 +172,7 @@ def registry() -> dict[str, QuerySpec]:
         multimodal,
         pipeline,
     )
+    from ..operators import cogrouped
     from ..sources import jsonl
 
     specs: dict[str, QuerySpec] = {}
@@ -184,6 +186,7 @@ def registry() -> dict[str, QuerySpec]:
         sketches,
         multimodal,
         jsonl,
+        cogrouped,
         importer_queries,
         compat_queries,
     ):
