@@ -481,6 +481,76 @@ FROM fm, fw
 """
 
 
+# ------------------------------------------------------------------ q114
+
+HH_MIN_COUNT = 4  # heavy-hitter document-frequency threshold
+
+
+def q114_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by CMS-prune + exact-verify: candidates are the
+    grams whose Count-Min estimate clears the threshold, and only their
+    occurrences pay for an exact count. CMS never underestimates, so the
+    prune provably loses no true heavy hitter — the verified output
+    EQUALS plain exact heavy hitters, which is exactly what the oracle
+    computes. The frequency-domain twin of the LSH candidate→verify
+    discipline (q73): sketch to bound the candidates, exact measure on
+    survivors only.
+
+    Scale shape: the sketch pass collapses to d·w cells map-side; the
+    estimate join is vocab-sized rows against a broadcast sketch; the
+    exact pass shuffles ONLY candidate-gram occurrences (left_semi prune
+    before the groupBy), so the corpus-sized shuffle carries the heavy
+    tail's occurrences, not the vocabulary's.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    grams = _gram_rows(docs)
+    rows = F.sequence(F.lit(0), F.lit(CMS_D - 1))
+    cells = (
+        grams.select("gram", F.explode(rows).alias("r"))
+        .select(
+            (
+                _h60(F.concat(F.col("r").cast("string"), F.lit("#"), F.col("gram")))
+                % CMS_W
+            ).alias("bucket"),
+            "r",
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    vocab = grams.select("gram").distinct()
+    est = (
+        vocab.select("gram", F.explode(rows).alias("r"))
+        .select(
+            "gram",
+            "r",
+            (
+                _h60(F.concat(F.col("r").cast("string"), F.lit("#"), F.col("gram")))
+                % CMS_W
+            ).alias("bucket"),
+        )
+        .join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("gram")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    candidates = est.filter(F.col("cms_est") >= HH_MIN_COUNT).select("gram")
+    return (
+        grams.join(candidates, "gram", "left_semi")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= HH_MIN_COUNT)
+        .orderBy(F.desc("doc_freq"), "gram")
+    )
+
+
+Q114_SQL = f"""
+SELECT gram, COUNT(*) AS doc_freq
+FROM ({_SHINGLE_ROWS_SQL})
+GROUP BY gram
+HAVING COUNT(*) >= {HH_MIN_COUNT}
+ORDER BY doc_freq DESC, gram
+"""
+
+
 QUERIES = {
     "q102_hll_registers": QuerySpec(
         q102_hll_registers, Q102_SQL, "HyperLogLog register table (mergeable sketch state)"
@@ -498,5 +568,10 @@ QUERIES = {
         q106_sketch_merge,
         Q106_SQL,
         "HLL merge-equals-whole: shard sketches max-merge losslessly",
+    ),
+    "q114_heavy_hitters": QuerySpec(
+        q114_heavy_hitters,
+        Q114_SQL,
+        "heavy hitters: CMS prune + exact verify (no-false-negative guarantee)",
     ),
 }

@@ -108,6 +108,7 @@ _CHANGED_THIS_ROUND = [
     "q111_reconcile_full_outer",
     "q112_containment_pairs",
     "q113_asof_cogroup",
+    "q114_heavy_hitters",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as

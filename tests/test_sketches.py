@@ -9,12 +9,15 @@ from pyspark.sql import functions as F
 from sms_db_spark.operators.dedup import LEV_MAX_DIST, q107_blocked_levenshtein
 from sms_db_spark.operators.sketches import (
     BLOOM_K,
+    HH_MIN_COUNT,
     HLL_M,
+    _gram_rows,
     q102_hll_registers,
     q103_hll_estimate,
     q104_count_min,
     q105_bloom_prune,
     q106_sketch_merge,
+    q114_heavy_hitters,
 )
 from tests.test_plans import n_exchanges, plan
 
@@ -78,6 +81,24 @@ def test_blocked_levenshtein_symmetric_and_bounded(spark):
     assert rows, "no linkage pairs at test scale"
     assert all(r.doc_a < r.doc_b for r in rows)  # each pair emitted once
     assert all(0 <= r.edit_dist <= LEV_MAX_DIST for r in rows)
+
+
+def test_heavy_hitters_prune_equals_exact(spark):
+    # CMS never underestimates ⇒ the prune has no false negatives ⇒ the
+    # pruned-then-verified output must EQUAL plain exact heavy hitters
+    from sms_db_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r.gram, r.doc_freq)
+        for r in _gram_rows(docs)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= HH_MIN_COUNT)
+        .collect()
+    }
+    pruned = {(r.gram, r.doc_freq) for r in q114_heavy_hitters(spark, SF_DIR).collect()}
+    assert pruned == exact and exact
 
 
 def test_sketch_plans_jvm_side_bounded_shuffles(spark):
