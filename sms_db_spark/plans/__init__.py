@@ -109,6 +109,7 @@ _CHANGED_THIS_ROUND = [
     "q112_containment_pairs",
     "q113_asof_cogroup",
     "q114_heavy_hitters",
+    "q115_session_window",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as

@@ -1591,6 +1591,64 @@ ORDER BY status
 """
 
 
+# --- q115: native session_window vs gaps-and-islands --------------------------
+
+SESSION_GAP_MIN = 30
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+
+def q115_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregation via Spark's NATIVE session_window —
+    the declarative form of q32's manual lag/cumsum sessionization. The
+    oracle is the classic gaps-and-islands SQL, so the built-in window
+    merge semantics (an event exactly gap-after the previous one starts
+    a NEW session; window end = last event + gap) are pinned against an
+    independent formulation.
+
+    Scale: one shuffle on user_id; session merging is a per-key sorted
+    pass inside the aggregate — the same cost envelope as the manual
+    form, with the merge logic in the engine instead of expressions.
+    """
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), f"{SESSION_GAP_MIN} minutes"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+Q115_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), flagged AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= {_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), islands AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(us) AS session_start_us,
+       MAX(us) + {_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_eq_filter_sort": QuerySpec(q01_eq_filter_sort, Q01_SQL, "Q1 querying.md:13"),
     "q02_like_prefix": QuerySpec(q02_like_prefix, Q02_SQL, "Q2 querying.md:17"),
@@ -1652,5 +1710,10 @@ QUERIES: dict[str, QuerySpec] = {
         q111_reconcile_full_outer,
         Q111_SQL,
         "full-outer header-vs-lines reconciliation (the one rightful sort-merge join)",
+    ),
+    "q115_session_window": QuerySpec(
+        q115_session_window,
+        Q115_SQL,
+        "native session_window vs gaps-and-islands oracle",
     ),
 }
