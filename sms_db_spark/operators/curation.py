@@ -803,6 +803,50 @@ ORDER BY o.doc_id
 """
 
 
+# ------------------------------------------------------------------ q116
+
+DSIR_KEEP_QUANTILE = 0.7  # keep the top ~30% by importance
+
+
+def q116_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection APPLIED: keep the documents whose q99 importance
+    clears the corpus's 70th-percentile cutoff — the step that turns
+    importance scores into an actual training subset.
+
+    Deliberately threshold-based, not rank-based: a global
+    row_number/ntile over the corpus would funnel every row through one
+    sort partition, while the cutoff is ONE tiny aggregate broadcast
+    back into a map-side filter — the same two-phase shape as the q92
+    domain gate. The cutoff uses the exact interpolated percentile
+    (bit-parity with quantile_cont, q101's result); docs exactly AT the
+    cutoff are kept, so the decision is a pure deterministic function of
+    the score distribution.
+    """
+    scored = q99_dsir_importance(spark, sf_dir).localCheckpoint(eager=True)
+    cutoff = scored.agg(
+        F.expr(f"percentile(importance, {DSIR_KEEP_QUANTILE})").alias("cut")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("importance") >= F.col("cut"))
+        .select("doc_id", "n_toks", "importance")
+        .orderBy("doc_id")
+    )
+
+
+_Q99_BODY = Q99_SQL.replace("ORDER BY o.doc_id", "")
+Q116_SQL = f"""
+WITH scored AS ({_Q99_BODY}),
+cutoff AS (
+  SELECT quantile_cont(importance, {DSIR_KEEP_QUANTILE}) AS cut FROM scored
+)
+SELECT s.doc_id, s.n_toks, s.importance
+FROM scored s CROSS JOIN cutoff c
+WHERE s.importance >= c.cut
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
     "q77_split_assign": QuerySpec(
         q77_split_assign, Q77_SQL, "deterministic hash train/valid/test split"
@@ -840,5 +884,10 @@ QUERIES = {
     ),
     "q99_dsir_importance": QuerySpec(
         q99_dsir_importance, Q99_SQL, "DSIR hashed-unigram importance weighting"
+    ),
+    "q116_dsir_resample": QuerySpec(
+        q116_dsir_resample,
+        Q116_SQL,
+        "DSIR selection applied: percentile-cutoff keep set (broadcast gate)",
     ),
 }

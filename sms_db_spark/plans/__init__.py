@@ -110,6 +110,7 @@ _CHANGED_THIS_ROUND = [
     "q113_asof_cogroup",
     "q114_heavy_hitters",
     "q115_session_window",
+    "q116_dsir_resample",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as
