@@ -787,6 +787,81 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ------------------------------------------------------------------ q117
+
+
+def q117_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end: q107's blocked-Levenshtein linkage
+    pairs → transitive closure via the q83 star-contraction loop → one
+    canonical record per entity (longest text, doc_id tie-break) with
+    the entity's member count. The full record-linkage pipeline the
+    reference's exact-hash dedup (sms-db.pl:325-331) is the degenerate
+    case of: block, verify, cluster, canonicalize.
+
+    Scale: each stage reuses an already-audited shape — capped block
+    pairs (q107), O(log n) star rounds each one window shuffle (q83),
+    and one per-cluster window for the pick (q97).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = q107_blocked_levenshtein(spark, sf_dir).select("doc_a", "doc_b")
+    edges = _oriented(pairs, "doc_b", "doc_a").localCheckpoint(eager=True)
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(F.count(F.lit(1)), F.sum("src"), F.sum("dst")).first()
+        return tuple(row)
+
+    prev = checksum(edges)
+    for _ in range(15):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    labels = edges.groupBy("src").agg(F.min("dst").alias("lab"))
+    clustered = docs.join(labels, docs.doc_id == labels.src, "left").select(
+        "doc_id", "n_chars", F.coalesce("lab", "doc_id").alias("entity_id")
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        clustered.withColumn("rn", F.row_number().over(w))
+        .withColumn("entity_size", F.count(F.lit(1)).over(Window.partitionBy("entity_id")))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", "entity_size", F.col("doc_id").alias("rep_doc_id"))
+        .orderBy("entity_id")
+    )
+
+
+def _q117_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({Q107_SQL.replace("ORDER BY doc_a, doc_b", "")}),
+bi AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT bi.dst, reach.lab FROM reach JOIN bi ON reach.doc_id = bi.src
+),
+clusters AS (
+  SELECT doc_id, min(lab) AS entity_id FROM reach GROUP BY doc_id
+)
+SELECT entity_id, CAST(entity_size AS BIGINT) AS entity_size, rep_doc_id
+FROM (
+  SELECT c.entity_id, d.doc_id AS rep_doc_id,
+         count(*) OVER (PARTITION BY c.entity_id) AS entity_size,
+         row_number() OVER (PARTITION BY c.entity_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+WHERE rn = 1
+ORDER BY entity_id
+"""
+
+
 QUERIES = {
     "q44_minhash_signatures": QuerySpec(
         q44_minhash_signatures, Q44_SQL, "MinHash banded signatures"
@@ -821,5 +896,10 @@ QUERIES = {
         q112_containment_pairs,
         Q112_SQL,
         "asymmetric containment (quote/subset detection) over LSH candidates",
+    ),
+    "q117_entity_resolution": QuerySpec(
+        q117_entity_resolution,
+        _q117_sql(),
+        "entity resolution: lev pairs → star closure → canonical record",
     ),
 }

@@ -111,6 +111,7 @@ _CHANGED_THIS_ROUND = [
     "q114_heavy_hitters",
     "q115_session_window",
     "q116_dsir_resample",
+    "q117_entity_resolution",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as
