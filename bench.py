@@ -68,6 +68,7 @@ HEADLINE = [
     "q102_hll_registers",
     "q104_count_min",
     "q111_reconcile_full_outer",
+    "q114_heavy_hitters",
 ]
 
 BEST_OF = 3
