@@ -503,7 +503,10 @@ def q114_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail's occurrences, not the vocabulary's.
     """
     docs = load_table_parallel(spark, sf_dir, "documents")
-    grams = _gram_rows(docs)
+    # the gram relation feeds the sketch build, the vocab probe AND the
+    # exact verify — materialize the shingle explode once (same
+    # compute-once discipline as q73's candidate table)
+    grams = _gram_rows(docs).localCheckpoint(eager=True)
     rows = F.sequence(F.lit(0), F.lit(CMS_D - 1))
     cells = (
         grams.select("gram", F.explode(rows).alias("r"))
