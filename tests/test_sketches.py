@@ -110,3 +110,13 @@ def test_sketch_plans_jvm_side_bounded_shuffles(spark):
         p = plan(spark, name)
         assert "BatchEvalPython" not in p, name  # no row-at-a-time Python
         assert n_exchanges(p) <= max_ex, (name, n_exchanges(p), p)
+
+
+def test_session_window_matches_manual_sessionization(spark):
+    # q115 (native session_window) and q32 (manual lag/cumsum) implement
+    # the same 30-min-gap contract — session COUNTS must agree exactly
+    from sms_db_spark.plans.compat_queries import q32_sessionize, q115_session_window
+
+    native = q115_session_window(spark, SF_DIR).count()
+    manual = q32_sessionize(spark, SF_DIR).count()
+    assert native == manual > 0
