@@ -787,6 +787,102 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ------------------------------------------------------------------ q118
+
+
+def q118_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as an ESTIMATOR, audited: for every LSH candidate pair,
+    the signature-agreement estimate of Jaccard (matching coordinates /
+    NUM_HASHES) next to the exact shingle-set Jaccard and the absolute
+    error — the similarity-domain counterpart of q103's HLL
+    estimate-vs-exact row. This is the number that justifies the whole
+    minhash family: the estimate is what candidate generation (q45/q73)
+    implicitly trusts, and here its error is a first-class, oracle-
+    checked output.
+
+    Scale shape: q73's verify discipline verbatim (candidates only,
+    per-doc arrays computed once behind a checkpoint, plain equi-joins);
+    the signature fold is the same map-side aggregate as q44, evaluated
+    only for colliding docs.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_bands(spark, sf_dir)).localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingles_col(_tokens_col())
+    bases = F.transform(sh, lambda s: _base30(s))
+    mins = F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
+        lambda j: F.aggregate(
+            bases,
+            F.lit(MINHASH_P).cast("bigint"),
+            lambda m, b: F.least(m, ((2 * j + 1) * b + 7919 * j) % MINHASH_P),
+        ),
+    )
+    cand = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", sh.alias("sh"), mins.alias("mins"))
+        .localCheckpoint(eager=True)
+        .filter(F.size(F.col("sh")) > 0)
+    )
+    a = cand.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("mins").alias("m_a")
+    )
+    b = cand.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("mins").alias("m_b")
+    )
+    matches = F.size(
+        F.filter(F.zip_with("m_a", "m_b", lambda x, y: x == y), lambda v: v)
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(NUM_HASHES))).alias("est_jaccard"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("jaccard")))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+Q118_SQL = f"""
+WITH bands AS ({_BANDS_SQL}),
+pairs AS ({_pairs_sql()}),
+sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, {NUM_HASHES}), j ->
+           list_min(list_transform(shingles, s ->
+             ((2*j + 1) * (('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P})
+              + 7919*j) % {MINHASH_P}))) AS mins
+  FROM sh WHERE len(shingles) > 0
+),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_filter(range(1, {NUM_HASHES + 1}),
+                              i -> sa.mins[i] = sb.mins[i])) AS DOUBLE)
+           / {float(NUM_HASHES)} AS est_jaccard,
+         CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+           / CAST(len(sa.shingles) + len(sb.shingles)
+                  - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+                  AS DOUBLE) AS jaccard
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.doc_a
+  JOIN sigs sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard, jaccard, abs(est_jaccard - jaccard) AS abs_err
+FROM scored ORDER BY doc_a, doc_b
+"""
+
+
 # ------------------------------------------------------------------ q117
 
 
@@ -901,5 +997,10 @@ QUERIES = {
         q117_entity_resolution,
         _q117_sql(),
         "entity resolution: lev pairs → star closure → canonical record",
+    ),
+    "q118_minhash_estimate_vs_exact": QuerySpec(
+        q118_minhash_estimate_vs_exact,
+        Q118_SQL,
+        "minhash Jaccard estimate audited against exact, per candidate pair",
     ),
 }

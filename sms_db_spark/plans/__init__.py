@@ -112,6 +112,7 @@ _CHANGED_THIS_ROUND = [
     "q115_session_window",
     "q116_dsir_resample",
     "q117_entity_resolution",
+    "q118_minhash_estimate_vs_exact",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as
