@@ -113,6 +113,7 @@ _CHANGED_THIS_ROUND = [
     "q116_dsir_resample",
     "q117_entity_resolution",
     "q118_minhash_estimate_vs_exact",
+    "q119_star_join",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as

@@ -1649,6 +1649,75 @@ ORDER BY user_id, session_start_us
 """
 
 
+# --- q119: TPC-H Q5-shape star join -------------------------------------------
+
+
+def q119_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical OLAP star shape (TPC-H Q5): fact table (lineitem)
+    joined through orders/customer/supplier into the nation/region
+    dimension chain, with the local-supplier predicate (customer and
+    supplier in the same nation), a region filter, and a date-range
+    filter — revenue per nation.
+
+    Scale shape: Catalyst broadcast-chains every dimension (region →
+    nation → the join keys are all tiny) so the fact table is never
+    shuffled FOR A DIM; the only corpus-sized movements are the
+    lineitem⋈orders and ⋈supplier equi-joins on uniform keys and the
+    final small groupBy. Selective predicates (region, date window)
+    reach the scans via pushdown — the plan Spark's optimizer exists to
+    produce, asserted in tests.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q119_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q01_eq_filter_sort": QuerySpec(q01_eq_filter_sort, Q01_SQL, "Q1 querying.md:13"),
     "q02_like_prefix": QuerySpec(q02_like_prefix, Q02_SQL, "Q2 querying.md:17"),
@@ -1715,5 +1784,8 @@ QUERIES: dict[str, QuerySpec] = {
         q115_session_window,
         Q115_SQL,
         "native session_window vs gaps-and-islands oracle",
+    ),
+    "q119_star_join": QuerySpec(
+        q119_star_join, Q119_SQL, "TPC-H Q5-shape star join (broadcast dim chain)"
     ),
 }

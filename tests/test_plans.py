@@ -447,3 +447,14 @@ def test_q111_full_outer_is_sort_merge_on_prejoined_aggregates(spark):
     # the multi-line fan-in; joining raw lines then aggregating would
     # shuffle |lineitem| rows into the join)
     assert p.index("HashAggregate") < p.index("SortMergeJoin"), p
+
+
+def test_q119_star_join_broadcast_dims_pushed_filters(spark):
+    """Star join: every dimension broadcasts (the fact table is never
+    shuffled for a dim), and the selective region/date predicates reach
+    their scans."""
+    p = plan(spark, "q119_star_join")
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p, p
+    assert "EqualTo(r_name,ASIA)" in p, p
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
