@@ -785,10 +785,155 @@ ORDER BY x.query_id
 """
 
 
+# ------------------------------------------------------------------ q121
+
+
+def q121_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q120's recall audit applied to the IVF path (q51's exact probe
+    mechanics: N_PROBE nearest centroid lists): the companion number
+    that shows whether multi-probe fixes what single-bucket LSH loses.
+    Queries match q51 (vec_id < 10), k matches q51's top-5.
+
+    Probing 2 of 16 lists scans ~1/8 of the corpus per query, so the
+    ceiling is bounded by how often true neighbors land in the query's
+    top-2 lists — the recall/scan-fraction trade is the tunable, and
+    this query is its measurement.
+    """
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", cosine("embedding", "c_emb").alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
+            F.first("embedding").alias("c_emb2"),
+        )
+        .select("vec_id", F.col("c_emb2").alias("embedding"), "cid")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("q_sim").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "q_emb", "cid", cosine("q_emb", "c_emb").alias("q_sim"))
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", "q_emb", "cid")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    approx = (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("q_emb", "embedding").alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RECALL_K)
+        .select("query_id", F.col("neighbor_id").alias("approx_id"))
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    exact = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.approx_id),
+        "left_semi",
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(RECALL_K))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+Q121_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, q_emb, cid FROM (
+    SELECT q.query_id, q.q_emb, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_cos('q.q_emb', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {N_PROBE}
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {_sql_cos('p.q_emb', 'a.embedding')} DESC, a.vec_id) AS rank
+    FROM probes p JOIN assigned a USING (cid)
+    WHERE p.query_id <> a.vec_id
+  ) WHERE rank <= {RECALL_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_cos('q.q_emb', 'e.embedding')} DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e WHERE q.query_id <> e.vec_id
+  ) WHERE rank <= {RECALL_K}
+)
+SELECT x.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(RECALL_K)} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) x
+LEFT JOIN (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+) h ON x.query_id = h.query_id
+ORDER BY x.query_id
+"""
+
+
 QUERIES = {
     "q48_ann_bruteforce_topk": QuerySpec(q48_ann_bruteforce_topk, Q48_SQL, "exact cosine top-k"),
     "q120_ann_recall": QuerySpec(
         q120_ann_recall, Q120_SQL, "recall@k audit of the sign-LSH ANN path vs exact"
+    ),
+    "q121_ivf_recall": QuerySpec(
+        q121_ivf_recall, Q121_SQL, "recall@k audit of the IVF multi-probe path vs exact"
     ),
     "q49_ann_lsh_topk": QuerySpec(q49_ann_lsh_topk, Q49_SQL, "sign-LSH bucketed top-k"),
     "q50_embedding_neardup": QuerySpec(q50_embedding_neardup, Q50_SQL, "cosine near-dup pairs"),
