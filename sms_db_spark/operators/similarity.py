@@ -927,8 +927,131 @@ ORDER BY x.query_id
 """
 
 
+# ------------------------------------------------------------------ q122
+
+
+def q122_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fix q120's audit demands, audited: multi-probe sign-LSH —
+    each query searches its own bucket PLUS the N_PLANES Hamming-1
+    neighbor buckets (one sign bit flipped), the standard multi-probe
+    LSH move. Probing 9 of 256 buckets (~3.5% of the corpus) recovers
+    most of what single-probe loses, and this query emits the same
+    per-query recall rows as q120/q121 so the three configurations form
+    one measured recall/scan-fraction curve.
+
+    Scale: identical plan shape to q49 — the probe table is 9×|queries|
+    rows and broadcasts; each corpus vector still lives in exactly one
+    bucket, so candidates are naturally deduplicated and candidate
+    selection stays an equi-join.
+    """
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _bucket("embedding").alias("bucket"),
+    )
+    probes = q.select(
+        "query_id",
+        "q_emb",
+        F.explode(
+            F.expr(
+                f"concat(array(bucket), transform(sequence(0, {N_PLANES - 1}),"
+                f" i -> bucket ^ shiftleft(CAST(1 AS BIGINT), i)))"
+            )
+        ).alias("probe_bucket"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _bucket("embedding").alias("c_bucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    approx = (
+        F.broadcast(probes)
+        .join(cand, probes.probe_bucket == cand.c_bucket)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RECALL_K)
+        .select("query_id", F.col("neighbor_id").alias("approx_id"))
+    )
+    exact = (
+        F.broadcast(q.select("query_id", "q_emb"))
+        .crossJoin(cand.select("neighbor_id", "c_emb"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.approx_id),
+        "left_semi",
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(RECALL_K))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+Q122_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET.format(col='embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < {RECALL_QUERIES}),
+probes AS (
+  SELECT query_id, q_emb, unnest(list_concat([bucket],
+           list_transform(range(0, {N_PLANES}), i -> xor(bucket, 1::BIGINT << i)))) AS probe_bucket
+  FROM q
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {_sql_cos('p.q_emb', 'e.embedding')} DESC, e.vec_id) AS rank
+    FROM probes p JOIN b e ON p.probe_bucket = e.bucket
+    WHERE p.query_id <> e.vec_id
+  ) WHERE rank <= {RECALL_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_cos('q.q_emb', 'e.embedding')} DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e WHERE q.query_id <> e.vec_id
+  ) WHERE rank <= {RECALL_K}
+)
+SELECT x.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(RECALL_K)} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) x
+LEFT JOIN (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+) h ON x.query_id = h.query_id
+ORDER BY x.query_id
+"""
+
+
 QUERIES = {
     "q48_ann_bruteforce_topk": QuerySpec(q48_ann_bruteforce_topk, Q48_SQL, "exact cosine top-k"),
+    "q122_multiprobe_recall": QuerySpec(
+        q122_multiprobe_recall, Q122_SQL, "multi-probe sign-LSH recall@k (Hamming-1 probes)"
+    ),
     "q120_ann_recall": QuerySpec(
         q120_ann_recall, Q120_SQL, "recall@k audit of the sign-LSH ANN path vs exact"
     ),

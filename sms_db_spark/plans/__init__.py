@@ -116,6 +116,7 @@ _CHANGED_THIS_ROUND = [
     "q119_star_join",
     "q120_ann_recall",
     "q121_ivf_recall",
+    "q122_multiprobe_recall",
     # NULL-orderdate guard added to the union-sort as-of join
     "q33_asof_join",
     # events.ts load path rewritten (runtime reads parquet NANOS as
