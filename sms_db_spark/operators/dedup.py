@@ -722,13 +722,19 @@ def q107_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     leading shingle; in-block pair expansion is capped at
     LEV_BLOCK_CAP², and the O(len²) Levenshtein DP only ever sees
     LEV_PREFIX_CHARS-char prefixes of docs that already share their
-    opening shingle — never the corpus cross product. Both engines
-    compute unbounded levenshtein() on the same truncated UTF-8 text,
-    so distances agree exactly.
+    opening shingle — never the corpus cross product.
+
+    Engine-parity constraint: Spark's levenshtein counts Unicode code
+    points while DuckDB's walks UTF-8 bytes, so on non-ASCII text the
+    same pair gets two different distances. The head window is therefore
+    ASCII-projected (non-ASCII chars stripped IDENTICALLY in both
+    engines) before the distance — making the metric engine-portable by
+    construction, not by luck of an ASCII corpus. Block keys stay
+    un-stripped: exact string equality agrees across engines regardless.
     """
     docs = load_table_parallel(spark, sf_dir, "documents")
     toks = _tokens_col()
-    norm = F.concat_ws(" ", toks)
+    norm = F.regexp_replace(F.concat_ws(" ", toks), r"[^\x20-\x7e]", "")
     blocked = (
         docs.filter(F.size(toks) >= 3)
         .select(
@@ -769,7 +775,8 @@ Q107_SQL = f"""
 WITH blocked AS (
   SELECT doc_id,
          tokens[1] || ' ' || tokens[2] || ' ' || tokens[3] AS block,
-         substr(array_to_string(tokens, ' '), 1, {LEV_PREFIX_CHARS}) AS head
+         substr(regexp_replace(array_to_string(tokens, ' '), '[^\\x20-\\x7e]', '', 'g'),
+                1, {LEV_PREFIX_CHARS}) AS head
   FROM (SELECT doc_id, {_NORM_TOKENS} AS tokens FROM documents)
   WHERE len(tokens) >= 3
 ), capped AS (

@@ -143,7 +143,12 @@ def q103_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct count — the |estimate/exact - 1| error is the judge-visible
     accuracy check. Integer-scaled arithmetic end to end: the only double
     ops are one division and (in the correction branch) one ln, performed
-    identically in both engines on exact integer inputs."""
+    identically in both engines on exact integer inputs. The ln leans on
+    JVM Math.log vs DuckDB libm agreeing at the emitted rounding — a
+    1-ulp divergence near a .5 boundary is theoretically possible, so the
+    correction branch is pinned cross-engine by
+    tests/test_sketches.py::test_hll_linear_counting_branch_cross_engine
+    on a fixture that actually fires it (dormant on the shipped data)."""
     regs = hll_registers(spark, sf_dir)
     folded = regs.agg(
         F.sum(

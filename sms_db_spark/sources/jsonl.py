@@ -16,7 +16,7 @@ stack actually consumes.
 
 from __future__ import annotations
 
-import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,11 +70,18 @@ def q108_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shard, the read is one task per shard; nothing ever collects.
     """
     docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(), "sms_db_spark_jsonl", os.path.basename(sf_dir.rstrip("/"))
-    )
-    write_jsonl(docs, path, shards=8)
-    return read_jsonl(spark, path).orderBy("doc_id")
+    # Unique per-run directory: a fixed shared path races when two runs
+    # (bench + gate, or two drivers on one host) overlap — one's write
+    # clobbers the other's read. mkdtemp gives an unshared dir; the eager
+    # localCheckpoint below materializes the read-back BEFORE we delete
+    # it, so the returned frame is self-contained and nothing leaks.
+    path = tempfile.mkdtemp(prefix="sms_db_spark_jsonl_")
+    try:
+        write_jsonl(docs, path, shards=8)
+        back = read_jsonl(spark, path).orderBy("doc_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return back
 
 
 Q108_SQL = """

@@ -74,12 +74,22 @@ def stream_hll(
     def update(batch_df: DataFrame, batch_id: int) -> None:
         regs = batch_registers(batch_df)
         sess = batch_df.sparkSession
-        if os.path.exists(current):
+        # Hadoop FS API (not os.path): register_dir may live on HDFS/S3A
+        # in a real deployment; the driver-local filesystem check would
+        # silently report "absent" there and reset the sketch.
+        jvm = sess._jvm
+        hconf = sess._jsc.hadoopConfiguration()
+        cur_path = jvm.org.apache.hadoop.fs.Path(current)
+        fs = cur_path.getFileSystem(hconf)
+        if fs.exists(cur_path):
             regs = merge_registers(sess.read.parquet(current), regs)
         # write-new-then-swap keeps readers consistent; 2^p rows, driver-cheap
         staged = os.path.join(register_dir, f"batch-{batch_id}")
         regs.coalesce(1).write.mode("overwrite").parquet(staged)
         sess.read.parquet(staged).write.mode("overwrite").parquet(current)
+        # drop the staged snapshot once swapped — otherwise one dir per
+        # microbatch accumulates under register_dir without bound
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
 
     stream = spark.readStream.schema(DOC_BATCH_SCHEMA).parquet(drop_dir)
     return (

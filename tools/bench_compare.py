@@ -57,7 +57,10 @@ def main() -> int:
         print(f"added ({len(added)}): {sum(nq[q] for q in added):.2f}s  {added}")
     if removed:
         print(f"removed ({len(removed)}): {removed}")
-    print(f"totals: {old['value']:.2f}s -> {new['value']:.2f}s")
+    # artifacts with per-query timings but no precomputed total still diff
+    ot = old.get("value", sum(oq.values()))
+    nt = new.get("value", sum(nq.values()))
+    print(f"totals: {ot:.2f}s -> {nt:.2f}s")
     return 1 if regressions else 0
 
 
