@@ -6,12 +6,14 @@ staging frames in sources/demo.py (schemas per FIXTURES.md — the same
 fixtures the golden tests assert row-by-row against hand-derived
 reference behavior). They ignore sf_dir: their inputs are importer
 staging shapes (XML attribute frames, Bugle/Signal SQLite tables), which
-do not exist among the oracle's TPC-H-ish views — so no oracle_sql twin
-is possible and the driver records the weaker rows-only check. The
-strong correctness evidence for these paths lives in
-tests/test_importers.py (golden rows incl. hash values and counters),
-tests/test_export_roundtrip.py (import -> export -> re-import == 0 new
-rows), and tests/test_hashing.py (byte parity with the Perl recipe).
+do not exist among the oracle's TPC-H-ish views — so each oracle_sql()
+twin is instead a literal golden-VALUES table (the fixture outputs are
+fixed rows; see the oracles section at the bottom), putting the importer
+dataflows under the driver's full hash-checked gate. Complementary
+evidence lives in tests/test_importers.py (golden rows incl. hash values
+and counters), tests/test_export_roundtrip.py (import -> export ->
+re-import == 0 new rows), and tests/test_hashing.py (byte parity with
+the Perl recipe).
 """
 
 from __future__ import annotations
@@ -220,16 +222,157 @@ FROM staged GROUP BY msg_box ORDER BY msg_box
 """
 
 
+# ---------------------------------------------------------------- oracles
+#
+# The importer queries' inputs are the deterministic demo fixtures, so the
+# expected output is a FIXED row set — and oracle_sql() is arbitrary DuckDB
+# SQL, so the oracle can be the golden rows themselves as a literal VALUES
+# table (no registered view needed). This upgrades q60-q65 from the weak
+# rows-only check to the full hash-checked gate: the driver now proves the
+# importer dataflows byte-for-byte against the same golden rows the unit
+# tests pin (tests/test_importers.py), through its own independent compare.
+# The rows below are the hand-derived reference behavior of sms-db.pl over
+# FIXTURES.md; if a normalizer changes, BOTH this oracle and the golden
+# tests must be re-derived — that friction is the point of a golden pin.
+
+
+def _values_sql(cols: list[tuple[str, str]], rows: list[tuple]) -> str:
+    """Render golden rows as `SELECT casts FROM (VALUES ...)` DuckDB SQL."""
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    body = ",\n  ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    names = ", ".join(f'"{n}"' for n, _ in cols)
+    casts = ", ".join(f'CAST("{n}" AS {t}) AS "{n}"' for n, t in cols)
+    return f'SELECT {casts} FROM (VALUES\n  {body}\n) AS t({names})'
+
+
+_MSG_COLS = [
+    ("local_id", "BIGINT"),
+    ("timestamp", "BIGINT"),
+    ("sender_address", "VARCHAR"),
+    ("sender_name", "VARCHAR"),
+    ("recipient_address", "VARCHAR"),
+    ("recipient_name", "VARCHAR"),
+    ("msg_box", "INTEGER"),
+    ("message_type", "INTEGER"),
+    ("source_format", "INTEGER"),
+]
+
+Q60_GOLDEN = [
+    (0, 1577836800000, "+15550001111", "Alice", "<SELF>", "<SELF>", 1, 0, 0),
+    (2, 1577836900000, "<SELF>", "<SELF>", "+15550001111", "Alice", 2, 0, 0),
+    (4, 1577837000000, "+15550002222", "Bob", "<SELF>", "<SELF>", 1, 0, 0),
+    (1, 1577840000000, "+15550003333", "Carol", "+15559998888,+15559997777", "<SELF>", 1, 1, 0),
+    (3, 1577841000000, "<SELF>", "<SELF>", "+15550004444,+15550004444,+15550009999", "Dave", 2, 1, 0),
+]
+
+Q61_GOLDEN = [
+    (1, 1600000000000, "+15551110000", "Eve", "<SELF>", "<SELF>", 1, 0, 1),
+    (2, 1600000100000, "+15552220000", "<UNAVAILABLE>", "+15552220000", "NoName", 2, 0, 1),
+    (3, 1600000200000, "+15551110000", "Eve", "+15551110000,+15552220000,+15553330000", "The Gang", 2, 1, 1),
+]
+
+Q62_GOLDEN = [
+    (2, 1610000000000, "+15556660000", "Grace", "<SELF>", "<SELF>", 1, 0, 2, 4),
+    (4, 1610000100000, "<SELF>", "<SELF>", "+15557770000", "<UNAVAILABLE>", 2, 0, 2, 4),
+    (3, 1610001000000, "+15556660000", "Grace", "<SELF>", "<SELF>", 1, 1, 2, 4),
+    (5, 1610002000000, "<SELF>", "<SELF>", "+15556660000,+15558880000", "Grace,Heidi", 2, 1, 2, 4),
+]
+
+_Q63_COLS = [
+    ("_id", "INTEGER"),
+    *_MSG_COLS[1:],
+    ("hash", "VARCHAR"),
+    ("stat_total", "INTEGER"),
+    ("stat_inserted", "INTEGER"),
+    ("stat_duplicates", "INTEGER"),
+    ("stat_ignored", "INTEGER"),
+]
+
+Q63_GOLDEN = [
+    (1, 1577836800000, "+15550001111", "Alice", "<SELF>", "<SELF>", 1, 0, 0,
+     "e84c9372bae0ff20699afe5a28630bb41c606775dbc5c404755cfcd2d2ceb21b", 16, 12, 0, 4),
+    (2, 1577840000000, "+15550003333", "Carol", "+15559998888,+15559997777", "<SELF>", 1, 1, 0,
+     "8881d01969079538e3ee6d84a2ace01bd69edff52dafc74c70e0b2fd13d64d7d", 16, 12, 0, 4),
+    (3, 1577836900000, "<SELF>", "<SELF>", "+15550001111", "Alice", 2, 0, 0,
+     "05a0a703f9ad02513bbb1b7fa6eea886813051a71909afaefb23fc5bb26f13c3", 16, 12, 0, 4),
+    (4, 1577841000000, "<SELF>", "<SELF>", "+15550004444,+15550004444,+15550009999", "Dave", 2, 1, 0,
+     "46484f95fec9761a8f2dd89d4493c166bb57071bcabafb6bd1b552098e60bfd0", 16, 12, 0, 4),
+    (5, 1577837000000, "+15550002222", "Bob", "<SELF>", "<SELF>", 1, 0, 0,
+     "38d78e12f8265c50628fb0440ea4243178fad4c9110ec036d4da0df56ee5f76d", 16, 12, 0, 4),
+    (6, 1600000000000, "+15551110000", "Eve", "<SELF>", "<SELF>", 1, 0, 1,
+     "4ada72ccf1c2a5c0741ac39941acd0c0622b6685ba5cb89661705598dc8a3b99", 16, 12, 0, 4),
+    (7, 1600000100000, "+15552220000", "<UNAVAILABLE>", "+15552220000", "NoName", 2, 0, 1,
+     "4bd92815f3e0e96f40b8baa419dbf40fb250da1f634fc3dfef73c4004e73000e", 16, 12, 0, 4),
+    (8, 1600000200000, "+15551110000", "Eve", "+15551110000,+15552220000,+15553330000", "The Gang", 2, 1, 1,
+     "0ff892d6b2375175ba97480608659332e41d820d2b5a52e22a6f3352cad5540e", 16, 12, 0, 4),
+    (9, 1610000000000, "+15556660000", "Grace", "<SELF>", "<SELF>", 1, 0, 2,
+     "8ed8470c35c98d753d7cf4b5fe09091e18532f4e6091877dbdb477dd1990e8d2", 16, 12, 0, 4),
+    (10, 1610001000000, "+15556660000", "Grace", "<SELF>", "<SELF>", 1, 1, 2,
+     "6469b065524cdc7e564e032a8f388b4cf42c3a944f31a3a77a2b02d28c2bf717", 16, 12, 0, 4),
+    (11, 1610000100000, "<SELF>", "<SELF>", "+15557770000", "<UNAVAILABLE>", 2, 0, 2,
+     "97174636f09ec118789e1da327502dd1c1926673ec250acf16d30a78c0f56a3b", 16, 12, 0, 4),
+    (12, 1610002000000, "<SELF>", "<SELF>", "+15556660000,+15558880000", "Grace,Heidi", 2, 1, 2,
+     "87ed289b65e94b4f4450775e8eafaad6da8d426dfc74ad12ce991a00f6a50f01", 16, 12, 0, 4),
+]
+
+Q64_GOLDEN = [
+    ("+15550001111", 1577836800000, 1, "hi there"),
+    ("+15550001111", 1577836900000, 2, "hello back ünïcödé"),
+    ("+15550002222", 1577837000000, 1, "lunch?"),
+]
+
+Q65_GOLDEN = [
+    (1577836800000, "Alice", "hi there"),
+    (1577836900000, "<SELF>", "hello back ünïcödé"),
+    (1577837000000, "Bob", "lunch?"),
+    (1577840000000, "Carol", "photo attached"),
+    (1577841000000, "<SELF>", "see you"),
+]
+
 # q69/q65 first: the two entries with no row in CORRECTNESS_r01.json
 # (the driver's gate ran out of budget mid-module) — see plans.registry().
 QUERIES = {
     "q69_import_scale": QuerySpec(
         q69_import_scale, Q69_SQL, "bench-scale import hash+dedup dataflow"
     ),
-    "q65_sql_verbatim": QuerySpec(q65_sql_verbatim, None, "ad-hoc SQL surface (E3)"),
-    "q60_import_xml": QuerySpec(q60_import_xml, None, "XML importer dataflow"),
-    "q61_import_bugle": QuerySpec(q61_import_bugle, None, "Bugle importer dataflow"),
-    "q62_import_signal": QuerySpec(q62_import_signal, None, "Signal importer dataflow"),
-    "q63_import_pipeline": QuerySpec(q63_import_pipeline, None, "full import lifecycle"),
-    "q64_export_frame": QuerySpec(q64_export_frame, None, "ordered SMS export frame"),
+    "q65_sql_verbatim": QuerySpec(
+        q65_sql_verbatim,
+        _values_sql([("timestamp", "BIGINT"), ("sender_name", "VARCHAR"), ("text", "VARCHAR")], Q65_GOLDEN),
+        "ad-hoc SQL surface (E3), golden-VALUES oracle",
+    ),
+    "q60_import_xml": QuerySpec(
+        q60_import_xml,
+        _values_sql(_MSG_COLS, Q60_GOLDEN),
+        "XML importer dataflow, golden-VALUES oracle",
+    ),
+    "q61_import_bugle": QuerySpec(
+        q61_import_bugle,
+        _values_sql(_MSG_COLS, Q61_GOLDEN),
+        "Bugle importer dataflow, golden-VALUES oracle",
+    ),
+    "q62_import_signal": QuerySpec(
+        q62_import_signal,
+        _values_sql(_MSG_COLS + [("ignored_count", "INTEGER")], Q62_GOLDEN),
+        "Signal importer dataflow, golden-VALUES oracle",
+    ),
+    "q63_import_pipeline": QuerySpec(
+        q63_import_pipeline,
+        _values_sql(_Q63_COLS, Q63_GOLDEN),
+        "full import lifecycle, golden-VALUES oracle (incl. reference hash bytes)",
+    ),
+    "q64_export_frame": QuerySpec(
+        q64_export_frame,
+        _values_sql(
+            [("address", "VARCHAR"), ("date", "BIGINT"), ("type", "INTEGER"), ("body", "VARCHAR")],
+            Q64_GOLDEN,
+        ),
+        "ordered SMS export frame, golden-VALUES oracle",
+    ),
 }
