@@ -537,7 +537,13 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       - the verdict join is a left join on vec_id against the (tiny)
         removed-id set — no broadcast of an unbounded pair list.
 
-    Output: every vector with its cluster and a kept/pruned verdict.
+    Output: every vector with its cluster, a kept/pruned verdict, and the
+    cluster's truncated-member count. No silent caps: members ranked past
+    SEMDEDUP_MAX_CLUSTER are never compared, so their kept=true is "not
+    examined", not "examined and unique" — `cluster_truncated` makes that
+    coverage bound a first-class, queryable column (mirroring the LSH
+    hot-bucket logging); an operator run reporting sum(cluster_truncated)
+    > 0 is the signal to grow N_CENTROIDS.
     """
     emb = load_table_parallel(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
@@ -568,9 +574,22 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("pruned", F.lit(1))
     )
+    # per-cluster coverage report: members beyond the cap were never
+    # compared — K rows, broadcast-joined back onto the verdict
+    truncs = assigned.groupBy("cid").agg(
+        F.greatest(
+            F.count(F.lit(1)) - F.lit(SEMDEDUP_MAX_CLUSTER), F.lit(0).cast("long")
+        ).alias("cluster_truncated")
+    )
     return (
         assigned.join(removed, "vec_id", "left")
-        .select("vec_id", "cid", F.col("pruned").isNull().alias("kept"))
+        .join(F.broadcast(truncs), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("pruned").isNull().alias("kept"),
+            "cluster_truncated",
+        )
         .orderBy("vec_id")
     )
 
@@ -605,9 +624,15 @@ removed AS (
   SELECT DISTINCT b.vec_id
   FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.vec_id < b.vec_id
   WHERE {_sql_dot('a.unit', 'b.unit')} >= {SEMDEDUP_THRESHOLD}
+),
+truncs AS (
+  SELECT cid, greatest(COUNT(*) - {SEMDEDUP_MAX_CLUSTER}, 0) AS cluster_truncated
+  FROM assigned GROUP BY cid
 )
-SELECT s.vec_id, s.cid, (r.vec_id IS NULL) AS kept
-FROM assigned s LEFT JOIN removed r ON s.vec_id = r.vec_id
+SELECT s.vec_id, s.cid, (r.vec_id IS NULL) AS kept, t.cluster_truncated
+FROM assigned s
+LEFT JOIN removed r ON s.vec_id = r.vec_id
+JOIN truncs t ON s.cid = t.cid
 ORDER BY s.vec_id
 """
 

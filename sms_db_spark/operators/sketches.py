@@ -501,16 +501,19 @@ def q114_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline (q73): sketch to bound the candidates, exact measure on
     survivors only.
 
-    Scale shape: the sketch pass collapses to d·w cells map-side; the
-    estimate join is vocab-sized rows against a broadcast sketch; the
-    exact pass shuffles ONLY candidate-gram occurrences (left_semi prune
-    before the groupBy), so the corpus-sized shuffle carries the heavy
-    tail's occurrences, not the vocabulary's.
+    Scale shape — NO vocab-sized exchange anywhere (the r3 watch item):
+    the probe never enumerates distinct grams. min(cells) >= T is
+    equivalent to EVERY one of the d cells >= T, so candidacy is d
+    map-side broadcast left-semi joins of the raw occurrence stream
+    against the per-row heavy-bucket sets (<= d·w rows each — sketch
+    state, not vocabulary). At 100 TB the only corpus-sized shuffle left
+    is the exact groupBy over surviving occurrences, i.e. the heavy
+    tail's rows; the vocabulary never keys a shuffle at all.
     """
     docs = load_table_parallel(spark, sf_dir, "documents")
-    # the gram relation feeds the sketch build, the vocab probe AND the
-    # exact verify — materialize the shingle explode once (same
-    # compute-once discipline as q73's candidate table)
+    # the gram relation feeds the sketch build AND the exact verify —
+    # materialize the shingle explode once (same compute-once discipline
+    # as q73's candidate table)
     grams = _gram_rows(docs).localCheckpoint(eager=True)
     rows = F.sequence(F.lit(0), F.lit(CMS_D - 1))
     cells = (
@@ -524,26 +527,23 @@ def q114_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).alias("cell"))
+        # cells is re-read d times (one heavy-bucket broadcast per hash
+        # row); pin the d·w-cell state so the build runs once
+        .localCheckpoint(eager=True)
     )
-    vocab = grams.select("gram").distinct()
-    est = (
-        vocab.select("gram", F.explode(rows).alias("r"))
-        .select(
-            "gram",
-            "r",
-            (
-                _h60(F.concat(F.col("r").cast("string"), F.lit("#"), F.col("gram")))
-                % CMS_W
-            ).alias("bucket"),
+    cand = grams
+    for r in range(CMS_D):
+        heavy_r = cells.filter(
+            (F.col("r") == r) & (F.col("cell") >= HH_MIN_COUNT)
+        ).select(F.col("bucket").alias(f"hb{r}"))
+        cand = cand.withColumn(
+            f"b{r}",
+            _h60(F.concat(F.lit(str(r)), F.lit("#"), F.col("gram"))) % CMS_W,
+        ).join(
+            F.broadcast(heavy_r), F.col(f"b{r}") == F.col(f"hb{r}"), "left_semi"
         )
-        .join(F.broadcast(cells), ["r", "bucket"])
-        .groupBy("gram")
-        .agg(F.min("cell").alias("cms_est"))
-    )
-    candidates = est.filter(F.col("cms_est") >= HH_MIN_COUNT).select("gram")
     return (
-        grams.join(candidates, "gram", "left_semi")
-        .groupBy("gram")
+        cand.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("doc_freq") >= HH_MIN_COUNT)
         .orderBy(F.desc("doc_freq"), "gram")

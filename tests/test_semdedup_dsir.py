@@ -88,3 +88,41 @@ def test_dsir_importance_matches_exact_recompute(spark):
         n_toks, score = expected[r.doc_id]
         assert (r.n_toks, r.excess_mass) == (n_toks, score)
         assert r.importance == score / (float(tt) * float(rt))
+
+
+def test_semantic_dedup_reports_truncated_clusters(spark, tmp_path):
+    """No-silent-caps: members ranked past SEMDEDUP_MAX_CLUSTER are never
+    compared, and q98 must SAY so via cluster_truncated — an oversized
+    cluster fixture (one centroid hoarding cap+100 members) must report
+    exactly size-cap, and bounded clusters must report 0."""
+    import numpy as np
+    import pandas as pd
+
+    cap = similarity.SEMDEDUP_MAX_CLUSTER
+    k = similarity.N_CENTROIDS
+    dim = similarity.DIM
+    rng = np.random.RandomState(7)
+    # centroids: vec_id < k, well-separated one-hot-ish directions
+    cents = np.zeros((k, dim))
+    for i in range(k):
+        cents[i, i % dim] = 1.0
+    # cap+100 members glued to centroid 0, a handful on centroid 1
+    big = cents[0] + rng.normal(0, 0.01, size=(cap + 100, dim))
+    small = cents[1] + rng.normal(0, 0.01, size=(5, dim))
+    vecs = np.vstack([cents, big, small])
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [v.astype("float64").tolist() for v in vecs]}
+    )
+    pdf.to_parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = similarity.q98_semantic_dedup(spark, str(tmp_path)).collect()
+    by_cid = defaultdict(list)
+    for r in out:
+        by_cid[r.cid].append(r)
+    big_cid = max(by_cid, key=lambda c: len(by_cid[c]))
+    n_big = len(by_cid[big_cid])
+    assert n_big > cap  # the fixture really oversizes one cluster
+    assert all(r.cluster_truncated == n_big - cap for r in by_cid[big_cid])
+    for cid, rows in by_cid.items():
+        if cid != big_cid:
+            assert all(r.cluster_truncated == 0 for r in rows), cid

@@ -106,6 +106,10 @@ def test_sketch_plans_jvm_side_bounded_shuffles(spark):
         ("q102_hll_registers", 3),  # agg exchange + orderBy range exchange
         ("q104_count_min", 6),
         ("q105_bloom_prune", 5),
+        # candidate groupBy + orderBy ONLY: the CMS probe must stay
+        # broadcast-semi-join-shaped — a third shuffle means the
+        # vocab-sized distinct crept back in (r3 watch item)
+        ("q114_heavy_hitters", 2),
     ]:
         p = plan(spark, name)
         assert "BatchEvalPython" not in p, name  # no row-at-a-time Python
