@@ -106,3 +106,79 @@ def test_lsh_hot_bucket_cap_bounds_pair_generation(spark):
         spark.createDataFrame(at_cap, "doc_id long, band_id long, band_hash string")
     ).count()
     assert n == LSH_MAX_BUCKET * (LSH_MAX_BUCKET - 1) // 2
+
+
+def test_kmeans_seed_choice_audited_by_ivf_recall(spark):
+    """q86 (first-K seed) vs q124 (hashed-sample seed), judged by q121's
+    IVF recall mechanics — the audit, not an assumption, picks the seed.
+    On this synthetic corpus the generator plants clusters around early
+    ids, so first-K must measurably WIN; both configs must still beat
+    the single-probe-LSH floor (q120's ~0.02). If the corpus generator
+    ever changes, this test documents how the verdict flips."""
+    import collections
+
+    from pyspark.sql import Window
+    from sms_db_spark.operators import similarity as S
+    from sms_db_spark.tables import load_table_parallel
+
+    emb = load_table_parallel(spark, SF_DIR, "embeddings").localCheckpoint(eager=True)
+
+    def train(cent):
+        for _ in range(S.KMEANS_ITERS):
+            cent = S._update(S._assign(emb, cent))
+        return cent.localCheckpoint(eager=True)
+
+    def ivf_recall(cent):
+        assigned = S._assign(emb, cent).localCheckpoint(eager=True)
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        wp = Window.partitionBy("query_id").orderBy(F.col("q_sim").desc(), F.col("cid"))
+        probes = (
+            q.crossJoin(F.broadcast(cent))
+            .select("query_id", "q_emb", "cid", S.cosine("q_emb", "c_emb").alias("q_sim"))
+            .withColumn("pr", F.row_number().over(wp))
+            .filter(F.col("pr") <= S.N_PROBE)
+            .select("query_id", "q_emb", "cid")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        approx = (
+            F.broadcast(probes)
+            .join(assigned.withColumnRenamed("embedding", "c_emb"), "cid")
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                S.cosine("q_emb", "c_emb").alias("cos_sim"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= S.RECALL_K)
+            .select(F.col("query_id").alias("aqid"), F.col("neighbor_id").alias("aid"))
+        )
+        exact = (
+            F.broadcast(q)
+            .crossJoin(
+                emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", S.cosine("q_emb", "c_emb").alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= S.RECALL_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = exact.join(
+            approx, (exact.query_id == F.col("aqid")) & (exact.neighbor_id == F.col("aid")), "left_semi"
+        )
+        h = collections.Counter(r.query_id for r in hits.collect())
+        return sum(h.values()) / (10 * S.RECALL_K)
+
+    first_k = emb.filter(F.col("vec_id") < S.N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    r_first = ivf_recall(train(first_k))
+    r_hashed = ivf_recall(train(S._hashed_seed(emb)))
+    assert r_first > r_hashed, (r_first, r_hashed)  # planted-centroid corpus
+    assert r_hashed >= 0.2, r_hashed  # both far above the 0.02 LSH floor
+    assert r_first >= 0.6, r_first
