@@ -76,8 +76,10 @@ def _base30(s: Column) -> Column:
     )
 
 
-def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document banded MinHash: (doc_id, band_id, band_hash).
+def band_rows(docs: DataFrame) -> DataFrame:
+    """Per-document banded MinHash: (doc_id, band_id, band_hash), from any
+    frame with (doc_id, text) — batch scans and readStream sources bind
+    the identical stateless expression (streaming/neardup.py reuses it).
 
     The whole signature is folded MAP-SIDE per row (aggregate + zip_with):
     no explode, no shuffle — at 100TB the only data movement left is the
@@ -85,7 +87,6 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation shuffles |corpus|·NUM_HASHES rows and was 5× slower at
     sf0.1 on local[32].
     """
-    docs = load_table_parallel(spark, sf_dir, "documents")
     # Everything below is ONE expression with intermediates bound via the
     # single-element-array + lambda-variable trick: Catalyst's
     # CollapseProject would otherwise inline an aliased `mins` column into
@@ -122,6 +123,11 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(F.expr(bands_sql)).alias("band_id", "band_hash"))
         .select("doc_id", F.col("band_id").cast("bigint"), "band_hash")
     )
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """band_rows over the documents table (see band_rows for the shape)."""
+    return band_rows(load_table_parallel(spark, sf_dir, "documents"))
 
 
 _BANDS_SQL = f"""
