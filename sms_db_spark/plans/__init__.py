@@ -65,75 +65,29 @@ def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
 # driver-green row must run first (the judge flagged encoding any other
 # assumption into the order as gate evasion). Then the compat queries whose
 # only green row is from round 1, then everything else in module order.
+#
+# Round-4 order (per VERDICT r3 item 1): the 26 queries re-planned in r3
+# whose last driver-green row predates that change run FIRST (stale-first:
+# q37 has waited two rounds, then q75, the events-path family, then the
+# load_table_parallel/InferFiltersFromGenerate family), THEN this round's
+# changed/new entries (q60-q65 gained golden-VALUES oracles; q107/q117
+# ASCII-stable levenshtein; q108 unique temp dir; q98 truncation report;
+# q114 de-vocab probe; q123/q124 new; q44/q45 band_rows refactor are
+# already in the stale list). 26 + 13 = 39 entries ahead of the ~50-query
+# budget, so the gate reaches them all with headroom.
 _CHANGED_THIS_ROUND = [
-    # rewritten verify stage (compute-once + semi-join prune, no broadcast)
-    "q73_lsh_jaccard_verified",
-    "q74_embedding_neardup_lsh",
-    # new this round
-    "q76_filtered_ann_lsh",
-    "q77_split_assign",
-    "q78_hash_sample",
-    "q79_sequence_packing",
-    "q80_pii_redact",
-    "q81_contamination",
-    "q82_repetition_stats",
-    "q83_dedup_clusters_star",
-    "q84_stratified_sample",
-    "q85_weighted_mixture",
-    "q86_kmeans_ivf_train",
-    "q87_token_rarity",
-    "q88_dup_ngram_coverage",
-    "q89_inverted_index",
-    "q90_hashed_classifier",
-    "q91_chunk_overlap",
-    "q92_domain_gate",
-    "q93_range_join_bucketed",
-    "q94_bpe_pair_counts",
-    "q95_freq_spectrum",
-    "q96_decontaminate",
-    "q97_cluster_representatives",
-    "q98_semantic_dedup",
-    "q99_dsir_importance",
-    "q100_centroid_outliers",
-    "q101_length_percentiles",
-    "q102_hll_registers",
-    "q103_hll_estimate",
-    "q104_count_min",
-    "q105_bloom_prune",
-    "q106_sketch_merge",
-    "q107_blocked_levenshtein",
-    "q108_jsonl_roundtrip",
-    "q109_funnel_stages",
-    "q110_cohort_retention",
-    "q111_reconcile_full_outer",
-    "q112_containment_pairs",
-    "q113_asof_cogroup",
-    "q114_heavy_hitters",
-    "q115_session_window",
-    "q116_dsir_resample",
-    "q117_entity_resolution",
-    "q118_minhash_estimate_vs_exact",
-    "q119_star_join",
-    "q120_ann_recall",
-    "q121_ivf_recall",
-    "q122_multiprobe_recall",
-    # NULL-orderdate guard added to the union-sort as-of join
-    "q33_asof_join",
-    # events.ts load path rewritten (runtime reads parquet NANOS as
-    # TIMESTAMP_NTZ now; load_table branches on the observed type) —
-    # every events-reading query gets fresh gate evidence
+    # --- stale since r3 (code changed after last driver-green row) ---
+    "q37_set_ops",  # rewritten r2, never driver-checked since
+    "q75_multimodal_real_decode",  # JPEG marker-scan fix r3
+    # events.ts load-path rewrite (r3)
     "q01_eq_filter_sort",
     "q19_import_stats",
     "q25_union_dedup",
     "q30_window_agg",
     "q32_sessionize",
     "q59_sliding_window",
-    # rewritten in r2, never driver-checked since
-    "q37_set_ops",
-    # JPEG marker-scan fix (q75 emits BMP/PNG, but the code path changed)
-    "q75_multimodal_real_decode",
-    # input-repartition plan change (load_table_parallel) + the
-    # InferFiltersFromGenerate exclusion (affects every explode plan)
+    # load_table_parallel + InferFiltersFromGenerate exclusion (r3);
+    # q44/q45 additionally re-derived through band_rows this round
     "q44_minhash_signatures",
     "q45_minhash_lsh_pairs",
     "q46_simhash",
@@ -152,11 +106,26 @@ _CHANGED_THIS_ROUND = [
     "q42_text_langid",
     "q43_text_fingerprint",
     "q57_tfidf_topk",
+    # --- changed or added this round (r4) ---
+    "q60_import_xml",  # golden-VALUES oracles: first-ever hash check
+    "q61_import_bugle",
+    "q62_import_signal",
+    "q63_import_pipeline",
+    "q64_export_frame",
+    "q65_sql_verbatim",
+    "q123_ann_serving",  # new: recall-gated IVF multi-probe serving
+    "q124_kmeans_hashed_seed_train",  # new: hashed-sample k-means seed
+    "q98_semantic_dedup",  # cluster_truncated coverage column
+    "q114_heavy_hitters",  # broadcast heavy-bucket probe (no vocab shuffle)
+    "q107_blocked_levenshtein",  # ASCII-projected head window
+    "q117_entity_resolution",  # embeds q107's pairs
+    "q108_jsonl_roundtrip",  # unique per-run shard dir
 ]
 _STALE_EVIDENCE = [  # green only in round 1's gate, unchanged since
-    *(f"q2{i}" for i in range(1, 10)),
-    *(f"q3{i}" for i in range(0, 10)),
-    "q59",
+    # (q25/q30/q32/q33/q37/q59 graduated: r3 gate row or in the changed
+    # list above)
+    *(f"q2{i}" for i in (1, 2, 3, 4, 6, 7, 8, 9)),
+    *(f"q3{i}" for i in (1, 4, 5, 6, 8, 9)),
     "q66",
     "q67",
     "q68",
