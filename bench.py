@@ -69,6 +69,8 @@ HEADLINE = [
     "q104_count_min",
     "q111_reconcile_full_outer",
     "q114_heavy_hitters",
+    "q123_ann_serving",
+    "q124_kmeans_hashed_seed_train",
 ]
 
 BEST_OF = 3
