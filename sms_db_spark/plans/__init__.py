@@ -115,6 +115,7 @@ _CHANGED_THIS_ROUND = [
     "q65_sql_verbatim",
     "q123_ann_serving",  # new: recall-gated IVF multi-probe serving
     "q124_kmeans_hashed_seed_train",  # new: hashed-sample k-means seed
+    "q86_kmeans_ivf_train",  # per-iteration centroid checkpoint (_lloyd)
     "q98_semantic_dedup",  # cluster_truncated coverage column
     "q114_heavy_hitters",  # broadcast heavy-bucket probe (no vocab shuffle)
     "q107_blocked_levenshtein",  # ASCII-projected head window
