@@ -68,3 +68,46 @@ def test_h60_bucket_rho_parity_spark_vs_duckdb(spark):
         ).fetchall()
     }
     assert got == expected
+
+
+def test_q107_levenshtein_parity_on_unicode(spark, tmp_path):
+    """The ADVICE-r3 divergence, pinned: Spark levenshtein counts code
+    points, DuckDB's walks UTF-8 bytes — q107 dodges both by
+    ASCII-projecting the head window identically in both engines. Feed
+    doc pairs sharing a blocking shingle but differing in UNICODE tails
+    and assert the two engines emit the identical pair set with the
+    identical distances (pre-fix, any multi-byte tail diverged)."""
+    import pandas as pd
+
+    from sms_db_spark.operators.dedup import Q107_SQL, q107_blocked_levenshtein
+
+    rng = random.Random(7)
+    rows = []
+    for k in range(40):
+        # shared 3-token block prefix; tails mix ascii and multi-byte
+        tail_a = "".join(chr(rng.randint(32, 0x2FFF)) for _ in range(rng.randint(0, 30)))
+        tail_b = "".join(chr(rng.randint(32, 0x2FFF)) for _ in range(rng.randint(0, 30)))
+        rows.append((2 * k, f"block{k} shared prefix {tail_a}"))
+        rows.append((2 * k + 1, f"block{k} shared prefix {tail_b}"))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "xx",
+            "source": "unit",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in q107_blocked_levenshtein(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = {tuple(r) for r in con.execute(Q107_SQL).fetchall()}
+    assert got == want
+    assert got, "no candidate pairs formed — fixture is vacuous"
