@@ -1,0 +1,391 @@
+"""Table-maintenance / pipeline-operations operators: incremental delta
+dedup, CDC changelog merge (SCD upsert), data-quality constraint audit,
+and join-key skew profiling.
+
+These are the day-2 operations of a 100 TB corpus store. The reference's
+model is re-runnable idempotent imports into one growing store
+(README.md:39-43, sms-db.pl:49,325-331 — the UNIQUE-hash "already seen"
+probe); at scale that becomes (a) delta-vs-store dedup where the store
+is too big to rescan per batch (q125), (b) changelog-to-snapshot merge
+where updates/deletes arrive as events rather than full rewrites (q126),
+(c) constraint audits that gate a batch before it is merged (q127), and
+(d) key-distribution profiling that decides the join strategy — salt
+(q35), broadcast, or plain shuffle — BEFORE the expensive join runs
+(q131).
+
+Scale notes (the 100 TB story, per operator):
+  - q125: the batch (small: today's arrivals) builds the Bloom filter;
+    only those k·|batch| distinct bit positions are broadcast. The huge
+    store side is pruned to bloom-hit keys with broadcast semi-joins —
+    it never shuffles — and the exact-verify equi-join then runs on
+    ~|batch|·(1+FP) keys per side. No false negatives (a true duplicate
+    hits all k positions by construction), so the output is provably
+    the exact anti-join's.
+  - q126: one shuffle on the merge key; last-write-wins rank and the
+    change count share the same window partitioning, so Spark reuses a
+    single exchange. This is the merge-on-read compaction kernel of a
+    lakehouse upsert (Delta/Iceberg MERGE INTO): at 100 TB it runs
+    per storage partition, and the changelog side is usually small
+    enough to broadcast per partition.
+  - q127: all row-level constraints fold into ONE aggregate scan with
+    map-side combine (constant state per partition); the referential
+    check broadcasts only the dimension's key column. Output is one row
+    per constraint — the shape of a Deequ/Great-Expectations report.
+  - q131: groupBy(key) with map-side combine reduces the corpus to the
+    key-distribution table (|keys| rows); the summary and top-key rank
+    then run over that aggregated state, not the corpus. The single
+    global window is over ≤|keys| post-aggregate rows by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec
+from ..tables import load_table, load_table_parallel
+from .dedup import _NORM_TOKENS, _tokens_col
+from .sketches import _h60, _h60_sql
+
+# ------------------------------------------------------------------ q125
+
+DELTA_BATCH_SOURCES = ("src0", "src1")  # "today's arrivals"
+DELTA_BLOOM_M = 1 << 13  # bits
+DELTA_BLOOM_K = 2  # hash functions
+HEAD_K = 8  # head-fingerprint token count
+
+# Content key: sha256 of the first HEAD_K normalized tokens. A full-text
+# exact key (q20's sha2(text)) finds zero cross-batch duplicates on the
+# synthetic corpus (every text differs in its tail); the head fingerprint
+# is the standard prefix-dup signal and exercises the duplicate lane. The
+# operator is key-agnostic — swap in sha2(text, 256) for byte-exact runs.
+
+
+def _content_key():
+    return F.sha2(F.concat_ws(" ", F.slice(_tokens_col(), 1, HEAD_K)), 256)
+
+
+def q125_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: is each NEW batch document already in
+    the existing store? Bloom filter built FROM the small batch side,
+    broadcast into the store scan to prune it to bloom-hit keys, then an
+    exact equi-join verifies (no false negatives ⇒ output equals the
+    plain exact anti-join, which the oracle computes directly).
+
+    This inverts q105's direction to match the daily-delta shape: at
+    100 TB the store is the huge side, so the filter must come from the
+    batch — the store never shuffles, it only probes k broadcast bit
+    sets and the surviving ~|batch| keys join. Combines q105's Bloom
+    mechanics with q21's anti-join dedup semantics (sms-db.pl:325-331
+    re-runnable import probe, lifted to store-scale).
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", _content_key().alias("content_key"))
+    batch = d.filter(F.col("source").isin(*DELTA_BATCH_SOURCES)).select(
+        "doc_id", "content_key"
+    )
+    store_keys = (
+        d.filter(~F.col("source").isin(*DELTA_BATCH_SOURCES))
+        .select("content_key")
+        .distinct()
+    )
+    ks = F.sequence(F.lit(0), F.lit(DELTA_BLOOM_K - 1))
+    pos = lambda kcol, keycol: (  # noqa: E731
+        _h60(F.concat(kcol.cast("string"), F.lit("@"), keycol)) % DELTA_BLOOM_M
+    )
+    bits = (
+        batch.select(F.explode(ks).alias("k"), "content_key")
+        .select(pos(F.col("k"), F.col("content_key")).alias("bit"))
+        .distinct()
+    )
+    pruned_store = (
+        store_keys.select("content_key", F.explode(ks).alias("k"))
+        .select("content_key", pos(F.col("k"), F.col("content_key")).alias("bit"))
+        .join(F.broadcast(bits), "bit")
+        .groupBy("content_key")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .filter(F.col("k_hit") == DELTA_BLOOM_K)
+        .select("content_key", F.lit(1).alias("hit"))
+    )
+    return (
+        batch.join(pruned_store, "content_key", "left")
+        .select(
+            "doc_id",
+            "content_key",
+            F.coalesce("hit", F.lit(0)).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q125_KEYED = f"""
+  SELECT doc_id, source,
+         sha256(array_to_string((tokens)[1:{HEAD_K}], ' ')) AS content_key
+  FROM (SELECT doc_id, source, {_NORM_TOKENS} AS tokens FROM documents)
+"""
+
+Q125_SQL = f"""
+WITH d AS ({_Q125_KEYED}),
+b AS (SELECT doc_id, content_key FROM d
+      WHERE source IN ('{DELTA_BATCH_SOURCES[0]}', '{DELTA_BATCH_SOURCES[1]}')),
+s AS (SELECT DISTINCT content_key FROM d
+      WHERE source NOT IN ('{DELTA_BATCH_SOURCES[0]}', '{DELTA_BATCH_SOURCES[1]}'))
+SELECT b.doc_id AS doc_id, b.content_key AS content_key,
+       CASE WHEN s.content_key IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM b LEFT JOIN s ON b.content_key = s.content_key
+ORDER BY doc_id
+"""
+
+# ------------------------------------------------------------------ q126
+
+
+def q126_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog merge, last-write-wins: the events log is read as a
+    per-user change stream ('error' ⇒ delete, anything else ⇒ upsert of
+    `value`) and folded to the CURRENT snapshot — one row per live user
+    with its latest value, update time, and total change count.
+
+    The lakehouse MERGE INTO / merge-on-read compaction kernel: rank and
+    change-count share one window partitioning, so the whole merge is a
+    single shuffle on the key. Deterministic under ts ties via the
+    event_id tie-break. The reference's idempotent re-import
+    (README.md:39-43) is the degenerate insert-only case of this.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    wall = Window.partitionBy("user_id")
+    return (
+        ch.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wall))
+        .filter((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .select(
+            "user_id",
+            F.col("value").alias("current_value"),
+            F.col("ts").alias("updated_at"),
+            "n_changes",
+        )
+        .orderBy("user_id")
+    )
+
+
+Q126_SQL = """
+WITH ch AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM events
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM ch
+)
+SELECT user_id, value AS current_value, ts AS updated_at, n_changes
+FROM ranked WHERE rn = 1 AND op = 'upsert'
+ORDER BY user_id
+"""
+
+# ------------------------------------------------------------------ q127
+
+PRICE_CAP = 450000.0  # deliberate: the data exceeds it, so one check FAILS
+
+
+def q127_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-shaped data-quality constraint suite over a batch before it
+    merges: completeness, key uniqueness, accepted values, numeric range
+    — folded into ONE aggregate scan — plus referential integrity via a
+    broadcast anti-join on the dimension's key column. One row per
+    constraint: (check_name, violations, total, passed).
+
+    PRICE_CAP is set below the data's max so the report contains a
+    failing constraint — an audit whose fixtures can never fail tests
+    nothing. The reference's import-stats report (sms-db.pl:333-339) is
+    the ancestor: counts that tell the operator whether the batch looks
+    right before trusting it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = orders.agg(
+        F.count(F.lit(1)).alias("total"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("v_completeness"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("v_unique"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin("F", "O", "P"),
+                1,
+            ).otherwise(0)
+        ).alias("v_accepted"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull()
+                | (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > PRICE_CAP),
+                1,
+            ).otherwise(0)
+        ).alias("v_range"),
+    )
+    ri = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v_ri"))
+    )
+    return (
+        base.crossJoin(ri)
+        .selectExpr(
+            "stack(5,"
+            " 'accepted_values_o_orderstatus', v_accepted,"
+            " 'completeness_o_custkey', v_completeness,"
+            " 'range_o_totalprice', v_range,"
+            " 'referential_o_custkey', v_ri,"
+            " 'unique_o_orderkey', v_unique"
+            ") AS (check_name, violations)",
+            "total",
+        )
+        .select(
+            "check_name",
+            "violations",
+            "total",
+            (F.col("violations") == 0).cast("int").alias("passed"),
+        )
+        .orderBy("check_name")
+    )
+
+
+Q127_SQL = f"""
+WITH base AS (
+  SELECT count(*) AS total,
+         count(*) - count(o_custkey) AS v_completeness,
+         count(*) - count(DISTINCT o_orderkey) AS v_unique,
+         count(*) FILTER (WHERE o_orderstatus IS NULL
+                             OR o_orderstatus NOT IN ('F', 'O', 'P')) AS v_accepted,
+         count(*) FILTER (WHERE o_totalprice IS NULL
+                             OR o_totalprice <= 0
+                             OR o_totalprice > {PRICE_CAP}) AS v_range
+  FROM orders
+), ri AS (
+  SELECT count(*) AS v_ri FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT check_name, violations, total,
+       CASE WHEN violations = 0 THEN 1 ELSE 0 END AS passed
+FROM (
+  SELECT 'accepted_values_o_orderstatus' AS check_name, v_accepted AS violations, total FROM base, ri
+  UNION ALL SELECT 'completeness_o_custkey', v_completeness, total FROM base, ri
+  UNION ALL SELECT 'range_o_totalprice', v_range, total FROM base, ri
+  UNION ALL SELECT 'referential_o_custkey', v_ri, total FROM base, ri
+  UNION ALL SELECT 'unique_o_orderkey', v_unique, total FROM base, ri
+)
+ORDER BY check_name
+"""
+
+# ------------------------------------------------------------------ q131
+
+
+def _profile(df: DataFrame, key_col: str, key) -> DataFrame:
+    counts = df.groupBy(key.cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked = counts.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("key")))
+    )
+    return ranked.agg(
+        F.lit(key_col).alias("key_col"),
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        F.max(F.when(F.col("rn") == 1, F.col("key"))).alias("top_key"),
+    ).select(
+        "key_col",
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        "min_cnt",
+        "top_key",
+        F.expr("max_cnt * n_keys * 1000 div n_rows").alias("skew_milli"),
+    )
+
+
+def q131_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit across three candidate keys (events.user_id,
+    events.event_type, lineitem.l_orderkey): rows, distinct keys,
+    max/min per-key counts, heaviest key, and skew ratio (max/avg,
+    milli-scaled integer — exact cross-engine).
+
+    The decision input for join strategy at 100 TB: skew_milli near
+    1000 ⇒ plain shuffle join; large ⇒ salt the hot keys (q35) or
+    let AQE split them; tiny n_keys ⇒ the key side is broadcastable.
+    Each profile is a map-side-combined groupBy reducing the corpus to
+    |keys| rows; ranking runs over that aggregated state only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        _profile(ev, "events.user_id", F.col("user_id"))
+        .unionByName(_profile(ev, "events.event_type", F.col("event_type")))
+        .unionByName(_profile(li, "lineitem.l_orderkey", F.col("l_orderkey")))
+        .orderBy("key_col")
+    )
+
+
+def _profile_sql(table: str, key_col: str, key_expr: str) -> str:
+    return f"""
+  SELECT '{table}.{key_col}' AS key_col, n_rows, n_keys, max_cnt, min_cnt, top_key,
+         CAST(max_cnt * n_keys * 1000 // n_rows AS BIGINT) AS skew_milli
+  FROM (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
+           MIN(cnt) AS min_cnt,
+           MAX(CASE WHEN rn = 1 THEN key END) AS top_key
+    FROM (
+      SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rn
+      FROM (SELECT CAST({key_expr} AS VARCHAR) AS key, COUNT(*) AS cnt
+            FROM {table} GROUP BY 1)
+    )
+  )
+"""
+
+
+Q131_SQL = (
+    _profile_sql("events", "user_id", "user_id")
+    + " UNION ALL "
+    + _profile_sql("events", "event_type", "event_type")
+    + " UNION ALL "
+    + _profile_sql("lineitem", "l_orderkey", "l_orderkey")
+    + " ORDER BY key_col"
+)
+
+
+QUERIES = {
+    "q125_delta_dedup": QuerySpec(
+        q125_delta_dedup,
+        Q125_SQL,
+        "delta-vs-store dedup: batch-built Bloom prune + exact verify",
+    ),
+    "q126_scd_upsert": QuerySpec(
+        q126_scd_upsert,
+        Q126_SQL,
+        "CDC changelog merge to current snapshot (last-write-wins + deletes)",
+    ),
+    "q127_data_quality_audit": QuerySpec(
+        q127_data_quality_audit,
+        Q127_SQL,
+        "Deequ-style constraint audit: one-pass metrics + broadcast RI check",
+    ),
+    "q131_skew_profile": QuerySpec(
+        q131_skew_profile,
+        Q131_SQL,
+        "join-key skew profile: the pre-join salt/broadcast decision input",
+    ),
+}

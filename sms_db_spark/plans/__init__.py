@@ -121,6 +121,14 @@ _CHANGED_THIS_ROUND = [
     "q107_blocked_levenshtein",  # ASCII-projected head window
     "q117_entity_resolution",  # embeds q107's pairs
     "q108_jsonl_roundtrip",  # unique per-run shard dir
+    # new this round (r4, second batch): maintenance + sketch/ANN widening
+    "q125_delta_dedup",
+    "q126_scd_upsert",
+    "q127_data_quality_audit",
+    "q131_skew_profile",
+    "q128_sq8_ann_recall",
+    "q129_histogram_quantiles",
+    "q130_hll_set_ops",
 ]
 _STALE_EVIDENCE = [  # green only in round 1's gate, unchanged since
     # (q25/q30/q32/q33/q37/q59 graduated: r3 gate row or in the changed
@@ -144,6 +152,7 @@ def registry() -> dict[str, QuerySpec]:
     from ..operators import (
         curation,
         dedup,
+        maintenance,
         ngrams,
         similarity,
         sketches,
@@ -157,6 +166,7 @@ def registry() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
     for mod in (
         textstats,
+        maintenance,
         dedup,
         similarity,
         pipeline,

@@ -1,0 +1,99 @@
+"""Maintenance-operator guarantees (q125-q127, q131): delta dedup equals
+the plain exact anti-join (Bloom prune is an optimization, never a
+semantics change), CDC merge is last-write-wins with delete handling,
+the quality audit reports real violations, and the skew profile's
+ratios are internally consistent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sms_db_spark.operators.maintenance import (
+    DELTA_BATCH_SOURCES,
+    _content_key,
+    q125_delta_dedup,
+    q126_scd_upsert,
+    q127_data_quality_audit,
+    q131_skew_profile,
+)
+from sms_db_spark.tables import load_table
+from tests.test_plans import _explain_str
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_delta_dedup_equals_plain_anti_join(spark):
+    """The Bloom prune must be invisible in the output: is_dup flags are
+    exactly those of the unpruned exact key join (no false negatives)."""
+    out = {r.doc_id: r.is_dup for r in q125_delta_dedup(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", _content_key().alias("k")
+    )
+    batch = docs.filter(F.col("source").isin(*DELTA_BATCH_SOURCES))
+    store = docs.filter(~F.col("source").isin(*DELTA_BATCH_SOURCES)).select("k")
+    expected = {
+        r.doc_id: r.dup
+        for r in batch.join(
+            store.distinct().withColumn("dup", F.lit(1)), "k", "left"
+        )
+        .select("doc_id", F.coalesce("dup", F.lit(0)).alias("dup"))
+        .collect()
+    }
+    assert out == expected
+    # the fixture must exercise BOTH lanes or the test proves nothing
+    assert 0 < sum(out.values()) < len(out)
+
+
+def test_delta_dedup_store_side_is_pruned_by_broadcast(spark):
+    """The store scan feeds a broadcast join on the batch's bit set —
+    the store side must never hash-shuffle its full rows."""
+    p = _explain_str(q125_delta_dedup(spark, SF_DIR), "formatted")
+    assert "BroadcastExchange" in p
+
+
+def test_scd_upsert_last_write_wins(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = {r.user_id: r for r in q126_scd_upsert(spark, SF_DIR).collect()}
+    last = {
+        r.user_id: r
+        for r in ev.orderBy("ts", "event_id").collect()  # last assignment wins
+    }
+    n_users = ev.select("user_id").distinct().count()
+    deleted = {u for u, r in last.items() if r.event_type == "error"}
+    assert set(out) == set(last) - deleted
+    for u, r in out.items():
+        assert r.current_value == last[u].value
+        assert r.updated_at == last[u].ts
+    # change counts cover every event, live or deleted rows aside
+    counts = {r.user_id: r[1] for r in ev.groupBy("user_id").count().collect()}
+    assert all(out[u].n_changes == counts[u] for u in out)
+    assert len(deleted) > 0 or n_users == len(out)
+
+
+def test_quality_audit_reports_real_violations(spark):
+    rows = {r.check_name: r for r in q127_data_quality_audit(spark, SF_DIR).collect()}
+    assert len(rows) == 5
+    total = load_table(spark, SF_DIR, "orders").count()
+    assert all(r.total == total for r in rows.values())
+    # synthetic data is referentially intact and key-unique...
+    assert rows["referential_o_custkey"].violations == 0
+    assert rows["unique_o_orderkey"].passed == 1
+    # ...but the price cap is deliberately set below max(o_totalprice)
+    assert rows["range_o_totalprice"].violations > 0
+    assert rows["range_o_totalprice"].passed == 0
+
+
+def test_skew_profile_ratios_consistent(spark):
+    rows = q131_skew_profile(spark, SF_DIR).collect()
+    assert {r.key_col for r in rows} == {
+        "events.user_id",
+        "events.event_type",
+        "lineitem.l_orderkey",
+    }
+    for r in rows:
+        assert r.min_cnt <= r.max_cnt
+        # skew_milli = max/avg (milli) is >= 1000 by definition of max
+        assert r.skew_milli >= 1000
+        assert r.skew_milli == r.max_cnt * r.n_keys * 1000 // r.n_rows
+    ev = {r.key_col: r for r in rows}["events.user_id"]
+    assert ev.n_rows == load_table(spark, SF_DIR, "events").count()
