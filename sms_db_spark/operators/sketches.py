@@ -43,7 +43,7 @@ Scale notes (the 100 TB story, per operator):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import QuerySpec
@@ -559,6 +559,269 @@ ORDER BY doc_freq DESC, gram
 """
 
 
+# ------------------------------------------------------------------ q129
+
+HIST_BIN_W = 16  # chars per bin
+HIST_PCTS = (500, 900, 990)  # milli-scaled p: p50 / p90 / p99
+
+
+def q129_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-width-histogram quantile sketch over n_chars:
+    per-shard histograms sum-merge losslessly (the additive analogue of
+    q106's max-merge law, proved by the merge_equals_whole flag), and
+    p50/p90/p99 are estimated from the merged histogram with exact
+    integer interpolation — next to the true interpolated percentile so
+    the sketch's rank error is audited in the same row.
+
+    The >10^8-rows-per-group quantile path q101's docstring promises:
+    the corpus reduces map-side to ≤(range/W) counters per partition,
+    shards/days merge by adding counters, and the estimate reads ~40
+    rows. All arithmetic is int64 (milli-scaled interpolation, ceil-div
+    rank), so estimates are bit-identical across engines and partition
+    orders; only the audit's exact percentile is a double (q101's
+    proven-parity interpolation).
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    binned = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.expr(f"n_chars div {HIST_BIN_W}").alias("bin"),
+    )
+    per_half = binned.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    merged = per_half.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    whole = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("wcnt"))
+    law = (
+        merged.join(whole, "bin", "full")
+        .agg(
+            F.min(
+                F.when(F.col("cnt") == F.col("wcnt"), 1).otherwise(0)
+            ).alias("merge_equals_whole")
+        )
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    bins = merged.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+    )
+    tot = merged.agg(F.sum("cnt").alias("n"))
+    ps = tot.select(
+        F.explode(F.array(*[F.lit(p) for p in HIST_PCTS])).alias("p_milli"), "n"
+    ).select(
+        "p_milli", F.expr("(p_milli * n + 999) div 1000").alias("target_rank")
+    )
+    pick = (
+        ps.join(bins, F.col("cum_before") + F.col("cnt") >= F.col("target_rank"))
+        .groupBy("p_milli", "target_rank")
+        .agg(F.min("bin").alias("bin"))
+        .join(bins, "bin")
+        .select(
+            "p_milli",
+            "target_rank",
+            F.expr(
+                f"bin * {HIST_BIN_W * 1000} + "
+                f"({HIST_BIN_W * 1000} * (target_rank - cum_before)) div cnt"
+            ).alias("est_milli"),
+        )
+    )
+    exacts = docs.agg(
+        *[
+            F.expr(f"percentile(n_chars, {p / 1000.0})").alias(f"e{p}")
+            for p in HIST_PCTS
+        ]
+    ).selectExpr(
+        "stack(3, "
+        + ", ".join(f"{p}, e{p}" for p in HIST_PCTS)
+        + ") AS (p_milli, exact_val)"
+    )
+    return (
+        pick.join(exacts, "p_milli")
+        .crossJoin(law)
+        .select(
+            "p_milli", "target_rank", "est_milli", "exact_val", "merge_equals_whole"
+        )
+        .orderBy("p_milli")
+    )
+
+
+Q129_SQL = f"""
+WITH binned AS (
+  SELECT doc_id % 2 AS half, n_chars // {HIST_BIN_W} AS bin FROM documents
+), per_half AS (
+  SELECT half, bin, COUNT(*) AS cnt FROM binned GROUP BY half, bin
+), merged AS (
+  SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM per_half GROUP BY bin
+), whole AS (
+  SELECT bin, COUNT(*) AS wcnt FROM binned GROUP BY bin
+), law AS (
+  SELECT CAST(MIN(CASE WHEN m.cnt = w.wcnt THEN 1 ELSE 0 END) AS INT) AS merge_equals_whole
+  FROM merged m FULL JOIN whole w ON m.bin = w.bin
+), bins AS (
+  SELECT bin, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM merged
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM merged
+), ps AS (
+  SELECT p_milli, (p_milli * n + 999) // 1000 AS target_rank
+  FROM (SELECT unnest([{", ".join(str(p) for p in HIST_PCTS)}]) AS p_milli), tot
+), pick AS (
+  SELECT p.p_milli, p.target_rank, MIN(b.bin) AS bin
+  FROM ps p JOIN bins b ON b.cum_before + b.cnt >= p.target_rank
+  GROUP BY p.p_milli, p.target_rank
+), est AS (
+  SELECT p.p_milli, p.target_rank,
+         b.bin * {HIST_BIN_W * 1000} +
+           ({HIST_BIN_W * 1000} * (p.target_rank - b.cum_before)) // b.cnt AS est_milli
+  FROM pick p JOIN bins b ON p.bin = b.bin
+), exacts AS (
+  {" UNION ALL ".join(f"SELECT {p} AS p_milli, quantile_cont(n_chars, {p / 1000.0}) AS exact_val FROM documents" for p in HIST_PCTS)}
+)
+SELECT e.p_milli AS p_milli, CAST(e.target_rank AS BIGINT) AS target_rank,
+       CAST(e.est_milli AS BIGINT) AS est_milli, x.exact_val AS exact_val,
+       law.merge_equals_whole AS merge_equals_whole
+FROM est e JOIN exacts x ON e.p_milli = x.p_milli, law
+ORDER BY p_milli
+"""
+
+# ------------------------------------------------------------------ q130
+
+
+def _side_regs(docs: DataFrame, side: Column) -> DataFrame:
+    h = _h60(F.col("gram"))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, _HLL_WBITS + 1).otherwise(_HLL_WBITS + 1 - F.length(F.bin(w)))
+    return (
+        _gram_rows(docs.filter(side))
+        .select((h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def _fold_est(regs: DataFrame, out: str) -> DataFrame:
+    folded = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {_HLL_WBITS + 1} - max_rho)")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("m"),
+    ).select(
+        (F.col("s") + (F.lit(HLL_M) - F.col("m")) * F.lit(_HLL_SCALE)).alias("s_scaled")
+    )
+    raw = (
+        F.lit(_HLL_ALPHA_E9).cast("double")
+        / F.lit(1000000000.0)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(_HLL_SCALE))
+        / F.col("s_scaled").cast("double")
+    )
+    # floor, not cast: DuckDB's double->BIGINT cast rounds half-away while
+    # Spark's truncates — floor is the one both define identically (raw > 0)
+    return folded.select(F.floor(raw).alias(f"est_{out}"))
+
+
+def q130_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count set algebra on HLL sketches: the shingle vocabularies
+    of two corpus halves (sources src0-9 vs src10-19) are sketched
+    independently, the UNION estimate comes from max-merging the two
+    register tables (no third corpus pass), and the INTERSECTION is
+    estimated by inclusion-exclusion — audited against the exact
+    intersection in the same row.
+
+    The cross-corpus overlap question ("how much of B's vocabulary is
+    already in A?") answered in sketch space: each side ships 2^p
+    registers, so comparing two 50 TB corpora moves kilobytes. The
+    estimator here is the raw harmonic mean WITHOUT the linear-counting
+    branch: ln() is libm-implementation-defined (the cross-engine 1-ulp
+    hazard q103's parity test pins), while the raw path is only exact
+    int folds plus IEEE-determined double mul/div — bit-identical
+    across engines. Inclusion-exclusion compounds the per-sketch error
+    (~1.6% of the UNION, which can be large relative to a small
+    intersection); abs_err reports exactly that compounding.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    side_a = F.expr("CAST(substring(source, 4) AS INT)") < 10
+    rega = _side_regs(docs, side_a)
+    regb = _side_regs(docs, ~side_a)
+    regu = (
+        rega.unionByName(regb)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    grams_a = _gram_rows(docs.filter(side_a)).select("gram").distinct()
+    grams_b = _gram_rows(docs.filter(~side_a)).select("gram").distinct()
+    exact = grams_a.join(grams_b, "gram").agg(
+        F.count(F.lit(1)).alias("exact_intersection")
+    )
+    return (
+        _fold_est(rega, "a")
+        .crossJoin(_fold_est(regb, "b"))
+        .crossJoin(_fold_est(regu, "union"))
+        .crossJoin(exact)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+            "exact_intersection",
+            F.abs(
+                F.col("est_a") + F.col("est_b") - F.col("est_union")
+                - F.col("exact_intersection")
+            ).alias("abs_err"),
+        )
+    )
+
+
+def _q130_regs_sql(side: str) -> str:
+    return f"""
+  SELECT h % {HLL_M} AS bucket,
+         MAX(CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(h >> {HLL_P})) END) AS max_rho
+  FROM (SELECT {_h60_sql('gram')} AS h
+        FROM ({_SHINGLE_ROWS_SQL.replace('FROM documents', 'FROM documents WHERE ' + side)}))
+  GROUP BY 1
+"""
+
+
+def _q130_fold_sql(regs: str, out: str) -> str:
+    return f"""
+  SELECT CAST(floor(CAST({_HLL_ALPHA_E9} AS DOUBLE) / 1000000000.0
+              * CAST({HLL_M}::BIGINT * {HLL_M} AS DOUBLE)
+              * CAST({_HLL_SCALE}::BIGINT AS DOUBLE)
+              / CAST(s_scaled AS DOUBLE)) AS BIGINT) AS est_{out}
+  FROM (SELECT CAST(SUM((1::BIGINT << ({_HLL_WBITS + 1} - max_rho))) AS BIGINT)
+               + ({HLL_M} - COUNT(*)) * {_HLL_SCALE}::BIGINT AS s_scaled
+        FROM {regs})
+"""
+
+
+_Q130_SIDE_A = "CAST(substr(source, 4) AS INT) < 10"
+_Q130_SIDE_B = "CAST(substr(source, 4) AS INT) >= 10"
+
+Q130_SQL = f"""
+WITH rega AS ({_q130_regs_sql(_Q130_SIDE_A)}),
+regb AS ({_q130_regs_sql(_Q130_SIDE_B)}),
+regu AS (
+  SELECT bucket, MAX(max_rho) AS max_rho
+  FROM (SELECT * FROM rega UNION ALL SELECT * FROM regb) GROUP BY bucket
+),
+fa AS ({_q130_fold_sql('rega', 'a')}),
+fb AS ({_q130_fold_sql('regb', 'b')}),
+fu AS ({_q130_fold_sql('regu', 'union')}),
+exact AS (
+  SELECT COUNT(*) AS exact_intersection FROM (
+    SELECT DISTINCT gram FROM ({_SHINGLE_ROWS_SQL.replace('FROM documents', 'FROM documents WHERE ' + _Q130_SIDE_A)})
+    INTERSECT
+    SELECT DISTINCT gram FROM ({_SHINGLE_ROWS_SQL.replace('FROM documents', 'FROM documents WHERE ' + _Q130_SIDE_B)})
+  )
+)
+SELECT est_a, est_b, est_union,
+       est_a + est_b - est_union AS est_intersection,
+       exact_intersection,
+       abs(est_a + est_b - est_union - exact_intersection) AS abs_err
+FROM fa, fb, fu, exact
+"""
+
+
 QUERIES = {
     "q102_hll_registers": QuerySpec(
         q102_hll_registers, Q102_SQL, "HyperLogLog register table (mergeable sketch state)"
@@ -581,5 +844,15 @@ QUERIES = {
         q114_heavy_hitters,
         Q114_SQL,
         "heavy hitters: CMS prune + exact verify (no-false-negative guarantee)",
+    ),
+    "q129_histogram_quantiles": QuerySpec(
+        q129_histogram_quantiles,
+        Q129_SQL,
+        "mergeable histogram quantile sketch with merge law + exact audit",
+    ),
+    "q130_hll_set_ops": QuerySpec(
+        q130_hll_set_ops,
+        Q130_SQL,
+        "HLL set algebra: sketch-space union + inclusion-exclusion intersection",
     ),
 }

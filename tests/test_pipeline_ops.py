@@ -182,3 +182,19 @@ def test_kmeans_seed_choice_audited_by_ivf_recall(spark):
     assert r_first > r_hashed, (r_first, r_hashed)  # planted-centroid corpus
     assert r_hashed >= 0.2, r_hashed  # both far above the 0.02 LSH floor
     assert r_first >= 0.6, r_first
+
+
+def test_sq8_quantization_recall_high(spark):
+    """SQ8 after normalization must preserve the cosine ranking almost
+    exactly — the audit exists to catch configs (e.g. affine per-dim
+    quantization without normalization, recall ~0.1) that silently
+    destroy it."""
+    from sms_db_spark.operators.similarity import SQ_K, q128_sq8_ann_recall
+
+    rows = q128_sq8_ann_recall(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_overlap <= SQ_K
+        assert r.recall_at_k == r.n_overlap / SQ_K
+    mean = sum(r.n_overlap for r in rows) / (len(rows) * SQ_K)
+    assert mean >= 0.8, mean

@@ -166,3 +166,26 @@ def test_hll_linear_counting_branch_cross_engine(spark, tmp_path):
     orow = con.execute(Q103_SQL).fetchone()
     # (s_scaled, zero_registers, hll_estimate, exact_distinct)
     assert (srow.s_scaled, srow.zero_registers, srow.hll_estimate, srow.exact_distinct) == orow
+
+
+def test_histogram_quantiles_bounded_error_and_merge_law(spark):
+    from sms_db_spark.operators.sketches import HIST_BIN_W, q129_histogram_quantiles
+
+    rows = q129_histogram_quantiles(spark, SF_DIR).collect()
+    assert [r.p_milli for r in rows] == [500, 900, 990]
+    for r in rows:
+        # additive merge must be lossless — always, not probabilistically
+        assert r.merge_equals_whole == 1
+        # a W-wide histogram can miss the true percentile by at most one bin
+        assert abs(r.est_milli / 1000.0 - r.exact_val) <= HIST_BIN_W, r
+
+
+def test_hll_set_ops_inclusion_exclusion(spark):
+    from sms_db_spark.operators.sketches import q130_hll_set_ops
+
+    r = q130_hll_set_ops(spark, SF_DIR).collect()[0]
+    # union estimate from merged registers is bounded by the side sums
+    assert r.est_union <= r.est_a + r.est_b
+    assert r.est_intersection == r.est_a + r.est_b - r.est_union
+    # compounded sketch error stays within ~3x the per-sketch bound
+    assert r.abs_err <= 0.2 * r.exact_intersection, (r.abs_err, r.exact_intersection)
