@@ -71,6 +71,9 @@ HEADLINE = [
     "q114_heavy_hitters",
     "q123_ann_serving",
     "q124_kmeans_hashed_seed_train",
+    "q125_delta_dedup",
+    "q126_scd_upsert",
+    "q128_sq8_ann_recall",
 ]
 
 BEST_OF = 3

@@ -586,7 +586,16 @@ def q129_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2).alias("half"),
         F.expr(f"n_chars div {HIST_BIN_W}").alias("bin"),
     )
-    per_half = binned.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    # The ≤2·nbins-row shard-histogram state is materialized ONCE
+    # (localCheckpoint): law/bins/tot/pick all read it, so the corpus is
+    # scanned exactly once for the sketch. `whole` and `exacts` are the
+    # in-query AUDIT (an independent recompute + the true percentile) and
+    # cost one corpus scan each; a production run ships per_half only.
+    per_half = (
+        binned.groupBy("half", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     merged = per_half.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
     whole = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("wcnt"))
     law = (
@@ -684,13 +693,12 @@ ORDER BY p_milli
 # ------------------------------------------------------------------ q130
 
 
-def _side_regs(docs: DataFrame, side: Column) -> DataFrame:
+def _regs_from_grams(grams: DataFrame) -> DataFrame:
     h = _h60(F.col("gram"))
     w = F.shiftright(h, HLL_P)
     rho = F.when(w == 0, _HLL_WBITS + 1).otherwise(_HLL_WBITS + 1 - F.length(F.bin(w)))
     return (
-        _gram_rows(docs.filter(side))
-        .select((h % HLL_M).alias("bucket"), rho.alias("rho"))
+        grams.select((h % HLL_M).alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
@@ -738,15 +746,27 @@ def q130_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table_parallel(spark, sf_dir, "documents")
     side_a = F.expr("CAST(substring(source, 4) AS INT)") < 10
-    rega = _side_regs(docs, side_a)
-    regb = _side_regs(docs, ~side_a)
+    # ONE corpus scan: the distinct (side, gram) relation (~vocab-sized)
+    # is materialized once and feeds both sides' registers AND the exact
+    # intersection audit. Registers over distinct grams equal registers
+    # over all occurrences (max is duplicate-insensitive).
+    tagged = (
+        docs.select(
+            side_a.cast("int").alias("side"),
+            F.explode(shingles_col(_tokens_col())).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    grams_a = tagged.filter(F.col("side") == 1).select("gram")
+    grams_b = tagged.filter(F.col("side") == 0).select("gram")
+    rega = _regs_from_grams(grams_a)
+    regb = _regs_from_grams(grams_b)
     regu = (
         rega.unionByName(regb)
         .groupBy("bucket")
         .agg(F.max("max_rho").alias("max_rho"))
     )
-    grams_a = _gram_rows(docs.filter(side_a)).select("gram").distinct()
-    grams_b = _gram_rows(docs.filter(~side_a)).select("gram").distinct()
     exact = grams_a.join(grams_b, "gram").agg(
         F.count(F.lit(1)).alias("exact_intersection")
     )
