@@ -1,0 +1,107 @@
+"""Z-order (Morton-curve) file clustering: lay a store out so that
+predicates on EITHER of two columns prune most files.
+
+The multi-dimensional half of the storage story (partitioning covers
+the time axis, bucketing the join key): a store range-sorted on one
+column prunes beautifully on that column and not at all on any other —
+every file's min/max for the second column spans the whole domain. The
+Z-value interleaves the bits of both columns' normalized ranks, so
+files (= Z-ranges) cover small RECTANGLES of the value space, and
+parquet footer min/max stats prune on both axes. This is what
+`OPTIMIZE ... ZORDER BY` does in lakehouse engines; here it is ~30
+lines of Catalyst expressions plus repartitionByRange.
+
+Everything stays JVM-side and shuffle-minimal: normalization bounds
+come from one tiny agg (broadcast back as literals via crossJoin), the
+Z-value is a fold over 16 bit positions, and the layout write is ONE
+range shuffle (repartitionByRange carries its own sampling pass).
+Trade-offs at 100 TB: Z-order wins when queries filter on several
+columns independently; a single dominant filter column still prefers a
+plain range sort. Like compaction, this runs as a per-partition
+background rewrite."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Z_BITS = 16  # per-dimension resolution: 2^16 cells per axis
+
+
+def _scale(col: str, lo: str, hi: str) -> str:
+    """Map col into [0, 2^Z_BITS): exact int64 arithmetic, monotone."""
+    return (
+        f"CASE WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) "
+        f"ELSE (CAST({col} - {lo} AS BIGINT) * {(1 << Z_BITS) - 1}) div ({hi} - {lo}) END"
+    )
+
+
+def _interleave(xa: str, xb: str) -> Column:
+    """Morton interleave of two pre-scaled Z_BITS-wide ints (xa even bits).
+    Takes COLUMN names, not expressions: the fold references each input
+    2·Z_BITS times, so the scaling must be computed once per row, not
+    once per bit."""
+    return F.expr(
+        f"aggregate(sequence(0, {Z_BITS - 1}), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + shiftleft(shiftright({xa}, i) % 2, 2 * i) "
+        f"    + shiftleft(shiftright({xb}, i) % 2, 2 * i + 1))"
+    )
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int
+) -> None:
+    """Rewrite df into n_files parquet files clustered on the Z-curve of
+    (col_a, col_b). Row content is unchanged; only co-location differs.
+    """
+    bounds = df.agg(
+        F.min(col_a).alias("lo_a"),
+        F.max(col_a).alias("hi_a"),
+        F.min(col_b).alias("lo_b"),
+        F.max(col_b).alias("hi_b"),
+    )
+    # one-row bounds frame joined back: stays a BroadcastNestedLoopJoin of
+    # a single row — no literal collect on the driver, no second scan of df
+    z = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_xa", F.expr(_scale(col_a, "lo_a", "hi_a")))
+        .withColumn("_xb", F.expr(_scale(col_b, "lo_b", "hi_b")))
+        .withColumn("_z", _interleave("_xa", "_xb"))
+    )
+    (
+        z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_xa", "_xb", "lo_a", "lo_b", "hi_a", "hi_b")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_column_ranges(path: str, cols: list[str]) -> list[dict]:
+    """Per-data-file min/max for cols, read from the parquet footers —
+    exactly the stats a scan's file/row-group pruning consults."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet") or name.startswith("_"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
+        rng: dict = {"file": name}
+        for c in cols:
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            rng[c] = (min(mins), max(maxs))
+        out.append(rng)
+    return out
+
+
+def files_overlapping(ranges: list[dict], col: str, lo, hi) -> int:
+    """How many files a [lo, hi] predicate on col would have to read."""
+    return sum(1 for r in ranges if not (r[col][1] < lo or r[col][0] > hi))
