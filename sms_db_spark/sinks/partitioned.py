@@ -64,3 +64,26 @@ def day_slice(spark: SparkSession, path: str, start_date: str, end_date: str) ->
 
 def partition_dirs(path: str) -> list[str]:
     return sorted(d for d in os.listdir(path) if d.startswith("event_date="))
+
+
+def backfill_day(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """Idempotent single-partition backfill: rewrite ONLY the day
+    directories present in df, leaving every other partition's files
+    untouched (byte-identical, not rewritten).
+
+    Dynamic partition overwrite is THE correction workflow at 100 TB: a
+    bad upstream day is recomputed and re-landed without touching the
+    other ~999 partitions — static overwrite mode would instead drop the
+    whole table root. The mode is passed as a PER-WRITE option, so no
+    session conf changes and the caller's overwrite semantics elsewhere
+    are untouched.
+    """
+    out = df.withColumn("event_date", F.to_date(F.col(ts_col)))
+    (
+        out.repartition("event_date")
+        .sortWithinPartitions(ts_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(path)
+    )

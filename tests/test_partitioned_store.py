@@ -59,3 +59,52 @@ def test_partitioned_roundtrip_preserves_rows(spark, tmp_path):
     assert back.agg(F.sum(F.unix_micros("ts"))).first()[0] == events.agg(
         F.sum(F.unix_micros("ts"))
     ).first()[0]
+
+
+def test_backfill_day_touches_only_its_partition(spark, tmp_path):
+    """Dynamic partition overwrite: re-landing one corrected day must
+    leave every other day's files byte-identical (same names, same
+    mtimes) — the 1-of-1000-partitions correction workflow."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sms_db_spark.sinks.partitioned import (
+        backfill_day,
+        partition_dirs,
+        write_partitioned_by_day,
+    )
+    from sms_db_spark.tables import load_table
+
+    store = str(tmp_path / "store")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    write_partitioned_by_day(ev, store)
+    dirs = partition_dirs(store)
+    assert len(dirs) > 2
+    target = dirs[1]
+    day = target.split("=", 1)[1]
+
+    def snapshot(skip):
+        out = {}
+        for d in partition_dirs(store):
+            if d == skip:
+                continue
+            p = os.path.join(store, d)
+            out[d] = {(f, os.path.getmtime(os.path.join(p, f))) for f in os.listdir(p)}
+        return out
+
+    before = snapshot(target)
+    corrected = ev.filter(F.to_date("ts") == day).withColumn(
+        "value", F.col("value") * 2
+    )
+    n_target = corrected.count()
+    backfill_day(corrected, store)
+
+    # untouched partitions: identical file sets AND mtimes
+    assert snapshot(target) == before
+    # the target partition now holds exactly the corrected rows
+    got = spark.read.parquet(store).filter(F.col("event_date") == day)
+    assert got.count() == n_target
+    orig_sum = ev.filter(F.to_date("ts") == day).agg(F.sum("value")).collect()[0][0]
+    new_sum = got.agg(F.sum("value")).collect()[0][0]
+    assert abs(new_sum - 2 * orig_sum) < 1e-6
