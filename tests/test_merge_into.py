@@ -1,0 +1,75 @@
+"""MERGE INTO: updates win from the source, inserts land, the delete
+clause removes matched rows, unmatched target rows survive byte-exact,
+and a schema mismatch refuses before touching the store."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sms_db_spark.sinks.merge import merge_into
+from sms_db_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _seed(spark, tmp_path):
+    store = str(tmp_path / "store")
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.write.parquet(store)
+    return store, orders
+
+
+def test_merge_update_insert_delete(spark, tmp_path):
+    store, orders = _seed(spark, tmp_path)
+    n0 = orders.count()
+    # source: 50 updated keys (price doubled), 10 brand-new keys,
+    # and every matched 'F' row deleted via the condition
+    upd = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    ins = orders.limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(max_key + 1000)
+    )
+    src = upd.unionByName(ins)
+    n_upd, n_ins = upd.count(), ins.count()
+    n_del_expected = upd.filter(F.col("o_orderstatus") == "F").count()
+
+    stats = merge_into(
+        spark,
+        store,
+        src,
+        keys=["o_orderkey"],
+        delete_condition=F.col("s_o_orderstatus") == "F",
+    )
+    assert stats["inserted"] == n_ins
+    assert stats["deleted"] == n_del_expected
+    assert stats["updated"] == n_upd - n_del_expected
+    assert stats["unchanged"] == n0 - n_upd
+
+    got = spark.read.parquet(store)
+    assert got.count() == n0 + n_ins - n_del_expected
+    # updates applied: every surviving matched key carries the doubled price
+    doubled = got.join(upd.select("o_orderkey", F.col("o_totalprice").alias("want")), "o_orderkey")
+    assert doubled.filter(F.col("o_totalprice") != F.col("want")).count() == 0
+    # unmatched rows are bit-identical to the original
+    untouched_ids = orders.filter(F.col("o_orderkey") % 100 != 0).select("o_orderkey")
+    before = orders.join(untouched_ids, "o_orderkey")
+    after = got.join(untouched_ids, "o_orderkey")
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+    # no staging/backup residue
+    import os
+
+    assert not os.path.exists(store + ".merging")
+    assert not os.path.exists(store + ".premerge")
+
+
+def test_merge_refuses_schema_mismatch(spark, tmp_path):
+    store, orders = _seed(spark, tmp_path)
+    bad = orders.withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_into(spark, store, bad, keys=["o_orderkey"])
+    # store untouched
+    assert spark.read.parquet(store).count() == orders.count()
