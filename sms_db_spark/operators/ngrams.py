@@ -104,6 +104,121 @@ def q88_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q132_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest cross-document duplicated SPAN per document: q88 counts
+    how many of a doc's 8-token grams exist elsewhere; this query finds
+    the longest CONSECUTIVE run of such grams — the span exact-substring
+    deduplication actually cuts (remove-the-span, not remove-the-doc, is
+    the published recipe for verbatim boilerplate/quotes inside
+    otherwise-unique documents).
+
+    Shape: positional gram relation (doc_id, pos, md5(gram)) — the hash
+    computed map-side so only 16-byte keys shuffle — flagged cross-doc
+    by a window over the gram key (min≠max doc, q88's constant-state
+    trick, never a self-join), then a gaps-and-islands window per doc
+    (pos − row_number ⇒ run id) and two uniform-key aggregations. Docs
+    shorter than the gram width report zero spans via the column-pruned
+    base scan. max_span_tokens = run + N−1 converts gram-run length to
+    the actual token span to cut.
+    """
+    docs = _docs(spark, sf_dir)
+    tk = F.split(F.trim(F.col("text")), " ")
+    n_pos = F.greatest(F.size(tk) - (NGRAM_N - 1), F.lit(0)).cast("bigint")
+    grams = F.when(
+        F.size(tk) >= NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (NGRAM_N - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, NGRAM_N))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select("doc_id", F.posexplode(grams).alias("pos", "g"))
+    w_g = Window.partitionBy("g")
+    flagged = (
+        occ.withColumn("lo", F.min("doc_id").over(w_g))
+        .withColumn("hi", F.max("doc_id").over(w_g))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("doc_id", "pos")
+    )
+    w_d = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        flagged.withColumn("grp", F.col("pos") - F.row_number().over(w_d))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("run_len").alias("dup_spans"),
+            F.max("run_len").alias("max_dup_run"),
+        )
+    )
+    base = docs.select("doc_id", n_pos.alias("n_spans"))
+    return (
+        base.join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"),
+            F.when(
+                F.coalesce("max_dup_run", F.lit(0)) > 0,
+                F.coalesce("max_dup_run", F.lit(0)) + (NGRAM_N - 1),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("max_span_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q132_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
+),
+occ AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+    SELECT doc_id,
+           [{{'pos': i, 'g': md5(array_to_string(tk[i:i+{NGRAM_N - 1}], ' '))}}
+            for i in generate_series(1, len(tk) - {NGRAM_N - 1})] AS lst
+    FROM toks
+  ), LATERAL (SELECT unnest(lst) AS u)
+),
+flagged AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           min(doc_id) OVER (PARTITION BY g) AS lo,
+           max(doc_id) OVER (PARTITION BY g) AS hi
+    FROM occ
+  ) WHERE lo <> hi
+),
+runs AS (
+  SELECT doc_id,
+         CAST(SUM(run_len) AS BIGINT) AS dup_spans,
+         CAST(MAX(run_len) AS BIGINT) AS max_dup_run
+  FROM (
+    SELECT doc_id, grp, COUNT(*) AS run_len FROM (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM flagged
+    ) GROUP BY doc_id, grp
+  ) GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         greatest(len(string_split(trim(text), ' ')) - {NGRAM_N - 1}, 0) AS n_spans
+  FROM documents
+)
+SELECT b.doc_id,
+       CAST(b.n_spans AS BIGINT) AS n_spans,
+       coalesce(r.dup_spans, 0) AS dup_spans,
+       coalesce(r.max_dup_run, 0) AS max_dup_run,
+       CAST(CASE WHEN coalesce(r.max_dup_run, 0) > 0
+                 THEN coalesce(r.max_dup_run, 0) + {NGRAM_N - 1}
+                 ELSE 0 END AS BIGINT) AS max_span_tokens
+FROM base b LEFT JOIN runs r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 Q88_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents
@@ -439,6 +554,11 @@ QUERIES = {
         q88_dup_ngram_coverage,
         Q88_SQL,
         "cross-doc duplicated 8-gram coverage (exact-substring dedup signal)",
+    ),
+    "q132_dup_spans": QuerySpec(
+        q132_dup_spans,
+        Q132_SQL,
+        "longest cross-doc duplicated span per document (gaps-and-islands over dup gram positions)",
     ),
     "q89_inverted_index": QuerySpec(
         q89_inverted_index, Q89_SQL, "inverted-index posting lists, capped via window"

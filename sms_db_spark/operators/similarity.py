@@ -1272,8 +1272,133 @@ FROM ranked GROUP BY query_id ORDER BY query_id
 """
 
 
+# ------------------------------------------------------------------ q133
+
+HN_K = 5  # hard negatives mined per anchor
+
+
+def q133_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding/contrastive training: for each
+    anchor, the top-K most-similar vectors whose LABEL differs — the
+    near-miss examples that carry the training signal (easy random
+    negatives are already far away; the hard ones live at the decision
+    boundary).
+
+    Mining rides the existing ANN serving path, not a fresh scan: q51's
+    IVF probe mechanics (broadcast centroids → per-anchor N_PROBE lists
+    → candidates from those lists only) with the label-mismatch filter
+    applied BEFORE scoring's window, so each anchor scores ~corpus/
+    (N_CENTROIDS/N_PROBE) candidates. At 100 TB this is the nightly
+    mining job over the training set: anchors are a hashed sample, the
+    candidate fraction is the recall/cost dial q121 measures, and the
+    mined pairs feed the next training round. Same shuffles as q51 —
+    one window on anchor_id; everything else broadcasts.
+    """
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "embedding", "label", "cid",
+            cosine("embedding", "c_emb").alias("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
+            F.first("embedding").alias("embedding"),
+            F.first("label").alias("label"),
+        )
+    )
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("label").alias("anchor_label"),
+    )
+    w_probe = Window.partitionBy("anchor_id").orderBy(F.col("q_sim").desc(), F.col("cid"))
+    probes = (
+        anchors.crossJoin(F.broadcast(cent))
+        .select(
+            "anchor_id", "a_emb", "anchor_label", "cid",
+            cosine("a_emb", "c_emb").alias("q_sim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= N_PROBE)
+        .select("anchor_id", "a_emb", "anchor_label", "cid")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .filter(
+            (F.col("anchor_id") != F.col("vec_id"))
+            & (F.col("anchor_label") != F.col("label"))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            cosine("a_emb", "embedding").alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+        .orderBy("anchor_id", "rank")
+    )
+
+
+Q133_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, label, cid FROM (
+    SELECT e.vec_id, e.embedding, e.label, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+anchors AS (
+  SELECT vec_id AS anchor_id, embedding AS a_emb, label AS anchor_label
+  FROM embeddings WHERE vec_id < 10
+),
+probes AS (
+  SELECT anchor_id, a_emb, anchor_label, cid FROM (
+    SELECT q.anchor_id, q.a_emb, q.anchor_label, c.cid,
+           row_number() OVER (
+             PARTITION BY q.anchor_id
+             ORDER BY {_sql_cos('q.a_emb', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM anchors q CROSS JOIN cent c
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT p.anchor_id, p.anchor_label, a.vec_id AS negative_id,
+         a.label AS negative_label,
+         {_sql_cos('p.a_emb', 'a.embedding')} AS cos_sim
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE p.anchor_id <> a.vec_id AND p.anchor_label <> a.label
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, negative_id) AS rank
+  FROM scored
+) WHERE rank <= {HN_K} ORDER BY anchor_id, rank
+"""
+
+
 QUERIES = {
     "q48_ann_bruteforce_topk": QuerySpec(q48_ann_bruteforce_topk, Q48_SQL, "exact cosine top-k"),
+    "q133_hard_negatives": QuerySpec(
+        q133_hard_negatives,
+        Q133_SQL,
+        "hard-negative mining for contrastive training via the IVF probe path",
+    ),
     "q128_sq8_ann_recall": QuerySpec(
         q128_sq8_ann_recall,
         Q128_SQL,

@@ -129,6 +129,8 @@ _CHANGED_THIS_ROUND = [
     "q128_sq8_ann_recall",
     "q129_histogram_quantiles",
     "q130_hll_set_ops",
+    "q132_dup_spans",
+    "q133_hard_negatives",
 ]
 _STALE_EVIDENCE = [  # green only in round 1's gate, unchanged since
     # (q25/q30/q32/q33/q37/q59 graduated: r3 gate row or in the changed

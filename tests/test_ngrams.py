@@ -106,3 +106,22 @@ def test_bpe_merge_apply_is_greedy_leftmost(spark, monkeypatch):
     # a skip-alternating apply would leave "aa a a aa" (pair count 1)
     # and "b b" would win instead
     assert merges == ["a a", "aa aa"]
+
+
+def test_dup_spans_cross_checks_q88_and_bounds(spark):
+    """q132's position-level dup count must equal q88's span count per
+    document (same flagging rule, different aggregation), and the
+    longest run can never exceed the doc's dup total."""
+    from sms_db_spark.operators.ngrams import q88_dup_ngram_coverage, q132_dup_spans
+
+    sf = "/root/testdata/sf0.001"
+    spans = {r.doc_id: r for r in q132_dup_spans(spark, sf).collect()}
+    cov = {r.doc_id: r for r in q88_dup_ngram_coverage(spark, sf).collect()}
+    assert set(spans) == set(cov)
+    for d, r in spans.items():
+        assert r.dup_spans == cov[d].dup_spans, d
+        assert 0 <= r.max_dup_run <= r.dup_spans <= r.n_spans
+        if r.max_dup_run > 0:
+            assert r.max_span_tokens == r.max_dup_run + 7
+    # the corpus actually contains multi-gram duplicated runs
+    assert any(r.max_dup_run > 1 for r in spans.values())

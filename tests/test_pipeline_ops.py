@@ -198,3 +198,20 @@ def test_sq8_quantization_recall_high(spark):
         assert r.recall_at_k == r.n_overlap / SQ_K
     mean = sum(r.n_overlap for r in rows) / (len(rows) * SQ_K)
     assert mean >= 0.8, mean
+
+
+def test_hard_negatives_are_label_mismatched_and_ranked(spark):
+    from sms_db_spark.operators.similarity import HN_K, q133_hard_negatives
+
+    rows = q133_hard_negatives(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_anchor = {}
+    for r in rows:
+        assert r.negative_label != r.anchor_label
+        assert r.negative_id != r.anchor_id
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for a, rs in by_anchor.items():
+        ranks = [r.rank for r in rs]
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= HN_K
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
