@@ -632,12 +632,22 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _assign(emb, cent).localCheckpoint(eager=True)
 
     w = Window.partitionBy("cid").orderBy("vec_id")
+    # rank and cluster size share ONE cid window shuffle: the truncation
+    # report costs no extra aggregation pass (a separate groupBy(cid) +
+    # broadcast join measured +26% on the whole query at sf0.1)
+    sized = assigned.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "cluster_truncated",
+        F.greatest(
+            F.count(F.lit(1)).over(Window.partitionBy("cid"))
+            - F.lit(SEMDEDUP_MAX_CLUSTER),
+            F.lit(0).cast("long"),
+        ),
+    )
     # L2-normalize each surviving member ONCE so the quadratic in-cluster
     # stage is a single dot fold per pair (cos(a,b) == dot(a/|a|, b/|b|));
     # the oracle thresholds the identical normalized-dot expression
     ranked = (
-        assigned.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= SEMDEDUP_MAX_CLUSTER)
+        sized.filter(F.col("rnk") <= SEMDEDUP_MAX_CLUSTER)
         .withColumn("nrm", _norm("embedding"))
         .select("cid", "vec_id", _unit("embedding", "nrm").alias("unit"))
     )
@@ -651,16 +661,8 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("pruned", F.lit(1))
     )
-    # per-cluster coverage report: members beyond the cap were never
-    # compared — K rows, broadcast-joined back onto the verdict
-    truncs = assigned.groupBy("cid").agg(
-        F.greatest(
-            F.count(F.lit(1)) - F.lit(SEMDEDUP_MAX_CLUSTER), F.lit(0).cast("long")
-        ).alias("cluster_truncated")
-    )
     return (
-        assigned.join(removed, "vec_id", "left")
-        .join(F.broadcast(truncs), "cid")
+        sized.join(removed, "vec_id", "left")
         .select(
             "vec_id",
             "cid",
