@@ -74,6 +74,8 @@ HEADLINE = [
     "q125_delta_dedup",
     "q126_scd_upsert",
     "q128_sq8_ann_recall",
+    "q132_dup_spans",
+    "q133_hard_negatives",
 ]
 
 BEST_OF = 3
