@@ -1,0 +1,38 @@
+"""Shared Hadoop-FS helpers for the maintenance sinks and streaming
+state stores. One implementation of (a) the JVM FileSystem handle and
+(b) the write-new-then-swap rename dance — so a fix to either (e.g.
+checking rename return values) lands everywhere at once.
+
+Hadoop FS API, not os.path: these paths live on HDFS/S3A in a real
+deployment; driver-local filesystem checks would silently misreport
+there."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """(jvm, FileSystem) for path under the session's Hadoop conf."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def atomic_swap(spark: SparkSession, path: str, staged: str, backup: str) -> None:
+    """Replace the dataset at `path` with the one at `staged` via
+    rename-through-backup. On any failed rename the original is
+    restored (or left in place) and an error raised — readers never see
+    a half-swapped store."""
+    jvm, fs = hadoop_fs(spark, path)
+    p_path = jvm.org.apache.hadoop.fs.Path(path)
+    p_staged = jvm.org.apache.hadoop.fs.Path(staged)
+    p_backup = jvm.org.apache.hadoop.fs.Path(backup)
+    fs.delete(p_backup, True)
+    if not fs.rename(p_path, p_backup):
+        fs.delete(p_staged, True)
+        raise RuntimeError(f"swap failed moving {path} aside; store untouched")
+    if not fs.rename(p_staged, p_path):
+        fs.rename(p_backup, p_path)
+        raise RuntimeError(f"swap failed landing {staged}; original restored")
+    fs.delete(p_backup, True)

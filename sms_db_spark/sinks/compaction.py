@@ -34,21 +34,17 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+from ..fsutil import atomic_swap, hadoop_fs
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # the HDFS-block-sized default
 
 
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration())
-
-
 def _data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(path, bytes) of every parquet data file under path, recursively."""
-    jvm, fs = _fs(spark, path)
+    jvm, fs = hadoop_fs(spark, path)
     out: list[tuple[str, int]] = []
     it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
     while it.hasNext():
@@ -63,14 +59,23 @@ def fragmentation_report(
     spark: SparkSession, path: str, target_bytes: int = DEFAULT_TARGET_BYTES
 ) -> dict:
     """The pick-targets report: file count, total bytes, mean file size,
-    and the file count a compaction would produce."""
+    and the file count a compaction would produce.
+
+    A Hive-partitioned store can never have fewer files than partition
+    directories, so the achievable target is bounded below by the
+    number of distinct partition dirs — without that bound a compacted
+    partitioned store would report fragmented forever and every
+    maintenance cycle would rewrite it again."""
     files = _data_files(spark, path)
     total = sum(b for _, b in files)
-    n_after = max(1, math.ceil(total / target_bytes)) if files else 0
+    n_dirs = len({f.rsplit("/", 1)[0] for f, _ in files if "=" in f.rsplit("/", 2)[-2]})
+    floor_files = max(1, n_dirs)
+    n_after = max(floor_files, math.ceil(total / target_bytes)) if files else 0
     return {
         "n_files": len(files),
         "total_bytes": total,
         "mean_bytes": total // len(files) if files else 0,
+        "n_partition_dirs": n_dirs,
         "n_files_after": n_after,
         "fragmented": len(files) > n_after,
     }
@@ -92,7 +97,7 @@ def compact(
     report = fragmentation_report(spark, path, target_bytes)
     if not report["fragmented"]:
         return {**report, "compacted": False}
-    jvm, fs = _fs(spark, path)
+    jvm, fs = hadoop_fs(spark, path)
     staged = path.rstrip("/") + ".compacting"
     backup = path.rstrip("/") + ".precompact"
     df = spark.read.parquet(path)
@@ -114,14 +119,6 @@ def compact(
     if n_in != n_out:
         fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
         raise RuntimeError(f"compaction row mismatch: {n_in} != {n_out}")
-    p_path = jvm.org.apache.hadoop.fs.Path(path)
-    p_staged = jvm.org.apache.hadoop.fs.Path(staged)
-    p_backup = jvm.org.apache.hadoop.fs.Path(backup)
-    fs.delete(p_backup, True)
-    fs.rename(p_path, p_backup)
-    if not fs.rename(p_staged, p_path):  # restore on failure
-        fs.rename(p_backup, p_path)
-        raise RuntimeError("compaction swap failed; original restored")
-    fs.delete(p_backup, True)
+    atomic_swap(spark, path, staged, backup)
     after = fragmentation_report(spark, path, target_bytes)
     return {**report, "compacted": True, "n_files_final": after["n_files"]}

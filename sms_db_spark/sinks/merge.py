@@ -28,11 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration())
+from ..fsutil import atomic_swap
 
 
 def merge_into(
@@ -74,9 +70,6 @@ def merge_into(
         .when(F.col("in_s").isNotNull(), "insert")
         .otherwise("keep")
     )
-    resolved = joined.withColumn("_action", action).filter(
-        F.col("_action") != "delete"
-    )
     out_cols = [
         F.coalesce(F.col(f"s_{k}"), F.col(f"t_{k}")).alias(k) for k in keys
     ] + [
@@ -85,35 +78,25 @@ def merge_into(
         .alias(c)
         for c in data_cols
     ]
-    result = resolved.select(*out_cols, "_action")
-    # stats + materialization in one pass: the checkpoint both cuts the
-    # lineage off the store we are about to overwrite and feeds the counts
-    result = result.localCheckpoint(eager=True)
+    # keep deletes in the resolved frame: the ONE checkpoint feeds both
+    # the four-way stats and the write (deletes dropped there) — the
+    # full-outer join, the dominant cost, executes exactly once
+    result = joined.withColumn("_action", action).select(
+        *out_cols, "_action"
+    ).localCheckpoint(eager=True)
     counts = {
         r["_action"]: r["n"]
         for r in result.groupBy("_action").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    n_delete = (
-        joined.withColumn("_action", action).filter(F.col("_action") == "delete").count()
-        if delete_condition is not None
-        else 0
-    )
     staged = target_path.rstrip("/") + ".merging"
     backup = target_path.rstrip("/") + ".premerge"
-    result.drop("_action").write.mode("overwrite").parquet(staged)
-    jvm, fs = _fs(spark, target_path)
-    p_t = jvm.org.apache.hadoop.fs.Path(target_path)
-    p_s = jvm.org.apache.hadoop.fs.Path(staged)
-    p_b = jvm.org.apache.hadoop.fs.Path(backup)
-    fs.delete(p_b, True)
-    fs.rename(p_t, p_b)
-    if not fs.rename(p_s, p_t):
-        fs.rename(p_b, p_t)
-        raise RuntimeError("merge swap failed; original restored")
-    fs.delete(p_b, True)
+    result.filter(F.col("_action") != "delete").drop("_action").write.mode(
+        "overwrite"
+    ).parquet(staged)
+    atomic_swap(spark, target_path, staged, backup)
     return {
         "inserted": counts.get("insert", 0),
         "updated": counts.get("update", 0),
-        "deleted": n_delete,
+        "deleted": counts.get("delete", 0),
         "unchanged": counts.get("keep", 0),
     }

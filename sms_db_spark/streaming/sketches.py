@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.dedup import _tokens_col, shingles_col
+from ..fsutil import hadoop_fs
 from ..operators.sketches import HLL_M, HLL_P, _HLL_WBITS, _h60
 
 DOC_BATCH_SCHEMA = T.StructType(
@@ -77,10 +78,8 @@ def stream_hll(
         # Hadoop FS API (not os.path): register_dir may live on HDFS/S3A
         # in a real deployment; the driver-local filesystem check would
         # silently report "absent" there and reset the sketch.
-        jvm = sess._jvm
-        hconf = sess._jsc.hadoopConfiguration()
+        jvm, fs = hadoop_fs(sess, current)
         cur_path = jvm.org.apache.hadoop.fs.Path(current)
-        fs = cur_path.getFileSystem(hconf)
         if fs.exists(cur_path):
             regs = merge_registers(sess.read.parquet(current), regs)
         # write-new-then-swap keeps readers consistent; 2^p rows, driver-cheap

@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..fsutil import hadoop_fs
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -86,14 +88,8 @@ def merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
-def _fs(sess: SparkSession, path: str):
-    jvm = sess._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, p.getFileSystem(sess._jsc.hadoopConfiguration())
-
-
 def _state_ids(sess: SparkSession, store_dir: str) -> list[int]:
-    jvm, fs = _fs(sess, store_dir)
+    jvm, fs = hadoop_fs(sess, store_dir)
     base = jvm.org.apache.hadoop.fs.Path(store_dir)
     if not fs.exists(base):
         return []
@@ -107,10 +103,16 @@ def _state_ids(sess: SparkSession, store_dir: str) -> list[int]:
 
 def apply_batch(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     """Idempotent versioned merge: read predecessor state (< batch_id),
-    fold the batch in, overwrite state-{batch_id}, drop older states."""
+    fold the batch in, overwrite state-{batch_id}, drop every other
+    state — older ones (the predecessor stays for replays) AND any with
+    id >= batch_id other than our own: those can only exist after a
+    checkpoint reset restarted batch numbering, and leaving them would
+    make read_upsert_store (which serves max id) return the stale
+    pre-reset snapshot forever."""
     sess = batch.sparkSession
     state = reduce_changes(changelog(batch))
-    prior = [i for i in _state_ids(sess, store_dir) if i < batch_id]
+    ids = _state_ids(sess, store_dir)
+    prior = [i for i in ids if i < batch_id]
     if prior:
         prev = sess.read.parquet(os.path.join(store_dir, f"state-{prior[-1]}"))
         state = merge_states(prev, state)
@@ -120,9 +122,14 @@ def apply_batch(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     state.write.mode("overwrite").parquet(
         os.path.join(store_dir, f"state-{batch_id}")
     )
-    jvm, fs = _fs(sess, store_dir)
-    for i in prior[:-1]:  # keep only the direct predecessor for replays
-        fs.delete(jvm.org.apache.hadoop.fs.Path(os.path.join(store_dir, f"state-{i}")), True)
+    jvm, fs = hadoop_fs(sess, store_dir)
+    keep = {batch_id} | ({prior[-1]} if prior else set())
+    for i in ids:
+        if i not in keep:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(os.path.join(store_dir, f"state-{i}")),
+                True,
+            )
 
 
 def read_upsert_store(spark: SparkSession, store_dir: str) -> DataFrame:

@@ -76,3 +76,21 @@ def test_compact_partitioned_preserves_layout(spark, tmp_path):
         got.filter(F.col("event_date") == one_day).count()
         == ev.filter(F.col("event_date") == one_day).count()
     )
+
+
+def test_compact_partitioned_is_idempotent(spark, tmp_path):
+    """The fragmented guard must respect the partition-directory lower
+    bound: a second maintenance run on an already-compacted partitioned
+    store is a NO-OP, not another full rewrite."""
+    store = str(tmp_path / "store")
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.repartition(8).write.partitionBy("event_date").parquet(store)
+    first = compact(spark, store, target_bytes=1 << 20, partition_cols=["event_date"])
+    assert first["compacted"]
+    report = fragmentation_report(spark, store, target_bytes=1 << 20)
+    assert report["n_partition_dirs"] > 1
+    assert not report["fragmented"], report
+    second = compact(spark, store, target_bytes=1 << 20, partition_cols=["event_date"])
+    assert not second["compacted"]

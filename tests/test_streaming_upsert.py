@@ -98,3 +98,19 @@ def test_delete_tombstones_and_resurrection(spark, tmp_path):
     row = read_upsert_store(spark, store).filter(F.col("user_id") == uid).first()
     assert row is not None and row.current_value == 1.5
     assert row.n_changes == n_before + 1
+
+
+def test_checkpoint_reset_discards_stale_state(spark, tmp_path):
+    """After a checkpoint reset restarts batch numbering at 0, the old
+    higher-numbered snapshots must not keep winning read_upsert_store."""
+    store = str(tmp_path / "store")
+    ev = _events(spark)
+    apply_batch(ev.filter(F.col("event_id") % 2 == 0), 0, store)
+    apply_batch(ev.filter(F.col("event_id") % 2 == 1), 1, store)
+    # checkpoint wiped; the stream reprocesses everything from batch 0
+    apply_batch(ev, 0, store)
+    got = {
+        r.user_id: (r.current_value, r.updated_at, r.n_changes)
+        for r in read_upsert_store(spark, str(store)).collect()
+    }
+    assert got == _batch_expected(spark)
