@@ -635,10 +635,14 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank and cluster size share ONE cid window shuffle: the truncation
     # report costs no extra aggregation pass (a separate groupBy(cid) +
     # broadcast join measured +26% on the whole query at sf0.1)
+    # count uses the SAME (partition, order) spec with an explicit
+    # unbounded frame, so rank and size evaluate in one WindowExec pass
     sized = assigned.withColumn("rnk", F.row_number().over(w)).withColumn(
         "cluster_truncated",
         F.greatest(
-            F.count(F.lit(1)).over(Window.partitionBy("cid"))
+            F.count(F.lit(1)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            )
             - F.lit(SEMDEDUP_MAX_CLUSTER),
             F.lit(0).cast("long"),
         ),

@@ -1,0 +1,116 @@
+"""Streaming data-quality monitor: q127's constraint audit evaluated per
+microbatch, appended to a metrics log — the continuous version of the
+gate-the-batch-before-merge discipline.
+
+Each microbatch folds its row-level constraints into ONE map-side
+aggregate (constant state per partition, same shape as the batch
+audit), tags the report with batch_id, and appends it to a parquet
+metrics log. The log is the monitoring surface: per-constraint violation
+counts over time, alertable with a trailing-window query; a `passed=0`
+row is the signal to pause downstream merges (the reference's
+import-stats report, sms-db.pl:333-339, run forever instead of once).
+
+Exactly-once for the LOG under foreachBatch's at-least-once replay:
+appends are keyed by batch_id, and a replayed batch first deletes its
+own batch_id partition (delete-then-append = idempotent upsert of the
+batch's metrics). State is one row per (batch, constraint) — bytes per
+batch, unbounded only in time, which is what a metrics log is."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..fsutil import hadoop_fs
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+ACCEPTED_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+VALUE_CAP = 1000.0
+
+
+def audit_batch(batch: DataFrame) -> DataFrame:
+    """One-pass constraint metrics for an event batch: (check_name,
+    violations, total, passed) — the streaming twin of q127's row-level
+    suite (completeness, uniqueness, accepted values, numeric range)."""
+    base = batch.agg(
+        F.count(F.lit(1)).alias("total"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("v_completeness"),
+        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias("v_unique"),
+        F.sum(
+            F.when(
+                F.col("event_type").isNull()
+                | ~F.col("event_type").isin(*ACCEPTED_EVENT_TYPES),
+                1,
+            ).otherwise(0)
+        ).alias("v_accepted"),
+        F.sum(
+            F.when(
+                F.col("value").isNull()
+                | (F.col("value") <= 0)
+                | (F.col("value") > VALUE_CAP),
+                1,
+            ).otherwise(0)
+        ).alias("v_range"),
+    )
+    return base.selectExpr(
+        "stack(4,"
+        " 'accepted_values_event_type', v_accepted,"
+        " 'completeness_user_id', v_completeness,"
+        " 'range_value', v_range,"
+        " 'unique_event_id', v_unique"
+        ") AS (check_name, violations)",
+        "total",
+    ).select(
+        "check_name",
+        "violations",
+        "total",
+        (F.col("violations") == 0).cast("int").alias("passed"),
+    )
+
+
+def append_metrics(batch: DataFrame, batch_id: int, log_dir: str) -> None:
+    """Idempotent per-batch append: the batch's own partition is replaced
+    wholesale (delete-then-write), so a replayed microbatch cannot
+    double-log its metrics."""
+    sess = batch.sparkSession
+    metrics = audit_batch(batch).withColumn("batch_id", F.lit(batch_id))
+    part = os.path.join(log_dir, f"batch_id={batch_id}")
+    jvm, fs = hadoop_fs(sess, log_dir)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(part), True)
+    metrics.drop("batch_id").coalesce(1).write.mode("overwrite").parquet(part)
+
+
+def read_metrics(spark: SparkSession, log_dir: str) -> DataFrame:
+    """The monitoring surface: all per-batch constraint reports.
+    basePath keeps batch_id as a partition column."""
+    return (
+        spark.read.option("basePath", log_dir)
+        .parquet(os.path.join(log_dir, "batch_id=*"))
+        .select("batch_id", "check_name", "violations", "total", "passed")
+    )
+
+
+def stream_quality_monitor(spark: SparkSession, drop_dir: str, log_dir: str, checkpoint_dir: str):
+    """Watch drop_dir for event batches; maintain the metrics log."""
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(drop_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: append_metrics(b, bid, log_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,71 @@
+"""Streaming quality monitor: per-microbatch metrics equal the batch
+audit computed on the same slice, replays don't double-log, and the
+deliberately-planted bad rows surface as failing constraints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sms_db_spark.streaming.quality import (
+    append_metrics,
+    audit_batch,
+    read_metrics,
+    stream_quality_monitor,
+)
+from sms_db_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+def test_stream_metrics_match_batch_audit_per_drop(spark, tmp_path):
+    drop, log, ckpt = tmp_path / "drop", tmp_path / "log", tmp_path / "ckpt"
+    ev = _events(spark)
+    slices = [ev.filter(F.col("event_id") % 2 == k) for k in (0, 1)]
+    for s in slices:
+        s.write.mode("append").parquet(str(drop))
+        q = stream_quality_monitor(spark, str(drop), str(log), str(ckpt))
+        q.awaitTermination(120)
+    logged = read_metrics(spark, str(log)).collect()
+    assert {r.batch_id for r in logged} == {0, 1}
+    for bid, s in enumerate(slices):
+        want = {
+            r.check_name: (r.violations, r.total, r.passed)
+            for r in audit_batch(s).collect()
+        }
+        got = {
+            r.check_name: (r.violations, r.total, r.passed)
+            for r in logged
+            if r.batch_id == bid
+        }
+        assert got == want and len(got) == 4
+
+
+def test_replay_does_not_double_log(spark, tmp_path):
+    log = str(tmp_path / "log")
+    ev = _events(spark)
+    append_metrics(ev, 0, log)
+    append_metrics(ev, 0, log)  # at-least-once redelivery
+    rows = read_metrics(spark, log).collect()
+    assert len(rows) == 4  # one row per constraint, not eight
+
+
+def test_bad_rows_fail_their_constraint(spark, tmp_path):
+    log = str(tmp_path / "log")
+    ev = _events(spark)
+    bad = ev.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 50 == 0, F.lit("bogus")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    append_metrics(bad, 7, log)
+    rows = {r.check_name: r for r in read_metrics(spark, log).collect()}
+    assert rows["accepted_values_event_type"].passed == 0
+    assert rows["accepted_values_event_type"].violations > 0
+    assert rows["unique_event_id"].passed == 1
