@@ -626,26 +626,32 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    # assigned feeds BOTH the pair stage and the final verdict join —
-    # materialize once (same discipline as q70/q73's pair lists) so the
-    # broadcast-crossJoin assignment isn't executed twice
-    assigned = _assign(emb, cent).localCheckpoint(eager=True)
-
     w = Window.partitionBy("cid").orderBy("vec_id")
-    # rank and cluster size share ONE cid window shuffle: the truncation
-    # report costs no extra aggregation pass (a separate groupBy(cid) +
-    # broadcast join measured +26% on the whole query at sf0.1)
-    # count uses the SAME (partition, order) spec with an explicit
-    # unbounded frame, so rank and size evaluate in one WindowExec pass
-    sized = assigned.withColumn("rnk", F.row_number().over(w)).withColumn(
-        "cluster_truncated",
-        F.greatest(
-            F.count(F.lit(1)).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-            )
-            - F.lit(SEMDEDUP_MAX_CLUSTER),
-            F.lit(0).cast("long"),
-        ),
+    # assignment + rank + truncation count feed BOTH the pair stage and
+    # the final verdict join — materialize ONCE with the windows already
+    # applied (same discipline as q70/q73's pair lists): the
+    # broadcast-crossJoin assignment AND the cid window shuffle each run
+    # exactly once, for every consumer. The truncation count shares the
+    # rank's (partition, order) spec with an explicit unbounded frame,
+    # so both window functions evaluate in the same WindowExec (the
+    # separate groupBy(cid) + broadcast-join formulation measured +26%
+    # on the whole query at sf0.1).
+    sized = (
+        _assign(emb, cent)
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cluster_truncated",
+            F.greatest(
+                F.count(F.lit(1)).over(
+                    w.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                - F.lit(SEMDEDUP_MAX_CLUSTER),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
     # L2-normalize each surviving member ONCE so the quadratic in-cluster
     # stage is a single dot fold per pair (cos(a,b) == dot(a/|a|, b/|b|));
