@@ -108,3 +108,38 @@ def test_backfill_day_touches_only_its_partition(spark, tmp_path):
     orig_sum = ev.filter(F.to_date("ts") == day).agg(F.sum("value")).collect()[0][0]
     new_sum = got.agg(F.sum("value")).collect()[0][0]
     assert abs(new_sum - 2 * orig_sum) < 1e-6
+
+
+def test_store_survives_schema_evolution(spark, tmp_path):
+    """Additive schema evolution on the partitioned store: new batches
+    may carry new columns; mergeSchema reads serve old rows with NULLs
+    in the added column and new rows fully — no rewrite of history.
+    (The at-scale contract: adding a quality-score column to a 100 TB
+    store must not touch existing files.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sms_db_spark.tables import load_table
+
+    store = str(tmp_path / "store")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    v1 = docs.filter(F.col("doc_id") < 100)
+    v1.write.parquet(store)
+    files_before = set(os.listdir(store))
+
+    v2 = (
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+        .withColumn("quality_score", (F.col("n_chars") % 100).cast("double"))
+    )
+    v2.write.mode("append").parquet(store)
+
+    got = spark.read.option("mergeSchema", "true").parquet(store)
+    assert "quality_score" in got.columns
+    assert got.count() == v1.count() + v2.count()
+    old = got.filter(F.col("doc_id") < 100)
+    assert old.filter(F.col("quality_score").isNotNull()).count() == 0
+    new = got.filter(F.col("doc_id") >= 100)
+    assert new.filter(F.col("quality_score").isNull()).count() == 0
+    # history untouched: v1's files are byte-identical (same names present)
+    assert files_before - {"_SUCCESS"} <= set(os.listdir(store))
