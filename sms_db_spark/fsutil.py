@@ -33,6 +33,15 @@ def atomic_swap(spark: SparkSession, path: str, staged: str, backup: str) -> Non
         fs.delete(p_staged, True)
         raise RuntimeError(f"swap failed moving {path} aside; store untouched")
     if not fs.rename(p_staged, p_path):
-        fs.rename(p_backup, p_path)
-        raise RuntimeError(f"swap failed landing {staged}; original restored")
+        # check the restore too: claiming "restored" while the store path
+        # is actually gone would send the operator away from the data
+        if fs.rename(p_backup, p_path):
+            raise RuntimeError(
+                f"swap failed landing {staged}; original restored at {path} "
+                f"(new data still staged at {staged})"
+            )
+        raise RuntimeError(
+            f"swap failed AND restore failed: {path} is missing — original "
+            f"data is at {backup}, new data at {staged}; restore manually"
+        )
     fs.delete(p_backup, True)

@@ -11,10 +11,13 @@ row is the signal to pause downstream merges (the reference's
 import-stats report, sms-db.pl:333-339, run forever instead of once).
 
 Exactly-once for the LOG under foreachBatch's at-least-once replay:
-appends are keyed by batch_id, and a replayed batch first deletes its
-own batch_id partition (delete-then-append = idempotent upsert of the
-batch's metrics). State is one row per (batch, constraint) — bytes per
-batch, unbounded only in time, which is what a metrics log is."""
+appends are keyed by batch_id (each batch overwrites its own
+`batch_id=<n>` partition, so a replay is an idempotent upsert of the
+batch's metrics), and partitions numbered above the current batch —
+possible only after a checkpoint reset restarted numbering — are
+dropped, so two numbering epochs never interleave. State is one row per
+(batch, constraint) — bytes per batch, unbounded only in time, which is
+what a metrics log is."""
 
 from __future__ import annotations
 
@@ -49,20 +52,28 @@ def audit_batch(batch: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("total"),
         (F.count(F.lit(1)) - F.count("user_id")).alias("v_completeness"),
         (F.count(F.lit(1)) - F.count_distinct("event_id")).alias("v_unique"),
-        F.sum(
-            F.when(
-                F.col("event_type").isNull()
-                | ~F.col("event_type").isin(*ACCEPTED_EVENT_TYPES),
-                1,
-            ).otherwise(0)
+        # coalesce: SUM over an empty microbatch is NULL, which would log
+        # passed=NULL — neither 0 nor 1 — and the pause signal never fires
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type").isNull()
+                    | ~F.col("event_type").isin(*ACCEPTED_EVENT_TYPES),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("v_accepted"),
-        F.sum(
-            F.when(
-                F.col("value").isNull()
-                | (F.col("value") <= 0)
-                | (F.col("value") > VALUE_CAP),
-                1,
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("value").isNull()
+                    | (F.col("value") <= 0)
+                    | (F.col("value") > VALUE_CAP),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("v_range"),
     )
     return base.selectExpr(
@@ -82,25 +93,41 @@ def audit_batch(batch: DataFrame) -> DataFrame:
 
 
 def append_metrics(batch: DataFrame, batch_id: int, log_dir: str) -> None:
-    """Idempotent per-batch append: the batch's own partition is replaced
-    wholesale (delete-then-write), so a replayed microbatch cannot
-    double-log its metrics."""
+    """Idempotent per-batch append: the batch's own partition is written
+    mode-overwrite (a replayed microbatch cannot double-log), and any
+    partition with id > batch_id is dropped — those can only exist after
+    a checkpoint reset restarted batch numbering, and leaving them would
+    double-count all pre-reset data in read_metrics (the same stale-state
+    hygiene as streaming/upsert.apply_batch)."""
     sess = batch.sparkSession
-    metrics = audit_batch(batch).withColumn("batch_id", F.lit(batch_id))
     part = os.path.join(log_dir, f"batch_id={batch_id}")
+    audit_batch(batch).coalesce(1).write.mode("overwrite").parquet(part)
     jvm, fs = hadoop_fs(sess, log_dir)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(part), True)
-    metrics.drop("batch_id").coalesce(1).write.mode("overwrite").parquet(part)
+    base = jvm.org.apache.hadoop.fs.Path(log_dir)
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if name.startswith("batch_id=") and int(name.split("=", 1)[1]) > batch_id:
+            fs.delete(st.getPath(), True)
 
 
 def read_metrics(spark: SparkSession, log_dir: str) -> DataFrame:
     """The monitoring surface: all per-batch constraint reports.
-    basePath keeps batch_id as a partition column."""
-    return (
-        spark.read.option("basePath", log_dir)
-        .parquet(os.path.join(log_dir, "batch_id=*"))
-        .select("batch_id", "check_name", "violations", "total", "passed")
-    )
+    basePath keeps batch_id as a partition column. An empty/new log
+    yields an empty frame, not an error — the monitor must be safe to
+    query at stream bootstrap."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return (
+            spark.read.option("basePath", log_dir)
+            .parquet(os.path.join(log_dir, "batch_id=*"))
+            .select("batch_id", "check_name", "violations", "total", "passed")
+        )
+    except AnalysisException:
+        return spark.createDataFrame(
+            [],
+            "batch_id int, check_name string, violations bigint, total bigint, passed int",
+        )
 
 
 def stream_quality_monitor(spark: SparkSession, drop_dir: str, log_dir: str, checkpoint_dir: str):

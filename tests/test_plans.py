@@ -510,12 +510,11 @@ def test_q132_flags_dup_grams_without_self_join(spark):
 
 
 def test_q133_candidates_come_from_probe_lists(spark):
-    """Hard-negative mining must ride the IVF probe equi-join: the only
-    nested-loop joins are the broadcast-centroid crossJoins (tiny), and
-    candidate selection joins on cid."""
+    """Hard-negative mining must ride the IVF probe equi-join: candidate
+    selection is a broadcast hash join (on cid), never a sort-merge or
+    cartesian pairing of the corpus with itself. The only nested-loop
+    joins allowed are the tiny broadcast-centroid crossJoins."""
     p = plan(spark, "q133_hard_negatives")
-    for m in re.finditer(r"\(\d+\) BroadcastNestedLoopJoin\b", p):
-        pass  # presence is fine (centroid broadcast); corpus joins below
-    assert re.search(r"BroadcastHashJoin \[cid", p) or "cid" in p
-    # the corpus is never cross-joined against itself
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin\b", p)) >= 1, p
+    assert len(re.findall(r"\(\d+\) SortMergeJoin\b", p)) == 0, p
     assert len(re.findall(r"\(\d+\) CartesianProduct\b", p)) == 0, p

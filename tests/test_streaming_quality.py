@@ -69,3 +69,31 @@ def test_bad_rows_fail_their_constraint(spark, tmp_path):
     assert rows["accepted_values_event_type"].passed == 0
     assert rows["accepted_values_event_type"].violations > 0
     assert rows["unique_event_id"].passed == 1
+
+
+def test_empty_batch_logs_zero_violations_not_null(spark, tmp_path):
+    log = str(tmp_path / "log")
+    append_metrics(_events(spark).limit(0), 3, log)
+    rows = read_metrics(spark, log).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.violations == 0 and r.passed == 1 and r.total == 0
+
+
+def test_checkpoint_reset_drops_stale_metric_partitions(spark, tmp_path):
+    log = str(tmp_path / "log")
+    ev = _events(spark)
+    append_metrics(ev.filter(F.col("event_id") % 2 == 0), 0, log)
+    append_metrics(ev.filter(F.col("event_id") % 2 == 1), 1, log)
+    # checkpoint wiped; the restarted stream reprocesses ALL data as batch 0
+    append_metrics(ev, 0, log)
+    rows = read_metrics(spark, log).collect()
+    assert {r.batch_id for r in rows} == {0}  # the stale epoch is gone
+    total = {r.check_name: r.total for r in rows}
+    assert all(t == ev.count() for t in total.values())
+
+
+def test_read_metrics_on_empty_log_returns_empty_frame(spark, tmp_path):
+    got = read_metrics(spark, str(tmp_path / "nolog"))
+    assert got.count() == 0
+    assert got.columns == ["batch_id", "check_name", "violations", "total", "passed"]
