@@ -21,9 +21,16 @@ def hadoop_fs(spark: SparkSession, path: str):
 
 def atomic_swap(spark: SparkSession, path: str, staged: str, backup: str) -> None:
     """Replace the dataset at `path` with the one at `staged` via
-    rename-through-backup. On any failed rename the original is
-    restored (or left in place) and an error raised — readers never see
-    a half-swapped store."""
+    rename-through-backup. Each rename is atomic, and every IN-PROCESS
+    failure restores (or leaves) the original and raises.
+
+    Honest limit: between the two renames there is a window where no
+    dataset exists at `path` — a PROCESS death there (or a reader racing
+    the gap) sees the store missing until `recover_interrupted_swap`
+    (which compact()/merge_into() run at entry) moves the backup back.
+    Closing that window entirely needs a metadata/pointer layer (what
+    Delta/Iceberg commit logs are for); for a plain-parquet store the
+    backup + recovery contract is the practical equivalent."""
     jvm, fs = hadoop_fs(spark, path)
     p_path = jvm.org.apache.hadoop.fs.Path(path)
     p_staged = jvm.org.apache.hadoop.fs.Path(staged)
@@ -45,3 +52,26 @@ def atomic_swap(spark: SparkSession, path: str, staged: str, backup: str) -> Non
             f"data is at {backup}, new data at {staged}; restore manually"
         )
     fs.delete(p_backup, True)
+
+
+_SWAP_SUFFIXES = (".precompact", ".premerge")
+
+
+def recover_interrupted_swap(spark: SparkSession, path: str) -> str | None:
+    """Crash recovery for atomic_swap's between-renames window: if the
+    store path is missing but a swap backup exists, move the backup
+    back. Returns the backup path that was restored, or None. Safe to
+    call unconditionally at maintenance-job entry (no-op when the store
+    is present)."""
+    jvm, fs = hadoop_fs(spark, path)
+    p_path = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(p_path):
+        return None
+    for suffix in _SWAP_SUFFIXES:
+        backup = path.rstrip("/") + suffix
+        p_backup = jvm.org.apache.hadoop.fs.Path(backup)
+        if fs.exists(p_backup):
+            if not fs.rename(p_backup, p_path):
+                raise RuntimeError(f"recovery rename {backup} -> {path} failed")
+            return backup
+    return None

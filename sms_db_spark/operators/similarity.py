@@ -399,7 +399,7 @@ def _unit(col_name: str, nrm_col: str) -> Column:
     return F.transform(F.col(col_name), lambda x: x.cast("double") / F.col(nrm_col))
 
 
-def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign(emb: DataFrame, cent: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Nearest-centroid assignment: crossJoin against the broadcast
     centroid table, then a map-side max_by partial agg (q51's shape).
 
@@ -409,18 +409,29 @@ def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     |e| is a per-row positive constant. This cuts the arithmetic of the
     N x K scoring stage 3x; the oracle ranks by the identical
     normalized-dot expression so near-tie rounding agrees."""
-    cent_n = cent.select(
-        "cid", _norm("c_emb").alias("c_nrm"), F.col("c_emb")
-    ).select("cid", _unit("c_emb", "c_nrm").alias("c_unit"))
+    cent_n = _unit_centroids(cent)
     return (
         emb.crossJoin(F.broadcast(cent_n))
-        .select("vec_id", "embedding", "cid", _dot("embedding", "c_unit").alias("sim"))
+        .select(
+            "vec_id", "embedding", *carry, "cid",
+            _dot("embedding", "c_unit").alias("sim"),
+        )
         .groupBy("vec_id")
         .agg(
             F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
             F.first("embedding").alias("embedding"),
+            *[F.first(c).alias(c) for c in carry],
         )
     )
+
+
+def _unit_centroids(cent: DataFrame) -> DataFrame:
+    """(cid, c_unit): centroids L2-normalized ONCE (K rows, driver-cheap)
+    so N x K scoring stages rank by a single dot fold — shared by
+    assignment (_assign) and probe-list selection (q133)."""
+    return cent.select(
+        "cid", _norm("c_emb").alias("c_nrm"), F.col("c_emb")
+    ).select("cid", _unit("c_emb", "c_nrm").alias("c_unit"))
 
 
 def _update(assigned: DataFrame) -> DataFrame:
@@ -1310,19 +1321,12 @@ def q133_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "embedding", "label", "cid",
-            cosine("embedding", "c_emb").alias("sim"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
-            F.first("embedding").alias("embedding"),
-            F.first("label").alias("label"),
-        )
-    )
+    # assignment + probes reuse the shared normalized-centroid machinery
+    # (_assign / _unit_centroids): ranking by dot(e, c/|c|) is cosine's
+    # order at a third of the arithmetic, and there is exactly ONE
+    # implementation of the tie-break to maintain
+    assigned = _assign(emb, cent, carry=("label",))
+    cent_n = _unit_centroids(cent)
     anchors = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("embedding").alias("a_emb"),
@@ -1330,10 +1334,10 @@ def q133_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_probe = Window.partitionBy("anchor_id").orderBy(F.col("q_sim").desc(), F.col("cid"))
     probes = (
-        anchors.crossJoin(F.broadcast(cent))
+        anchors.crossJoin(F.broadcast(cent_n))
         .select(
             "anchor_id", "a_emb", "anchor_label", "cid",
-            cosine("a_emb", "c_emb").alias("q_sim"),
+            _dot("a_emb", "c_unit").alias("q_sim"),
         )
         .withColumn("probe_rank", F.row_number().over(w_probe))
         .filter(F.col("probe_rank") <= N_PROBE)
@@ -1366,14 +1370,20 @@ Q133_SQL = f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < {N_CENTROIDS}
 ),
+centn AS (
+  SELECT cid,
+         list_transform(c_emb, x -> CAST(x AS DOUBLE)
+           / sqrt({_sql_dot('c_emb', 'c_emb')})) AS c_unit
+  FROM cent
+),
 assigned AS (
   SELECT vec_id, embedding, label, cid FROM (
     SELECT e.vec_id, e.embedding, e.label, c.cid,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY {_sql_cos('e.embedding', 'c.c_emb')} DESC, c.cid
+             ORDER BY {_sql_dot('e.embedding', 'c.c_unit')} DESC, c.cid
            ) AS rn
-    FROM embeddings e CROSS JOIN cent c
+    FROM embeddings e CROSS JOIN centn c
   ) WHERE rn = 1
 ),
 anchors AS (
@@ -1385,9 +1395,9 @@ probes AS (
     SELECT q.anchor_id, q.a_emb, q.anchor_label, c.cid,
            row_number() OVER (
              PARTITION BY q.anchor_id
-             ORDER BY {_sql_cos('q.a_emb', 'c.c_emb')} DESC, c.cid
+             ORDER BY {_sql_dot('q.a_emb', 'c.c_unit')} DESC, c.cid
            ) AS rn
-    FROM anchors q CROSS JOIN cent c
+    FROM anchors q CROSS JOIN centn c
   ) WHERE rn <= {N_PROBE}
 ),
 scored AS (

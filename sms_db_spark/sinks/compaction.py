@@ -37,7 +37,7 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..fsutil import atomic_swap, hadoop_fs
+from ..fsutil import atomic_swap, hadoop_fs, recover_interrupted_swap
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # the HDFS-block-sized default
 
@@ -55,27 +55,41 @@ def _data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     return out
 
 
+def _dir_bytes(spark: SparkSession, path: str) -> dict:
+    by_dir: dict[str, int] = {}
+    for f, b in _data_files(spark, path):
+        d = f.rsplit("/", 1)[0]
+        by_dir[d] = by_dir.get(d, 0) + b
+    return by_dir
+
+
 def fragmentation_report(
     spark: SparkSession, path: str, target_bytes: int = DEFAULT_TARGET_BYTES
 ) -> dict:
     """The pick-targets report: file count, total bytes, mean file size,
     and the file count a compaction would produce.
 
-    A Hive-partitioned store can never have fewer files than partition
-    directories, so the achievable target is bounded below by the
-    number of distinct partition dirs — without that bound a compacted
-    partitioned store would report fragmented forever and every
-    maintenance cycle would rewrite it again."""
+    For a Hive-partitioned store the target is PER PARTITION DIRECTORY:
+    sum over dirs of ceil(dir_bytes/target), never less than one file
+    per dir. That per-dir form is both the real rewrite target (a hot
+    10 GB day compacts to ~80 target-sized files, not one) and the
+    idempotence floor (a compacted partitioned store must not report
+    fragmented forever and be rewritten every maintenance cycle)."""
     files = _data_files(spark, path)
     total = sum(b for _, b in files)
-    n_dirs = len({f.rsplit("/", 1)[0] for f, _ in files if "=" in f.rsplit("/", 2)[-2]})
-    floor_files = max(1, n_dirs)
-    n_after = max(floor_files, math.ceil(total / target_bytes)) if files else 0
+    by_dir = _dir_bytes(spark, path)
+    partitioned = any("=" in d.rsplit("/", 1)[-1] for d in by_dir)
+    if not files:
+        n_after = 0
+    elif partitioned:
+        n_after = sum(max(1, math.ceil(b / target_bytes)) for b in by_dir.values())
+    else:
+        n_after = max(1, math.ceil(total / target_bytes))
     return {
         "n_files": len(files),
         "total_bytes": total,
         "mean_bytes": total // len(files) if files else 0,
-        "n_partition_dirs": n_dirs,
+        "n_partition_dirs": len(by_dir) if partitioned else 0,
         "n_files_after": n_after,
         "fragmented": len(files) > n_after,
     }
@@ -92,8 +106,11 @@ def compact(
     staging dir + rename swap. Returns the before/after report.
 
     Rows are preserved exactly (tests pin count + content hash); only
-    the file layout changes. Coalesce keeps the rewrite shuffle-free.
+    the file layout changes. The unpartitioned merge path stays
+    shuffle-free (coalesce); the partitioned path pays one shuffle to
+    split hot partitions across their file budget.
     """
+    recover_interrupted_swap(spark, path)
     report = fragmentation_report(spark, path, target_bytes)
     if not report["fragmented"]:
         return {**report, "compacted": False}
@@ -102,17 +119,54 @@ def compact(
     backup = path.rstrip("/") + ".precompact"
     df = spark.read.parquet(path)
     if partition_cols:
-        # per-partition sizing: repartition by the layout keys so each
-        # partition directory is written by its own task set, then let
-        # partitionBy reproduce the exact Hive layout
+        # per-partition sizing: each dir gets ceil(dir_bytes/target)
+        # files via a salt bounded by its budget — hash-repartitioning
+        # on the layout keys alone would put every partition's rows into
+        # ONE task and write a hot 10 GB day as a single file. Budgets
+        # come from the ACTUAL dir bytes of the file listing — the same
+        # basis as fragmentation_report's guard, which is what makes
+        # repeated runs converge (a row-count estimate drifts from the
+        # post-rewrite bytes and re-flags forever). Hash collisions can
+        # merge salts (fewer files than budgeted, never more), which
+        # only moves the result further below the fragmented threshold.
+        budget_rows = []
+        root = path.rstrip("/")
+        for d, b in _dir_bytes(spark, path).items():
+            rel = d[len(root):].strip("/")
+            vals = dict(seg.split("=", 1) for seg in rel.split("/") if "=" in seg)
+            budget_rows.append(
+                tuple(vals[c] for c in partition_cols)
+                + (max(1, math.ceil(b / target_bytes)),)
+            )
+        stats = spark.createDataFrame(
+            budget_rows, [f"_v_{c}" for c in partition_cols] + ["_nf"]
+        )
+        cond = [
+            F.col(c).cast("string") == F.col(f"_v_{c}") for c in partition_cols
+        ]
+        # EXPLICIT partition count: without it AQE coalesces this small-
+        # bytes shuffle back into few tasks and the salts collapse into
+        # one file per dir again (observed at test scale; a user-given
+        # count is exempt from AQE coalescing)
+        n_parts = sum(r[-1] for r in budget_rows) or 1
         (
-            df.repartition(report["n_files_after"], *[F.col(c) for c in partition_cols])
+            df.join(F.broadcast(stats), cond)
+            .withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.col("_nf")))
+            .repartition(int(n_parts), *[F.col(c) for c in partition_cols], F.col("_salt"))
+            .drop("_nf", "_salt", *[f"_v_{c}" for c in partition_cols])
             .write.mode("overwrite")
             .partitionBy(*partition_cols)
             .parquet(staged)
         )
     else:
-        df.coalesce(report["n_files_after"]).write.mode("overwrite").parquet(staged)
+        # coalesce cannot INCREASE partition count: when the target
+        # exceeds the scan's split count (tiny target_bytes), fall back
+        # to a full repartition or the request is silently undershot
+        n_after = report["n_files_after"]
+        if n_after <= df.rdd.getNumPartitions():
+            df.coalesce(n_after).write.mode("overwrite").parquet(staged)
+        else:
+            df.repartition(n_after).write.mode("overwrite").parquet(staged)
     # verify BEFORE swapping: a failed rewrite must never replace the store
     n_in = spark.read.parquet(path).count()
     n_out = spark.read.parquet(staged).count()

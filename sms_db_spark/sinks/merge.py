@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fsutil import atomic_swap
+from ..fsutil import atomic_swap, recover_interrupted_swap
 
 
 def merge_into(
@@ -44,6 +44,7 @@ def merge_into(
     delete_condition is evaluated on the MATCHED join row, where target
     columns appear as `t_<name>` and source columns as `s_<name>`
     (e.g. `F.col("s_status") == "tombstone"`)."""
+    recover_interrupted_swap(spark, target_path)
     target = spark.read.parquet(target_path)
     if set(target.columns) != set(source.columns):
         raise ValueError(

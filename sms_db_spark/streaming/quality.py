@@ -25,20 +25,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..fsutil import hadoop_fs
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.TimestampType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+# ONE wire schema for the events drop directory: quality and upsert read
+# the same stream — two independent copies could drift and silently null
+# columns under schema-first parquet reads
+from .upsert import EVENT_SCHEMA  # noqa: F401 (re-exported)
 
 ACCEPTED_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 VALUE_CAP = 1000.0

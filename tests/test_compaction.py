@@ -94,3 +94,56 @@ def test_compact_partitioned_is_idempotent(spark, tmp_path):
     assert not report["fragmented"], report
     second = compact(spark, store, target_bytes=1 << 20, partition_cols=["event_date"])
     assert not second["compacted"]
+
+
+def test_interrupted_swap_recovers_at_entry(spark, tmp_path):
+    """Crash between atomic_swap's renames leaves the store at the
+    backup path; the next maintenance run must restore it before doing
+    anything else."""
+    import shutil
+
+    store = str(tmp_path / "store")
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.repartition(10).write.parquet(store)
+    n = orders.count()
+    # simulate the crash window: store moved aside, nothing landed
+    shutil.move(store, store + ".precompact")
+    result = compact(spark, store, target_bytes=1 << 20)
+    assert spark.read.parquet(store).count() == n
+    assert not os.path.exists(store + ".precompact")
+    assert "n_files" in result  # compaction proceeded after recovery
+
+
+def test_partitioned_compaction_splits_hot_partition(spark, tmp_path):
+    """A hot partition must compact to ~ceil(bytes/target) files, not
+    one giant single-task file."""
+    store = str(tmp_path / "store")
+    ev = load_table(spark, SF_DIR, "events")
+    # one hot day: 300 UNIQUE variants of its rows (replication alone
+    # compresses away under zstd) so the dir's REAL parquet bytes span
+    # several multiples of the target
+    base = ev.withColumn("event_date", F.to_date("ts"))
+    hot_day = base.select("event_date").first().event_date
+    hot = (
+        base.filter(F.col("event_date") == hot_day)
+        .crossJoin(spark.range(300).withColumnRenamed("id", "_c"))
+        .withColumn("event_id", F.col("event_id") * 1000 + F.col("_c"))
+        .withColumn("value", F.col("value") + F.col("_c").cast("double") / 7.0)
+        .withColumn("props", F.concat(F.col("props"), F.md5(F.col("_c").cast("string"))))
+        .drop("_c")
+    )
+    skewed = base.filter(F.col("event_date") != hot_day).unionByName(hot)
+    skewed.repartition(8).write.partitionBy("event_date").parquet(store)
+    n = skewed.count()
+
+    report = fragmentation_report(spark, store, target_bytes=64 * 1024)
+    result = compact(spark, store, target_bytes=64 * 1024, partition_cols=["event_date"])
+    assert result["compacted"]
+    assert spark.read.parquet(store).count() == n
+    hot_dir = os.path.join(store, f"event_date={hot_day}")
+    hot_files = [f for f in os.listdir(hot_dir) if f.endswith(".parquet")]
+    assert len(hot_files) > 1, (report, hot_files)
+    # and the rewrite converged: second run is a no-op
+    assert not compact(
+        spark, store, target_bytes=64 * 1024, partition_cols=["event_date"]
+    )["compacted"]
