@@ -73,3 +73,59 @@ def test_merge_refuses_schema_mismatch(spark, tmp_path):
         merge_into(spark, store, bad, keys=["o_orderkey"])
     # store untouched
     assert spark.read.parquet(store).count() == orders.count()
+
+
+def test_cow_merge_equals_full_merge_and_skips_files(spark, tmp_path):
+    """Copy-on-write merge must produce exactly merge_into's table while
+    physically rewriting only the key-overlapping files."""
+    import os
+
+    from sms_db_spark.sinks.merge import merge_into_cow
+
+    full_store = str(tmp_path / "full")
+    cow_store = str(tmp_path / "cow")
+    orders = load_table(spark, SF_DIR, "orders")
+    # key-clustered layout: disjoint per-file o_orderkey ranges
+    seed = orders.repartitionByRange(16, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+    seed.write.parquet(full_store)
+    seed.write.parquet(cow_store)
+
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    band_top = lo + (hi - lo) // 10  # delta touches ~the bottom decile
+    upd = orders.filter(F.col("o_orderkey") <= band_top).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    ins = orders.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + hi + 10)
+    src = upd.unionByName(ins)
+    cond = F.col("s_o_orderstatus") == "F"
+
+    full_stats = merge_into(spark, full_store, src, ["o_orderkey"], cond)
+    files_before = {
+        f: os.path.getmtime(os.path.join(cow_store, f))
+        for f in os.listdir(cow_store)
+        if f.endswith(".parquet")
+    }
+    cow_stats = merge_into_cow(spark, cow_store, src, "o_orderkey", cond)
+
+    for k in ("inserted", "updated", "deleted", "unchanged"):
+        if k == "unchanged":
+            continue  # cow counts only the touched slice's keeps
+        assert cow_stats[k] == full_stats[k], (k, cow_stats, full_stats)
+    assert cow_stats["files_skipped"] > 0
+    assert cow_stats["files_rewritten"] < len(files_before)
+
+    a = spark.read.parquet(full_store)
+    b = spark.read.parquet(cow_store)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+    # skipped files really were not rewritten (names and mtimes intact)
+    survivors = {
+        f: os.path.getmtime(os.path.join(cow_store, f))
+        for f in os.listdir(cow_store)
+        if f.endswith(".parquet") and f in files_before
+    }
+    assert len(survivors) >= cow_stats["files_skipped"]
+    for f, m in survivors.items():
+        assert m == files_before[f]
