@@ -145,25 +145,62 @@ def merge_into_cow(
     between the two leaves duplicate key versions visible rather than
     lost data (the conservative failure mode); a reconciling re-run or
     a table format with a commit log (Delta/Iceberg) is the full fix.
-    Single-column keys only: footer pruning is per-column min/max.
+
+    Contract limits (each refused or handled, never silent):
+      - single-column, non-null source keys (footer pruning is
+        per-column min/max; NULLs don't appear in stats, so a null-key
+        delta MUST take the full merge_into path — refused here);
+      - FLAT stores only: a Hive-partitioned store is refused (the
+        pruning would miss every nested file and blind-append
+        duplicates) — use merge_into or per-partition backfill;
+      - files with missing/partial statistics are conservatively
+        treated as touched;
+      - footer reads are driver-local pyarrow in a thread pool — fine
+        for local/NFS stores; on HDFS/S3A swap key_range for a
+        distributed footer scan (mapPartitions over the file list with
+        Hadoop input streams).
 
     Returns merge_into's stats plus files_rewritten / files_skipped.
+    `unchanged` counts only rows INSIDE rewritten files; rows in skipped
+    files are untouched by construction and deliberately not counted.
     """
     recover_interrupted_swap(spark, target_path)
     jvm, fs = hadoop_fs(spark, target_path)
-    # per-file key ranges from the footers the scan itself would consult
-    files = []
-    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(target_path), False)
+    # materialize the source ONCE: the prune join and _resolve must see
+    # the same rows, or a nondeterministic source (limit/sample/changing
+    # input) makes the touched set disagree with the resolved rows and
+    # stale versions survive next to fresh inserts
+    source = source.localCheckpoint(eager=True)
+    if source.filter(F.col(key).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"merge_into_cow: source has NULL {key!r} keys — footer stats "
+            "cannot prune NULL matches; use merge_into"
+        )
+    files: list[str] = []
+    root = target_path.rstrip("/")
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(target_path), True)
     while it.hasNext():
         st = it.next()
         name = st.getPath().getName()
         if st.isFile() and name.endswith(".parquet") and not name.startswith("_"):
-            files.append(st.getPath().toString())
+            fpath = st.getPath().toString()
+            rel = fpath.split(root, 1)[-1].lstrip("/")
+            if "/" in rel:
+                raise ValueError(
+                    "merge_into_cow: partitioned (nested) store — pruning is "
+                    "flat-store only; use merge_into or backfill_day per partition"
+                )
+            files.append(fpath)
     import pyarrow.parquet as pq
+    from concurrent.futures import ThreadPoolExecutor
 
     def key_range(fpath: str):
+        """(lo, hi) from footer stats; None marks 'no usable stats —
+        conservatively touched'."""
         local = fpath[len("file:"):] if fpath.startswith("file:") else fpath
         md = pq.ParquetFile(local).metadata
+        if md.num_row_groups == 0:
+            return None
         idx = {
             md.row_group(0).column(i).path_in_schema: i
             for i in range(md.num_columns)
@@ -171,21 +208,25 @@ def merge_into_cow(
         lo, hi = None, None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[key]).statistics
+            if st is None or st.min is None or st.max is None:
+                return None
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
         return lo, hi
 
-    # distributed prune: the (#files)-sized range table broadcasts into a
-    # BETWEEN join against the source keys — no O(|source|) driver
-    # collect; only the touched FILE LIST (bounded by #files) comes back
-    ranges = [(f,) + key_range(f) for f in files]
-    touched: list[str] = []
+    with ThreadPoolExecutor(max_workers=16) as pool:  # IO-bound footer reads
+        all_ranges = list(pool.map(key_range, files))
+    stat_less = [f for f, r in zip(files, all_ranges) if r is None]
+    ranges = [(f,) + r for f, r in zip(files, all_ranges) if r is not None]
+    touched: list[str] = list(stat_less)
     if ranges:
         rdf = spark.createDataFrame(ranges, ["_file", "_lo", "_hi"])
-        touched = [
+        # distributed prune: the (#files)-sized range table broadcasts
+        # into a BETWEEN join against the source keys — no O(|source|)
+        # driver collect; only the touched FILE LIST comes back
+        touched += [
             r._file
             for r in source.select(F.col(key).alias("_k"))
-            .dropna()
             .join(
                 F.broadcast(rdf),
                 (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
@@ -194,9 +235,10 @@ def merge_into_cow(
             .distinct()
             .collect()
         ]
-    skipped = [f for f in files if f not in set(touched)]
+    touched_set = set(touched)
+    n_skipped = sum(1 for f in files if f not in touched_set)
     if touched:
-        slice_df = spark.read.parquet(*touched)
+        slice_df = spark.read.parquet(*sorted(touched_set))
     else:
         slice_df = spark.read.parquet(target_path).limit(0)
     result = _resolve(slice_df, source, [key], delete_condition)
@@ -206,13 +248,13 @@ def merge_into_cow(
     result.filter(F.col("_action") != "delete").drop("_action").write.mode(
         "append"
     ).parquet(target_path)
-    for f in touched:
+    for f in touched_set:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     return {
         "inserted": counts.get("insert", 0),
         "updated": counts.get("update", 0),
         "deleted": counts.get("delete", 0),
         "unchanged": counts.get("keep", 0),
-        "files_rewritten": len(touched),
-        "files_skipped": len(skipped),
+        "files_rewritten": len(touched_set),
+        "files_skipped": n_skipped,
     }

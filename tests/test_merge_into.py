@@ -129,3 +129,24 @@ def test_cow_merge_equals_full_merge_and_skips_files(spark, tmp_path):
     assert len(survivors) >= cow_stats["files_skipped"]
     for f, m in survivors.items():
         assert m == files_before[f]
+
+
+def test_cow_refuses_partitioned_store_and_null_keys(spark, tmp_path):
+    from sms_db_spark.sinks.merge import merge_into_cow
+
+    orders = load_table(spark, SF_DIR, "orders")
+    part_store = str(tmp_path / "part")
+    orders.withColumn("d", F.to_date("o_orderdate")).write.partitionBy("d").parquet(
+        part_store
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        merge_into_cow(spark, part_store, orders.withColumn("d", F.to_date("o_orderdate")), "o_orderkey")
+
+    flat_store = str(tmp_path / "flat")
+    orders.write.parquet(flat_store)
+    src = orders.limit(3).withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == F.col("o_orderstatus"), None).cast("long"),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        merge_into_cow(spark, flat_store, src, "o_orderkey")
