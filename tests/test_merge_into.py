@@ -98,7 +98,9 @@ def test_cow_merge_equals_full_merge_and_skips_files(spark, tmp_path):
         "o_totalprice", F.col("o_totalprice") + 1.0
     )
     ins = orders.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + hi + 10)
-    src = upd.unionByName(ins)
+    # pin the source rows: limit() is plan-nondeterministic, and the
+    # equivalence claim requires both merges to consume identical rows
+    src = upd.unionByName(ins).localCheckpoint(eager=True)
     cond = F.col("s_o_orderstatus") == "F"
 
     full_stats = merge_into(spark, full_store, src, ["o_orderkey"], cond)
