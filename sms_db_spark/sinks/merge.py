@@ -143,8 +143,11 @@ def merge_into_cow(
     Commit protocol (plain parquet, no manifest): new files are APPENDED
     to the store dir first, touched files deleted after — a crash
     between the two leaves duplicate key versions visible rather than
-    lost data (the conservative failure mode); a reconciling re-run or
-    a table format with a commit log (Delta/Iceberg) is the full fix.
+    lost data (the conservative failure mode). A re-run does NOT remove
+    such duplicates (the full-outer matches both physical rows); they
+    need an explicit dedup pass (q20-style min-id keeper per key) — or
+    a table format with a commit log (Delta/Iceberg), which closes the
+    window entirely.
 
     Contract limits (each refused or handled, never silent):
       - single-column, non-null source keys (footer pruning is
@@ -166,6 +169,24 @@ def merge_into_cow(
     """
     recover_interrupted_swap(spark, target_path)
     jvm, fs = hadoop_fs(spark, target_path)
+    # structural refusals FIRST (driver-side metadata only) — no cluster
+    # job runs before the call is known to be valid. Flat-store check
+    # compares each file's parent against the FS-qualified root, not
+    # string surgery on the user's path spelling.
+    from .compaction import _data_files
+
+    qualified_root = fs.makeQualified(
+        jvm.org.apache.hadoop.fs.Path(target_path)
+    ).toString()
+    files: list[str] = []
+    for fpath, _bytes in _data_files(spark, target_path):
+        parent = jvm.org.apache.hadoop.fs.Path(fpath).getParent().toString()
+        if parent != qualified_root:
+            raise ValueError(
+                "merge_into_cow: partitioned (nested) store — pruning is "
+                "flat-store only; use merge_into or backfill_day per partition"
+            )
+        files.append(fpath)
     # materialize the source ONCE: the prune join and _resolve must see
     # the same rows, or a nondeterministic source (limit/sample/changing
     # input) makes the touched set disagree with the resolved rows and
@@ -176,21 +197,6 @@ def merge_into_cow(
             f"merge_into_cow: source has NULL {key!r} keys — footer stats "
             "cannot prune NULL matches; use merge_into"
         )
-    files: list[str] = []
-    root = target_path.rstrip("/")
-    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(target_path), True)
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if st.isFile() and name.endswith(".parquet") and not name.startswith("_"):
-            fpath = st.getPath().toString()
-            rel = fpath.split(root, 1)[-1].lstrip("/")
-            if "/" in rel:
-                raise ValueError(
-                    "merge_into_cow: partitioned (nested) store — pruning is "
-                    "flat-store only; use merge_into or backfill_day per partition"
-                )
-            files.append(fpath)
     import pyarrow.parquet as pq
     from concurrent.futures import ThreadPoolExecutor
 
@@ -205,6 +211,8 @@ def merge_into_cow(
             md.row_group(0).column(i).path_in_schema: i
             for i in range(md.num_columns)
         }
+        if key not in idx:  # schema-evolved file predating the key column
+            return None
         lo, hi = None, None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[key]).statistics
@@ -249,7 +257,13 @@ def merge_into_cow(
         "append"
     ).parquet(target_path)
     for f in touched_set:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        # checked like atomic_swap's renames: a silently-failed delete
+        # would leave a stale duplicate file that stats report as replaced
+        if not fs.delete(jvm.org.apache.hadoop.fs.Path(f), False):
+            raise RuntimeError(
+                f"merge_into_cow: failed to delete replaced file {f}; the "
+                "store now holds duplicate key versions — dedup required"
+            )
     return {
         "inserted": counts.get("insert", 0),
         "updated": counts.get("update", 0),

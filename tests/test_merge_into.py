@@ -146,9 +146,6 @@ def test_cow_refuses_partitioned_store_and_null_keys(spark, tmp_path):
 
     flat_store = str(tmp_path / "flat")
     orders.write.parquet(flat_store)
-    src = orders.limit(3).withColumn(
-        "o_orderkey",
-        F.when(F.col("o_orderstatus") == F.col("o_orderstatus"), None).cast("long"),
-    )
+    src = orders.limit(3).withColumn("o_orderkey", F.lit(None).cast("long"))
     with pytest.raises(ValueError, match="NULL"):
         merge_into_cow(spark, flat_store, src, "o_orderkey")
