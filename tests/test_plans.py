@@ -518,3 +518,20 @@ def test_q133_candidates_come_from_probe_lists(spark):
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin\b", p)) >= 1, p
     assert len(re.findall(r"\(\d+\) SortMergeJoin\b", p)) == 0, p
     assert len(re.findall(r"\(\d+\) CartesianProduct\b", p)) == 0, p
+
+
+def test_gate_priority_lists_reference_real_queries(spark):
+    """A typo in the priority lists would silently demote a query out of
+    the driver gate's budget — every entry must resolve."""
+    from sms_db_spark.plans import _CHANGED_THIS_ROUND, _STALE_EVIDENCE
+
+    specs = registry()
+    missing = [n for n in _CHANGED_THIS_ROUND if n not in specs]
+    assert not missing, missing
+    assert len(set(_CHANGED_THIS_ROUND)) == len(_CHANGED_THIS_ROUND)
+    prefixes = {n.split("_", 1)[0] for n in specs}
+    stale_missing = [p for p in _STALE_EVIDENCE if p not in prefixes]
+    assert not stale_missing, stale_missing
+    # and the changed list leads the ordering
+    ordered = list(specs)
+    assert ordered[: len(_CHANGED_THIS_ROUND)] == _CHANGED_THIS_ROUND
