@@ -10,17 +10,26 @@ What a trainer needs from the materialization step, each made explicit:
     property q77/q78 use for splits/sampling (sms-db.pl's re-runnable
     imports, lifted to training prep);
   - balanced shards (stragglers in the data-loading path waste
-    accelerator time): shard = key-hash mod N, uniform by construction;
-  - a MANIFEST with per-shard row counts and order-insensitive content
-    checksums, so the trainer can verify what it is about to consume
-    without trusting the filesystem (half-copied shards, a lost file,
-    or a partial overwrite all surface as a checksum mismatch BEFORE
-    a multi-day run starts).
+    accelerator time): shard = key-hash mod N, uniform by construction,
+    and the write is range-partitioned on the shard id so each shard is
+    exactly one task's output — no birthday-collision stragglers;
+  - a MANIFEST with per-shard row counts and order-insensitive CONTENT
+    checksums (hash over every column, not just the key), so the
+    trainer can verify what it is about to consume without trusting the
+    filesystem: a half-copied shard, a lost file, or stale rows smuggled
+    in under the same ids all surface as a mismatch BEFORE a multi-day
+    run starts. Stats are recomputed from the WRITTEN files (the same
+    read path verify_shards uses), so the manifest can never disagree
+    with the bytes on disk, and the upstream pipeline executes once.
 
-Scale shape: one hash shuffle (the repartition to shards); the within-
-shard sort is per-partition; the manifest aggregation is map-side
-combined (one decimal sum + count per shard). At 100 TB none of this
-touches the driver beyond N manifest rows.
+Layout note: shard directories are named `_shard=K` (Spark's hidden-path
+filter exempts names containing '='; the bare `_training_manifest.json`
+relies on the opposite behavior to stay invisible to the parquet scan).
+
+Scale shape: one range shuffle (the shard write); the within-shard sort
+is per-partition; the manifest aggregation over the written files is
+map-side combined (one decimal sum + count per shard). At 100 TB none
+of this touches the driver beyond N manifest rows.
 """
 
 from __future__ import annotations
@@ -31,46 +40,68 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.sketches import _h60
+
 MANIFEST_NAME = "_training_manifest.json"
 
 
-def _h60(col):
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+def _shard_stats(spark: SparkSession, path: str) -> dict:
+    """Per-shard (n_rows, content checksum) from the files on disk —
+    shared by the manifest build and verify_shards so the two can never
+    use different definitions of 'content'."""
+    back = spark.read.parquet(path)
+    data_cols = sorted(c for c in back.columns if c != "_shard")
+    row_hash = _h60(
+        F.concat_ws(
+            "\x01",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in data_cols],
+        )
+    )
+    rows = (
+        back.withColumn("_rh", row_hash)
+        .groupBy("_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_rh").cast("decimal(38,0)")).alias("checksum"),
+        )
+        .collect()
+    )
+    return {
+        str(int(r._shard)): {"n_rows": int(r.n_rows), "checksum": int(r.checksum)}
+        for r in rows
+    }
 
 
-def write_training_shards(
-    df: DataFrame, path: str, n_shards: int, key: str
-) -> dict:
+def write_training_shards(df: DataFrame, path: str, n_shards: int, key: str) -> dict:
     """Write df as n_shards hash-sharded, hash-ordered parquet shards
-    under path (dirs `shard=K`), plus the manifest. Returns the manifest
-    dict. `key` must be a stable unique record id (doc_id-like): it
-    drives the shuffle, the shard assignment, and the checksum."""
+    under path (dirs `_shard=K`), plus the manifest. Returns the
+    manifest dict, JSON-identical to the stored file (shard ids are
+    string keys). `key` must be a stable, NON-NULL unique record id
+    (doc_id-like): it drives the shuffle and the shard assignment."""
+    if df.filter(F.col(key).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"write_training_shards: NULL {key!r} keys — shard assignment "
+            "and the reproducible shuffle need a total, non-null key"
+        )
     keyed = df.withColumn("_kh", _h60(F.col(key).cast("string")))
     sharded = keyed.withColumn("_shard", F.pmod(F.col("_kh"), F.lit(n_shards)))
     (
-        sharded.repartition(n_shards, "_shard")
+        # range partitioning on the shard id: exactly one shard per write
+        # task (hash partitioning would birthday-collide shards into the
+        # same task and leave others empty — straggler write tasks)
+        sharded.repartitionByRange(n_shards, "_shard")
         .sortWithinPartitions("_kh")  # reproducible record order per shard
         .drop("_kh")
         .write.mode("overwrite")
         .partitionBy("_shard")
         .parquet(path)
     )
-    stats = (
-        sharded.groupBy("_shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("_kh").cast("decimal(38,0)")).alias("checksum"),  # order-insensitive, exact (decimal: 2^60-sized terms overflow int64)
-        )
-        .collect()
-    )
+    shards = _shard_stats(df.sparkSession, path)
     manifest = {
         "n_shards": n_shards,
         "key": key,
-        "total_rows": int(sum(r.n_rows for r in stats)),
-        "shards": {
-            int(r._shard): {"n_rows": int(r.n_rows), "checksum": int(r.checksum)}
-            for r in stats
-        },
+        "total_rows": int(sum(s["n_rows"] for s in shards.values())),
+        "shards": shards,
     }
     with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
         json.dump(manifest, fh, sort_keys=True, indent=1)
@@ -78,31 +109,20 @@ def write_training_shards(
 
 
 def verify_shards(spark: SparkSession, path: str) -> dict:
-    """Recompute per-shard counts and checksums from the actual files and
-    compare with the manifest: the pre-training integrity gate. Returns
-    {'ok': bool, 'bad_shards': [...], 'missing_shards': [...]}."""
+    """Recompute per-shard counts and content checksums from the actual
+    files and compare with the manifest: the pre-training integrity
+    gate. Returns {'ok': bool, 'bad_shards': [...], 'missing_shards':
+    [...], 'extra_shards': [...]}."""
     with open(os.path.join(path, MANIFEST_NAME)) as fh:
         manifest = json.load(fh)
-    key = manifest["key"]
-    got = {
-        int(r._shard): (int(r.n_rows), int(r.checksum))
-        for r in spark.read.parquet(path)
-        .withColumn("_kh", _h60(F.col(key).cast("string")))
-        .groupBy("_shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("_kh").cast("decimal(38,0)")).alias("checksum"),
-        )
-        .collect()
-    }
+    got = _shard_stats(spark, path)
     bad, missing = [], []
     for sid, want in manifest["shards"].items():
-        sid = int(sid)
         if sid not in got:
-            missing.append(sid)
-        elif got[sid] != (want["n_rows"], want["checksum"]):
-            bad.append(sid)
-    extra = sorted(set(got) - {int(s) for s in manifest["shards"]})
+            missing.append(int(sid))
+        elif got[sid] != want:
+            bad.append(int(sid))
+    extra = sorted(int(s) for s in set(got) - set(manifest["shards"]))
     return {
         "ok": not bad and not missing and not extra,
         "bad_shards": sorted(bad),

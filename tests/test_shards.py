@@ -61,3 +61,26 @@ def test_verify_passes_then_catches_tampering(spark, tmp_path):
     os.remove(os.path.join(sdir, parquet_files[0]))
     report = verify_shards(spark, path)
     assert not report["ok"] and 5 in report["bad_shards"] + report["missing_shards"]
+
+    # rebuild, then smuggle in CONTENT changes that keep ids and counts:
+    # the checksum must cover every column, not just the key
+    write_training_shards(docs, path, N, key="doc_id")
+    sdir = os.path.join(path, "_shard=2")
+    tampered = (
+        spark.read.parquet(sdir)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [stale]")))
+        .localCheckpoint(eager=True)
+    )
+    tampered.coalesce(1).write.mode("overwrite").parquet(sdir)
+    report = verify_shards(spark, path)
+    assert not report["ok"] and report["bad_shards"] == [2], report
+
+
+def test_refuses_null_keys(spark, tmp_path):
+    import pytest
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "doc_id", F.lit(None).cast("long")
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        write_training_shards(docs, str(tmp_path / "s"), N, key="doc_id")
