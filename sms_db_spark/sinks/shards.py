@@ -50,7 +50,9 @@ def _shard_stats(spark: SparkSession, path: str) -> dict:
     shared by the manifest build and verify_shards so the two can never
     use different definitions of 'content'."""
     back = spark.read.parquet(path)
-    data_cols = sorted(c for c in back.columns if c != "_shard")
+    # underscore columns are sharding bookkeeping (_shard, and _batch in
+    # the streaming layout), never content — excluded from the checksum
+    data_cols = sorted(c for c in back.columns if not c.startswith("_"))
     row_hash = _h60(
         F.concat_ws(
             "\x01",

@@ -1,0 +1,80 @@
+"""Streaming shard materialization: the additive manifest law (merged
+per-batch stats == the one-shot batch writer's manifest), idempotent
+replay, checkpoint-reset hygiene, and the integrity gate end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sms_db_spark.sinks.shards import write_training_shards
+from sms_db_spark.streaming.shards import (
+    apply_shard_batch,
+    merged_manifest,
+    stream_shards,
+    verify_stream_shards,
+)
+from sms_db_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+N = 8
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_streamed_manifest_equals_batch_writer(spark, tmp_path):
+    docs = _docs(spark)
+    batch_dir = str(tmp_path / "batch")
+    want = write_training_shards(docs, batch_dir, N, key="doc_id")
+
+    drop, shard_dir, ckpt = tmp_path / "drop", str(tmp_path / "stream"), tmp_path / "ckpt"
+    for k in (2, 0, 1):  # out-of-order arrival
+        docs.filter(F.col("doc_id") % 3 == k).write.mode("append").parquet(str(drop))
+        q = stream_shards(
+            spark, str(drop), shard_dir, str(ckpt), N, "doc_id", schema=DOC_SCHEMA
+        )
+        q.awaitTermination(120)
+
+    got = merged_manifest(shard_dir)
+    assert got["shards"] == want["shards"]  # the additive law, exactly
+    assert got["total_rows"] == want["total_rows"]
+    assert verify_stream_shards(spark, shard_dir)["ok"]
+    # the landed rows really are the corpus
+    back = spark.read.parquet(shard_dir)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+
+def test_replay_and_reset_are_idempotent(spark, tmp_path):
+    docs = _docs(spark)
+    shard_dir = str(tmp_path / "stream")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    apply_shard_batch(first, 0, shard_dir, N, "doc_id")
+    apply_shard_batch(second, 1, shard_dir, N, "doc_id")
+    before = merged_manifest(shard_dir)
+    # at-least-once: the LAST batch is re-delivered
+    apply_shard_batch(second, 1, shard_dir, N, "doc_id")
+    assert merged_manifest(shard_dir) == before
+    assert verify_stream_shards(spark, shard_dir)["ok"]
+
+    # checkpoint reset: everything reprocessed as batch 0 — stale batch-1
+    # data AND manifest entries must vanish
+    apply_shard_batch(docs, 0, shard_dir, N, "doc_id")
+    got = merged_manifest(shard_dir)
+    batch_ref = write_training_shards(docs, str(tmp_path / "ref"), N, key="doc_id")
+    assert got["shards"] == batch_ref["shards"]
+    assert verify_stream_shards(spark, shard_dir)["ok"]
+    assert spark.read.parquet(shard_dir).count() == docs.count()
