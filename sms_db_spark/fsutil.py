@@ -75,3 +75,34 @@ def recover_interrupted_swap(spark: SparkSession, path: str) -> str | None:
                 raise RuntimeError(f"recovery rename {backup} -> {path} failed")
             return backup
     return None
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file via the Hadoop FS API (works on HDFS/S3A,
+    not just the driver's local disk). None if absent."""
+    jvm, fs = hadoop_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Crash-safe small-text write: create `<path>.tmp`, then a checked
+    rename over the destination — a reader (or a replay) never sees a
+    truncated file."""
+    jvm, fs = hadoop_fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise RuntimeError(f"atomic text write failed landing {path}")

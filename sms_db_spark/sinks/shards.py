@@ -22,6 +22,13 @@ What a trainer needs from the materialization step, each made explicit:
     read path verify_shards uses), so the manifest can never disagree
     with the bytes on disk, and the upstream pipeline executes once.
 
+The column names `_shard` and `_batch` are RESERVED bookkeeping (the
+only names excluded from the content checksum); input frames carrying
+them are refused rather than silently half-checksummed. Manifest IO
+goes through the Hadoop FS API (fsutil.read_text / write_text_atomic):
+works on HDFS/S3A, and the atomic write means a crash can never leave
+a truncated manifest.
+
 Layout note: shard directories are named `_shard=K` (Spark's hidden-path
 filter exempts names containing '='; the bare `_training_manifest.json`
 relies on the opposite behavior to stay invisible to the parquet scan).
@@ -37,30 +44,63 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import read_text, write_text_atomic
 from ..operators.sketches import _h60
 
 MANIFEST_NAME = "_training_manifest.json"
+RESERVED_COLS = ("_shard", "_batch")
 
 
-def _shard_stats(spark: SparkSession, path: str) -> dict:
-    """Per-shard (n_rows, content checksum) from the files on disk —
-    shared by the manifest build and verify_shards so the two can never
-    use different definitions of 'content'."""
-    back = spark.read.parquet(path)
-    # underscore columns are sharding bookkeeping (_shard, and _batch in
-    # the streaming layout), never content — excluded from the checksum
-    data_cols = sorted(c for c in back.columns if not c.startswith("_"))
-    row_hash = _h60(
+def check_shard_input(df: DataFrame, key: str) -> None:
+    """The shared input contract: no reserved bookkeeping columns, and a
+    total (non-null) shard key."""
+    clash = [c for c in df.columns if c in RESERVED_COLS]
+    if clash:
+        raise ValueError(
+            f"shard writer: input columns {clash} collide with reserved "
+            "bookkeeping names"
+        )
+    if df.filter(F.col(key).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"shard writer: NULL {key!r} keys — shard assignment and the "
+            "reproducible shuffle need a total, non-null key"
+        )
+
+
+def row_hash_col(columns: list[str]) -> Column:
+    """THE content-hash definition (single implementation: manifest
+    build, verification, and the streaming writer must always agree):
+    null-safe concat of every non-reserved column, sorted by name."""
+    data_cols = sorted(c for c in columns if c not in RESERVED_COLS)
+    return _h60(
         F.concat_ws(
             "\x01",
             *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in data_cols],
         )
     )
+
+
+def shard_transform(df: DataFrame, n_shards: int, key: str) -> DataFrame:
+    """THE shard layout definition: hash-assigned `_shard`, rows
+    range-partitioned one-shard-per-task and hash-ordered within."""
+    return (
+        df.withColumn("_kh", _h60(F.col(key).cast("string")))
+        .withColumn("_shard", F.pmod(F.col("_kh"), F.lit(n_shards)))
+        # range partitioning: exactly one shard per write task (hash
+        # partitioning would birthday-collide shards into the same task)
+        .repartitionByRange(n_shards, "_shard")
+        .sortWithinPartitions("_kh")  # reproducible record order per shard
+        .drop("_kh")
+    )
+
+
+def shard_stats(df: DataFrame) -> dict:
+    """Per-shard (n_rows, content checksum) of a `_shard`-tagged frame."""
     rows = (
-        back.withColumn("_rh", row_hash)
+        df.withColumn("_rh", row_hash_col(df.columns))
         .groupBy("_shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -74,26 +114,22 @@ def _shard_stats(spark: SparkSession, path: str) -> dict:
     }
 
 
+def _shard_stats(spark: SparkSession, path: str) -> dict:
+    """shard_stats over the files on disk — shared by the manifest build
+    and verify_shards so the two can never use different definitions of
+    'content'."""
+    return shard_stats(spark.read.parquet(path))
+
+
 def write_training_shards(df: DataFrame, path: str, n_shards: int, key: str) -> dict:
     """Write df as n_shards hash-sharded, hash-ordered parquet shards
     under path (dirs `_shard=K`), plus the manifest. Returns the
     manifest dict, JSON-identical to the stored file (shard ids are
     string keys). `key` must be a stable, NON-NULL unique record id
     (doc_id-like): it drives the shuffle and the shard assignment."""
-    if df.filter(F.col(key).isNull()).limit(1).count() > 0:
-        raise ValueError(
-            f"write_training_shards: NULL {key!r} keys — shard assignment "
-            "and the reproducible shuffle need a total, non-null key"
-        )
-    keyed = df.withColumn("_kh", _h60(F.col(key).cast("string")))
-    sharded = keyed.withColumn("_shard", F.pmod(F.col("_kh"), F.lit(n_shards)))
+    check_shard_input(df, key)
     (
-        # range partitioning on the shard id: exactly one shard per write
-        # task (hash partitioning would birthday-collide shards into the
-        # same task and leave others empty — straggler write tasks)
-        sharded.repartitionByRange(n_shards, "_shard")
-        .sortWithinPartitions("_kh")  # reproducible record order per shard
-        .drop("_kh")
+        shard_transform(df, n_shards, key)
         .write.mode("overwrite")
         .partitionBy("_shard")
         .parquet(path)
@@ -105,8 +141,11 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int, key: str) -> 
         "total_rows": int(sum(s["n_rows"] for s in shards.values())),
         "shards": shards,
     }
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
-        json.dump(manifest, fh, sort_keys=True, indent=1)
+    write_text_atomic(
+        df.sparkSession,
+        os.path.join(path, MANIFEST_NAME),
+        json.dumps(manifest, sort_keys=True, indent=1),
+    )
     return manifest
 
 
@@ -115,8 +154,7 @@ def verify_shards(spark: SparkSession, path: str) -> dict:
     files and compare with the manifest: the pre-training integrity
     gate. Returns {'ok': bool, 'bad_shards': [...], 'missing_shards':
     [...], 'extra_shards': [...]}."""
-    with open(os.path.join(path, MANIFEST_NAME)) as fh:
-        manifest = json.load(fh)
+    manifest = json.loads(read_text(spark, os.path.join(path, MANIFEST_NAME)))
     got = _shard_stats(spark, path)
     bad, missing = [], []
     for sid, want in manifest["shards"].items():

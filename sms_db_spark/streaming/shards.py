@@ -7,25 +7,34 @@ per-batch stats merge to exactly the one-shot batch writer's manifest.
 That additive-merge law is the same contract as the register sketches
 and the CDC upsert state, applied to the trainer handoff — and it is
 pinned by test: stream N drops, the merged manifest equals
-write_training_shards' manifest on the same corpus.
+write_training_shards' manifest on the same corpus. The layout, hash,
+and checksum definitions are IMPORTED from sinks/shards.py (one
+implementation), so the law cannot drift apart silently.
 
 Layout: `_shard=K/_batch=B` (two partition levels). The shard level is
 what the trainer consumes; the batch level is the exactly-once unit:
 
-  - a REPLAYED microbatch rewrites exactly its own `_batch=B`
-    partitions (per-write dynamic partition overwrite — the
-    backfill_day mechanism) and replaces its own manifest entry, so
-    at-least-once delivery cannot double-land rows or double-count
-    stats;
-  - after a CHECKPOINT RESET restarts numbering, data partitions and
-    manifest entries with batch ids above the current one are dropped
-    (the upsert/quality stale-epoch hygiene), so two numbering epochs
-    never mix.
+  - a REPLAYED or re-numbered microbatch first removes EVERY
+    `_batch=B` directory for its own id and every id above it (same-id
+    stale data from a pre-reset epoch can hide in shards the new
+    batch's rows don't reach — dynamic overwrite alone would miss
+    them), then appends its partitions fresh and replaces its manifest
+    entry: at-least-once delivery cannot double-land rows or
+    double-count stats, and two numbering epochs never mix;
+  - the cleanup walk is manifest-gated: in steady state (no recorded
+    batch id >= the current one) no tree listing happens at all — the
+    O(shards x batches) walk runs only in the replay/reset case that
+    created the stale dirs.
 
-At scale, periodic compaction (sinks/compaction.py) folds the
-accumulated `_batch=B` sub-files of cold shards into target-size files
-without touching the manifest totals (content is checksum-invariant
-under re-layout)."""
+Manifest IO is Hadoop-FS + atomic rename (fsutil.read_text /
+write_text_atomic): works on HDFS/S3A and a crash can never leave a
+truncated manifest for the replay to trip over.
+
+Maintenance note: the generic compactor is NOT aware of this two-level
+layout and must not run on it. Cold shards are folded offline by
+rewriting one `_shard=K` subtree into a single batch directory and
+collapsing that shard's per-batch manifest entries into one — the
+stats are additive, so the collapse is exact."""
 
 from __future__ import annotations
 
@@ -35,19 +44,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fsutil import hadoop_fs
-from ..operators.sketches import _h60
+from ..fsutil import hadoop_fs, read_text, write_text_atomic
+from ..sinks.shards import check_shard_input, row_hash_col, shard_transform
 from .upsert import EVENT_SCHEMA  # noqa: F401 (drop-dir schema re-export)
 
 STREAM_MANIFEST = "_stream_manifest.json"
 
 
-def _load_manifest(shard_dir: str) -> dict:
-    p = os.path.join(shard_dir, STREAM_MANIFEST)
-    if os.path.exists(p):
-        with open(p) as fh:
-            return json.load(fh)
-    return {"batches": {}}
+def _load_manifest(spark: SparkSession, shard_dir: str) -> dict:
+    text = read_text(spark, os.path.join(shard_dir, STREAM_MANIFEST))
+    return json.loads(text) if text else {"batches": {}}
 
 
 def apply_shard_batch(
@@ -55,26 +61,35 @@ def apply_shard_batch(
 ) -> None:
     """Land one microbatch into the shard layout, idempotently."""
     sess = batch.sparkSession
-    keyed = batch.withColumn("_kh", _h60(F.col(key).cast("string")))
+    check_shard_input(batch, key)
+    manifest = _load_manifest(sess, shard_dir)
+    stale_ids = {int(b) for b in manifest["batches"] if int(b) >= batch_id}
+    if stale_ids:
+        # replay or checkpoint reset: purge EVERY directory of this id and
+        # above — stale same-id data can sit in shards the new batch's
+        # rows don't reach, where a dynamic overwrite would never look
+        jvm, fs = hadoop_fs(sess, shard_dir)
+        base = jvm.org.apache.hadoop.fs.Path(shard_dir)
+        if fs.exists(base):
+            for sh in fs.listStatus(base):
+                if not sh.isDirectory() or not sh.getPath().getName().startswith(
+                    "_shard="
+                ):
+                    continue
+                for bt in fs.listStatus(sh.getPath()):
+                    name = bt.getPath().getName()
+                    if (
+                        name.startswith("_batch=")
+                        and int(name.split("=", 1)[1]) >= batch_id
+                    ):
+                        fs.delete(bt.getPath(), True)
     sharded = (
-        keyed.withColumn("_shard", F.pmod(F.col("_kh"), F.lit(n_shards)))
+        shard_transform(batch, n_shards, key)
         .withColumn("_batch", F.lit(batch_id))
-        .repartitionByRange(n_shards, "_shard")
-        .sortWithinPartitions("_kh")
-        .drop("_kh")
+        .localCheckpoint(eager=True)  # stats and write read the same rows
     )
-    data_cols = sorted(c for c in batch.columns if not c.startswith("_"))
-    row_hash = _h60(
-        F.concat_ws(
-            "\x01",
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in data_cols],
-        )
-    )
-    # stats BEFORE the write, from the same checkpointed rows the write
-    # lands (a microbatch frame is already deterministic within foreachBatch)
-    sharded = sharded.localCheckpoint(eager=True)
     stats = (
-        sharded.withColumn("_rh", row_hash)
+        sharded.withColumn("_rh", row_hash_col(sharded.columns))
         .groupBy("_shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -83,41 +98,30 @@ def apply_shard_batch(
         .collect()
     )
     (
-        sharded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")  # replay rewrites only its _batch
+        sharded.write.mode("append")  # its own _batch dirs were purged above
         .partitionBy("_shard", "_batch")
         .parquet(shard_dir)
     )
-    # stale-epoch hygiene: data + manifest entries above this batch id can
-    # only exist after a checkpoint reset — drop both
-    jvm, fs = hadoop_fs(sess, shard_dir)
-    base = jvm.org.apache.hadoop.fs.Path(shard_dir)
-    if fs.exists(base):
-        for sh in fs.listStatus(base):
-            if not sh.isDirectory() or not sh.getPath().getName().startswith("_shard="):
-                continue
-            for bt in fs.listStatus(sh.getPath()):
-                name = bt.getPath().getName()
-                if name.startswith("_batch=") and int(name.split("=", 1)[1]) > batch_id:
-                    fs.delete(bt.getPath(), True)
-    manifest = _load_manifest(shard_dir)
     manifest["n_shards"] = n_shards
     manifest["key"] = key
     manifest["batches"] = {
-        b: v for b, v in manifest["batches"].items() if int(b) <= batch_id
+        b: v for b, v in manifest["batches"].items() if int(b) < batch_id
     }
     manifest["batches"][str(batch_id)] = {
         str(int(r._shard)): {"n_rows": int(r.n_rows), "checksum": int(r.checksum)}
         for r in stats
     }
-    with open(os.path.join(shard_dir, STREAM_MANIFEST), "w") as fh:
-        json.dump(manifest, fh, sort_keys=True, indent=1)
+    write_text_atomic(
+        sess,
+        os.path.join(shard_dir, STREAM_MANIFEST),
+        json.dumps(manifest, sort_keys=True, indent=1),
+    )
 
 
-def merged_manifest(shard_dir: str) -> dict:
+def merged_manifest(spark: SparkSession, shard_dir: str) -> dict:
     """Fold the per-batch stats to the batch writer's manifest shape —
     counts and checksums are additive, so this is exact, not an estimate."""
-    m = _load_manifest(shard_dir)
+    m = _load_manifest(spark, shard_dir)
     shards: dict = {}
     for per_batch in m["batches"].values():
         for sid, s in per_batch.items():
@@ -137,7 +141,7 @@ def verify_stream_shards(spark: SparkSession, shard_dir: str) -> dict:
     merged streaming manifest."""
     from ..sinks.shards import _shard_stats
 
-    want = merged_manifest(shard_dir)["shards"]
+    want = merged_manifest(spark, shard_dir)["shards"]
     got = _shard_stats(spark, shard_dir)
     bad = [int(s) for s in want if s in got and got[s] != want[s]]
     missing = [int(s) for s in want if s not in got]

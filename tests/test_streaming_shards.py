@@ -47,7 +47,7 @@ def test_streamed_manifest_equals_batch_writer(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-    got = merged_manifest(shard_dir)
+    got = merged_manifest(spark, shard_dir)
     assert got["shards"] == want["shards"]  # the additive law, exactly
     assert got["total_rows"] == want["total_rows"]
     assert verify_stream_shards(spark, shard_dir)["ok"]
@@ -64,17 +64,52 @@ def test_replay_and_reset_are_idempotent(spark, tmp_path):
     second = docs.filter(F.col("doc_id") % 2 == 1)
     apply_shard_batch(first, 0, shard_dir, N, "doc_id")
     apply_shard_batch(second, 1, shard_dir, N, "doc_id")
-    before = merged_manifest(shard_dir)
+    before = merged_manifest(spark, shard_dir)
     # at-least-once: the LAST batch is re-delivered
     apply_shard_batch(second, 1, shard_dir, N, "doc_id")
-    assert merged_manifest(shard_dir) == before
+    assert merged_manifest(spark, shard_dir) == before
     assert verify_stream_shards(spark, shard_dir)["ok"]
 
     # checkpoint reset: everything reprocessed as batch 0 — stale batch-1
     # data AND manifest entries must vanish
     apply_shard_batch(docs, 0, shard_dir, N, "doc_id")
-    got = merged_manifest(shard_dir)
+    got = merged_manifest(spark, shard_dir)
     batch_ref = write_training_shards(docs, str(tmp_path / "ref"), N, key="doc_id")
     assert got["shards"] == batch_ref["shards"]
     assert verify_stream_shards(spark, shard_dir)["ok"]
     assert spark.read.parquet(shard_dir).count() == docs.count()
+
+
+def test_reset_with_smaller_footprint_purges_same_id_stragglers(spark, tmp_path):
+    """The nasty reset case: the re-numbered batch 0 touches FEWER shards
+    than the pre-reset batch 0 did — its stale rows hide in shards the
+    new batch never writes, where a dynamic overwrite would never look."""
+    docs = _docs(spark)
+    shard_dir = str(tmp_path / "stream")
+    apply_shard_batch(docs, 0, shard_dir, N, "doc_id")  # full footprint
+    # reset: reprocessed batch 0 is a narrow slice (likely missing shards)
+    narrow = docs.filter(F.col("doc_id") < 20)
+    apply_shard_batch(narrow, 0, shard_dir, N, "doc_id")
+    assert spark.read.parquet(shard_dir).count() == narrow.count()
+    got = merged_manifest(spark, shard_dir)
+    ref = write_training_shards(narrow, str(tmp_path / "ref"), N, key="doc_id")
+    assert got["shards"] == ref["shards"]
+    assert verify_stream_shards(spark, shard_dir)["ok"]
+
+
+def test_streaming_refuses_null_keys_and_reserved_columns(spark, tmp_path):
+    import pytest
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="NULL"):
+        apply_shard_batch(
+            docs.withColumn("doc_id", F.lit(None).cast("long")),
+            0,
+            str(tmp_path / "a"),
+            N,
+            "doc_id",
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        apply_shard_batch(
+            docs.withColumn("_shard", F.lit(1)), 0, str(tmp_path / "b"), N, "doc_id"
+        )
