@@ -84,10 +84,8 @@ def q125_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("source").isin(*DELTA_BATCH_SOURCES)).select(
         "doc_id", "content_key"
     )
-    store_keys = (
-        d.filter(~F.col("source").isin(*DELTA_BATCH_SOURCES))
-        .select("content_key")
-        .distinct()
+    store_raw = d.filter(~F.col("source").isin(*DELTA_BATCH_SOURCES)).select(
+        "content_key"
     )
     ks = F.sequence(F.lit(0), F.lit(DELTA_BLOOM_K - 1))
     pos = lambda kcol, keycol: (  # noqa: E731
@@ -98,13 +96,20 @@ def q125_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(pos(F.col("k"), F.col("content_key")).alias("bit"))
         .distinct()
     )
+    # Probe all k bit positions map-side on the RAW store scan: one
+    # projection + one BroadcastHashJoin per hash function, so no
+    # shuffle (and no aggregate Catalyst can't reorder a join below)
+    # sits upstream of the prune. Only the bloom-hit survivors —
+    # ~|batch|·(1+FP) keys — reach the distinct() that follows.
+    pruned = store_raw
+    for k in range(DELTA_BLOOM_K):
+        bits_k = bits.select(F.col("bit").alias(f"bit{k}"))
+        pruned = pruned.withColumn(
+            f"bit{k}", pos(F.lit(k), F.col("content_key"))
+        ).join(F.broadcast(bits_k), f"bit{k}")
     pruned_store = (
-        store_keys.select("content_key", F.explode(ks).alias("k"))
-        .select("content_key", pos(F.col("k"), F.col("content_key")).alias("bit"))
-        .join(F.broadcast(bits), "bit")
-        .groupBy("content_key")
-        .agg(F.count(F.lit(1)).alias("k_hit"))
-        .filter(F.col("k_hit") == DELTA_BLOOM_K)
+        pruned.select("content_key")
+        .distinct()
         .select("content_key", F.lit(1).alias("hit"))
     )
     return (
