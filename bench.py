@@ -76,6 +76,7 @@ HEADLINE = [
     "q128_sq8_ann_recall",
     "q132_dup_spans",
     "q133_hard_negatives",
+    "q134_shard_manifest_audit",
 ]
 
 BEST_OF = 3

@@ -92,17 +92,25 @@ def read_text(spark: SparkSession, path: str) -> str | None:
 
 
 def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
-    """Crash-safe small-text write: create `<path>.tmp`, then a checked
-    rename over the destination — a reader (or a replay) never sees a
-    truncated file."""
+    """Crash-safe small-text write: create `<path>.tmp`, then an ATOMIC
+    overwrite-rename onto the destination (FileContext.rename with
+    Options.Rename.OVERWRITE — atomic on HDFS and local FS). A reader
+    or a replay never sees a truncated file, and — unlike a
+    delete-then-rename dance — never sees the destination MISSING
+    either: a crash mid-write leaves the old file fully intact, which
+    is what keeps a streaming manifest's batch history alive across
+    crashed manifest updates."""
     jvm, fs = hadoop_fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
-    dst = jvm.org.apache.hadoop.fs.Path(path)
+    dst = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(path))
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    fs.delete(dst, False)
-    if not fs.rename(tmp, dst):
-        raise RuntimeError(f"atomic text write failed landing {path}")
+    conf = spark._jsc.hadoopConfiguration()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri(), conf)
+    rename = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark.sparkContext._gateway.new_array(rename, 1)
+    opts[0] = rename.OVERWRITE
+    fc.rename(fs.makeQualified(tmp), dst, opts)  # raises on failure

@@ -372,6 +372,197 @@ Q131_SQL = (
 )
 
 
+# ------------------------------------------------------------------ q136
+
+DRIFT_LEN_BUCKET = 64  # n_chars bucket width
+DRIFT_LEN_CAP = 8  # buckets above cap fold into the tail
+
+
+def _drift_profile(docs: DataFrame, bucket, feature_name: str) -> DataFrame:
+    """One feature's drift summary between window A (DELTA_BATCH_SOURCES,
+    'today') and window B (the standing corpus): per-bucket counts fold
+    map-side to |buckets| rows, milli-scaled proportions and the total
+    variation distance are integer-exact (cross-engine stable), and the
+    single window runs over the aggregated bucket table only."""
+    in_a = F.col("source").isin(*DELTA_BATCH_SOURCES).cast("bigint")
+    counts = (
+        docs.select(bucket.cast("string").alias("bucket"), in_a.alias("in_a"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("in_a").alias("cnt_a"),
+            F.sum(F.lit(1) - F.col("in_a")).alias("cnt_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    d = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("p_a", F.expr("cnt_a * 1000 div tot_a"))
+        .withColumn("p_b", F.expr("cnt_b * 1000 div tot_b"))
+        .withColumn("diff", F.abs(F.col("p_a") - F.col("p_b")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("diff").desc(), F.col("bucket"))
+            ),
+        )
+    )
+    return d.agg(
+        F.lit(feature_name).alias("feature"),
+        F.max("tot_a").alias("n_a"),
+        F.max("tot_b").alias("n_b"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.expr("sum(diff) div 2").alias("tvd_milli"),
+        F.max(F.when(F.col("rn") == 1, F.col("bucket"))).alias("top_bucket"),
+    )
+
+
+def q136_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-window distribution drift report: for each monitored
+    feature (document length buckets, language composition, source
+    composition-within-window is the control), the total variation
+    distance (milli-scaled integer) between today's arrivals
+    (DELTA_BATCH_SOURCES — q125's batch) and the standing corpus, plus
+    the most-drifted bucket. TVD ∈ [0, 1000]; a pipeline alerts above a
+    threshold BEFORE the batch merges — the distribution-level sibling
+    of q127's row-level constraint gate (both descend from the
+    reference's trust-the-batch import stats, sms-db.pl:333-339).
+
+    100 TB shape: each feature is one map-side-combined groupBy to a
+    |buckets|-row table; proportions, TVD, and the top-bucket rank all
+    run over that aggregated state. Integer milli-proportions make the
+    report bit-identical across engines and run-to-run.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    len_bucket = F.least(  # integer div, never float-then-truncate
+        F.expr(f"n_chars div {DRIFT_LEN_BUCKET}"), F.lit(DRIFT_LEN_CAP)
+    )
+    return (
+        _drift_profile(docs, len_bucket, "len_bucket")
+        .unionByName(_drift_profile(docs, F.col("lang"), "lang"))
+        .orderBy("feature")
+    )
+
+
+def _drift_sql(bucket_expr: str, feature_name: str) -> str:
+    return f"""
+  SELECT '{feature_name}' AS feature,
+         CAST(MAX(tot_a) AS BIGINT) AS n_a, CAST(MAX(tot_b) AS BIGINT) AS n_b,
+         COUNT(*) AS n_buckets, CAST(SUM(diff) // 2 AS BIGINT) AS tvd_milli,
+         MAX(CASE WHEN rn = 1 THEN bucket END) AS top_bucket
+  FROM (
+    SELECT bucket, tot_a, tot_b, ABS(p_a - p_b) AS diff,
+           row_number() OVER (ORDER BY ABS(p_a - p_b) DESC, bucket) AS rn
+    FROM (
+      SELECT bucket, cnt_a * 1000 // SUM(cnt_a) OVER () AS p_a,
+             cnt_b * 1000 // SUM(cnt_b) OVER () AS p_b,
+             SUM(cnt_a) OVER () AS tot_a, SUM(cnt_b) OVER () AS tot_b
+      FROM (
+        SELECT CAST({bucket_expr} AS VARCHAR) AS bucket,
+               COUNT(*) FILTER (WHERE source IN ('{DELTA_BATCH_SOURCES[0]}',
+                                                 '{DELTA_BATCH_SOURCES[1]}')) AS cnt_a,
+               COUNT(*) FILTER (WHERE source NOT IN ('{DELTA_BATCH_SOURCES[0]}',
+                                                     '{DELTA_BATCH_SOURCES[1]}')) AS cnt_b
+        FROM documents GROUP BY 1
+      )
+    )
+  )
+"""
+
+
+Q136_SQL = (
+    _drift_sql(f"LEAST(n_chars // {DRIFT_LEN_BUCKET}, {DRIFT_LEN_CAP})", "len_bucket")
+    + " UNION ALL "
+    + _drift_sql("lang", "lang")
+    + " ORDER BY feature"
+)
+
+
+# ------------------------------------------------- auto-strategy join helper
+
+JOIN_BROADCAST_ROWS = 1_000_000  # narrow dim ⇒ tens of MB: safe to ship
+JOIN_SKEW_MILLI = 8_000  # hottest key ≥ 8x the mean per-key count
+JOIN_N_SALT = 8
+
+
+def key_profile(df: DataFrame, key: str) -> dict:
+    """One-pass key-distribution profile of a single frame — q131's
+    per-key groupBy + summary collapsed to a dict. The collect is ONE
+    summary row (bounded metadata, not row data). At 100 TB run this
+    once per table/key and persist; plan_join accepts the stored dict."""
+    r = _profile(df, key, F.col(key)).collect()[0]
+    return {
+        "n_rows": int(r.n_rows or 0),
+        "n_keys": int(r.n_keys or 0),
+        "max_cnt": int(r.max_cnt or 0),
+        "skew_milli": int(r.skew_milli or 0),
+    }
+
+
+def plan_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    profiles: tuple[dict, dict] | None = None,
+    broadcast_rows: int = JOIN_BROADCAST_ROWS,
+    skew_milli: int = JOIN_SKEW_MILLI,
+    n_salt: int = JOIN_N_SALT,
+) -> tuple[DataFrame, dict]:
+    """Profile-driven inner equi-join: q131's skew profile turned into
+    the decision it documents. Returns (joined, decision):
+
+      - one side under `broadcast_rows` ⇒ BROADCAST it (no shuffle);
+      - else if the larger side's hottest key exceeds `skew_milli`
+        (max_cnt/mean, milli-scaled) ⇒ SALTED shuffle join: the skewed
+        side gets a per-row salt splitting each hot key across n_salt
+        reducers, the other side is replicated n_salt ways (q35's
+        machinery, output provably identical to the plain join);
+      - else ⇒ plain shuffle join (skew_milli near 1000 means uniform
+        keys — salting would only pay the replication for nothing).
+
+    `profiles` takes precomputed key_profile dicts (the 100 TB path:
+    profile once, decide many times); omitted, both sides are profiled
+    now. The salt uses monotonically_increasing_id — salt VALUES are
+    partition-dependent, but the join result is salt-invariant by
+    construction (every right row exists under every salt)."""
+    pa, pb = profiles if profiles is not None else (
+        key_profile(a, key),
+        key_profile(b, key),
+    )
+    if min(pa["n_rows"], pb["n_rows"]) <= broadcast_rows:
+        if pb["n_rows"] <= pa["n_rows"]:
+            out = a.join(F.broadcast(b), key)
+            decision = {"strategy": "broadcast", "build_side": "right"}
+        else:
+            out = F.broadcast(a).join(b, key)
+            decision = {"strategy": "broadcast", "build_side": "left"}
+        return out, decision
+    big_is_a = pa["n_rows"] >= pb["n_rows"]
+    big_skew = (pa if big_is_a else pb)["skew_milli"]
+    if big_skew >= skew_milli:
+        skewed, other = (a, b) if big_is_a else (b, a)
+        salted = skewed.withColumn(
+            "_salt",
+            F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int"),
+        )
+        replicated = other.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        out = (
+            salted.join(replicated, [key, "_salt"]).drop("_salt")
+            if big_is_a
+            else replicated.join(salted, [key, "_salt"]).drop("_salt")
+        )
+        return out, {
+            "strategy": "salted",
+            "salted_side": "left" if big_is_a else "right",
+            "n_salt": n_salt,
+            "skew_milli": big_skew,
+        }
+    return a.join(b, key), {"strategy": "shuffle", "skew_milli": big_skew}
+
+
 QUERIES = {
     "q125_delta_dedup": QuerySpec(
         q125_delta_dedup,
@@ -392,5 +583,10 @@ QUERIES = {
         q131_skew_profile,
         Q131_SQL,
         "join-key skew profile: the pre-join salt/broadcast decision input",
+    ),
+    "q136_corpus_drift": QuerySpec(
+        q136_corpus_drift,
+        Q136_SQL,
+        "ingest-window drift report: integer TVD per monitored feature",
     ),
 }

@@ -1,0 +1,163 @@
+"""Driver-gated audit queries for the storage/maintenance layer.
+
+The shard writers (sinks/shards.py, streaming/shards.py) are write
+paths — their core guarantees (hash-derived shard layout, per-shard
+content-checksum manifest, additive streaming merge law) were pytest-
+proven but had no row in the driver's DuckDB-oracle gate. These two
+queries put the manifest MATH itself under the hash gate: each writes
+the documents corpus through the real writer into a per-run temp dir
+(q108's pattern, sources/jsonl.py:73-81), reads the manifest back, and
+returns it as a per-shard frame — which the oracle recomputes from the
+RAW corpus with the same hash definitions (_h60 / row_hash_col's
+sorted-column concat). A value-hash match therefore proves the whole
+chain: shard assignment, the written bytes, the manifest stats, and
+(via the disk_ok column) the verify gate's file-recompute agreement.
+
+Scale note: the writes are the real distributed writers (one range
+shuffle each); only the N_SHARDS-row manifest ever touches the driver.
+The temp-dir write is the test-scale stand-in for the store path —
+the audit SHAPE (manifest vs oracle recompute) is what runs at 100 TB.
+
+Reference lineage: the manifest is the at-scale form of the reference's
+import-stats report (sms-db.pl:333-339) — counts the operator checks
+before trusting a handoff.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import QuerySpec
+from ..sinks.shards import _shard_stats, write_training_shards
+from ..streaming.shards import apply_shard_batch, merged_manifest
+from ..tables import load_table
+
+N_AUDIT_SHARDS = 8
+# the checksum column is the manifest sum REDUCED mod 2^60: the full sum
+# exceeds int64 and DuckDB's DECIMAL(38,0) degrades to float64 in the
+# compare harness — the residue is exact in both engines and additivity
+# survives the mod (disk_ok still compares the FULL sums, unmodded)
+_CHECKSUM_MOD = 1 << 60
+_H60_SQL = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+# row_hash_col's exact definition in DuckDB terms: non-reserved columns
+# of the documents store, sorted by name, null-safe concat on \x01
+_ROW_HASH_SQL = _H60_SQL.format(
+    expr="concat_ws(chr(1), "
+    "coalesce(CAST(doc_id AS VARCHAR), chr(0)), "
+    "coalesce(lang, chr(0)), "
+    "coalesce(CAST(n_chars AS VARCHAR), chr(0)), "
+    "coalesce(source, chr(0)), "
+    "coalesce(text, chr(0)))"
+)
+_SHARD_SQL = _H60_SQL.format(expr="CAST(doc_id AS VARCHAR)") + f" % {N_AUDIT_SHARDS}"
+
+
+def _audit_frame(
+    spark: SparkSession, manifest_shards: dict, disk_shards: dict, extra: dict | None = None
+) -> DataFrame:
+    """Manifest → per-shard audit frame. The frame is N_SHARDS rows of
+    driver-held metadata (the manifest itself), not collected row data."""
+    rows = []
+    for sid in sorted(manifest_shards, key=int):
+        s = manifest_shards[sid]
+        row = (
+            int(sid),
+            int(s["n_rows"]),
+            int(s["checksum"]) % _CHECKSUM_MOD,
+            1 if disk_shards.get(sid) == s else 0,
+        )
+        if extra is not None:
+            row += (1 if extra.get(sid) == s else 0,)
+        rows.append(row)
+    schema = "shard int, n_rows bigint, checksum_mod bigint, disk_ok int"
+    if extra is not None:
+        schema += ", batch_eq int"
+    return spark.createDataFrame(rows, schema).orderBy("shard")
+
+
+def q134_shard_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shard-writer manifest audit: write the corpus through
+    write_training_shards (sinks/shards.py:124), recompute each shard's
+    (n_rows, content checksum) FROM THE WRITTEN FILES, and return the
+    manifest per shard with a disk-agreement flag. The oracle rebuilds
+    the same numbers from the raw corpus in DuckDB — a hash match
+    proves shard assignment, written bytes, and manifest stats agree
+    end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sms_db_spark_shard_audit_")
+    try:
+        manifest = write_training_shards(docs, path, N_AUDIT_SHARDS, key="doc_id")
+        disk = _shard_stats(spark, path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return _audit_frame(spark, manifest["shards"], disk)
+
+
+Q134_SQL = f"""
+WITH rh AS (
+  SELECT {_SHARD_SQL} AS shard, {_ROW_HASH_SQL} AS rh FROM documents
+)
+SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_rows,
+       CAST(SUM(rh) % {_CHECKSUM_MOD} AS BIGINT) AS checksum_mod, 1 AS disk_ok
+FROM rh GROUP BY shard ORDER BY shard
+"""
+
+
+def q135_stream_shard_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming shard-writer manifest audit: land the corpus as three
+    out-of-order microbatches (plus an at-least-once REPLAY of the last
+    one) through apply_shard_batch, fold the per-batch manifest with
+    merged_manifest, and compare per shard against BOTH the written
+    files (disk_ok) and the one-shot batch writer's manifest on the
+    same corpus (batch_eq) — the additive merge law as a driver-gated
+    row, not only a pytest. Oracle identical to q134's: the law says
+    streaming == batch == raw-corpus recompute."""
+    docs = load_table(spark, sf_dir, "documents")
+    sdir = tempfile.mkdtemp(prefix="sms_db_spark_stream_audit_")
+    bdir = tempfile.mkdtemp(prefix="sms_db_spark_batch_ref_")
+    try:
+        for bid, k in enumerate((2, 0, 1)):  # out-of-order arrival
+            apply_shard_batch(
+                docs.filter(F.col("doc_id") % 3 == k), bid, sdir,
+                N_AUDIT_SHARDS, "doc_id",
+            )
+        # at-least-once delivery: the LAST batch is re-delivered
+        apply_shard_batch(
+            docs.filter(F.col("doc_id") % 3 == 1), 2, sdir, N_AUDIT_SHARDS, "doc_id"
+        )
+        merged = merged_manifest(spark, sdir)
+        disk = _shard_stats(spark, sdir)
+        batch_ref = write_training_shards(docs, bdir, N_AUDIT_SHARDS, key="doc_id")
+    finally:
+        shutil.rmtree(sdir, ignore_errors=True)
+        shutil.rmtree(bdir, ignore_errors=True)
+    return _audit_frame(spark, merged["shards"], disk, extra=batch_ref["shards"])
+
+
+Q135_SQL = f"""
+WITH rh AS (
+  SELECT {_SHARD_SQL} AS shard, {_ROW_HASH_SQL} AS rh FROM documents
+)
+SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_rows,
+       CAST(SUM(rh) % {_CHECKSUM_MOD} AS BIGINT) AS checksum_mod, 1 AS disk_ok,
+       1 AS batch_eq
+FROM rh GROUP BY shard ORDER BY shard
+"""
+
+QUERIES = {
+    "q134_shard_manifest_audit": QuerySpec(
+        q134_shard_manifest_audit,
+        Q134_SQL,
+        "batch shard-writer manifest vs raw-corpus recompute (oracle-hashed)",
+    ),
+    "q135_stream_shard_manifest_audit": QuerySpec(
+        q135_stream_shard_manifest_audit,
+        Q135_SQL,
+        "streaming additive-manifest law vs batch writer and raw corpus",
+    ),
+}

@@ -130,8 +130,15 @@ def compact(
         # merge salts (fewer files than budgeted, never more), which
         # only moves the result further below the fragmented threshold.
         budget_rows = []
-        root = path.rstrip("/")
+        # _dir_bytes returns FS-QUALIFIED paths (scheme://authority/...);
+        # qualify the user's root the same way before prefix-stripping, or
+        # an ancestor segment containing '=' (e.g. /data/run=3/store) —
+        # still inside the unstripped remainder — would be parsed as a
+        # partition value and could shadow a real partition column.
+        root = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(path)).toString().rstrip("/")
         for d, b in _dir_bytes(spark, path).items():
+            if not (d == root or d.startswith(root + "/")):
+                raise ValueError(f"listing entry {d!r} outside store root {root!r}")
             rel = d[len(root):].strip("/")
             vals = dict(seg.split("=", 1) for seg in rel.split("/") if "=" in seg)
             budget_rows.append(

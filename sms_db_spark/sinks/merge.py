@@ -158,10 +158,11 @@ def merge_into_cow(
         duplicates) — use merge_into or per-partition backfill;
       - files with missing/partial statistics are conservatively
         treated as touched;
-      - footer reads are driver-local pyarrow in a thread pool — fine
-        for local/NFS stores; on HDFS/S3A swap key_range for a
-        distributed footer scan (mapPartitions over the file list with
-        Hadoop input streams).
+      - footer reads are DISTRIBUTED: the file list becomes a
+        DataFrame and each task reads its files' footers with pyarrow
+        over `pyarrow.fs.FileSystem.from_uri` (local/HDFS/S3) — no
+        driver-side per-file IO, so 10^6-file stores don't bottleneck
+        on the driver.
 
     Returns merge_into's stats plus files_rewritten / files_skipped.
     `unchanged` counts only rows INSIDE rewritten files; rows in skipped
@@ -197,52 +198,84 @@ def merge_into_cow(
             f"merge_into_cow: source has NULL {key!r} keys — footer stats "
             "cannot prune NULL matches; use merge_into"
         )
-    import pyarrow.parquet as pq
-    from concurrent.futures import ThreadPoolExecutor
+    # Distributed footer scan: one task per slice of the file list reads
+    # its footers with pyarrow (FileSystem.from_uri: local/HDFS/S3). The
+    # driver never opens a data file — at 10^6 files the old driver-side
+    # thread pool was the scale bottleneck the docstring warned about.
+    from pyspark.sql import types as T
 
-    def key_range(fpath: str):
-        """(lo, hi) from footer stats; None marks 'no usable stats —
-        conservatively touched'."""
-        local = fpath[len("file:"):] if fpath.startswith("file:") else fpath
-        md = pq.ParquetFile(local).metadata
-        if md.num_row_groups == 0:
-            return None
-        idx = {
-            md.row_group(0).column(i).path_in_schema: i
-            for i in range(md.num_columns)
-        }
-        if key not in idx:  # schema-evolved file predating the key column
-            return None
-        lo, hi = None, None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx[key]).statistics
-            if st is None or st.min is None or st.max is None:
-                return None
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        return lo, hi
-
-    with ThreadPoolExecutor(max_workers=16) as pool:  # IO-bound footer reads
-        all_ranges = list(pool.map(key_range, files))
-    stat_less = [f for f, r in zip(files, all_ranges) if r is None]
-    ranges = [(f,) + r for f, r in zip(files, all_ranges) if r is not None]
-    touched: list[str] = list(stat_less)
-    if ranges:
-        rdf = spark.createDataFrame(ranges, ["_file", "_lo", "_hi"])
-        # distributed prune: the (#files)-sized range table broadcasts
-        # into a BETWEEN join against the source keys — no O(|source|)
-        # driver collect; only the touched FILE LIST comes back
-        touched += [
-            r._file
-            for r in source.select(F.col(key).alias("_k"))
-            .join(
-                F.broadcast(rdf),
-                (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
-            )
-            .select("_file")
-            .distinct()
-            .collect()
+    key_dt = spark.read.parquet(target_path).schema[key].dataType
+    range_schema = T.StructType(
+        [
+            T.StructField("_file", T.StringType()),
+            T.StructField("_lo", key_dt),
+            T.StructField("_hi", key_dt),
+            T.StructField("_has_stats", T.BooleanType()),
         ]
+    )
+
+    def _footer_ranges(batches):
+        import pandas as pd
+        import pyarrow.fs as pafs
+        import pyarrow.parquet as pq
+
+        def key_range(fpath: str):
+            """(lo, hi) from footer stats; None marks 'no usable stats —
+            conservatively touched'."""
+            pfs, ppath = pafs.FileSystem.from_uri(fpath)
+            with pfs.open_input_file(ppath) as fh:
+                md = pq.ParquetFile(fh).metadata
+            if md.num_row_groups == 0:
+                return None
+            idx = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            if key not in idx:  # schema-evolved file predating the key column
+                return None
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[key]).statistics
+                if st is None or st.min is None or st.max is None:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            return lo, hi
+
+        for pdf in batches:
+            rows = []
+            for fpath in pdf["_file"]:
+                r = key_range(fpath)
+                rows.append(
+                    (fpath, None, None, False) if r is None else (fpath, *r, True)
+                )
+            yield pd.DataFrame(rows, columns=["_file", "_lo", "_hi", "_has_stats"])
+
+    par = min(len(files), spark.sparkContext.defaultParallelism) or 1
+    rdf = (
+        spark.createDataFrame([(f,) for f in files], "_file string")
+        .repartition(par)
+        .mapInPandas(_footer_ranges, range_schema)
+        # one footer pass feeds two consumers (stat-less list + prune join)
+        .localCheckpoint(eager=True)
+    )
+    touched: list[str] = [
+        r._file for r in rdf.filter(~F.col("_has_stats")).collect()
+    ]
+    # distributed prune: the (#files)-sized range table broadcasts
+    # into a BETWEEN join against the source keys — no O(|source|)
+    # driver collect; only the touched FILE LIST comes back
+    touched += [
+        r._file
+        for r in source.select(F.col(key).alias("_k"))
+        .join(
+            F.broadcast(rdf.filter(F.col("_has_stats")).drop("_has_stats")),
+            (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+        )
+        .select("_file")
+        .distinct()
+        .collect()
+    ]
     touched_set = set(touched)
     n_skipped = sum(1 for f in files if f not in touched_set)
     if touched:

@@ -154,7 +154,14 @@ def verify_shards(spark: SparkSession, path: str) -> dict:
     files and compare with the manifest: the pre-training integrity
     gate. Returns {'ok': bool, 'bad_shards': [...], 'missing_shards':
     [...], 'extra_shards': [...]}."""
-    manifest = json.loads(read_text(spark, os.path.join(path, MANIFEST_NAME)))
+    text = read_text(spark, os.path.join(path, MANIFEST_NAME))
+    if text is None:
+        raise FileNotFoundError(
+            f"no training manifest at {os.path.join(path, MANIFEST_NAME)} — "
+            "the store was never written by write_training_shards (or the "
+            "manifest was lost): integrity cannot be verified"
+        )
+    manifest = json.loads(text)
     got = _shard_stats(spark, path)
     bad, missing = [], []
     for sid, want in manifest["shards"].items():

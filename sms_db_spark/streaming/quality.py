@@ -31,7 +31,7 @@ from ..fsutil import hadoop_fs
 # ONE wire schema for the events drop directory: quality and upsert read
 # the same stream — two independent copies could drift and silently null
 # columns under schema-first parquet reads
-from .upsert import EVENT_SCHEMA  # noqa: F401 (re-exported)
+from .windows import EVENT_SCHEMA  # noqa: F401 (one wire schema, see windows.py)
 
 ACCEPTED_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 VALUE_CAP = 1000.0

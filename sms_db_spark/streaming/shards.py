@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ..fsutil import hadoop_fs, read_text, write_text_atomic
 from ..sinks.shards import check_shard_input, row_hash_col, shard_transform
-from .upsert import EVENT_SCHEMA  # noqa: F401 (drop-dir schema re-export)
+from .windows import EVENT_SCHEMA  # noqa: F401 (one wire schema, see windows.py)
 
 STREAM_MANIFEST = "_stream_manifest.json"
 
@@ -63,13 +63,31 @@ def apply_shard_batch(
     sess = batch.sparkSession
     check_shard_input(batch, key)
     manifest = _load_manifest(sess, shard_dir)
-    stale_ids = {int(b) for b in manifest["batches"] if int(b) >= batch_id}
+    jvm, fs = hadoop_fs(sess, shard_dir)
+    base = jvm.org.apache.hadoop.fs.Path(shard_dir)
+    # Own-batch landing MUST be idempotent regardless of manifest state:
+    # a crash between the data append and the manifest write leaves
+    # `_batch=<batch_id>` data with NO manifest entry, so a manifest-gated
+    # purge would skip it and the replay would append the same rows twice
+    # (permanent checksum failure). Always clear this id's dirs first —
+    # one glob over `_shard=*/_batch=<batch_id>`, O(n_shards), cheap.
+    if fs.exists(base):
+        own = fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(shard_dir, "_shard=*", f"_batch={batch_id}")
+            )
+        )
+        for st in own or []:
+            fs.delete(st.getPath(), True)
+    stale_ids = {int(b) for b in manifest["batches"] if int(b) > batch_id}
     if stale_ids:
-        # replay or checkpoint reset: purge EVERY directory of this id and
-        # above — stale same-id data can sit in shards the new batch's
-        # rows don't reach, where a dynamic overwrite would never look
-        jvm, fs = hadoop_fs(sess, shard_dir)
-        base = jvm.org.apache.hadoop.fs.Path(shard_dir)
+        # checkpoint reset: batch numbering restarted, so directories from
+        # ids ABOVE the current one are a dead epoch — purge them all.
+        # This walk stays manifest-gated (steady state never pays it);
+        # dirs a crash orphaned above batch_id without a manifest entry
+        # are unreachable to the restarted numbering only until it
+        # re-reaches that id, at which point the own-id glob above
+        # clears them.
         if fs.exists(base):
             for sh in fs.listStatus(base):
                 if not sh.isDirectory() or not sh.getPath().getName().startswith(
@@ -80,7 +98,7 @@ def apply_shard_batch(
                     name = bt.getPath().getName()
                     if (
                         name.startswith("_batch=")
-                        and int(name.split("=", 1)[1]) >= batch_id
+                        and int(name.split("=", 1)[1]) > batch_id
                     ):
                         fs.delete(bt.getPath(), True)
     sharded = (

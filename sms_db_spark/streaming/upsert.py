@@ -32,20 +32,9 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..fsutil import hadoop_fs
-
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.TimestampType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+from .windows import EVENT_SCHEMA  # noqa: F401 (one wire schema, see windows.py)
 
 _STATE_RE = re.compile(r"^state-(\d+)$")
 

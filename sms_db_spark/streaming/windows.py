@@ -22,8 +22,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# matches the driver's events table minus the nanos quirk (tables.load_table
-# normalizes ts to TimestampType micros); streams stage files in this shape.
+# THE one streaming wire schema: the driver's events table minus the nanos
+# quirk (tables.load_table normalizes ts to TimestampType micros); streams
+# stage files in this shape. Defined ONCE here and imported by every other
+# streaming module (upsert/quality/shards/joins) — a drop dir written for
+# one consumer is readable by all of them. Consumers that don't use `props`
+# simply ignore the column.
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -31,6 +35,7 @@ EVENT_SCHEMA = T.StructType(
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
     ]
 )
 

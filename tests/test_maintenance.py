@@ -97,3 +97,52 @@ def test_skew_profile_ratios_consistent(spark):
         assert r.skew_milli == r.max_cnt * r.n_keys * 1000 // r.n_rows
     ev = {r.key_col: r for r in rows}["events.user_id"]
     assert ev.n_rows == load_table(spark, SF_DIR, "events").count()
+
+
+def test_plan_join_broadcasts_tiny_dimension(spark):
+    """A dimension under the broadcast threshold must come back as a
+    broadcast join — verified on the decision AND the physical plan."""
+    from sms_db_spark.operators.maintenance import plan_join
+
+    orders = load_table(spark, SF_DIR, "orders")
+    dim = spark.createDataFrame(
+        [(s, f"status {s}") for s in ("F", "O", "P")],
+        ["o_orderstatus", "status_name"],
+    )
+    out, decision = plan_join(orders, dim, "o_orderstatus")
+    assert decision == {"strategy": "broadcast", "build_side": "right"}
+    p = _explain_str(out)
+    assert "BroadcastHashJoin" in p, p
+    assert out.count() == orders.count()  # dim covers every status
+
+
+def test_plan_join_salts_skewed_fact_join(spark):
+    """q35's fixture shape: one viral key dominating the fact side. The
+    profile must trip the salt path, and the salted result must equal
+    the plain join row-for-row (salt invariance)."""
+    from sms_db_spark.operators.maintenance import key_profile, plan_join
+
+    hot = spark.range(0, 20_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    cold = spark.range(0, 2_000).select(
+        (F.col("id") + 100).alias("k"), (F.col("id") * 2).alias("payload")
+    )
+    fact = hot.unionByName(cold)
+    dim = spark.range(0, 3_000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+    )
+    pf, pd_ = key_profile(fact, "k"), key_profile(dim, "k")
+    assert pf["skew_milli"] >= 8_000  # the hot key dominates
+    out, decision = plan_join(
+        fact, dim, "k", profiles=(pf, pd_), broadcast_rows=100
+    )
+    assert decision["strategy"] == "salted"
+    assert decision["salted_side"] == "left"
+    plain = fact.join(dim, "k")
+    assert out.count() == plain.count()
+    assert out.exceptAll(plain).count() == 0
+    assert plain.exceptAll(out).count() == 0
+    # uniform keys must NOT pay the salt replication
+    out2, d2 = plan_join(cold, dim, "k", profiles=(key_profile(cold, "k"), pd_), broadcast_rows=100)
+    assert d2["strategy"] == "shuffle"

@@ -20,14 +20,14 @@ def _write(spark, path, rows):
 
 
 VIEWS = [
-    (1, _ts(10, 0), 7, "view", 0.0),
-    (2, _ts(10, 5), 7, "view", 0.0),
-    (3, _ts(10, 0), 8, "view", 0.0),
+    (1, _ts(10, 0), 7, "view", 0.0, None),
+    (2, _ts(10, 5), 7, "view", 0.0, None),
+    (3, _ts(10, 0), 8, "view", 0.0, None),
 ]
 PURCHASES = [
-    (101, _ts(10, 10), 7, "purchase", 9.99),   # matches views 1 and 2
-    (102, _ts(10, 45), 7, "purchase", 5.00),   # 40min after view 2: outside window
-    (103, _ts(10, 20), 9, "purchase", 1.00),   # no view for user 9
+    (101, _ts(10, 10), 7, "purchase", 9.99, None),   # matches views 1 and 2
+    (102, _ts(10, 45), 7, "purchase", 5.00, None),   # 40min after view 2: outside window
+    (103, _ts(10, 20), 9, "purchase", 1.00, None),   # no view for user 9
 ]
 EXPECTED = {(1, 101), (2, 101)}
 
@@ -56,7 +56,7 @@ def test_stream_join_matches_batch_and_emits_once(spark, tmp_path):
 
     # second incremental run: one new purchase for user 8 inside its view's
     # window — only the NEW pair appears (checkpointed state, no re-emit)
-    _write(spark, pdir, [(104, _ts(10, 25), 8, "purchase", 2.50)])
+    _write(spark, pdir, [(104, _ts(10, 25), 8, "purchase", 2.50, None)])
     q = stream_attribution_join(spark, vdir, pdir, out, ckpt)
     q.awaitTermination(120)
 

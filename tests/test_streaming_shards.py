@@ -97,6 +97,53 @@ def test_reset_with_smaller_footprint_purges_same_id_stragglers(spark, tmp_path)
     assert verify_stream_shards(spark, shard_dir)["ok"]
 
 
+def test_replay_after_crash_between_append_and_manifest(spark, tmp_path):
+    """The crash window ADVICE r4 flagged: data for batch B landed but
+    the process died BEFORE the manifest write. The replay of B finds no
+    manifest entry for it — the own-batch purge must NOT be gated on the
+    manifest, or the replay double-appends B's rows (permanent checksum
+    failure). Simulated by deleting B's manifest entry while leaving its
+    data on disk."""
+    import json
+    import os
+
+    from sms_db_spark.fsutil import read_text, write_text_atomic
+    from sms_db_spark.streaming.shards import STREAM_MANIFEST
+
+    docs = _docs(spark)
+    shard_dir = str(tmp_path / "stream")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    apply_shard_batch(first, 0, shard_dir, N, "doc_id")
+    apply_shard_batch(second, 1, shard_dir, N, "doc_id")
+    # crash simulation: batch 1's data is on disk, its manifest entry gone
+    mpath = os.path.join(shard_dir, STREAM_MANIFEST)
+    manifest = json.loads(read_text(spark, mpath))
+    del manifest["batches"]["1"]
+    write_text_atomic(spark, mpath, json.dumps(manifest))
+    # foreachBatch replays batch 1 (checkpoint never advanced past it)
+    apply_shard_batch(second, 1, shard_dir, N, "doc_id")
+    assert spark.read.parquet(shard_dir).count() == docs.count()  # no dupes
+    got = merged_manifest(spark, shard_dir)
+    ref = write_training_shards(docs, str(tmp_path / "ref"), N, key="doc_id")
+    assert got["shards"] == ref["shards"]
+    assert verify_stream_shards(spark, shard_dir)["ok"]
+
+
+def test_verify_shards_missing_manifest_is_loud(spark, tmp_path):
+    """A store with data but no manifest must raise a clear integrity
+    error, not TypeError from json.loads(None) (ADVICE r4)."""
+    import pytest
+
+    from sms_db_spark.sinks.shards import verify_shards
+
+    docs = _docs(spark)
+    path = str(tmp_path / "noman")
+    docs.limit(10).write.parquet(path)
+    with pytest.raises(FileNotFoundError, match="no training manifest"):
+        verify_shards(spark, path)
+
+
 def test_streaming_refuses_null_keys_and_reserved_columns(spark, tmp_path):
     import pytest
 

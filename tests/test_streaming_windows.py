@@ -27,8 +27,8 @@ def test_watermark_drops_late_rows_and_windows_are_final(spark, tmp_path):
 
     # run 1: six rows in window [10:00,10:10) + one at 11:00 that advances
     # the committed watermark to 10:40 (11:00 - 20 min)
-    rows1 = [(i, _ts(10, i), 1, "click", 1.0) for i in range(6)]
-    rows1.append((100, _ts(11, 0), 1, "click", 1.0))
+    rows1 = [(i, _ts(10, i), 1, "click", 1.0, None) for i in range(6)]
+    rows1.append((100, _ts(11, 0), 1, "click", 1.0, None))
     _write_batch(spark, drop, rows1, "b1")
     q = stream_windowed_counts(spark, drop, out, ckpt)
     q.awaitTermination(120)
@@ -36,7 +36,7 @@ def test_watermark_drops_late_rows_and_windows_are_final(spark, tmp_path):
     # run 2: a LATE row for the 10:00 window (behind the 10:40 watermark →
     # must be dropped) plus a 12:00 row that pushes the watermark past every
     # earlier window end so they all flush
-    rows2 = [(200, _ts(10, 2), 1, "click", 1.0), (300, _ts(12, 0), 1, "click", 1.0)]
+    rows2 = [(200, _ts(10, 2), 1, "click", 1.0, None), (300, _ts(12, 0), 1, "click", 1.0, None)]
     _write_batch(spark, drop, rows2, "b2")
     q = stream_windowed_counts(spark, drop, out, ckpt)
     q.awaitTermination(120)
@@ -50,7 +50,7 @@ def test_watermark_drops_late_rows_and_windows_are_final(spark, tmp_path):
 
 
 def test_batch_twin_matches_streaming_semantics_when_nothing_late(spark):
-    rows = [(i, _ts(9, i % 30), i % 3, "view", float(i)) for i in range(30)]
+    rows = [(i, _ts(9, i % 30), i % 3, "view", float(i), None) for i in range(30)]
     events = spark.createDataFrame(rows, EVENT_SCHEMA)
     out = windowed_counts(events, "10 minutes", "20 minutes").collect()
     # 30 rows spread over minutes 0..29 → three 10-minute windows
