@@ -479,6 +479,79 @@ Q136_SQL = (
 )
 
 
+# ------------------------------------------------------------------ q137
+
+EMB_DIM = 64
+NORM_SCALE = 1000  # 1e-3 component resolution; norm2 stays well inside int64
+
+
+def q137_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store health audit, per label: vector count, missing
+    arrays, wrong-dimension vectors, zero-norm vectors, and min/max/mean
+    of the integer-floored squared norm. The q127-style gate for the
+    EMBEDDING pipeline: a batch of zero vectors (a failed encoder), a
+    dimension mismatch (a model swap), or a norm collapse all surface
+    as one report row BEFORE the vectors reach the ANN/dedup operators
+    that silently mis-rank on them.
+
+    norm2 is sum of floor(x*1e3)^2 as int64 — exact under any
+    aggregation/summation order, so the report is bit-identical
+    cross-engine and run-to-run (q86's integer-floored discipline).
+    One map-side pass + one groupBy on the 10-ish label key.
+    """
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    sq = (
+        f"CAST(floor(CAST(x AS DOUBLE) * {NORM_SCALE}.0D) AS BIGINT)"
+        f" * CAST(floor(CAST(x AS DOUBLE) * {NORM_SCALE}.0D) AS BIGINT)"
+    )
+    d = emb.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("embedding").isNull().cast("bigint").alias("is_null"),
+        F.size("embedding").alias("dim"),
+        F.expr(f"aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a + {sq})").alias(
+            "norm2"
+        ),
+    )
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("is_null").alias("n_null"),
+            F.sum(
+                ((F.col("is_null") == 0) & (F.col("dim") != EMB_DIM)).cast("bigint")
+            ).alias("n_dim_bad"),
+            F.sum(
+                ((F.col("is_null") == 0) & (F.col("norm2") == 0)).cast("bigint")
+            ).alias("n_zero"),
+            F.min("norm2").alias("min_norm2"),
+            F.max("norm2").alias("max_norm2"),
+            F.expr("sum(norm2) div count(1)").alias("avg_norm2"),
+        )
+        .orderBy("label")
+    )
+
+
+Q137_SQL = f"""
+WITH d AS (
+  SELECT CAST(label AS INT) AS label,
+         CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+         len(embedding) AS dim,
+         list_sum(list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {NORM_SCALE}) AS BIGINT)
+              * CAST(FLOOR(CAST(x AS DOUBLE) * {NORM_SCALE}) AS BIGINT))) AS norm2
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(is_null) AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN is_null = 0 AND dim != {EMB_DIM} THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_bad,
+       CAST(SUM(CASE WHEN is_null = 0 AND norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+       CAST(MAX(norm2) AS BIGINT) AS max_norm2,
+       CAST(SUM(norm2) // COUNT(*) AS BIGINT) AS avg_norm2
+FROM d GROUP BY label ORDER BY label
+"""
+
+
 # ------------------------------------------------- auto-strategy join helper
 
 JOIN_BROADCAST_ROWS = 1_000_000  # narrow dim ⇒ tens of MB: safe to ship
@@ -588,5 +661,10 @@ QUERIES = {
         q136_corpus_drift,
         Q136_SQL,
         "ingest-window drift report: integer TVD per monitored feature",
+    ),
+    "q137_embedding_health": QuerySpec(
+        q137_embedding_health,
+        Q137_SQL,
+        "embedding-store health audit: nulls, dims, zero/collapsed norms",
     ),
 }

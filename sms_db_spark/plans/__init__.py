@@ -78,6 +78,7 @@ _CHANGED_THIS_ROUND = [
     "q134_shard_manifest_audit",  # new: batch shard manifest under the gate
     "q135_stream_shard_manifest_audit",  # new: streaming additive-manifest law
     "q136_corpus_drift",  # new: ingest-window TVD drift report
+    "q137_embedding_health",  # new: embedding-store health audit
 ]
 _STALE_EVIDENCE = [
     # last driver-green row: round 1

@@ -146,3 +146,60 @@ def test_plan_join_salts_skewed_fact_join(spark):
     # uniform keys must NOT pay the salt replication
     out2, d2 = plan_join(cold, dim, "k", profiles=(key_profile(cold, "k"), pd_), broadcast_rows=100)
     assert d2["strategy"] == "shuffle"
+
+
+def test_corpus_drift_bounds_and_control(spark):
+    """TVD is bounded [0, 1000] milli; bucket counts partition the
+    corpus (n_a + n_b = |documents| for every feature)."""
+    from sms_db_spark.operators.maintenance import q136_corpus_drift
+
+    rows = q136_corpus_drift(spark, SF_DIR).collect()
+    assert {r.feature for r in rows} == {"len_bucket", "lang"}
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    for r in rows:
+        assert 0 <= r.tvd_milli <= 1000
+        assert r.n_a + r.n_b == n_docs
+        assert r.top_bucket is not None and r.n_buckets >= 1
+
+
+def test_embedding_health_flags_planted_defects(spark):
+    """A zero vector, a wrong-dimension vector, and a NULL must each be
+    counted in their label's row — an audit whose fixtures cannot fail
+    tests nothing (q127's discipline)."""
+    from pyspark.sql import types as T
+
+    from sms_db_spark.operators.maintenance import EMB_DIM, q137_embedding_health
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    planted = spark.createDataFrame(
+        [
+            (10_001, [0.0] * EMB_DIM, 0),      # zero norm
+            (10_002, [1.0] * (EMB_DIM - 3), 1),  # wrong dim
+            (10_003, None, 2),                  # missing
+        ],
+        schema,
+    )
+    import tempfile, shutil
+
+    d = tempfile.mkdtemp(prefix="sms_db_spark_embhealth_")
+    try:
+        emb.unionByName(planted).write.parquet(d + "/embeddings.parquet")
+        rows = {r.label: r for r in q137_embedding_health(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert rows[0].n_zero == 1 and rows[0].min_norm2 == 0
+    assert rows[1].n_dim_bad == 1
+    assert rows[2].n_null == 1
+    # clean labels stay clean
+    assert all(
+        r.n_zero == 0 and r.n_dim_bad == 0 and r.n_null == 0
+        for lbl, r in rows.items()
+        if lbl > 2
+    )
