@@ -109,7 +109,19 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     finally:
         out.close()
     conf = spark._jsc.hadoopConfiguration()
-    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri(), conf)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri(), conf)
+    except Exception:
+        # no AbstractFileSystem binding for this scheme (e.g. s3a unless
+        # fs.AbstractFileSystem.s3a.impl is configured): fall back to
+        # delete+rename. Object stores rename by copy anyway, so the
+        # atomic-replace guarantee is unavailable there regardless —
+        # the fallback merely preserves the old (window-having) behavior
+        # instead of failing every manifest write outright.
+        fs.delete(dst, False)
+        if not fs.rename(tmp, dst):
+            raise RuntimeError(f"atomic text write failed landing {path}")
+        return
     rename = jvm.org.apache.hadoop.fs.Options.Rename
     opts = spark.sparkContext._gateway.new_array(rename, 1)
     opts[0] = rename.OVERWRITE

@@ -497,6 +497,11 @@ def q137_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm2 is sum of floor(x*1e3)^2 as int64 — exact under any
     aggregation/summation order, so the report is bit-identical
     cross-engine and run-to-run (q86's integer-floored discipline).
+    Degenerate shapes are pinned, not engine-accidental: a NULL array
+    has NULL norm2 (excluded from min/max/avg), an EMPTY array or one
+    of only-NULL elements has norm2 = 0 (counted in n_zero — a vector
+    with no usable components IS a zero vector for ranking purposes),
+    and NULL elements are skipped in the sum on both engines.
     One map-side pass + one groupBy on the 10-ish label key.
     """
     emb = load_table_parallel(spark, sf_dir, "embeddings")
@@ -508,9 +513,11 @@ def q137_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("int").alias("label"),
         F.col("embedding").isNull().cast("bigint").alias("is_null"),
         F.size("embedding").alias("dim"),
-        F.expr(f"aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a + {sq})").alias(
-            "norm2"
-        ),
+        F.expr(
+            "CASE WHEN embedding IS NULL THEN NULL ELSE "
+            "aggregate(filter(embedding, x -> x IS NOT NULL), "
+            f"CAST(0 AS BIGINT), (a, x) -> a + {sq}) END"
+        ).alias("norm2"),
     )
     return (
         d.groupBy("label")
@@ -536,9 +543,12 @@ WITH d AS (
   SELECT CAST(label AS INT) AS label,
          CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
          len(embedding) AS dim,
-         list_sum(list_transform(embedding,
-           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {NORM_SCALE}) AS BIGINT)
-              * CAST(FLOOR(CAST(x AS DOUBLE) * {NORM_SCALE}) AS BIGINT))) AS norm2
+         CASE WHEN embedding IS NULL THEN NULL ELSE
+           COALESCE(list_sum(list_transform(
+             list_filter(embedding, x -> x IS NOT NULL),
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {NORM_SCALE}) AS BIGINT)
+                * CAST(FLOOR(CAST(x AS DOUBLE) * {NORM_SCALE}) AS BIGINT))), 0)
+         END AS norm2
   FROM embeddings
 )
 SELECT label, COUNT(*) AS n_vecs,
@@ -599,6 +609,12 @@ def plan_join(
     now. The salt uses monotonically_increasing_id — salt VALUES are
     partition-dependent, but the join result is salt-invariant by
     construction (every right row exists under every salt)."""
+    if "_salt" in a.columns or "_salt" in b.columns:
+        # the salted strategy would clobber-then-drop the user's column,
+        # and only on that strategy — refuse up front rather than make
+        # the output schema depend on which path the profile picks
+        # (check_shard_input's reserved-column discipline)
+        raise ValueError("plan_join: '_salt' is a reserved bookkeeping column")
     pa, pb = profiles if profiles is not None else (
         key_profile(a, key),
         key_profile(b, key),

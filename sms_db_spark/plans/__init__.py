@@ -67,11 +67,11 @@ def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
 # STALEST green evidence, then everything else in module order.
 #
 # Round-5 order (per VERDICT r4 item 2): additions are deliberately kept
-# small — q125's re-plan plus the two new storage-layer audits — so the
-# gate's ~50-query budget reaches the 39 compat queries whose only green
-# rows date to rounds 1-2 (code unchanged since; freshness, not risk —
-# VERDICT r4 "What's missing" #2). 3 changed + 39 stale = 42 entries,
-# r1-evidence first (they have waited longest), with ~8 budget slots to
+# small — q125's re-plan plus four new audits — so the gate's ~50-query
+# budget reaches the 39 compat queries whose only green rows date to
+# rounds 1-2 (code unchanged since; freshness, not risk — VERDICT r4
+# "What's missing" #2). 5 changed/new + 39 stale = 44 entries,
+# r1-evidence first (they have waited longest), with ~6 budget slots to
 # spare for the everything-else group.
 _CHANGED_THIS_ROUND = [
     "q125_delta_dedup",  # store-side Bloom probe re-planned (VERDICT r4 #1)

@@ -31,6 +31,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.sketches import _h60_sql
 from ..plans import QuerySpec
 from ..sinks.shards import _shard_stats, write_training_shards
 from ..streaming.shards import apply_shard_batch, merged_manifest
@@ -42,26 +43,33 @@ N_AUDIT_SHARDS = 8
 # compare harness — the residue is exact in both engines and additivity
 # survives the mod (disk_ok still compares the FULL sums, unmodded)
 _CHECKSUM_MOD = 1 << 60
-_H60_SQL = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
-# row_hash_col's exact definition in DuckDB terms: non-reserved columns
-# of the documents store, sorted by name, null-safe concat on \x01
-_ROW_HASH_SQL = _H60_SQL.format(
-    expr="concat_ws(chr(1), "
+# row_hash_col's exact definition in DuckDB terms (the SQL twin of the
+# shared _h60, imported — not re-spelled — so a hash-definition change
+# cannot silently break only this file): non-reserved columns of the
+# documents store, sorted by name, null-safe concat on \x01
+_ROW_HASH_SQL = _h60_sql(
+    "concat_ws(chr(1), "
     "coalesce(CAST(doc_id AS VARCHAR), chr(0)), "
     "coalesce(lang, chr(0)), "
     "coalesce(CAST(n_chars AS VARCHAR), chr(0)), "
     "coalesce(source, chr(0)), "
     "coalesce(text, chr(0)))"
 )
-_SHARD_SQL = _H60_SQL.format(expr="CAST(doc_id AS VARCHAR)") + f" % {N_AUDIT_SHARDS}"
+_SHARD_SQL = _h60_sql("CAST(doc_id AS VARCHAR)") + f" % {N_AUDIT_SHARDS}"
 
 
 def _audit_frame(
-    spark: SparkSession, manifest_shards: dict, disk_shards: dict, extra: dict | None = None
+    spark: SparkSession,
+    manifest_shards: dict,
+    disk_shards: dict | None = None,
+    extra: dict | None = None,
 ) -> DataFrame:
     """Manifest → per-shard audit frame. The frame is N_SHARDS rows of
-    driver-held metadata (the manifest itself), not collected row data."""
+    driver-held metadata (the manifest itself), not collected row data.
+    disk_shards/extra add agreement flags only where the comparison is
+    non-tautological (stats produced by a DIFFERENT path than the
+    manifest's)."""
     rows = []
     for sid in sorted(manifest_shards, key=int):
         s = manifest_shards[sid]
@@ -69,12 +77,15 @@ def _audit_frame(
             int(sid),
             int(s["n_rows"]),
             int(s["checksum"]) % _CHECKSUM_MOD,
-            1 if disk_shards.get(sid) == s else 0,
         )
+        if disk_shards is not None:
+            row += (1 if disk_shards.get(sid) == s else 0,)
         if extra is not None:
             row += (1 if extra.get(sid) == s else 0,)
         rows.append(row)
-    schema = "shard int, n_rows bigint, checksum_mod bigint, disk_ok int"
+    schema = "shard int, n_rows bigint, checksum_mod bigint"
+    if disk_shards is not None:
+        schema += ", disk_ok int"
     if extra is not None:
         schema += ", batch_eq int"
     return spark.createDataFrame(rows, schema).orderBy("shard")
@@ -82,20 +93,21 @@ def _audit_frame(
 
 def q134_shard_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch shard-writer manifest audit: write the corpus through
-    write_training_shards (sinks/shards.py:124), recompute each shard's
-    (n_rows, content checksum) FROM THE WRITTEN FILES, and return the
-    manifest per shard with a disk-agreement flag. The oracle rebuilds
-    the same numbers from the raw corpus in DuckDB — a hash match
-    proves shard assignment, written bytes, and manifest stats agree
+    write_training_shards (sinks/shards.py:124) and return its manifest
+    per shard. The manifest IS already the disk recompute (the writer
+    derives it from the written files — a second _shard_stats pass here
+    would compare a function with itself), so the only non-tautological
+    check is the oracle's: DuckDB rebuilds shard ids, counts, and
+    content checksums from the RAW corpus, and a hash match proves
+    shard assignment, written bytes, and manifest stats agree
     end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
     path = tempfile.mkdtemp(prefix="sms_db_spark_shard_audit_")
     try:
         manifest = write_training_shards(docs, path, N_AUDIT_SHARDS, key="doc_id")
-        disk = _shard_stats(spark, path)
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return _audit_frame(spark, manifest["shards"], disk)
+    return _audit_frame(spark, manifest["shards"])
 
 
 Q134_SQL = f"""
@@ -103,7 +115,7 @@ WITH rh AS (
   SELECT {_SHARD_SQL} AS shard, {_ROW_HASH_SQL} AS rh FROM documents
 )
 SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_rows,
-       CAST(SUM(rh) % {_CHECKSUM_MOD} AS BIGINT) AS checksum_mod, 1 AS disk_ok
+       CAST(SUM(rh) % {_CHECKSUM_MOD} AS BIGINT) AS checksum_mod
 FROM rh GROUP BY shard ORDER BY shard
 """
 

@@ -204,7 +204,11 @@ def merge_into_cow(
     # thread pool was the scale bottleneck the docstring warned about.
     from pyspark.sql import types as T
 
-    key_dt = spark.read.parquet(target_path).schema[key].dataType
+    # key type from the SOURCE (schema-checked equal to the target's in
+    # _resolve): reading it off the store would KeyError when the file
+    # Spark samples for schema inference predates the key column — the
+    # exact schema-evolved case the stats-less fallback exists for
+    key_dt = source.schema[key].dataType
     range_schema = T.StructType(
         [
             T.StructField("_file", T.StringType()),

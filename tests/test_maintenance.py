@@ -183,6 +183,8 @@ def test_embedding_health_flags_planted_defects(spark):
             (10_001, [0.0] * EMB_DIM, 0),      # zero norm
             (10_002, [1.0] * (EMB_DIM - 3), 1),  # wrong dim
             (10_003, None, 2),                  # missing
+            (10_004, [], 3),                    # empty: norm2=0, zero-flagged
+            (10_005, [None] * EMB_DIM, 4),      # all-NULL elems: ditto
         ],
         schema,
     )
@@ -197,9 +199,22 @@ def test_embedding_health_flags_planted_defects(spark):
     assert rows[0].n_zero == 1 and rows[0].min_norm2 == 0
     assert rows[1].n_dim_bad == 1
     assert rows[2].n_null == 1
+    assert rows[3].n_zero == 1 and rows[3].n_dim_bad == 1  # empty array
+    assert rows[4].n_zero == 1  # NULL elements are skipped, not poisoned
     # clean labels stay clean
     assert all(
         r.n_zero == 0 and r.n_dim_bad == 0 and r.n_null == 0
         for lbl, r in rows.items()
-        if lbl > 2
+        if lbl > 4
     )
+
+
+def test_plan_join_refuses_reserved_salt_column(spark):
+    import pytest
+
+    from sms_db_spark.operators.maintenance import plan_join
+
+    a = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("_salt"))
+    b = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="_salt"):
+        plan_join(a, b, "k")
