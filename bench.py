@@ -77,6 +77,7 @@ HEADLINE = [
     "q132_dup_spans",
     "q133_hard_negatives",
     "q134_shard_manifest_audit",
+    "q138_jl_projection_recall",
 ]
 
 BEST_OF = 3

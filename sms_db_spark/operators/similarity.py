@@ -1414,6 +1414,179 @@ SELECT anchor_id, anchor_label, negative_id, negative_label, cos_sim, rank FROM 
 """
 
 
+# ------------------------------------------------------------------ q138
+
+JL_DIM = 16  # projected dimensionality (64 -> 16: 4x cheaper dot products)
+JL_SCALE = 1000  # 1e-3 component flooring (q137's integer discipline)
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix from md5 parity
+    of (row, col) — no RNG, no stored model: every engine and every run
+    derives the same matrix from the same constants."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest(), 16) % 2 == 0 else -1
+            for i in range(DIM)
+        ]
+        for j in range(JL_DIM)
+    ]
+
+
+_EI = f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {JL_SCALE}.0D) AS BIGINT))"
+
+
+def q138_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit for random-projection ANN: embeddings are
+    sign-projected (Johnson-Lindenstrauss) from 64 to 16 dims with a
+    hash-derived ±1 matrix, candidates are ranked by the INTEGER dot
+    product in projected space, and per query the overlap with the exact
+    integer-dot top-k in the original space is reported — q120's audit
+    discipline applied to the dimensionality-reduction family the
+    LSH/IVF audits don't cover.
+
+    All-integer arithmetic end to end (floored components, ±1 signs):
+    rankings are bit-identical cross-engine, so the audit itself is
+    hash-checkable, not approximately-equal. At scale the projection is
+    one map-side pass (store the 16 ints next to the vector); the exact
+    baseline stays the bounded-query audit lane (broadcast crossJoin
+    over RECALL_QUERIES queries, q48's shape), never a corpus
+    self-join.
+
+    Measured verdict on the synthetic embeddings: mean recall@5 ≈ 0.09
+    at 4× compression — near-uniform random vectors are JL's worst case
+    (all pairwise dots concentrate near zero, so rank order is mostly
+    projection noise). Same honest story as q120's 0.02: the audit is
+    the number that says this config may NOT serve, and that a larger
+    JL_DIM or a clustered corpus is needed before it can.
+    """
+    signs = _jl_signs()
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    proj_exprs = ", ".join(
+        "aggregate(zip_with(_ei, array("
+        + ", ".join(f"CAST({s} AS BIGINT)" for s in signs[j])
+        + "), (x, s) -> x * s), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        for j in range(JL_DIM)
+    )
+    base = (
+        emb.withColumn("_ei", F.expr(_EI))
+        .select(
+            "vec_id",
+            "_ei",
+            F.expr(f"array({proj_exprs})").alias("_pj"),
+        )
+        # bind the derived arrays before the self-joins: without the
+        # checkpoint, CollapseProject would re-inline the 16 projection
+        # aggregates into both join sides
+        .localCheckpoint(eager=True)
+    )
+    q = base.filter(F.col("vec_id") < RECALL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_ei").alias("q_ei"),
+        F.col("_pj").alias("q_pj"),
+    )
+    dot = lambda a, b: F.expr(  # noqa: E731
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(base.select(F.col("vec_id").alias("neighbor_id"), "_ei", "_pj"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    exact = (
+        pairs.select("query_id", "neighbor_id", dot("q_ei", "_ei").alias("dot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        pairs.select("query_id", "neighbor_id", dot("q_pj", "_pj").alias("dot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RECALL_K)
+        .select("query_id", F.col("neighbor_id").alias("approx_id"))
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.approx_id),
+        "left_semi",
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(float(RECALL_K))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _jl_sql() -> str:
+    signs = _jl_signs()
+    proj = ", ".join(
+        "("
+        + " + ".join(f"ei[{i + 1}]" for i in range(DIM) if signs[j][i] > 0)
+        + ") - ("
+        + " + ".join(f"ei[{i + 1}]" for i in range(DIM) if signs[j][i] < 0)
+        + ")"
+        for j in range(JL_DIM)
+    )
+    dot64 = " + ".join(f"q.q_ei[{i + 1}] * e.ei[{i + 1}]" for i in range(DIM))
+    dot16 = " + ".join(f"q.q_pj[{j + 1}] * e.pj[{j + 1}]" for j in range(JL_DIM))
+    return f"""
+WITH b AS (
+  SELECT vec_id, ei, [{proj}] AS pj
+  FROM (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {JL_SCALE}) AS BIGINT)) AS ei
+    FROM embeddings
+  )
+),
+q AS (SELECT vec_id AS query_id, ei AS q_ei, pj AS q_pj FROM b WHERE vec_id < {RECALL_QUERIES}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY ({dot64}) DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN b e WHERE q.query_id <> e.vec_id
+  ) WHERE rank <= {RECALL_K}
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY ({dot16}) DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN b e WHERE q.query_id <> e.vec_id
+  ) WHERE rank <= {RECALL_K}
+)
+SELECT x.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(RECALL_K)} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) x
+LEFT JOIN (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+) h ON x.query_id = h.query_id
+ORDER BY x.query_id
+"""
+
+
+Q138_SQL = _jl_sql()
+
+
 QUERIES = {
     "q48_ann_bruteforce_topk": QuerySpec(q48_ann_bruteforce_topk, Q48_SQL, "exact cosine top-k"),
     "q133_hard_negatives": QuerySpec(
@@ -1434,6 +1607,11 @@ QUERIES = {
     ),
     "q121_ivf_recall": QuerySpec(
         q121_ivf_recall, Q121_SQL, "recall@k audit of the IVF multi-probe path vs exact"
+    ),
+    "q138_jl_projection_recall": QuerySpec(
+        q138_jl_projection_recall,
+        Q138_SQL,
+        "recall@k audit of JL sign-projection ANN (integer-exact rankings)",
     ),
     "q49_ann_lsh_topk": QuerySpec(q49_ann_lsh_topk, Q49_SQL, "sign-LSH bucketed top-k"),
     "q50_embedding_neardup": QuerySpec(q50_embedding_neardup, Q50_SQL, "cosine near-dup pairs"),

@@ -67,18 +67,19 @@ def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
 # STALEST green evidence, then everything else in module order.
 #
 # Round-5 order (per VERDICT r4 item 2): additions are deliberately kept
-# small — q125's re-plan plus four new audits — so the gate's ~50-query
+# small — q125's re-plan plus five new audit/ANN entries — so the gate's ~50-query
 # budget reaches the 39 compat queries whose only green rows date to
 # rounds 1-2 (code unchanged since; freshness, not risk — VERDICT r4
-# "What's missing" #2). 5 changed/new + 39 stale = 44 entries,
+# "What's missing" #2). 6 changed/new + 39 stale = 45 entries,
 # r1-evidence first (they have waited longest), with ~6 budget slots to
-# spare for the everything-else group.
+# spare for the everything-else group. (~5 after the q138 addition.)
 _CHANGED_THIS_ROUND = [
     "q125_delta_dedup",  # store-side Bloom probe re-planned (VERDICT r4 #1)
     "q134_shard_manifest_audit",  # new: batch shard manifest under the gate
     "q135_stream_shard_manifest_audit",  # new: streaming additive-manifest law
     "q136_corpus_drift",  # new: ingest-window TVD drift report
     "q137_embedding_health",  # new: embedding-store health audit
+    "q138_jl_projection_recall",  # new: JL random-projection recall audit
 ]
 _STALE_EVIDENCE = [
     # last driver-green row: round 1
