@@ -90,9 +90,14 @@ def apply_shard_batch(
         # clears them.
         if fs.exists(base):
             for sh in fs.listStatus(base):
-                if not sh.isDirectory() or not sh.getPath().getName().startswith(
-                    "_shard="
-                ):
+                name = sh.getPath().getName()
+                if sh.isDirectory() and name.startswith(".fold_"):
+                    # a staged-but-uncommitted fold holds PRE-RESET rows;
+                    # letting recover_interrupted_fold replay it after
+                    # the reset would resurrect the dead epoch
+                    fs.delete(sh.getPath(), True)
+                    continue
+                if not sh.isDirectory() or not name.startswith("_shard="):
                     continue
                 for bt in fs.listStatus(sh.getPath()):
                     name = bt.getPath().getName()
@@ -134,6 +139,152 @@ def apply_shard_batch(
         os.path.join(shard_dir, STREAM_MANIFEST),
         json.dumps(manifest, sort_keys=True, indent=1),
     )
+
+
+def _fold_dirname(shard_id: int, target: int) -> str:
+    return f".fold_{shard_id}_{target}"
+
+
+_FOLD_META = "_fold_meta.json"
+
+
+def _finalize_fold(spark: SparkSession, shard_dir: str, live_dir: str, meta: dict) -> None:
+    """Post-rename half of the fold commit (idempotent, marker-driven):
+    collapse the cold manifest entries into the target's, then drop the
+    marker. A replay that finds nothing left to collapse just clears
+    the marker."""
+    sid, tgt, cold = int(meta["shard"]), int(meta["target"]), meta["cold"]
+    manifest = _load_manifest(spark, shard_dir)
+    acc = {"n_rows": 0, "checksum": 0}
+    for b in cold:
+        entry = manifest["batches"].get(str(b), {})
+        s = entry.pop(str(sid), None)
+        if s is not None:
+            acc["n_rows"] += s["n_rows"]
+            acc["checksum"] += s["checksum"]
+        if not entry:
+            manifest["batches"].pop(str(b), None)
+    if acc["n_rows"]:
+        # additive collapse: merged_manifest and verify see the same
+        # sums. tgt itself is cold[0], so its pre-fold entry was popped
+        # into acc above — a replay after a crashed marker-delete pops
+        # the already-merged entry and writes the same value back.
+        manifest["batches"].setdefault(str(tgt), {})[str(sid)] = acc
+        write_text_atomic(
+            spark,
+            os.path.join(shard_dir, STREAM_MANIFEST),
+            json.dumps(manifest, sort_keys=True, indent=1),
+        )
+    jvm, fs = hadoop_fs(spark, shard_dir)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(os.path.join(live_dir, _FOLD_META)), False)
+
+
+def _commit_fold(spark: SparkSession, shard_dir: str, staged: str) -> dict | None:
+    """Commit sequence of the fold protocol (shared by the happy path
+    and crash recovery — both replay the same idempotent steps from the
+    marker, which RIDES THROUGH the rename so no step is unrecoverable):
+    delete the folded cold dirs, rename the staged dir into place, then
+    finalize (manifest collapse + marker drop). Returns the fold meta,
+    or None if the staged dir has no marker (not a fold dir)."""
+    meta_text = read_text(spark, os.path.join(staged, _FOLD_META))
+    if meta_text is None:
+        return None
+    meta = json.loads(meta_text)
+    sid, tgt = int(meta["shard"]), int(meta["target"])
+    jvm, fs = hadoop_fs(spark, shard_dir)
+    shard_path = os.path.join(shard_dir, f"_shard={sid}")
+    for b in meta["cold"]:  # idempotent: already-deleted dirs are skipped
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(os.path.join(shard_path, f"_batch={b}")),
+            True,
+        )
+    dst_str = os.path.join(shard_path, f"_batch={tgt}")
+    if not fs.rename(
+        jvm.org.apache.hadoop.fs.Path(staged), jvm.org.apache.hadoop.fs.Path(dst_str)
+    ):
+        raise RuntimeError(f"fold commit failed renaming {staged} -> {dst_str}")
+    _finalize_fold(spark, shard_dir, dst_str, meta)
+    return meta
+
+
+def recover_interrupted_fold(spark: SparkSession, shard_dir: str) -> list[dict]:
+    """Finish any fold whose process died mid-commit. Two pending shapes,
+    both marker-driven and idempotent: a staged `.fold_*` dir (died
+    before the rename — the staged data is complete, so replay the whole
+    commit) and a live `_batch=B/_fold_meta.json` (died after the rename
+    — replay only the manifest collapse). Safe to call unconditionally
+    (no-op when nothing is pending)."""
+    jvm, fs = hadoop_fs(spark, shard_dir)
+    base = jvm.org.apache.hadoop.fs.Path(shard_dir)
+    out = []
+    if not fs.exists(base):
+        return out
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(".fold_"):
+            meta = _commit_fold(spark, shard_dir, os.path.join(shard_dir, name))
+            if meta is not None:
+                out.append(meta)
+    markers = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(
+            os.path.join(shard_dir, "_shard=*", "_batch=*", _FOLD_META)
+        )
+    )
+    for st in markers or []:
+        live_dir = st.getPath().getParent().toString()
+        meta = json.loads(read_text(spark, st.getPath().toString()))
+        _finalize_fold(spark, shard_dir, live_dir, meta)
+        out.append(meta)
+    return out
+
+
+def fold_cold_batches(
+    spark: SparkSession, shard_dir: str, shard_id: int
+) -> dict | None:
+    """Offline cold-batch fold for one shard: rewrite its `_batch=B`
+    dirs — EXCEPT the newest (the replayable hot tail) — into a single
+    compacted batch directory and collapse their manifest entries into
+    one. The stats are additive, so the collapse is exact and
+    verify_stream_shards is green before, during (manifest-collapse is
+    the last step; sums never change), and after. This is the
+    maintenance path SCALE.md §9 documents for this layout — the
+    generic compactor must NOT run here.
+
+    Crash protocol: staged data is complete before anything is deleted
+    (`.fold_*` is invisible to parquet scans), and a `_fold_meta.json`
+    marker makes the commit sequence replayable —
+    recover_interrupted_fold (run at every fold entry) finishes a died
+    commit. The only window is between the cold-dir deletes and the
+    rename: scans in that instant miss the cold rows; recovery closes
+    it on next entry, same contract as fsutil.atomic_swap.
+
+    Returns the fold meta {shard, target, cold}, or None when the shard
+    has fewer than two cold batches (nothing to fold).
+    """
+    recover_interrupted_fold(spark, shard_dir)
+    manifest = _load_manifest(spark, shard_dir)
+    bids = sorted(
+        int(b) for b, e in manifest["batches"].items() if str(shard_id) in e
+    )
+    cold = bids[:-1]  # newest stays: it is the at-least-once replay unit
+    if len(cold) < 2:
+        return None
+    tgt = cold[0]
+    shard_path = os.path.join(shard_dir, f"_shard={shard_id}")
+    cold_dirs = [os.path.join(shard_path, f"_batch={b}") for b in cold]
+    staged = os.path.join(shard_dir, _fold_dirname(shard_id, tgt))
+    jvm, fs = hadoop_fs(spark, shard_dir)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)  # stale attempt
+    (
+        spark.read.parquet(*cold_dirs)
+        .coalesce(1)  # the fold IS this layout's compaction
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    meta = {"shard": int(shard_id), "target": int(tgt), "cold": [int(b) for b in cold]}
+    write_text_atomic(spark, os.path.join(staged, _FOLD_META), json.dumps(meta))
+    _commit_fold(spark, shard_dir, staged)
+    return meta
 
 
 def merged_manifest(spark: SparkSession, shard_dir: str) -> dict:

@@ -160,3 +160,124 @@ def test_streaming_refuses_null_keys_and_reserved_columns(spark, tmp_path):
         apply_shard_batch(
             docs.withColumn("_shard", F.lit(1)), 0, str(tmp_path / "b"), N, "doc_id"
         )
+
+
+def _three_batches(spark, shard_dir):
+    docs = _docs(spark)
+    for bid, k in enumerate((0, 1, 2)):
+        apply_shard_batch(
+            docs.filter(F.col("doc_id") % 3 == k), bid, shard_dir, N, "doc_id"
+        )
+    return docs
+
+
+def _shard_in_all_batches(spark, shard_dir):
+    from sms_db_spark.streaming.shards import _load_manifest
+
+    m = _load_manifest(spark, shard_dir)
+    per_batch = [set(e) for e in m["batches"].values()]
+    common = set.intersection(*per_batch)
+    assert common, "fixture needs a shard present in every batch"
+    return int(sorted(common)[0])
+
+
+def test_fold_cold_batches_is_exact_and_replay_safe(spark, tmp_path):
+    """The offline cold-batch fold: per-shard _batch dirs collapse into
+    one compacted dir + one manifest entry, with merged_manifest and
+    the integrity gate unchanged — and the hot tail stays replayable."""
+    import os
+
+    from sms_db_spark.streaming.shards import fold_cold_batches
+
+    shard_dir = str(tmp_path / "stream")
+    docs = _three_batches(spark, shard_dir)
+    sid = _shard_in_all_batches(spark, shard_dir)
+    before = merged_manifest(spark, shard_dir)
+    meta = fold_cold_batches(spark, shard_dir, sid)
+    assert meta == {"shard": sid, "target": 0, "cold": [0, 1]}
+    assert merged_manifest(spark, shard_dir) == before  # additive = exact
+    assert verify_stream_shards(spark, shard_dir)["ok"]
+    assert spark.read.parquet(shard_dir).count() == docs.count()
+    batch_dirs = sorted(os.listdir(os.path.join(shard_dir, f"_shard={sid}")))
+    assert batch_dirs == ["_batch=0", "_batch=2"]  # folded + hot tail
+    # nothing pending to fold now (one cold dir is below the 2 minimum)
+    assert fold_cold_batches(spark, shard_dir, sid) is None
+
+    # the hot tail is still the at-least-once replay unit after the fold
+    docs_b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    apply_shard_batch(docs_b2, 2, shard_dir, N, "doc_id")
+    assert merged_manifest(spark, shard_dir) == before
+    assert verify_stream_shards(spark, shard_dir)["ok"]
+
+
+def test_fold_crash_recovery_replays_commit(spark, tmp_path):
+    """Process death between staging and commit: the staged dir + marker
+    hold everything recovery needs; the replayed commit converges to the
+    same state as an uninterrupted fold."""
+    import json
+    import os
+
+    from sms_db_spark.fsutil import write_text_atomic
+    from sms_db_spark.streaming.shards import (
+        _FOLD_META,
+        _fold_dirname,
+        recover_interrupted_fold,
+    )
+
+    shard_dir = str(tmp_path / "stream")
+    docs = _three_batches(spark, shard_dir)
+    sid = _shard_in_all_batches(spark, shard_dir)
+    before = merged_manifest(spark, shard_dir)
+    # stage manually = the fold's pre-crash half
+    shard_path = os.path.join(shard_dir, f"_shard={sid}")
+    staged = os.path.join(shard_dir, _fold_dirname(sid, 0))
+    spark.read.parquet(
+        os.path.join(shard_path, "_batch=0"), os.path.join(shard_path, "_batch=1")
+    ).coalesce(1).write.parquet(staged)
+    write_text_atomic(
+        spark,
+        os.path.join(staged, _FOLD_META),
+        json.dumps({"shard": sid, "target": 0, "cold": [0, 1]}),
+    )
+    done = recover_interrupted_fold(spark, shard_dir)
+    assert [m["shard"] for m in done] == [sid]
+    assert merged_manifest(spark, shard_dir) == before
+    assert verify_stream_shards(spark, shard_dir)["ok"]
+    assert spark.read.parquet(shard_dir).count() == docs.count()
+    assert not os.path.exists(staged)
+    # idempotent: nothing pending on a second pass
+    assert recover_interrupted_fold(spark, shard_dir) == []
+
+
+def test_reset_purges_staged_fold(spark, tmp_path):
+    """A checkpoint reset must also kill a staged-but-uncommitted fold:
+    its rows are pre-reset data that recovery would otherwise resurrect."""
+    import json
+    import os
+
+    from sms_db_spark.fsutil import write_text_atomic
+    from sms_db_spark.streaming.shards import (
+        _FOLD_META,
+        _fold_dirname,
+        recover_interrupted_fold,
+    )
+
+    shard_dir = str(tmp_path / "stream")
+    docs = _three_batches(spark, shard_dir)
+    sid = _shard_in_all_batches(spark, shard_dir)
+    shard_path = os.path.join(shard_dir, f"_shard={sid}")
+    staged = os.path.join(shard_dir, _fold_dirname(sid, 0))
+    spark.read.parquet(os.path.join(shard_path, "_batch=0")).coalesce(1).write.parquet(
+        staged
+    )
+    write_text_atomic(
+        spark,
+        os.path.join(staged, _FOLD_META),
+        json.dumps({"shard": sid, "target": 0, "cold": [0]}),
+    )
+    # checkpoint reset: everything reprocessed as batch 0
+    apply_shard_batch(docs, 0, shard_dir, N, "doc_id")
+    assert not os.path.exists(staged)
+    assert recover_interrupted_fold(spark, shard_dir) == []
+    assert verify_stream_shards(spark, shard_dir)["ok"]
+    assert spark.read.parquet(shard_dir).count() == docs.count()
