@@ -70,9 +70,9 @@ def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
 # small — q125's re-plan plus five new audit/ANN entries — so the gate's ~50-query
 # budget reaches the 39 compat queries whose only green rows date to
 # rounds 1-2 (code unchanged since; freshness, not risk — VERDICT r4
-# "What's missing" #2). 6 changed/new + 39 stale = 45 entries,
+# "What's missing" #2). 7 changed/new + 39 stale = 46 entries,
 # r1-evidence first (they have waited longest), with ~6 budget slots to
-# spare for the everything-else group. (~5 after the q138 addition.)
+# spare for the everything-else group (~4 after the q138/q139 additions).
 _CHANGED_THIS_ROUND = [
     "q125_delta_dedup",  # store-side Bloom probe re-planned (VERDICT r4 #1)
     "q134_shard_manifest_audit",  # new: batch shard manifest under the gate
@@ -80,6 +80,7 @@ _CHANGED_THIS_ROUND = [
     "q136_corpus_drift",  # new: ingest-window TVD drift report
     "q137_embedding_health",  # new: embedding-store health audit
     "q138_jl_projection_recall",  # new: JL random-projection recall audit
+    "q139_fold_audit",  # new: cold-batch fold exactness under the gate
 ]
 _STALE_EVIDENCE = [
     # last driver-green row: round 1

@@ -161,6 +161,48 @@ SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_rows,
 FROM rh GROUP BY shard ORDER BY shard
 """
 
+
+def q139_fold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-batch fold under the hash gate: land three microbatches,
+    FOLD every shard's cold batches (streaming/shards.fold_cold_batches
+    — the layout's own compaction), replay the hot batch once more
+    (at-least-once), and return the merged manifest per shard with the
+    disk-recompute flag. The oracle is q134's raw-corpus rebuild: a
+    hash match proves the fold changed the physical layout without
+    moving a single row or count — the additive-collapse law as a
+    driver-gated row, exercised through crash-protocol code paths."""
+    from ..streaming.shards import fold_cold_batches
+
+    docs = load_table(spark, sf_dir, "documents")
+    sdir = tempfile.mkdtemp(prefix="sms_db_spark_fold_audit_")
+    try:
+        for bid, k in enumerate((0, 1, 2)):
+            apply_shard_batch(
+                docs.filter(F.col("doc_id") % 3 == k), bid, sdir,
+                N_AUDIT_SHARDS, "doc_id",
+            )
+        for sid in range(N_AUDIT_SHARDS):
+            fold_cold_batches(spark, sdir, sid)
+        # the hot tail must still absorb an at-least-once replay
+        apply_shard_batch(
+            docs.filter(F.col("doc_id") % 3 == 2), 2, sdir, N_AUDIT_SHARDS, "doc_id"
+        )
+        merged = merged_manifest(spark, sdir)
+        disk = _shard_stats(spark, sdir)
+    finally:
+        shutil.rmtree(sdir, ignore_errors=True)
+    return _audit_frame(spark, merged["shards"], disk)
+
+
+Q139_SQL = f"""
+WITH rh AS (
+  SELECT {_SHARD_SQL} AS shard, {_ROW_HASH_SQL} AS rh FROM documents
+)
+SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_rows,
+       CAST(SUM(rh) % {_CHECKSUM_MOD} AS BIGINT) AS checksum_mod, 1 AS disk_ok
+FROM rh GROUP BY shard ORDER BY shard
+"""
+
 QUERIES = {
     "q134_shard_manifest_audit": QuerySpec(
         q134_shard_manifest_audit,
@@ -171,5 +213,10 @@ QUERIES = {
         q135_stream_shard_manifest_audit,
         Q135_SQL,
         "streaming additive-manifest law vs batch writer and raw corpus",
+    ),
+    "q139_fold_audit": QuerySpec(
+        q139_fold_audit,
+        Q139_SQL,
+        "cold-batch fold exactness: folded layout == raw-corpus recompute",
     ),
 }
