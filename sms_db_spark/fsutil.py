@@ -111,13 +111,19 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     conf = spark._jsc.hadoopConfiguration()
     try:
         fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri(), conf)
-    except Exception:
-        # no AbstractFileSystem binding for this scheme (e.g. s3a unless
-        # fs.AbstractFileSystem.s3a.impl is configured): fall back to
-        # delete+rename. Object stores rename by copy anyway, so the
-        # atomic-replace guarantee is unavailable there regardless —
-        # the fallback merely preserves the old (window-having) behavior
-        # instead of failing every manifest write outright.
+    except Exception as e:
+        # fall back ONLY for a missing AbstractFileSystem binding (e.g.
+        # s3a unless fs.AbstractFileSystem.s3a.impl is configured) — a
+        # transient JVM error on a scheme where atomic rename IS
+        # available must stay loud, or the silent delete+rename
+        # downgrade reopens the no-manifest crash window there. Object
+        # stores rename by copy anyway, so atomic replace is
+        # unavailable on them regardless; the fallback preserves the
+        # old (window-having) behavior instead of failing every write.
+        java_exc = getattr(e, "java_exception", None)
+        name = java_exc.getClass().getName() if java_exc is not None else ""
+        if "UnsupportedFileSystemException" not in name:
+            raise
         fs.delete(dst, False)
         if not fs.rename(tmp, dst):
             raise RuntimeError(f"atomic text write failed landing {path}")

@@ -1490,21 +1490,35 @@ def q138_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = lambda a, b: F.expr(  # noqa: E731
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id"))
-    pairs = (
+    # ONE pass over the crossJoin scores BOTH spaces (the exact and
+    # approx rankings consume the same pair relation, unlike q120 whose
+    # approx side is a genuinely different bucketed join); the
+    # checkpoint stops the two window branches from re-running the join
+    scored = (
         F.broadcast(q)
         .crossJoin(base.select(F.col("vec_id").alias("neighbor_id"), "_ei", "_pj"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot("q_ei", "_ei").alias("dot_exact"),
+            dot("q_pj", "_pj").alias("dot_approx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_e = Window.partitionBy("query_id").orderBy(
+        F.col("dot_exact").desc(), F.col("neighbor_id")
+    )
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.col("dot_approx").desc(), F.col("neighbor_id")
     )
     exact = (
-        pairs.select("query_id", "neighbor_id", dot("q_ei", "_ei").alias("dot"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w_e))
         .filter(F.col("rank") <= RECALL_K)
         .select("query_id", "neighbor_id")
     )
     approx = (
-        pairs.select("query_id", "neighbor_id", dot("q_pj", "_pj").alias("dot"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w_a))
         .filter(F.col("rank") <= RECALL_K)
         .select("query_id", F.col("neighbor_id").alias("approx_id"))
     )

@@ -110,14 +110,29 @@ def q134_shard_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audit_frame(spark, manifest["shards"])
 
 
-Q134_SQL = f"""
+# ONE raw-corpus recompute shared by all three oracles (the flag
+# columns are constants: the audits' non-constant content is identical
+# by design — that IS the law under test)
+_AUDIT_ORACLE = """
 WITH rh AS (
-  SELECT {_SHARD_SQL} AS shard, {_ROW_HASH_SQL} AS rh FROM documents
+  SELECT {shard_sql} AS shard, {row_hash_sql} AS rh FROM documents
 )
 SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_rows,
-       CAST(SUM(rh) % {_CHECKSUM_MOD} AS BIGINT) AS checksum_mod
+       CAST(SUM(rh) % {mod} AS BIGINT) AS checksum_mod{extra}
 FROM rh GROUP BY shard ORDER BY shard
 """
+
+
+def _audit_oracle(extra: str = "") -> str:
+    return _AUDIT_ORACLE.format(
+        shard_sql=_SHARD_SQL,
+        row_hash_sql=_ROW_HASH_SQL,
+        mod=_CHECKSUM_MOD,
+        extra=extra,
+    )
+
+
+Q134_SQL = _audit_oracle()
 
 
 def q135_stream_shard_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,15 +166,7 @@ def q135_stream_shard_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFr
     return _audit_frame(spark, merged["shards"], disk, extra=batch_ref["shards"])
 
 
-Q135_SQL = f"""
-WITH rh AS (
-  SELECT {_SHARD_SQL} AS shard, {_ROW_HASH_SQL} AS rh FROM documents
-)
-SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_rows,
-       CAST(SUM(rh) % {_CHECKSUM_MOD} AS BIGINT) AS checksum_mod, 1 AS disk_ok,
-       1 AS batch_eq
-FROM rh GROUP BY shard ORDER BY shard
-"""
+Q135_SQL = _audit_oracle(", 1 AS disk_ok, 1 AS batch_eq")
 
 
 def q139_fold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,14 +201,7 @@ def q139_fold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audit_frame(spark, merged["shards"], disk)
 
 
-Q139_SQL = f"""
-WITH rh AS (
-  SELECT {_SHARD_SQL} AS shard, {_ROW_HASH_SQL} AS rh FROM documents
-)
-SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_rows,
-       CAST(SUM(rh) % {_CHECKSUM_MOD} AS BIGINT) AS checksum_mod, 1 AS disk_ok
-FROM rh GROUP BY shard ORDER BY shard
-"""
+Q139_SQL = _audit_oracle(", 1 AS disk_ok")
 
 QUERIES = {
     "q134_shard_manifest_audit": QuerySpec(

@@ -204,11 +204,20 @@ def merge_into_cow(
     # thread pool was the scale bottleneck the docstring warned about.
     from pyspark.sql import types as T
 
-    # key type from the SOURCE (schema-checked equal to the target's in
-    # _resolve): reading it off the store would KeyError when the file
-    # Spark samples for schema inference predates the key column — the
-    # exact schema-evolved case the stats-less fallback exists for
+    # key type from the SOURCE — reading it off the store alone would
+    # KeyError when the file Spark samples for schema inference predates
+    # the key column (the schema-evolved case the stats-less fallback
+    # exists for). _resolve's check compares column NAMES only, so guard
+    # the TYPE here: a double-typed source key against a bigint store
+    # would silently coerce the footer ranges to float64 and mis-prune.
     key_dt = source.schema[key].dataType
+    tgt_schema = spark.read.parquet(target_path).schema
+    if key in tgt_schema.names and tgt_schema[key].dataType != key_dt:
+        raise ValueError(
+            f"merge_into_cow: key type mismatch — target {key!r} is "
+            f"{tgt_schema[key].dataType.simpleString()}, source is "
+            f"{key_dt.simpleString()}; cast the source before merging"
+        )
     range_schema = T.StructType(
         [
             T.StructField("_file", T.StringType()),

@@ -207,27 +207,37 @@ def _commit_fold(spark: SparkSession, shard_dir: str, staged: str) -> dict | Non
     return meta
 
 
-def recover_interrupted_fold(spark: SparkSession, shard_dir: str) -> list[dict]:
+def recover_interrupted_fold(
+    spark: SparkSession, shard_dir: str, shard_id: int | None = None
+) -> list[dict]:
     """Finish any fold whose process died mid-commit. Two pending shapes,
     both marker-driven and idempotent: a staged `.fold_*` dir (died
     before the rename — the staged data is complete, so replay the whole
     commit) and a live `_batch=B/_fold_meta.json` (died after the rename
     — replay only the manifest collapse). Safe to call unconditionally
-    (no-op when nothing is pending)."""
+    (no-op when nothing is pending).
+
+    shard_id scopes recovery to ONE shard's pending folds — what
+    fold_cold_batches passes so its entry-time recovery never commits a
+    DIFFERENT shard's fold that is legitimately still in flight. The
+    unscoped form is for maintenance-window startup, when no fold is
+    running."""
     jvm, fs = hadoop_fs(spark, shard_dir)
     base = jvm.org.apache.hadoop.fs.Path(shard_dir)
+    prefix = ".fold_" if shard_id is None else f".fold_{int(shard_id)}_"
     out = []
     if not fs.exists(base):
         return out
     for st in fs.listStatus(base):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith(".fold_"):
+        if st.isDirectory() and name.startswith(prefix):
             meta = _commit_fold(spark, shard_dir, os.path.join(shard_dir, name))
             if meta is not None:
                 out.append(meta)
+    shard_glob = "_shard=*" if shard_id is None else f"_shard={int(shard_id)}"
     markers = fs.globStatus(
         jvm.org.apache.hadoop.fs.Path(
-            os.path.join(shard_dir, "_shard=*", "_batch=*", _FOLD_META)
+            os.path.join(shard_dir, shard_glob, "_batch=*", _FOLD_META)
         )
     )
     for st in markers or []:
@@ -258,10 +268,18 @@ def fold_cold_batches(
     rename: scans in that instant miss the cold rows; recovery closes
     it on next entry, same contract as fsutil.atomic_swap.
 
+    Concurrency contract: folds of DIFFERENT shards may not run in
+    parallel either — the manifest collapse is a read-modify-write of
+    one shared file (last writer wins), so concurrent finalizes can
+    lose each other's update. Run folds serially per store, in the
+    same maintenance window as compaction; entry-time recovery is
+    scoped to this shard so a disobeyed contract at least cannot
+    commit another shard's in-flight stage.
+
     Returns the fold meta {shard, target, cold}, or None when the shard
     has fewer than two cold batches (nothing to fold).
     """
-    recover_interrupted_fold(spark, shard_dir)
+    recover_interrupted_fold(spark, shard_dir, shard_id)
     manifest = _load_manifest(spark, shard_dir)
     bids = sorted(
         int(b) for b, e in manifest["batches"].items() if str(shard_id) in e

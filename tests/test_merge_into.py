@@ -149,3 +149,19 @@ def test_cow_refuses_partitioned_store_and_null_keys(spark, tmp_path):
     src = orders.limit(3).withColumn("o_orderkey", F.lit(None).cast("long"))
     with pytest.raises(ValueError, match="NULL"):
         merge_into_cow(spark, flat_store, src, "o_orderkey")
+
+
+def test_cow_refuses_key_type_mismatch(spark, tmp_path):
+    """_resolve compares column NAMES only, so the COW path must refuse a
+    type-mismatched source key itself — a double-typed key against a
+    bigint store would coerce footer ranges to float64 and mis-prune."""
+    from sms_db_spark.sinks.merge import merge_into_cow
+
+    orders = load_table(spark, SF_DIR, "orders")
+    flat_store = str(tmp_path / "flat")
+    orders.write.parquet(flat_store)
+    src = orders.limit(3).withColumn(
+        "o_orderkey", F.col("o_orderkey").cast("double")
+    )
+    with pytest.raises(ValueError, match="type mismatch"):
+        merge_into_cow(spark, flat_store, src, "o_orderkey")
