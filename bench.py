@@ -78,6 +78,8 @@ HEADLINE = [
     "q133_hard_negatives",
     "q134_shard_manifest_audit",
     "q138_jl_projection_recall",
+    "q140_snapshot_diff",
+    "q141_epoch_shuffle",
 ]
 
 BEST_OF = 3

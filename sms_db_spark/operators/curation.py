@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import QuerySpec
+from ..sources.canonical import dense_ids
 from ..tables import load_table, load_table_parallel
 
 # ------------------------------------------------------------------ q77
@@ -847,6 +848,81 @@ ORDER BY s.doc_id
 """
 
 
+# ------------------------------------------------------------------ q141
+
+EPOCH_SEED = "epoch-0"  # new epoch = new seed string; nothing else changes
+EPOCH_BATCH = 128  # docs per training batch
+
+
+def q141_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle with a mixing audit: every doc gets
+    the sort key md5(seed ':' doc_id), the corpus is laid out in that
+    order and cut into fixed-size training batches, and the output is
+    one row per batch — size, distinct sources, hottest-source share
+    (milli), and the batch's doc_id sum (pinning EXACT membership, so
+    the oracle match proves the whole permutation, not just counts).
+
+    This is the data-order discipline of resumable pretraining: the
+    order is a pure function of (seed, doc_id) — reproducible across
+    engines, reruns, and restarts mid-epoch; a new epoch is a new seed
+    string, with no RNG state to checkpoint (q77/q78's hash-not-random
+    rule applied to ORDERING). The audit half answers the question a
+    shuffle exists to settle: did interleaving actually break up the
+    per-source runs? A source-sorted order scores top_share_milli =
+    1000; a healthy shuffle sits near 1000/n_sources.
+
+    100 TB shape: the textbook formulation — row_number() over a
+    GLOBAL order — funnels the corpus through one task; here
+    `dense_ids` (canonical.py's W2 kernel) range-partitions on the
+    hash key so the sort is distributed, assigns positions per
+    partition, and reconciles with a |partitions|-row driver cumsum.
+    The per-batch audit then folds map-side within the partitions the
+    sort just produced (batch ranges align with position ranges, so
+    the groupBy needs no second wide shuffle of row data).
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = docs.withColumn(
+        "_k",
+        F.md5(F.concat(F.lit(EPOCH_SEED + ":"), F.col("doc_id").cast("string"))),
+    )
+    pos = dense_ids(keyed, ["_k", "doc_id"], "_pos", start=1)
+    per_src = (
+        pos.withColumn("batch", F.expr(f"(_pos - 1) div {EPOCH_BATCH}"))
+        .groupBy("batch", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("id_sum"))
+    )
+    return (
+        per_src.groupBy("batch")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.expr("max(cnt) * 1000 div sum(cnt)").alias("top_share_milli"),
+            F.sum("id_sum").alias("id_sum"),
+        )
+        .orderBy("batch")
+    )
+
+
+Q141_SQL = f"""
+WITH ordered AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           ORDER BY md5('{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pos
+  FROM documents
+),
+per_src AS (
+  SELECT CAST((pos - 1) // {EPOCH_BATCH} AS BIGINT) AS batch, source,
+         COUNT(*) AS cnt, SUM(doc_id) AS id_sum
+  FROM ordered GROUP BY 1, 2
+)
+SELECT batch, CAST(SUM(cnt) AS BIGINT) AS n_docs, COUNT(*) AS n_sources,
+       CAST(MAX(cnt) * 1000 // SUM(cnt) AS BIGINT) AS top_share_milli,
+       CAST(SUM(id_sum) AS BIGINT) AS id_sum
+FROM per_src GROUP BY batch ORDER BY batch
+"""
+
+
 QUERIES = {
     "q77_split_assign": QuerySpec(
         q77_split_assign, Q77_SQL, "deterministic hash train/valid/test split"
@@ -889,5 +965,10 @@ QUERIES = {
         q116_dsir_resample,
         Q116_SQL,
         "DSIR selection applied: percentile-cutoff keep set (broadcast gate)",
+    ),
+    "q141_epoch_shuffle": QuerySpec(
+        q141_epoch_shuffle,
+        Q141_SQL,
+        "deterministic epoch shuffle: seeded global order + mixing audit",
     ),
 }

@@ -562,6 +562,130 @@ FROM d GROUP BY label ORDER BY label
 """
 
 
+# ------------------------------------------------------------------ q140
+
+SNAP_BUCKETS = 1000
+SNAP_OLD_UPTO = 900  # old snapshot holds id-buckets [0, 900)
+SNAP_NEW_FROM = 100  # new snapshot holds id-buckets [100, 1000)
+SNAP_CHANGE_LO = 450  # re-crawled (content changed) in [450, 500)
+SNAP_CHANGE_HI = 500
+SNAP_RECRAWL_SUFFIX = " recrawl-v2"
+
+
+def _snap_bucket(col):
+    """md5-prefix bucket in [0, SNAP_BUCKETS) — byte-identical in DuckDB
+    (curation._hash_bucket's convention)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % SNAP_BUCKETS
+    )
+
+
+def q140_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style corpus snapshot diff: two crawl snapshots compared by
+    content digest, every doc classified added / removed / changed /
+    unchanged, aggregated per status (doc count, old/new byte volume,
+    id range). `added + changed` is exactly the incremental workload a
+    downstream pipeline re-runs (re-embed, re-index, re-shard);
+    `removed` drives index tombstones. This is the reference's
+    "already seen" re-import probe (sms-db.pl:49,325-331) generalized
+    to bidirectional set drift PLUS in-place content change — the diff
+    an importer needs when a source can rewrite history, not just
+    append to it.
+
+    The snapshots are derived deterministically from the one corpus so
+    the query is self-contained and oracle-checkable: old = id-buckets
+    [0,900), new = [100,1000) with buckets [450,500) "re-crawled"
+    (suffix appended ⇒ digest and length change). The OPERATOR ignores
+    that provenance: it sees two opaque (doc_id, digest, n_chars)
+    relations and diffs them — swap in any two real store versions.
+
+    100 TB shape: digests fold map-side at each scan (a doc's text
+    never crosses the wire — only its 32-byte digest); the diff is ONE
+    full-outer shuffle on the uniform doc_id key (co-located for free
+    when both versions live in a doc_id-bucketed store, q93's layout);
+    output is 4 rows. Compare q126, which APPLIES a changelog it is
+    given — q140 DERIVES the changelog when no one kept one.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = _snap_bucket(F.col("doc_id"))
+    old = docs.filter(b < SNAP_OLD_UPTO).select(
+        "doc_id",
+        F.md5("text").alias("digest_old"),
+        F.col("n_chars").alias("co"),
+    )
+    recrawled = F.when(
+        (b >= SNAP_CHANGE_LO) & (b < SNAP_CHANGE_HI),
+        F.concat(F.col("text"), F.lit(SNAP_RECRAWL_SUFFIX)),
+    ).otherwise(F.col("text"))
+    new = docs.filter(b >= SNAP_NEW_FROM).select(
+        "doc_id",
+        F.md5(recrawled).alias("digest_new"),
+        F.length(recrawled).alias("cn"),
+    )
+    status = (
+        F.when(F.col("digest_old").isNull(), "added")
+        .when(F.col("digest_new").isNull(), "removed")
+        .when(F.col("digest_old") == F.col("digest_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        old.join(new, "doc_id", "full_outer")  # USING-join: doc_id coalesced
+        .select(
+            status.alias("status"),
+            "doc_id",
+            F.coalesce("co", F.lit(0)).alias("co"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("co").alias("chars_old"),
+            F.sum("cn").alias("chars_new"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("status")
+    )
+
+
+_SNAP_BKT_SQL = (
+    f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {SNAP_BUCKETS}"
+)
+
+Q140_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, n_chars, {_SNAP_BKT_SQL} AS bkt FROM documents
+),
+old AS (
+  SELECT doc_id, md5(text) AS digest_old, n_chars AS co
+  FROM base WHERE bkt < {SNAP_OLD_UPTO}
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN bkt >= {SNAP_CHANGE_LO} AND bkt < {SNAP_CHANGE_HI}
+                  THEN text || '{SNAP_RECRAWL_SUFFIX}' ELSE text END) AS digest_new,
+         LENGTH(CASE WHEN bkt >= {SNAP_CHANGE_LO} AND bkt < {SNAP_CHANGE_HI}
+                     THEN text || '{SNAP_RECRAWL_SUFFIX}' ELSE text END) AS cn
+  FROM base WHERE bkt >= {SNAP_NEW_FROM}
+)
+SELECT status, COUNT(*) AS n_docs,
+       CAST(SUM(co) AS BIGINT) AS chars_old,
+       CAST(SUM(cn) AS BIGINT) AS chars_new,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM (
+  SELECT CASE WHEN o.digest_old IS NULL THEN 'added'
+              WHEN n.digest_new IS NULL THEN 'removed'
+              WHEN o.digest_old = n.digest_new THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         COALESCE(o.co, 0) AS co, COALESCE(n.cn, 0) AS cn
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+GROUP BY status ORDER BY status
+"""
+
+
 # ------------------------------------------------- auto-strategy join helper
 
 JOIN_BROADCAST_ROWS = 1_000_000  # narrow dim ⇒ tens of MB: safe to ship
@@ -682,5 +806,10 @@ QUERIES = {
         q137_embedding_health,
         Q137_SQL,
         "embedding-store health audit: nulls, dims, zero/collapsed norms",
+    ),
+    "q140_snapshot_diff": QuerySpec(
+        q140_snapshot_diff,
+        Q140_SQL,
+        "snapshot diff: digest-compared added/removed/changed/unchanged",
     ),
 }

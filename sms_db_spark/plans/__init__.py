@@ -67,12 +67,12 @@ def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
 # STALEST green evidence, then everything else in module order.
 #
 # Round-5 order (per VERDICT r4 item 2): additions are deliberately kept
-# small — q125's re-plan plus five new audit/ANN entries — so the gate's ~50-query
-# budget reaches the 39 compat queries whose only green rows date to
-# rounds 1-2 (code unchanged since; freshness, not risk — VERDICT r4
-# "What's missing" #2). 7 changed/new + 39 stale = 46 entries,
-# r1-evidence first (they have waited longest), with ~6 budget slots to
-# spare for the everything-else group (~4 after the q138/q139 additions).
+# small — q125's re-plan plus eight new entries (within the verdict's
+# ≤10 cap) — so the gate's ~50-query budget reaches the 39 compat
+# queries whose only green rows date to rounds 1-2 (code unchanged
+# since; freshness, not risk — VERDICT r4 "What's missing" #2).
+# 9 changed/new + 39 stale = 48 entries, r1-evidence first (they have
+# waited longest).
 _CHANGED_THIS_ROUND = [
     "q125_delta_dedup",  # store-side Bloom probe re-planned (VERDICT r4 #1)
     "q134_shard_manifest_audit",  # new: batch shard manifest under the gate
@@ -81,6 +81,8 @@ _CHANGED_THIS_ROUND = [
     "q137_embedding_health",  # new: embedding-store health audit
     "q138_jl_projection_recall",  # new: JL random-projection recall audit
     "q139_fold_audit",  # new: cold-batch fold exactness under the gate
+    "q140_snapshot_diff",  # new: CDC-style digest diff of two store versions
+    "q141_epoch_shuffle",  # new: seeded global training order + mixing audit
 ]
 _STALE_EVIDENCE = [
     # last driver-green row: round 1

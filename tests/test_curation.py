@@ -198,3 +198,38 @@ def test_q97_one_representative_per_cluster_covering_corpus(spark):
     for r in reps:
         assert r.rep_doc_id in by_cluster[r.cluster_id]
         assert len(by_cluster[r.cluster_id]) == r.cluster_size
+
+
+def test_q141_epoch_shuffle_partitions_and_mixes(spark):
+    """Batches tile the corpus in order (full batches then one tail),
+    membership checksums cover every doc exactly once, and the seeded
+    order actually interleaves sources (a source-sorted order would
+    score top_share_milli = 1000)."""
+    from sms_db_spark.tables import load_table
+
+    rows = curation.q141_epoch_shuffle(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    n_src = docs.select("source").distinct().count()
+    assert [r.batch for r in rows] == list(range(len(rows)))
+    assert sum(r.n_docs for r in rows) == n
+    assert all(r.n_docs == curation.EPOCH_BATCH for r in rows[:-1])
+    assert rows[-1].n_docs <= curation.EPOCH_BATCH
+    # every doc lands in exactly one batch: id-sum conservation
+    total_ids = docs.agg(F.sum("doc_id").alias("s")).collect()[0].s
+    assert sum(r.id_sum for r in rows) == total_ids
+    # mixing: every full batch sees most sources, none dominated
+    assert all(r.n_sources >= n_src // 2 for r in rows)
+    assert max(r.top_share_milli for r in rows) < 500
+    # pure function of (seed, doc_id): rerun is identical
+    assert curation.q141_epoch_shuffle(spark, SF_DIR).collect() == rows
+
+
+def test_q141_epoch_shuffle_sort_is_distributed(spark):
+    """The global order must come from a range-partitioned sort plus a
+    per-partition window (dense_ids' two-phase kernel) — never a
+    single-partition global window over row data."""
+    d = curation.q141_epoch_shuffle(spark, SF_DIR)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(_k" in plan
+    assert "SinglePartition" not in plan

@@ -218,3 +218,41 @@ def test_plan_join_refuses_reserved_salt_column(spark):
     b = spark.range(10).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="_salt"):
         plan_join(a, b, "k")
+
+
+def test_snapshot_diff_statuses_and_volumes(spark):
+    """The four statuses reproduce the snapshot-construction rule
+    exactly (diffing by digest recovers which buckets were dropped,
+    added, and re-crawled), and the changed row's byte delta is exactly
+    one recrawl suffix per changed doc."""
+    from sms_db_spark.operators.maintenance import (
+        SNAP_CHANGE_HI,
+        SNAP_CHANGE_LO,
+        SNAP_NEW_FROM,
+        SNAP_OLD_UPTO,
+        SNAP_RECRAWL_SUFFIX,
+        _snap_bucket,
+        q140_snapshot_diff,
+    )
+
+    rows = {r.status: r for r in q140_snapshot_diff(spark, SF_DIR).collect()}
+    b = _snap_bucket(F.col("doc_id"))
+    docs = load_table(spark, SF_DIR, "documents").select(b.alias("b"))
+    expect = {
+        "added": docs.filter(F.col("b") >= SNAP_OLD_UPTO).count(),
+        "removed": docs.filter(F.col("b") < SNAP_NEW_FROM).count(),
+        "changed": docs.filter(
+            (F.col("b") >= SNAP_CHANGE_LO) & (F.col("b") < SNAP_CHANGE_HI)
+        ).count(),
+    }
+    expect["unchanged"] = (
+        docs.count() - expect["added"] - expect["removed"] - expect["changed"]
+    )
+    assert {s: r.n_docs for s, r in rows.items()} == expect
+    # content change = exactly one suffix appended per changed doc
+    ch = rows["changed"]
+    assert ch.chars_new - ch.chars_old == ch.n_docs * len(SNAP_RECRAWL_SUFFIX)
+    # one-sided statuses carry volume only on their existing side
+    assert rows["added"].chars_old == 0 and rows["removed"].chars_new == 0
+    un = rows["unchanged"]
+    assert un.chars_old == un.chars_new
