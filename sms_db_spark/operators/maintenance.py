@@ -44,6 +44,9 @@ from pyspark.sql import functions as F
 
 from ..plans import QuerySpec
 from ..tables import load_table, load_table_parallel
+from .curation import SPLIT_BUCKETS as SNAP_BUCKETS
+from .curation import _hash_bucket as _snap_bucket
+from .curation import _sql_bucket as _snap_bucket_sql
 from .dedup import _NORM_TOKENS, _tokens_col
 from .sketches import _h60, _h60_sql
 
@@ -564,21 +567,14 @@ FROM d GROUP BY label ORDER BY label
 
 # ------------------------------------------------------------------ q140
 
-SNAP_BUCKETS = 1000
+# Bucket recipe is curation's md5-prefix convention (_snap_bucket /
+# _snap_bucket_sql are imported aliases of curation's helpers at the top
+# of this module): ONE copy of the cross-engine hash trick to keep in sync.
 SNAP_OLD_UPTO = 900  # old snapshot holds id-buckets [0, 900)
 SNAP_NEW_FROM = 100  # new snapshot holds id-buckets [100, 1000)
 SNAP_CHANGE_LO = 450  # re-crawled (content changed) in [450, 500)
 SNAP_CHANGE_HI = 500
 SNAP_RECRAWL_SUFFIX = " recrawl-v2"
-
-
-def _snap_bucket(col):
-    """md5-prefix bucket in [0, SNAP_BUCKETS) — byte-identical in DuckDB
-    (curation._hash_bucket's convention)."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
-        % SNAP_BUCKETS
-    )
 
 
 def q140_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,8 +593,11 @@ def q140_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query is self-contained and oracle-checkable: old = id-buckets
     [0,900), new = [100,1000) with buckets [450,500) "re-crawled"
     (suffix appended ⇒ digest and length change). The OPERATOR ignores
-    that provenance: it sees two opaque (doc_id, digest, n_chars)
-    relations and diffs them — swap in any two real store versions.
+    that provenance: it sees two opaque (doc_id, presence, digest,
+    length) relations and diffs them — swap in any two real store
+    versions. Presence is keyed on an explicit marker, never on digest
+    nullability, and digests compare NULL-safe, so NULL-text docs diff
+    correctly (both lengths recomputed from text, not trusted metadata).
 
     100 TB shape: digests fold map-side at each scan (a doc's text
     never crosses the wire — only its 32-byte digest); the diff is ONE
@@ -611,8 +610,9 @@ def q140_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _snap_bucket(F.col("doc_id"))
     old = docs.filter(b < SNAP_OLD_UPTO).select(
         "doc_id",
-        F.md5("text").alias("digest_old"),
-        F.col("n_chars").alias("co"),
+        F.lit(1).alias("in_old"),  # presence marker: a NULL text must
+        F.md5("text").alias("digest_old"),  # not read as "row absent"
+        F.coalesce(F.length("text"), F.lit(0)).alias("co"),
     )
     recrawled = F.when(
         (b >= SNAP_CHANGE_LO) & (b < SNAP_CHANGE_HI),
@@ -620,13 +620,15 @@ def q140_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("text"))
     new = docs.filter(b >= SNAP_NEW_FROM).select(
         "doc_id",
+        F.lit(1).alias("in_new"),
         F.md5(recrawled).alias("digest_new"),
-        F.length(recrawled).alias("cn"),
+        F.coalesce(F.length(recrawled), F.lit(0)).alias("cn"),
     )
     status = (
-        F.when(F.col("digest_old").isNull(), "added")
-        .when(F.col("digest_new").isNull(), "removed")
-        .when(F.col("digest_old") == F.col("digest_new"), "unchanged")
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
+        # NULL-safe: two NULL-text versions are the same (absent) content
+        .when(F.col("digest_old").eqNullSafe(F.col("digest_new")), "unchanged")
         .otherwise("changed")
     )
     return (
@@ -649,24 +651,22 @@ def q140_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SNAP_BKT_SQL = (
-    f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {SNAP_BUCKETS}"
-)
-
 Q140_SQL = f"""
 WITH base AS (
-  SELECT doc_id, text, n_chars, {_SNAP_BKT_SQL} AS bkt FROM documents
+  SELECT doc_id, text, {_snap_bucket_sql('doc_id')} AS bkt FROM documents
 ),
 old AS (
-  SELECT doc_id, md5(text) AS digest_old, n_chars AS co
+  SELECT doc_id, 1 AS in_old, md5(text) AS digest_old,
+         COALESCE(LENGTH(text), 0) AS co
   FROM base WHERE bkt < {SNAP_OLD_UPTO}
 ),
 new AS (
-  SELECT doc_id,
+  SELECT doc_id, 1 AS in_new,
          md5(CASE WHEN bkt >= {SNAP_CHANGE_LO} AND bkt < {SNAP_CHANGE_HI}
                   THEN text || '{SNAP_RECRAWL_SUFFIX}' ELSE text END) AS digest_new,
-         LENGTH(CASE WHEN bkt >= {SNAP_CHANGE_LO} AND bkt < {SNAP_CHANGE_HI}
-                     THEN text || '{SNAP_RECRAWL_SUFFIX}' ELSE text END) AS cn
+         COALESCE(LENGTH(CASE WHEN bkt >= {SNAP_CHANGE_LO} AND bkt < {SNAP_CHANGE_HI}
+                              THEN text || '{SNAP_RECRAWL_SUFFIX}' ELSE text END),
+                  0) AS cn
   FROM base WHERE bkt >= {SNAP_NEW_FROM}
 )
 SELECT status, COUNT(*) AS n_docs,
@@ -674,9 +674,9 @@ SELECT status, COUNT(*) AS n_docs,
        CAST(SUM(cn) AS BIGINT) AS chars_new,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM (
-  SELECT CASE WHEN o.digest_old IS NULL THEN 'added'
-              WHEN n.digest_new IS NULL THEN 'removed'
-              WHEN o.digest_old = n.digest_new THEN 'unchanged'
+  SELECT CASE WHEN o.in_old IS NULL THEN 'added'
+              WHEN n.in_new IS NULL THEN 'removed'
+              WHEN o.digest_old IS NOT DISTINCT FROM n.digest_new THEN 'unchanged'
               ELSE 'changed' END AS status,
          COALESCE(o.doc_id, n.doc_id) AS doc_id,
          COALESCE(o.co, 0) AS co, COALESCE(n.cn, 0) AS cn

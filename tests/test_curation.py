@@ -218,9 +218,12 @@ def test_q141_epoch_shuffle_partitions_and_mixes(spark):
     # every doc lands in exactly one batch: id-sum conservation
     total_ids = docs.agg(F.sum("doc_id").alias("s")).collect()[0].s
     assert sum(r.id_sum for r in rows) == total_ids
-    # mixing: every full batch sees most sources, none dominated
-    assert all(r.n_sources >= n_src // 2 for r in rows)
-    assert max(r.top_share_milli for r in rows) < 500
+    # mixing: every FULL batch sees most sources, none dominated (the
+    # tail batch can be arbitrarily small, so it proves nothing)
+    full = [r for r in rows if r.n_docs == curation.EPOCH_BATCH]
+    assert full
+    assert all(r.n_sources >= n_src // 2 for r in full)
+    assert max(r.top_share_milli for r in full) < 500
     # pure function of (seed, doc_id): rerun is identical
     assert curation.q141_epoch_shuffle(spark, SF_DIR).collect() == rows
 

@@ -256,3 +256,53 @@ def test_snapshot_diff_statuses_and_volumes(spark):
     assert rows["added"].chars_old == 0 and rows["removed"].chars_new == 0
     un = rows["unchanged"]
     assert un.chars_old == un.chars_new
+
+
+def test_snapshot_diff_null_text_presence(spark):
+    """Presence must come from the join marker, digest compare must be
+    NULL-safe: a NULL-text doc existing only in the old snapshot is
+    'removed' (not 'added'), and one existing in both with NULL text on
+    both sides is 'unchanged'. The DuckDB oracle can't catch this class
+    (it shares the classification SQL), so it is pinned here."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from sms_db_spark.operators.maintenance import (
+        SNAP_BUCKETS,
+        SNAP_CHANGE_HI,
+        SNAP_CHANGE_LO,
+        SNAP_NEW_FROM,
+        SNAP_OLD_UPTO,
+        q140_snapshot_diff,
+    )
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % SNAP_BUCKETS
+
+    def find(pred):
+        return next(i for i in range(100_000) if pred(bucket(i)))
+
+    removed_id = find(lambda b: b < SNAP_NEW_FROM)
+    both_id = find(
+        lambda b: SNAP_NEW_FROM <= b < SNAP_OLD_UPTO
+        and not (SNAP_CHANGE_LO <= b < SNAP_CHANGE_HI)
+    )
+    added_id = find(lambda b: b >= SNAP_OLD_UPTO)
+    rows = [
+        (removed_id, None, "en", "s0", 0),  # old-only, NULL text
+        (both_id, None, "en", "s0", 0),  # both sides, NULL text
+        (added_id, "fresh doc", "en", "s0", 9),  # new-only
+    ]
+    d = tempfile.mkdtemp(prefix="snapdiff-")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {r.status: r for r in q140_snapshot_diff(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got["removed"].n_docs == 1 and got["removed"].min_doc == removed_id
+    assert got["unchanged"].n_docs == 1 and got["unchanged"].min_doc == both_id
+    assert got["added"].n_docs == 1 and got["added"].min_doc == added_id
+    assert "changed" not in got
