@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis) for the kernels whose guarantees
+are LAWS over arbitrary inputs, not behaviors on one fixture:
+
+- dense_ids: ids are exactly the dense range and respect the key order
+  for ANY input multiset and ANY incoming partitioning.
+- plan_join: whatever strategy the profile picks (broadcast / salted /
+  plain), the output rowset is the plain inner join's — the strategy is
+  never allowed to be a semantics change.
+- q140 snapshot diff: the four statuses partition the id universe and
+  obey the volume laws for ANY corpus, including NULL/unicode text.
+- q141 epoch shuffle: batches tile any corpus size exactly (full
+  batches + one tail) and conserve id-sum membership.
+
+Each example round-trips through real Spark jobs, so example counts are
+deliberately small — these complement the fixture tests, they don't
+replace them.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- dense_ids
+
+_keys = st.lists(
+    st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(keys=_keys, n_part=st.integers(min_value=1, max_value=7))
+def test_dense_ids_is_an_order_respecting_dense_numbering(spark, keys, n_part):
+    from sms_db_spark.sources.canonical import dense_ids
+
+    df = (
+        spark.createDataFrame([(k, i) for i, k in enumerate(keys)], "k long, row long")
+        .repartition(n_part)
+    )
+    out = dense_ids(df, ["k", "row"], "_id", start=1).collect()
+    ids = sorted(r._id for r in out)
+    assert ids == list(range(1, len(keys) + 1))  # dense, no gaps, no dups
+    by_id = sorted(out, key=lambda r: r._id)
+    assert [(r.k, r.row) for r in by_id] == sorted(
+        (k, i) for i, k in enumerate(keys)
+    )  # numbering IS the total order
+
+
+# --------------------------------------------------------------- plan_join
+
+_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # few keys → collisions + skew
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(left=_pairs, right=_pairs, broadcast_rows=st.sampled_from([0, 1_000_000]))
+def test_plan_join_any_strategy_equals_plain_join(spark, left, right, broadcast_rows):
+    from sms_db_spark.operators.maintenance import plan_join
+
+    a = spark.createDataFrame(left, "k long, v long")
+    b = spark.createDataFrame(right, "k long, w long")
+    out, decision = plan_join(a, b, "k", broadcast_rows=broadcast_rows)
+    plain = a.join(b, "k")
+    assert decision["strategy"] in {"broadcast", "salted", "shuffle"}
+    assert out.exceptAll(plain).count() == 0
+    assert plain.exceptAll(out).count() == 0
+
+
+# ------------------------------------------------------- q140 snapshot diff
+
+_doc_text = st.one_of(st.none(), st.text(max_size=30))
+_docs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000), _doc_text),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=_docs)
+def test_snapshot_diff_partitions_any_corpus(spark, docs):
+    from sms_db_spark.operators.maintenance import (
+        SNAP_NEW_FROM,
+        SNAP_OLD_UPTO,
+        _snap_bucket,
+        q140_snapshot_diff,
+    )
+
+    d = tempfile.mkdtemp(prefix="snapprop-")
+    try:
+        spark.createDataFrame(
+            [(i, t, "xx", "s0", len(t) if t else 0) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = q140_snapshot_diff(spark, d).collect()
+        buckets = {
+            r.doc_id: r.b
+            for r in spark.createDataFrame([(i,) for i, _ in docs], "doc_id long")
+            .select("doc_id", _snap_bucket(F.col("doc_id")).alias("b"))
+            .collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    in_union = [i for i, _ in docs if buckets[i] < SNAP_OLD_UPTO or buckets[i] >= SNAP_NEW_FROM]
+    # the statuses partition old ∪ new exactly
+    assert sum(r.n_docs for r in rows) == len(in_union)
+    got = {r.status: r for r in rows}
+    assert set(got) <= {"added", "removed", "changed", "unchanged"}
+    if "added" in got:
+        assert got["added"].chars_old == 0
+    if "removed" in got:
+        assert got["removed"].chars_new == 0
+    if "unchanged" in got:
+        assert got["unchanged"].chars_old == got["unchanged"].chars_new
+
+
+# ------------------------------------------------------- q141 epoch shuffle
+
+_corpus_sizes = st.integers(min_value=1, max_value=300)
+
+
+@settings(max_examples=5, deadline=None)
+@given(n=_corpus_sizes)
+def test_epoch_shuffle_tiles_any_corpus_size(spark, n):
+    from sms_db_spark.operators import curation
+
+    d = tempfile.mkdtemp(prefix="epochprop-")
+    try:
+        spark.createDataFrame(
+            [(i, "t", "xx", f"s{i % 3}", 1) for i in range(n)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = curation.q141_epoch_shuffle(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    B = curation.EPOCH_BATCH
+    assert [r.batch for r in rows] == list(range((n + B - 1) // B))
+    assert all(r.n_docs == B for r in rows[:-1])
+    assert rows[-1].n_docs == n - B * (len(rows) - 1)
+    assert sum(r.id_sum for r in rows) == n * (n - 1) // 2  # exact membership
