@@ -396,6 +396,14 @@ def _drift_profile(docs: DataFrame, bucket, feature_name: str) -> DataFrame:
             F.sum(F.lit(1) - F.col("in_a")).alias("cnt_b"),
         )
     )
+    return _drift_from_counts(counts, feature_name)
+
+
+def _drift_from_counts(counts: DataFrame, feature_name: str) -> DataFrame:
+    """The drift math over an already-aggregated (bucket, cnt_a, cnt_b)
+    table — shared verbatim by q136 and the streaming drift monitor
+    (streaming/drift.py), so batch and continuous reports are the SAME
+    integer arithmetic by construction, not by parallel maintenance."""
     totals = counts.agg(
         F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
     )
@@ -438,14 +446,18 @@ def q136_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     report bit-identical across engines and run-to-run.
     """
     docs = load_table(spark, sf_dir, "documents")
-    len_bucket = F.least(  # integer div, never float-then-truncate
-        F.expr(f"n_chars div {DRIFT_LEN_BUCKET}"), F.lit(DRIFT_LEN_CAP)
-    )
     return (
-        _drift_profile(docs, len_bucket, "len_bucket")
+        _drift_profile(docs, drift_len_bucket(), "len_bucket")
         .unionByName(_drift_profile(docs, F.col("lang"), "lang"))
         .orderBy("feature")
     )
+
+
+def drift_len_bucket():
+    """The monitored length-bucket expression (integer div, never
+    float-then-truncate) — shared with the streaming monitor so both
+    report over the same buckets."""
+    return F.least(F.expr(f"n_chars div {DRIFT_LEN_BUCKET}"), F.lit(DRIFT_LEN_CAP))
 
 
 def _drift_sql(bucket_expr: str, feature_name: str) -> str:

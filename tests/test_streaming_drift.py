@@ -1,0 +1,102 @@
+"""Streaming drift monitor: a microbatch's report equals q136's for the
+same window (shared `_drift_from_counts` arithmetic), the log protocol
+is replay-idempotent with reset hygiene, and never-seen buckets count
+as pure drift."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sms_db_spark.operators.maintenance import (
+    DELTA_BATCH_SOURCES,
+    q136_corpus_drift,
+)
+from sms_db_spark.streaming.drift import (
+    append_drift,
+    batch_drift,
+    read_drift_log,
+    reference_profile,
+    stream_drift_monitor,
+)
+from sms_db_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def _key(r):
+    return (r.feature, r.n_a, r.n_b, r.n_buckets, r.tvd_milli, r.top_bucket)
+
+
+def test_batch_drift_matches_q136_for_the_same_window(spark):
+    """Reference = standing corpus, microbatch = today's arrivals —
+    exactly q136's two windows — must reproduce q136's report
+    byte-for-byte, feature by feature."""
+    docs = _docs(spark)
+    in_delta = F.col("source").isin(*DELTA_BATCH_SOURCES)
+    ref = reference_profile(docs.filter(~in_delta))
+    got = sorted((_key(r) for r in batch_drift(docs.filter(in_delta), ref).collect()))
+    want = sorted(_key(r) for r in q136_corpus_drift(spark, SF_DIR).collect())
+    assert got == want
+
+
+def test_stream_logs_per_batch_reports(spark, tmp_path):
+    drop, log, ckpt = tmp_path / "drop", tmp_path / "log", tmp_path / "ckpt"
+    docs = _docs(spark)
+    ref = reference_profile(docs)
+    slices = [docs.filter(F.col("doc_id") % 2 == k) for k in (0, 1)]
+    for s in slices:
+        s.write.mode("append").parquet(str(drop))
+        q = stream_drift_monitor(spark, str(drop), ref, str(log), str(ckpt))
+        q.awaitTermination(120)
+    logged = read_drift_log(spark, str(log)).collect()
+    assert {r.batch_id for r in logged} == {0, 1}
+    for bid, s in enumerate(slices):
+        want = sorted(_key(r) for r in batch_drift(s, ref).collect())
+        got = sorted(_key(r) for r in logged if r.batch_id == bid)
+        assert got == want and len(got) == 2  # one row per feature
+
+
+def test_replay_does_not_double_log(spark, tmp_path):
+    log = str(tmp_path / "log")
+    docs = _docs(spark)
+    ref = reference_profile(docs)
+    append_drift(docs, 0, ref, log)
+    append_drift(docs, 0, ref, log)  # at-least-once redelivery
+    assert read_drift_log(spark, log).count() == 2  # one row per feature
+
+
+def test_empty_batch_logs_nothing(spark, tmp_path):
+    log = str(tmp_path / "log")
+    docs = _docs(spark)
+    ref = reference_profile(docs)
+    append_drift(docs.limit(0), 5, ref, log)
+    assert read_drift_log(spark, log).count() == 0
+
+
+def test_checkpoint_reset_drops_stale_partitions(spark, tmp_path):
+    log = str(tmp_path / "log")
+    docs = _docs(spark)
+    ref = reference_profile(docs)
+    append_drift(docs.filter(F.col("doc_id") % 2 == 0), 0, ref, log)
+    append_drift(docs.filter(F.col("doc_id") % 2 == 1), 1, ref, log)
+    # checkpoint wiped; restarted stream reprocesses everything as batch 0
+    append_drift(docs, 0, ref, log)
+    rows = read_drift_log(spark, log).collect()
+    assert {r.batch_id for r in rows} == {0}
+    want = sorted(_key(r) for r in batch_drift(docs, ref).collect())
+    assert sorted(_key(r) for r in rows) == want
+
+
+def test_never_seen_bucket_is_pure_drift(spark, tmp_path):
+    """A batch wholly in a language the corpus has never seen is 100%
+    drift on the lang feature, and the novel bucket is named."""
+    docs = _docs(spark)
+    ref = reference_profile(docs)
+    novel = docs.limit(10).withColumn("lang", F.lit("zz"))
+    rows = {r.feature: r for r in batch_drift(novel, ref).collect()}
+    assert rows["lang"].tvd_milli == 1000
+    assert rows["lang"].top_bucket == "zz"
