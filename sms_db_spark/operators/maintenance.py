@@ -446,11 +446,11 @@ def q136_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     report bit-identical across engines and run-to-run.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        _drift_profile(docs, drift_len_bucket(), "len_bucket")
-        .unionByName(_drift_profile(docs, F.col("lang"), "lang"))
-        .orderBy("feature")
-    )
+    reports = None
+    for name, bucket_fn in DRIFT_FEATURES:
+        r = _drift_profile(docs, bucket_fn(), name)
+        reports = r if reports is None else reports.unionByName(r)
+    return reports.orderBy("feature")
 
 
 def drift_len_bucket():
@@ -458,6 +458,17 @@ def drift_len_bucket():
     float-then-truncate) — shared with the streaming monitor so both
     report over the same buckets."""
     return F.least(F.expr(f"n_chars div {DRIFT_LEN_BUCKET}"), F.lit(DRIFT_LEN_CAP))
+
+
+# THE monitored-feature list: q136 and the streaming monitor
+# (streaming/drift.py) both iterate this one tuple, so adding a feature
+# extends batch and continuous reporting together — there is no second
+# copy to forget. (Q136_SQL is the DuckDB oracle twin; the hash gate
+# catches it drifting.)
+DRIFT_FEATURES = (
+    ("lang", lambda: F.col("lang")),
+    ("len_bucket", drift_len_bucket),
+)
 
 
 def _drift_sql(bucket_expr: str, feature_name: str) -> str:

@@ -17,7 +17,8 @@ what q136 would report for that window by construction (pinned by
 tests/test_streaming_drift.py). Integer milli-proportions make reports
 diffable byte-for-byte across batches and engines.
 
-Log protocol = streaming/quality.py's: each batch overwrites its own
+Log protocol = metricslog.append_batch_report, the ONE implementation
+shared with streaming/quality.py: each batch overwrites its own
 `batch_id=<n>` partition (replay-idempotent), partitions numbered above
 the current batch — possible only after a checkpoint reset restarted
 numbering — are dropped so two numbering epochs never interleave.
@@ -25,17 +26,14 @@ numbering — are dropped so two numbering epochs never interleave.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fsutil import hadoop_fs
-from ..operators.maintenance import _drift_from_counts, drift_len_bucket
+# DRIFT_FEATURES is maintenance's: q136 and this monitor iterate the ONE
+# list, so adding a feature extends batch and continuous reporting together
+from ..operators.maintenance import DRIFT_FEATURES, _drift_from_counts
 from .curation import DOCS_SCHEMA  # noqa: F401 (one wire schema for doc drops)
-
-# the monitored features — q136's, by name
-DRIFT_FEATURES = (("len_bucket", drift_len_bucket), ("lang", lambda: F.col("lang")))
+from .metricslog import append_batch_report, read_batch_log
 
 
 def reference_profile(docs: DataFrame) -> dict[str, list[tuple[str, int]]]:
@@ -73,12 +71,20 @@ def batch_drift(
         ref_counts = spark.createDataFrame(
             ref[name], "bucket string, cnt_b long"
         )
+        # NULL-SAFE join: q136 groups all NULL buckets into one row; an
+        # equi-join would leave NULL keys unmatched and split that row
+        # into two one-sided ones, inflating the TVD
         counts = (
-            batch_counts.join(ref_counts, "bucket", "full_outer")
+            batch_counts.alias("a")
+            .join(
+                ref_counts.alias("b"),
+                F.col("a.bucket").eqNullSafe(F.col("b.bucket")),
+                "full_outer",
+            )
             .select(
-                "bucket",
-                F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
-                F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+                F.coalesce("a.bucket", "b.bucket").alias("bucket"),
+                F.coalesce("a.cnt_a", F.lit(0)).alias("cnt_a"),
+                F.coalesce("b.cnt_b", F.lit(0)).alias("cnt_b"),
             )
         )
         report = _drift_from_counts(counts, name)
@@ -92,42 +98,25 @@ def append_drift(
     ref: dict[str, list[tuple[str, int]]],
     log_dir: str,
 ) -> None:
-    """Idempotent per-batch append (quality.append_metrics' protocol).
-    Empty microbatches log nothing — an empty window has no
-    distribution, and a NULL-TVD row would poison trailing-window
-    alerting math."""
-    if batch.isEmpty():
-        return
-    sess = batch.sparkSession
-    part = os.path.join(log_dir, f"batch_id={batch_id}")
-    batch_drift(batch, ref).coalesce(1).write.mode("overwrite").parquet(part)
-    jvm, fs = hadoop_fs(sess, log_dir)
-    base = jvm.org.apache.hadoop.fs.Path(log_dir)
-    for st in fs.listStatus(base):
-        name = st.getPath().getName()
-        if name.startswith("batch_id=") and int(name.split("=", 1)[1]) > batch_id:
-            fs.delete(st.getPath(), True)
+    """Idempotent per-batch append under the shared log protocol
+    (metricslog.append_batch_report). Empty microbatches log nothing —
+    an empty window has no distribution, and a NULL-TVD row would
+    poison trailing-window alerting math — but the protocol's hygiene
+    still runs, so a reset's stale same/higher-numbered partitions are
+    purged even when the new epoch's first batch is empty."""
+    report = None if batch.isEmpty() else batch_drift(batch, ref)
+    append_batch_report(batch.sparkSession, log_dir, batch_id, report)
 
 
 def read_drift_log(spark: SparkSession, log_dir: str) -> DataFrame:
     """All per-batch drift reports; empty frame at stream bootstrap."""
-    from pyspark.sql.utils import AnalysisException
-
-    try:
-        return (
-            spark.read.option("basePath", log_dir)
-            .parquet(os.path.join(log_dir, "batch_id=*"))
-            .select(
-                "batch_id", "feature", "n_a", "n_b", "n_buckets",
-                "tvd_milli", "top_bucket",
-            )
-        )
-    except AnalysisException:
-        return spark.createDataFrame(
-            [],
-            "batch_id int, feature string, n_a bigint, n_b bigint,"
-            " n_buckets bigint, tvd_milli bigint, top_bucket string",
-        )
+    return read_batch_log(
+        spark,
+        log_dir,
+        ["batch_id", "feature", "n_a", "n_b", "n_buckets", "tvd_milli", "top_bucket"],
+        "batch_id int, feature string, n_a bigint, n_b bigint,"
+        " n_buckets bigint, tvd_milli bigint, top_bucket string",
+    )
 
 
 def stream_drift_monitor(

@@ -21,12 +21,10 @@ what a metrics log is."""
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fsutil import hadoop_fs
+from .metricslog import append_batch_report, read_batch_log
 
 # ONE wire schema for the events drop directory: quality and upsert read
 # the same stream — two independent copies could drift and silently null
@@ -86,41 +84,23 @@ def audit_batch(batch: DataFrame) -> DataFrame:
 
 
 def append_metrics(batch: DataFrame, batch_id: int, log_dir: str) -> None:
-    """Idempotent per-batch append: the batch's own partition is written
-    mode-overwrite (a replayed microbatch cannot double-log), and any
-    partition with id > batch_id is dropped — those can only exist after
-    a checkpoint reset restarted batch numbering, and leaving them would
-    double-count all pre-reset data in read_metrics (the same stale-state
-    hygiene as streaming/upsert.apply_batch)."""
-    sess = batch.sparkSession
-    part = os.path.join(log_dir, f"batch_id={batch_id}")
-    audit_batch(batch).coalesce(1).write.mode("overwrite").parquet(part)
-    jvm, fs = hadoop_fs(sess, log_dir)
-    base = jvm.org.apache.hadoop.fs.Path(log_dir)
-    for st in fs.listStatus(base):
-        name = st.getPath().getName()
-        if name.startswith("batch_id=") and int(name.split("=", 1)[1]) > batch_id:
-            fs.delete(st.getPath(), True)
+    """Idempotent per-batch append under the shared log protocol
+    (metricslog.append_batch_report): the batch overwrites its own
+    partition, higher-numbered partitions are dropped as another
+    numbering epoch's. Empty batches still log (a 4-row all-passed
+    report with total=0) — silence and health must be distinguishable
+    in a CONSTRAINT log."""
+    append_batch_report(batch.sparkSession, log_dir, batch_id, audit_batch(batch))
 
 
 def read_metrics(spark: SparkSession, log_dir: str) -> DataFrame:
-    """The monitoring surface: all per-batch constraint reports.
-    basePath keeps batch_id as a partition column. An empty/new log
-    yields an empty frame, not an error — the monitor must be safe to
-    query at stream bootstrap."""
-    from pyspark.sql.utils import AnalysisException
-
-    try:
-        return (
-            spark.read.option("basePath", log_dir)
-            .parquet(os.path.join(log_dir, "batch_id=*"))
-            .select("batch_id", "check_name", "violations", "total", "passed")
-        )
-    except AnalysisException:
-        return spark.createDataFrame(
-            [],
-            "batch_id int, check_name string, violations bigint, total bigint, passed int",
-        )
+    """The monitoring surface: all per-batch constraint reports."""
+    return read_batch_log(
+        spark,
+        log_dir,
+        ["batch_id", "check_name", "violations", "total", "passed"],
+        "batch_id int, check_name string, violations bigint, total bigint, passed int",
+    )
 
 
 def stream_quality_monitor(spark: SparkSession, drop_dir: str, log_dir: str, checkpoint_dir: str):

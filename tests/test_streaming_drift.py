@@ -100,3 +100,45 @@ def test_never_seen_bucket_is_pure_drift(spark, tmp_path):
     rows = {r.feature: r for r in batch_drift(novel, ref).collect()}
     assert rows["lang"].tvd_milli == 1000
     assert rows["lang"].top_bucket == "zz"
+
+
+def test_null_bucket_parity_with_q136(spark, tmp_path):
+    """q136 groups all NULL buckets into ONE row; the monitor's
+    full-outer join must be NULL-safe or a NULL bucket present on both
+    sides splits into two one-sided rows and inflates the TVD."""
+    import shutil
+    import tempfile
+
+    from sms_db_spark.operators.maintenance import q136_corpus_drift
+
+    docs = _docs(spark).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("lang")
+        ),
+    )
+    d = tempfile.mkdtemp(prefix="driftnull-")
+    try:
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        want = sorted(_key(r) for r in q136_corpus_drift(spark, d).collect())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    in_delta = F.col("source").isin(*DELTA_BATCH_SOURCES)
+    ref = reference_profile(docs.filter(~in_delta))
+    got = sorted(_key(r) for r in batch_drift(docs.filter(in_delta), ref).collect())
+    assert got == want
+
+
+def test_empty_first_batch_after_reset_still_purges(spark, tmp_path):
+    """A checkpoint reset whose NEW epoch opens with an EMPTY batch must
+    still drop the old epoch's same/higher-numbered partitions — an
+    early return before the hygiene would splice pre-reset reports into
+    the new epoch's log."""
+    log = str(tmp_path / "log")
+    docs = _docs(spark)
+    ref = reference_profile(docs)
+    append_drift(docs.filter(F.col("doc_id") % 2 == 0), 0, ref, log)
+    append_drift(docs.filter(F.col("doc_id") % 2 == 1), 1, ref, log)
+    # checkpoint wiped; the restarted stream's first batch is empty
+    append_drift(docs.limit(0), 0, ref, log)
+    assert read_drift_log(spark, log).count() == 0
