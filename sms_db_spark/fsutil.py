@@ -77,6 +77,29 @@ def recover_interrupted_swap(spark: SparkSession, path: str) -> str | None:
     return None
 
 
+def numbered_child_dirs(
+    spark: SparkSession, base_dir: str, prefix: str
+) -> list[tuple[int, str]]:
+    """Child DIRECTORIES of base_dir named `<prefix><integer>`, as
+    (number, name) pairs sorted NUMERICALLY — lexicographic sorting
+    breaks the moment the digit count grows past a zero-pad width
+    ('v100000000' < 'v99999999'). The one implementation of the
+    list-numbered-children pattern shared by the per-batch log protocol
+    (streaming/metricslog.py), the upsert state store, and the
+    versioned store; the shard layout keeps its own nested walk."""
+    jvm, fs = hadoop_fs(spark, base_dir)
+    base = jvm.org.apache.hadoop.fs.Path(base_dir)
+    if not fs.exists(base):
+        return []
+    out = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        tail = name[len(prefix):]
+        if st.isDirectory() and name.startswith(prefix) and tail.isdigit():
+            out.append((int(tail), name))
+    return sorted(out)
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """Read a small text file via the Hadoop FS API (works on HDFS/S3A,
     not just the driver's local disk). None if absent."""

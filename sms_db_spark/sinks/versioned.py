@@ -3,28 +3,38 @@ CLOSES atomic_swap's between-renames window instead of documenting it.
 
 Layout:
 
-    <store>/_versions/v00000001/   immutable data dirs, one per commit
-    <store>/_versions/v00000002/
-    <store>/_HEAD                  tiny text file naming the live version
+    <store>/_versions/v00000001/            immutable data dirs
+    <store>/_versions/v00000001/_COMMITTED  marker: data landed in full
+    <store>/_HEAD                           tiny file naming the live version
 
-A commit writes a NEW version dir in full, then flips `_HEAD` with
-`write_text_atomic` (FileContext atomic replace). Readers resolve
-`_HEAD` and read that dir. The store is therefore NEVER missing and
-never half-replaced: a crash before the flip leaves an invisible orphan
-dir (pruned later); a crash during the flip leaves the old pointer
-fully intact. This is the metadata/pointer layer `fsutil.atomic_swap`'s
-docstring names as the real fix for its rename gap — the same
-commit-discipline as a Delta/Iceberg log, cut down to a single-table,
-single-writer store (one pointer, no manifest compaction, no
-concurrent-writer arbitration; writers must be externally serialized,
-the same contract as streaming/shards.fold_cold_batches).
+A commit writes a NEW version dir in full, marks it `_COMMITTED`, then
+flips `_HEAD` with `write_text_atomic`. Readers resolve `_HEAD` and
+read that dir. The store is therefore never missing and never
+half-replaced: a crash before the marker leaves an unmarked dir that
+every surface reports as a never-restorable orphan; a crash after the
+marker but before the flip leaves a complete-but-unpublished dir; a
+crash during the flip leaves the old pointer intact wherever
+FileContext atomic rename exists (HDFS, local). On filesystems where
+`write_text_atomic` documents its delete+rename fallback (object
+stores), a crashed flip CAN drop `_HEAD` — the markers make that state
+unambiguous, `read_current` diagnoses it instead of claiming the store
+is empty, and `recover_head` rolls the pointer forward to the newest
+committed version (run automatically at every writer entry).
+
+This is the metadata/pointer layer `fsutil.atomic_swap`'s docstring
+names as the real fix for its rename gap — the commit discipline of a
+Delta/Iceberg log cut down to a single-table, SINGLE-WRITER store (one
+pointer, no manifest compaction, no concurrent-writer arbitration;
+writers and prune must be externally serialized, the same contract as
+streaming/shards.fold_cold_batches).
 
 Readers vs pruning (the vacuum caveat, stated honestly): a reader that
 resolved `_HEAD` and is still scanning while `prune_versions` deletes
-its version would fail mid-read. Retention is therefore version-count
-based with keep >= 2 enforced, so only readers older than a full commit
-cycle can race — at 100 TB, set `keep` to cover the longest-running
-query, exactly as Delta's vacuum retention is sized.
+its version would fail mid-read. Retention counts COMMITTED versions
+only (orphans can never displace a real version from the window) with
+keep >= 2 enforced, so only readers older than `keep - 1` full commit
+cycles can race — at 100 TB, size `keep` to the longest-running query,
+exactly as Delta's vacuum retention is sized.
 
 Reference parity: the reference rebuilds its whole SQLite store file on
 re-import and relies on the filesystem for durability (sms-db.pl:49);
@@ -38,51 +48,78 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..fsutil import hadoop_fs, read_text, write_text_atomic
+from ..fsutil import hadoop_fs, numbered_child_dirs, read_text, write_text_atomic
 
 _VERSIONS = "_versions"
 _HEAD = "_HEAD"
+_MARKER = "_COMMITTED"
 
 
-def _paths(spark: SparkSession, store: str):
+def _root(spark: SparkSession, store: str) -> str:
     jvm, fs = hadoop_fs(spark, store)
-    root = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(store)).toString()
-    return jvm, fs, root
+    return fs.makeQualified(jvm.org.apache.hadoop.fs.Path(store)).toString()
 
 
-def _version_dirs(jvm, fs, root: str) -> list[str]:
-    base = jvm.org.apache.hadoop.fs.Path(f"{root}/{_VERSIONS}")
-    if not fs.exists(base):
-        return []
-    names = []
-    for st in fs.listStatus(base):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
-            names.append(name)
-    return sorted(names)
+def _versions(spark: SparkSession, root: str) -> list[tuple[int, str]]:
+    """(number, name) pairs, sorted numerically."""
+    return numbered_child_dirs(spark, f"{root}/{_VERSIONS}", "v")
+
+
+def _is_committed(spark: SparkSession, root: str, name: str) -> bool:
+    jvm, fs = hadoop_fs(spark, root)
+    return fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{root}/{_VERSIONS}/{name}/{_MARKER}")
+    )
 
 
 def current_version(spark: SparkSession, store: str) -> str | None:
-    """The live version name, or None for a store with no commit yet."""
+    """The live version name, or None when no pointer exists (a store
+    with no commit yet — or a crashed pointer flip on a no-atomic-rename
+    filesystem, which `recover_head` repairs; `read_current` tells the
+    two apart via the commit markers)."""
     head = read_text(spark, f"{store.rstrip('/')}/{_HEAD}")
     if head is None:
         return None
     return json.loads(head)["version"]
 
 
+def recover_head(spark: SparkSession, store: str) -> str | None:
+    """If `_HEAD` is missing but committed versions exist — possible
+    only via write_text_atomic's documented object-store fallback — roll
+    the pointer forward to the NEWEST committed version (both ends of
+    the interrupted flip are complete by the marker invariant; newest =
+    finishing the flip that crashed). Returns the restored name, else
+    None. Run at every writer entry; a no-op on healthy stores."""
+    root = _root(spark, store)
+    if current_version(spark, root) is not None:
+        return None
+    committed = [n for _, n in _versions(spark, root) if _is_committed(spark, root, n)]
+    if not committed:
+        return None
+    write_text_atomic(
+        spark, f"{root}/{_HEAD}", json.dumps({"version": committed[-1]}, sort_keys=True)
+    )
+    return committed[-1]
+
+
 def commit_version(spark: SparkSession, store: str, df: DataFrame) -> str:
     """Commit `df` as the store's new live version and return its name.
 
-    The data lands COMPLETELY before the pointer moves; the old version
-    stays on disk (readable by in-flight readers, restorable by pointing
-    `_HEAD` back) until pruned. Version numbers advance past every dir
-    present — committed or orphaned — so a crashed writer's leftovers
-    can never be re-entered."""
-    jvm, fs, root = _paths(spark, store)
-    existing = _version_dirs(jvm, fs, root)
-    n = (int(existing[-1][1:]) + 1) if existing else 1
+    Data lands completely, then the `_COMMITTED` marker, then the
+    pointer flip — so a dir without a marker is NEVER restorable (it is
+    a crashed write, whatever its number) and a dir with one always
+    holds a complete dataset. The old version stays on disk (readable
+    by in-flight readers, restorable by pointing `_HEAD` back) until
+    pruned. Version numbers advance past every dir present — committed
+    or orphaned — so a crashed writer's numbers are never reused."""
+    root = _root(spark, store)
+    recover_head(spark, root)
+    existing = _versions(spark, root)
+    n = (existing[-1][0] + 1) if existing else 1
     name = f"v{n:08d}"
-    df.write.mode("error").parquet(f"{root}/{_VERSIONS}/{name}")
+    vdir = f"{root}/{_VERSIONS}/{name}"
+    df.write.mode("error").parquet(vdir)
+    write_text_atomic(spark, f"{vdir}/{_MARKER}", json.dumps({"version": name}))
     write_text_atomic(
         spark, f"{root}/{_HEAD}", json.dumps({"version": name}, sort_keys=True)
     )
@@ -90,13 +127,25 @@ def commit_version(spark: SparkSession, store: str, df: DataFrame) -> str:
 
 
 def read_current(spark: SparkSession, store: str) -> DataFrame:
-    """The live version's data. Raises loudly on a store with no commit
-    (a missing pointer with data present would mean an interrupted
-    FIRST commit — the orphan dir is invisible by design)."""
-    v = current_version(spark, store)
+    """The live version's data. Raises loudly — with the RIGHT
+    diagnosis — when the pointer is missing: committed versions present
+    means a crashed pointer flip (run `recover_head`), none means the
+    store truly has no commit (any dirs present are crashed first
+    commits, invisible by design)."""
+    root = _root(spark, store)
+    v = current_version(spark, root)
     if v is None:
+        committed = [
+            n for _, n in _versions(spark, root) if _is_committed(spark, root, n)
+        ]
+        if committed:
+            raise RuntimeError(
+                f"{store}: {_HEAD} is missing but committed versions exist "
+                f"(newest {committed[-1]}) — a pointer flip crashed on a "
+                "filesystem without atomic rename; run recover_head()"
+            )
         raise FileNotFoundError(f"no committed version at {store} (missing {_HEAD})")
-    return spark.read.parquet(f"{store.rstrip('/')}/{_VERSIONS}/{v}")
+    return spark.read.parquet(f"{root}/{_VERSIONS}/{v}")
 
 
 def rewrite_current(spark: SparkSession, store: str, transform) -> str:
@@ -109,19 +158,26 @@ def rewrite_current(spark: SparkSession, store: str, transform) -> str:
 
 
 def prune_versions(spark: SparkSession, store: str, keep: int = 2) -> list[str]:
-    """Delete all but the newest `keep` version dirs (the live version
-    is always among them — `_HEAD` only ever points at the newest).
-    keep >= 2 is enforced so one full commit cycle of readers is always
-    safe. Returns the deleted version names. Orphans from crashed
-    commits are older than the live version by construction, so they
-    age out through the same retention."""
+    """Delete every unmarked orphan plus all but the newest `keep`
+    COMMITTED versions. Orphans are dead crash remnants — under the
+    single-writer contract no write is in flight while maintenance
+    runs — and never count toward the retention window, so a crashed
+    write cannot displace a real version from it. keep >= 2 is
+    enforced: readers up to `keep - 1` commit cycles old stay safe.
+    Returns the deleted names."""
     if keep < 2:
-        raise ValueError(f"keep must be >= 2 (got {keep}): retention is the only "
-                         "protection in-flight readers have")
-    jvm, fs, root = _paths(spark, store)
-    live = current_version(spark, store)
-    names = _version_dirs(jvm, fs, root)
-    doomed = [n for n in names[:-keep] if n != live]
+        raise ValueError(
+            f"keep must be >= 2 (got {keep}): retention is the only "
+            "protection in-flight readers have"
+        )
+    root = _root(spark, store)
+    recover_head(spark, root)
+    live = current_version(spark, root)
+    names = [n for _, n in _versions(spark, root)]
+    committed = [n for n in names if _is_committed(spark, root, n)]
+    doomed = [n for n in names if n not in committed]  # orphans: always
+    doomed += [n for n in committed[:-keep] if n != live]
+    jvm, fs = hadoop_fs(spark, root)
     for n in doomed:
         if not fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{_VERSIONS}/{n}"), True):
             raise RuntimeError(f"prune failed deleting {store}/{_VERSIONS}/{n}")
@@ -129,14 +185,23 @@ def prune_versions(spark: SparkSession, store: str, keep: int = 2) -> list[str]:
 
 
 def history(spark: SparkSession, store: str) -> list[dict]:
-    """Every version dir with its live/orphan status — the audit surface
-    (a dir newer than `_HEAD` is a crashed, never-committed write)."""
-    jvm, fs, root = _paths(spark, store)
-    live = current_version(spark, store)
+    """Every version dir with its truthful status — the audit surface:
+    `live` (the pointer's target), `old` (committed, restorable by
+    pointing `_HEAD` back), `unpublished` (committed — data complete —
+    but the flip never happened), `orphan` (NO marker: a crashed write,
+    never restorable, whatever its number)."""
+    root = _root(spark, store)
+    live = current_version(spark, root)
+    live_n = int(live[1:]) if live else None
     out = []
-    for name in _version_dirs(jvm, fs, root):
-        status = "live" if name == live else (
-            "orphan" if live is None or name > live else "old"
-        )
+    for num, name in _versions(spark, root):
+        if not _is_committed(spark, root, name):
+            status = "orphan"
+        elif name == live:
+            status = "live"
+        elif live_n is not None and num < live_n:
+            status = "old"
+        else:
+            status = "unpublished"
         out.append({"version": name, "status": status})
     return out

@@ -17,7 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..fsutil import hadoop_fs
+from ..fsutil import hadoop_fs, numbered_child_dirs
 
 
 def append_batch_report(
@@ -28,16 +28,9 @@ def append_batch_report(
         part = os.path.join(log_dir, f"batch_id={batch_id}")
         report.coalesce(1).write.mode("overwrite").parquet(part)
     jvm, fs = hadoop_fs(sess, log_dir)
-    base = jvm.org.apache.hadoop.fs.Path(log_dir)
-    if not fs.exists(base):  # nothing written yet, nothing to purge
-        return
-    for st in fs.listStatus(base):
-        name = st.getPath().getName()
-        if not name.startswith("batch_id="):
-            continue
-        bid = int(name.split("=", 1)[1])
+    for bid, name in numbered_child_dirs(sess, log_dir, "batch_id="):
         if bid > batch_id or (report is None and bid == batch_id):
-            fs.delete(st.getPath(), True)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{log_dir}/{name}"), True)
 
 
 def read_batch_log(

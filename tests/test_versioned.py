@@ -1,26 +1,33 @@
 """Versioned (commit-pointer) store: the store is NEVER missing at any
-crash point, commits are total replacements, orphans stay invisible,
-retention protects readers, history reports truthfully."""
+crash point, commits are total replacements, unmarked crash remnants
+are orphans forever (never restorable, never counted by retention),
+pointer loss on a no-atomic-rename filesystem is diagnosed and
+recoverable, and ordering is numeric, not lexicographic."""
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import functions as F
 
-from sms_db_spark.fsutil import read_text, write_text_atomic
+from sms_db_spark.fsutil import hadoop_fs, read_text, write_text_atomic
 from sms_db_spark.sinks.versioned import (
     commit_version,
     current_version,
     history,
     prune_versions,
     read_current,
+    recover_head,
     rewrite_current,
 )
 
 
 def _df(spark, n, tag):
-    return spark.range(n).select(
-        F.col("id"), F.lit(tag).alias("tag")
-    )
+    return spark.range(n).select(F.col("id"), F.lit(tag).alias("tag"))
+
+
+def _statuses(spark, store):
+    return {h["version"]: h["status"] for h in history(spark, store)}
 
 
 def test_commit_then_read_roundtrip(spark, tmp_path):
@@ -38,28 +45,40 @@ def test_recommit_is_total_replacement_old_version_still_on_disk(spark, tmp_path
     assert current_version(spark, store) == v2
     assert read_current(spark, store).count() == 3
     # the old version survives until pruned: restorable + readable
-    assert {h["version"]: h["status"] for h in history(spark, store)} == {
-        "v00000001": "old",
-        "v00000002": "live",
-    }
+    assert _statuses(spark, store) == {"v00000001": "old", "v00000002": "live"}
     assert spark.read.parquet(f"{store}/_versions/v00000001").count() == 10
 
 
-def test_crash_before_pointer_flip_is_invisible(spark, tmp_path):
-    """Simulate a writer dying after the data write but before the
-    `_HEAD` flip: the new dir exists, the pointer doesn't move, readers
-    see the old version, and the NEXT commit numbers past the orphan."""
+def test_crashed_write_is_an_orphan_forever(spark, tmp_path):
+    """A dir without the _COMMITTED marker is a crashed write: invisible
+    to readers, reported as orphan even after later commits number past
+    it (an operator must never be told it is restorable), its number
+    burned, and deleted by the first prune."""
     store = str(tmp_path / "store")
     commit_version(spark, store, _df(spark, 10, "a"))
-    # crashed writer: data landed, pointer never flipped
+    # crashed writer: data landed, marker never written
     _df(spark, 99, "crash").write.parquet(f"{store}/_versions/v00000002")
     assert current_version(spark, store) == "v00000001"
     assert read_current(spark, store).count() == 10
-    statuses = {h["version"]: h["status"] for h in history(spark, store)}
-    assert statuses["v00000002"] == "orphan"
+    assert _statuses(spark, store)["v00000002"] == "orphan"
     v3 = commit_version(spark, store, _df(spark, 5, "c"))
     assert v3 == "v00000003"  # the orphan's number is burned, not reused
+    # STILL an orphan after live numbered past it — not "old"/restorable
+    assert _statuses(spark, store)["v00000002"] == "orphan"
     assert read_current(spark, store).count() == 5
+
+
+def test_orphans_do_not_displace_retention(spark, tmp_path):
+    """Retention counts COMMITTED versions only: a crash remnant newer
+    than live must not push a real committed version out of the keep
+    window (it gets deleted itself instead)."""
+    store = str(tmp_path / "store")
+    commit_version(spark, store, _df(spark, 1, "a"))
+    commit_version(spark, store, _df(spark, 2, "b"))
+    _df(spark, 99, "crash").write.parquet(f"{store}/_versions/v00000003")  # orphan
+    doomed = prune_versions(spark, store, keep=2)
+    assert doomed == ["v00000003"]  # the orphan, not committed v1
+    assert _statuses(spark, store) == {"v00000001": "old", "v00000002": "live"}
 
 
 def test_store_is_never_missing_during_rewrite(spark, tmp_path):
@@ -74,17 +93,57 @@ def test_store_is_never_missing_during_rewrite(spark, tmp_path):
     assert read_current(spark, store).count() == 5
 
 
-def test_pointer_flip_is_atomic_against_old_head(spark, tmp_path):
-    """A crashed `_HEAD` update can never leave the pointer missing:
-    write_text_atomic's overwrite-rename keeps the old pointer until the
-    new one is fully in place (regression anchor for the protocol)."""
+def test_stale_tmp_pointer_file_does_not_confuse_reads(spark, tmp_path):
+    """A crashed pointer update can leave `_HEAD.tmp` behind; reads must
+    keep resolving through `_HEAD` untouched."""
     store = str(tmp_path / "store")
     commit_version(spark, store, _df(spark, 10, "a"))
-    head = f"{store}/_HEAD"
-    assert read_text(spark, head) is not None
-    # the .tmp staging file from a crashed update must not confuse reads
-    write_text_atomic(spark, head, read_text(spark, head))
+    jvm, fs = hadoop_fs(spark, store)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{store}/_HEAD.tmp"), True)
+    out.write(bytearray(b'{"version": "v99999999"}'))
+    out.close()
     assert current_version(spark, store) == "v00000001"
+    assert read_current(spark, store).count() == 10
+
+
+def test_lost_pointer_is_diagnosed_and_recoverable(spark, tmp_path):
+    """write_text_atomic's documented object-store fallback can crash
+    between delete and rename, dropping `_HEAD`. The markers make the
+    state unambiguous: read_current names the real problem (not 'no
+    commit'), recover_head completes the interrupted flip forward."""
+    import pytest
+
+    store = str(tmp_path / "store")
+    commit_version(spark, store, _df(spark, 10, "a"))
+    commit_version(spark, store, _df(spark, 4, "b"))
+    jvm, fs = hadoop_fs(spark, store)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store}/_HEAD"), False)
+    with pytest.raises(RuntimeError, match="recover_head"):
+        read_current(spark, store)
+    assert recover_head(spark, store) == "v00000002"
+    assert read_current(spark, store).count() == 4
+    assert recover_head(spark, store) is None  # healthy store: no-op
+
+
+def test_version_ordering_is_numeric_not_lexicographic(spark, tmp_path):
+    """'v100000000' < 'v99999999' lexicographically; numbering, history
+    and retention must all order by the integer."""
+    store = str(tmp_path / "store")
+    for n, rows in ((99999999, 2), (100000000, 3)):
+        name = f"v{n:08d}"
+        _df(spark, rows, name).write.parquet(f"{store}/_versions/{name}")
+        write_text_atomic(
+            spark, f"{store}/_versions/{name}/_COMMITTED", json.dumps({"version": name})
+        )
+    write_text_atomic(spark, f"{store}/_HEAD", json.dumps({"version": "v100000000"}))
+    assert read_current(spark, store).count() == 3
+    v = commit_version(spark, store, _df(spark, 7, "next"))
+    assert v == "v100000001"  # past the 9-digit max, not 99999999+1 again
+    assert _statuses(spark, store) == {
+        "v99999999": "old",
+        "v100000000": "old",
+        "v100000001": "live",
+    }
 
 
 def test_prune_keeps_newest_and_refuses_unsafe_keep(spark, tmp_path):
@@ -95,8 +154,7 @@ def test_prune_keeps_newest_and_refuses_unsafe_keep(spark, tmp_path):
         commit_version(spark, store, _df(spark, i + 1, f"t{i}"))
     doomed = prune_versions(spark, store, keep=2)
     assert doomed == ["v00000001", "v00000002"]
-    left = {h["version"] for h in history(spark, store)}
-    assert left == {"v00000003", "v00000004"}
+    assert set(_statuses(spark, store)) == {"v00000003", "v00000004"}
     assert read_current(spark, store).count() == 4  # live untouched
     with pytest.raises(ValueError, match="keep"):
         prune_versions(spark, store, keep=1)
@@ -106,7 +164,7 @@ def test_read_uncommitted_store_raises_loudly(spark, tmp_path):
     import pytest
 
     store = str(tmp_path / "store")
-    # data dir exists (interrupted FIRST commit), pointer never written
+    # data dir exists (interrupted FIRST commit), marker never written
     _df(spark, 7, "x").write.parquet(f"{store}/_versions/v00000001")
     with pytest.raises(FileNotFoundError, match="_HEAD"):
         read_current(spark, store)
