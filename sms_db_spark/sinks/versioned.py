@@ -157,6 +157,34 @@ def rewrite_current(spark: SparkSession, store: str, transform) -> str:
     return commit_version(spark, store, transform(read_current(spark, store)))
 
 
+def compact_current(
+    spark: SparkSession, store: str, target_bytes: int | None = None
+) -> dict:
+    """Small-file compaction through the pointer commit: the live
+    version's byte-derived file budget (compaction.fragmentation_report
+    — the same sizing and idempotence guard as the swap-based
+    `compact`) decides whether a rewrite pays, and the rewrite lands as
+    a NEW committed version. No staging dir, no rename swap, no
+    recovery path — the flat-store `compact` made zero-window for
+    stores that opted into this layout. Returns the report plus the
+    committed version name when one was written."""
+    from .compaction import DEFAULT_TARGET_BYTES, fragmentation_report
+
+    target = DEFAULT_TARGET_BYTES if target_bytes is None else target_bytes
+    root = _root(spark, store)
+    recover_head(spark, root)
+    v = current_version(spark, root)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {store} (missing {_HEAD})")
+    report = fragmentation_report(spark, f"{root}/{_VERSIONS}/{v}", target)
+    if not report["fragmented"]:
+        return {**report, "compacted": False}
+    name = commit_version(
+        spark, store, read_current(spark, root).coalesce(report["n_files_after"])
+    )
+    return {**report, "compacted": True, "version": name}
+
+
 def prune_versions(spark: SparkSession, store: str, keep: int = 2) -> list[str]:
     """Delete every unmarked orphan plus all but the newest `keep`
     COMMITTED versions. Orphans are dead crash remnants — under the

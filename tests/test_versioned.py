@@ -168,3 +168,23 @@ def test_read_uncommitted_store_raises_loudly(spark, tmp_path):
     _df(spark, 7, "x").write.parquet(f"{store}/_versions/v00000001")
     with pytest.raises(FileNotFoundError, match="_HEAD"):
         read_current(spark, store)
+
+
+def test_compact_current_rewrites_through_the_pointer(spark, tmp_path):
+    """The versioned layout's compaction: byte-derived budget decides,
+    the rewrite lands as a new committed version (rows exact, old
+    version intact for in-flight readers), and a compact store is a
+    no-op — the same idempotence guard as the swap-based compact."""
+    from sms_db_spark.sinks.versioned import compact_current
+
+    store = str(tmp_path / "store")
+    commit_version(spark, store, _df(spark, 40, "a").repartition(8))
+    r1 = compact_current(spark, store)
+    assert r1["compacted"] is True and r1["version"] == "v00000002"
+    assert r1["n_files"] == 8 and r1["n_files_after"] == 1
+    got = read_current(spark, store)
+    assert got.count() == 40
+    assert spark.read.parquet(f"{store}/_versions/v00000001").count() == 40
+    r2 = compact_current(spark, store)  # already compact: no new version
+    assert r2["compacted"] is False
+    assert current_version(spark, store) == "v00000002"
