@@ -592,11 +592,14 @@ FROM d GROUP BY label ORDER BY label
 
 # Bucket recipe is curation's md5-prefix convention (_snap_bucket /
 # _snap_bucket_sql are imported aliases of curation's helpers at the top
-# of this module): ONE copy of the cross-engine hash trick to keep in sync.
-SNAP_OLD_UPTO = 900  # old snapshot holds id-buckets [0, 900)
-SNAP_NEW_FROM = 100  # new snapshot holds id-buckets [100, 1000)
-SNAP_CHANGE_LO = 450  # re-crawled (content changed) in [450, 500)
-SNAP_CHANGE_HI = 500
+# of this module): ONE copy of the cross-engine hash trick to keep in
+# sync. The window edges are DERIVED from the bucket count so a change
+# to SPLIT_BUCKETS rescales the snapshots instead of silently emptying
+# one of them.
+SNAP_OLD_UPTO = SNAP_BUCKETS * 9 // 10  # old snapshot: buckets [0, 90%)
+SNAP_NEW_FROM = SNAP_BUCKETS // 10  # new snapshot: buckets [10%, 100%)
+SNAP_CHANGE_LO = SNAP_BUCKETS * 45 // 100  # re-crawled in [45%, 50%)
+SNAP_CHANGE_HI = SNAP_BUCKETS // 2
 SNAP_RECRAWL_SUFFIX = " recrawl-v2"
 
 

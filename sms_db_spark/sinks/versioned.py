@@ -5,7 +5,14 @@ Layout:
 
     <store>/_versions/v00000001/            immutable data dirs
     <store>/_versions/v00000001/_COMMITTED  marker: data landed in full
-    <store>/_HEAD                           tiny file naming the live version
+    <store>/_HEAD                           live version + publication lineage
+
+The head document records every version `_HEAD` has ever named (the
+publication lineage), so "was this version ever live" is a recorded
+fact: retention protects exactly the lineage readers can have resolved,
+`rollback` restores only lineage members, and a flip that crashed after
+its marker — numbered between two live versions but never served — is
+`dead`, not restorable.
 
 A commit writes a NEW version dir in full, marks it `_COMMITTED`, then
 flips `_HEAD` with `write_text_atomic`. Readers resolve `_HEAD` and
@@ -30,11 +37,11 @@ streaming/shards.fold_cold_batches).
 
 Readers vs pruning (the vacuum caveat, stated honestly): a reader that
 resolved `_HEAD` and is still scanning while `prune_versions` deletes
-its version would fail mid-read. Retention counts COMMITTED versions
-only (orphans can never displace a real version from the window) with
-keep >= 2 enforced, so only readers older than `keep - 1` full commit
-cycles can race — at 100 TB, size `keep` to the longest-running query,
-exactly as Delta's vacuum retention is sized.
+its version would fail mid-read. Retention counts the PUBLISHED lineage
+only (orphans and dead flips can never displace a version a reader may
+hold) with keep >= 2 enforced, so only readers older than `keep - 1`
+full commit cycles can race — at 100 TB, size `keep` to the
+longest-running query, exactly as Delta's vacuum retention is sized.
 
 Reference parity: the reference rebuilds its whole SQLite store file on
 re-import and relies on the filesystem for durability (sms-db.pl:49);
@@ -72,15 +79,48 @@ def _is_committed(spark: SparkSession, root: str, name: str) -> bool:
     )
 
 
+def _head_doc(spark: SparkSession, store: str) -> dict | None:
+    head = read_text(spark, f"{store.rstrip('/')}/{_HEAD}")
+    return None if head is None else json.loads(head)
+
+
+def _write_head(spark: SparkSession, root: str, version: str, published: list[str]):
+    write_text_atomic(
+        spark,
+        f"{root}/{_HEAD}",
+        json.dumps({"version": version, "published": published}, sort_keys=True),
+    )
+
+
 def current_version(spark: SparkSession, store: str) -> str | None:
     """The live version name, or None when no pointer exists (a store
     with no commit yet — or a crashed pointer flip on a no-atomic-rename
     filesystem, which `recover_head` repairs; `read_current` tells the
     two apart via the commit markers)."""
-    head = read_text(spark, f"{store.rstrip('/')}/{_HEAD}")
-    if head is None:
-        return None
-    return json.loads(head)["version"]
+    doc = _head_doc(spark, store)
+    return None if doc is None else doc["version"]
+
+
+def _published(spark: SparkSession, root: str) -> list[str]:
+    """The publication LINEAGE: every version `_HEAD` has ever named, in
+    flip order — recorded in the head document itself, so 'was this
+    version ever live' is a fact, not an inference from numbering (a
+    flip that crashed after its marker is numbered between two live
+    versions but was never published). For a head written out-of-band
+    (no 'published' field), fall back to the numbering approximation:
+    committed versions up to the live one."""
+    doc = _head_doc(spark, root)
+    if doc is None:
+        return []
+    if "published" in doc:
+        return doc["published"]
+    live = doc["version"]
+    live_n = int(live[1:])
+    return [
+        n
+        for num, n in _versions(spark, root)
+        if num <= live_n and _is_committed(spark, root, n)
+    ]
 
 
 def recover_head(spark: SparkSession, store: str) -> str | None:
@@ -88,17 +128,18 @@ def recover_head(spark: SparkSession, store: str) -> str | None:
     only via write_text_atomic's documented object-store fallback — roll
     the pointer forward to the NEWEST committed version (both ends of
     the interrupted flip are complete by the marker invariant; newest =
-    finishing the flip that crashed). Returns the restored name, else
-    None. Run at every writer entry; a no-op on healthy stores."""
+    finishing the flip that crashed). The publication lineage is lost
+    with the pointer, so it restarts at the recovered version — a
+    conservative reseed (older versions read as dead and age out).
+    Returns the restored name, else None. Run at every writer entry; a
+    no-op on healthy stores."""
     root = _root(spark, store)
     if current_version(spark, root) is not None:
         return None
     committed = [n for _, n in _versions(spark, root) if _is_committed(spark, root, n)]
     if not committed:
         return None
-    write_text_atomic(
-        spark, f"{root}/{_HEAD}", json.dumps({"version": committed[-1]}, sort_keys=True)
-    )
+    _write_head(spark, root, committed[-1], [committed[-1]])
     return committed[-1]
 
 
@@ -108,10 +149,12 @@ def commit_version(spark: SparkSession, store: str, df: DataFrame) -> str:
     Data lands completely, then the `_COMMITTED` marker, then the
     pointer flip — so a dir without a marker is NEVER restorable (it is
     a crashed write, whatever its number) and a dir with one always
-    holds a complete dataset. The old version stays on disk (readable
-    by in-flight readers, restorable by pointing `_HEAD` back) until
-    pruned. Version numbers advance past every dir present — committed
-    or orphaned — so a crashed writer's numbers are never reused."""
+    holds a complete dataset. The flip also appends the version to the
+    head document's publication lineage (see `_published`). The old
+    version stays on disk (readable by in-flight readers, restorable
+    with `rollback`) until pruned. Version numbers advance past every
+    dir present — committed or orphaned — so a crashed writer's numbers
+    are never reused."""
     root = _root(spark, store)
     recover_head(spark, root)
     existing = _versions(spark, root)
@@ -120,10 +163,29 @@ def commit_version(spark: SparkSession, store: str, df: DataFrame) -> str:
     vdir = f"{root}/{_VERSIONS}/{name}"
     df.write.mode("error").parquet(vdir)
     write_text_atomic(spark, f"{vdir}/{_MARKER}", json.dumps({"version": name}))
-    write_text_atomic(
-        spark, f"{root}/{_HEAD}", json.dumps({"version": name}, sort_keys=True)
-    )
+    _write_head(spark, root, name, _published(spark, root) + [name])
     return name
+
+
+def rollback(spark: SparkSession, store: str, version: str) -> str:
+    """Point the store back at a previously-published version (the
+    restore path, first-class instead of hand-editing `_HEAD`). Only
+    lineage members are valid targets — a dir that was never live is
+    either dead or an orphan and must not be served. Versions published
+    after the target drop out of the lineage (dead; pruned later).
+    Returns the version that WAS live."""
+    root = _root(spark, store)
+    published = _published(spark, root)
+    if version not in published:
+        raise ValueError(
+            f"{version} was never published at {store} (lineage: {published}) — "
+            "refusing to serve a version no reader has ever seen"
+        )
+    if not _is_committed(spark, root, version):
+        raise ValueError(f"{version} has no {_MARKER} marker — not restorable")
+    old = current_version(spark, root)
+    _write_head(spark, root, version, published[: published.index(version) + 1])
+    return old
 
 
 def read_current(spark: SparkSession, store: str) -> DataFrame:
@@ -186,13 +248,16 @@ def compact_current(
 
 
 def prune_versions(spark: SparkSession, store: str, keep: int = 2) -> list[str]:
-    """Delete every unmarked orphan plus all but the newest `keep`
-    COMMITTED versions. Orphans are dead crash remnants — under the
-    single-writer contract no write is in flight while maintenance
-    runs — and never count toward the retention window, so a crashed
-    write cannot displace a real version from it. keep >= 2 is
-    enforced: readers up to `keep - 1` commit cycles old stay safe.
-    Returns the deleted names."""
+    """Delete everything except the newest `keep` versions of the
+    PUBLISHED lineage — the only versions a reader can ever have
+    resolved `_HEAD` to. Dead dirs (flips that crashed or were rolled
+    back, with or without a marker) never count toward the retention
+    window, so a crash remnant cannot displace a version readers may
+    still be scanning; under the single-writer contract no write is in
+    flight while maintenance runs. The head's recorded lineage is
+    trimmed to the survivors. keep >= 2 is enforced: readers up to
+    `keep - 1` commit cycles old stay safe. Returns the deleted
+    names."""
     if keep < 2:
         raise ValueError(
             f"keep must be >= 2 (got {keep}): retention is the only "
@@ -201,35 +266,41 @@ def prune_versions(spark: SparkSession, store: str, keep: int = 2) -> list[str]:
     root = _root(spark, store)
     recover_head(spark, root)
     live = current_version(spark, root)
-    names = [n for _, n in _versions(spark, root)]
-    committed = [n for n in names if _is_committed(spark, root, n)]
-    doomed = [n for n in names if n not in committed]  # orphans: always
-    doomed += [n for n in committed[:-keep] if n != live]
+    # the retention window counts only the PUBLISHED lineage — the
+    # versions a reader can ever have resolved `_HEAD` to; dead dirs
+    # (crashed or rolled-back flips, marked or not) must not displace a
+    # version readers may still be scanning
+    published = _published(spark, root)
+    retained = set(published[-keep:]) | ({live} if live else set())
+    doomed = [n for _, n in _versions(spark, root) if n not in retained]
     jvm, fs = hadoop_fs(spark, root)
     for n in doomed:
         if not fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{_VERSIONS}/{n}"), True):
             raise RuntimeError(f"prune failed deleting {store}/{_VERSIONS}/{n}")
+    if doomed and live:
+        _write_head(spark, root, live, [n for n in published if n in retained])
     return doomed
 
 
 def history(spark: SparkSession, store: str) -> list[dict]:
     """Every version dir with its truthful status — the audit surface:
-    `live` (the pointer's target), `old` (committed, restorable by
-    pointing `_HEAD` back), `unpublished` (committed — data complete —
-    but the flip never happened), `orphan` (NO marker: a crashed write,
-    never restorable, whatever its number)."""
+    `live` (the pointer's target), `old` (in the published lineage:
+    restorable with `rollback`), `dead` (marker present — data complete
+    — but NEVER in the lineage, or rolled back out of it: a flip that
+    crashed before publishing; pruned, never served), `orphan` (NO
+    marker: a crashed write, never restorable, whatever its number)."""
     root = _root(spark, store)
     live = current_version(spark, root)
-    live_n = int(live[1:]) if live else None
+    published = set(_published(spark, root))
     out = []
-    for num, name in _versions(spark, root):
+    for _, name in _versions(spark, root):
         if not _is_committed(spark, root, name):
             status = "orphan"
         elif name == live:
             status = "live"
-        elif live_n is not None and num < live_n:
+        elif name in published:
             status = "old"
         else:
-            status = "unpublished"
+            status = "dead"
         out.append({"version": name, "status": status})
     return out

@@ -5,11 +5,14 @@ and the distribution-level sibling of streaming/quality.py exactly as
 q136 is q127's in batch.
 
 The 100 TB discipline is in what gets compared: the standing corpus is
-profiled ONCE (one map-side-combined groupBy per feature, folding 100 TB
-to a |buckets|-row table) and carried as plain rows; each microbatch
-then aggregates only ITSELF and full-outer-joins its bucket counts
-against those few reference rows. No per-batch corpus rescan, no state
-beyond the reference profile — the monitor's working set is bytes.
+profiled ONCE — one scan computing every feature's bucket column in the
+same projection, one map-side-combined groupBy folding 100 TB to a
+|features × buckets|-row table — and carried as plain rows; each
+microbatch then scans only ITSELF (also once, all features) and merges
+its bucket counts with those few reference rows by plain dict union.
+No per-batch corpus rescan, no per-feature rescan of anything, no
+state beyond the reference profile — the monitor's working set is
+bytes.
 
 The arithmetic is `maintenance._drift_from_counts` — the SAME function
 q136 runs, not a re-implementation — so a microbatch's tvd_milli equals
@@ -37,55 +40,80 @@ from .metricslog import append_batch_report, read_batch_log
 
 
 def reference_profile(docs: DataFrame) -> dict[str, list[tuple[str, int]]]:
-    """Profile the standing corpus once: per feature, its (bucket, count)
-    table as plain rows. This is the ONLY pass over the corpus the
-    monitor ever makes; the result is |buckets|-sized and serializable,
-    so it can be computed at deploy time and shipped to the stream."""
-    out: dict[str, list[tuple[str, int]]] = {}
-    for name, bucket_fn in DRIFT_FEATURES:
-        rows = (
-            docs.select(bucket_fn().cast("string").alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
+    """Profile the standing corpus in ONE scan: per feature, its
+    (bucket, count) table as plain rows. Every feature's bucket column
+    is computed in the same projection (explode of a per-row
+    feature/bucket struct array), so N monitored features still cost
+    one pass over 100 TB, not N; the result is |features × buckets|
+    rows — serializable, computable at deploy time, shippable to the
+    stream. Raises on an empty corpus: a distribution over nothing is
+    not a reference, and logging drift against it would produce the
+    NULL-TVD rows the append guard exists to keep out."""
+    rows = _bucket_counts(docs)
+    if not rows:
+        raise ValueError(
+            "reference corpus is empty — cannot profile a distribution over no rows"
         )
-        out[name] = [(r.bucket, r.cnt) for r in rows]
+    out: dict[str, list[tuple[str, int]]] = {name: [] for name, _ in DRIFT_FEATURES}
+    for r in rows:
+        out[r.feature].append((r.bucket, r.cnt))
     return out
+
+
+def _bucket_counts(df: DataFrame):
+    """(feature, bucket, cnt) rows for ALL monitored features in one
+    scan: per row, an array of (feature, bucket) structs is exploded,
+    then one map-side-combined groupBy folds to |features × buckets|."""
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("feature"),
+                    fn().cast("string").alias("bucket"),
+                )
+                for name, fn in DRIFT_FEATURES
+            ]
+        )
+    )
+    return (
+        df.select(pairs.alias("p"))
+        .groupBy(F.col("p.feature").alias("feature"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
 
 
 def batch_drift(
     batch: DataFrame, ref: dict[str, list[tuple[str, int]]]
-) -> DataFrame:
+) -> DataFrame | None:
     """One microbatch's per-feature drift report vs the reference
-    profile. The batch aggregates to its own bucket table; a full-outer
-    join with zero-fill makes one-sided buckets count toward the TVD
-    (a bucket the corpus has never seen is pure drift, and vice versa)."""
+    profile, or None for an empty batch (no distribution to compare).
+
+    The batch is scanned ONCE for all features (`_bucket_counts` — the
+    streaming hot path re-reads no input file per feature and needs no
+    separate isEmpty probe). The bucket-count merge with the reference
+    is a plain dict union over the two tiny tables — zero-fill for
+    one-sided buckets, so a bucket the corpus has never seen is pure
+    drift, and NULL buckets stay ONE key exactly as q136's groupBy
+    treats them. Only the merged |buckets|-row table goes back to
+    Spark, where `_drift_from_counts` — q136's own arithmetic — runs."""
     spark = batch.sparkSession
+    batch_rows = _bucket_counts(batch)
+    if not batch_rows:
+        return None
+    by_feature: dict[str, dict] = {name: {} for name, _ in DRIFT_FEATURES}
+    for r in batch_rows:
+        by_feature[r.feature][r.bucket] = r.cnt
     reports = None
-    for name, bucket_fn in DRIFT_FEATURES:
-        batch_counts = (
-            batch.select(bucket_fn().cast("string").alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("cnt_a"))
-        )
-        ref_counts = spark.createDataFrame(
-            ref[name], "bucket string, cnt_b long"
-        )
-        # NULL-SAFE join: q136 groups all NULL buckets into one row; an
-        # equi-join would leave NULL keys unmatched and split that row
-        # into two one-sided ones, inflating the TVD
-        counts = (
-            batch_counts.alias("a")
-            .join(
-                ref_counts.alias("b"),
-                F.col("a.bucket").eqNullSafe(F.col("b.bucket")),
-                "full_outer",
-            )
-            .select(
-                F.coalesce("a.bucket", "b.bucket").alias("bucket"),
-                F.coalesce("a.cnt_a", F.lit(0)).alias("cnt_a"),
-                F.coalesce("b.cnt_b", F.lit(0)).alias("cnt_b"),
-            )
+    for name, _ in DRIFT_FEATURES:
+        cnt_a = by_feature[name]
+        cnt_b = dict(ref[name])
+        merged = [
+            (bucket, cnt_a.get(bucket, 0), cnt_b.get(bucket, 0))
+            for bucket in set(cnt_a) | set(cnt_b)
+        ]
+        counts = spark.createDataFrame(
+            merged, "bucket string, cnt_a long, cnt_b long"
         )
         report = _drift_from_counts(counts, name)
         reports = report if reports is None else reports.unionByName(report)
@@ -104,8 +132,9 @@ def append_drift(
     poison trailing-window alerting math — but the protocol's hygiene
     still runs, so a reset's stale same/higher-numbered partitions are
     purged even when the new epoch's first batch is empty."""
-    report = None if batch.isEmpty() else batch_drift(batch, ref)
-    append_batch_report(batch.sparkSession, log_dir, batch_id, report)
+    append_batch_report(
+        batch.sparkSession, log_dir, batch_id, batch_drift(batch, ref)
+    )
 
 
 def read_drift_log(spark: SparkSession, log_dir: str) -> DataFrame:

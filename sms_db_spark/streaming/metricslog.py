@@ -30,7 +30,10 @@ def append_batch_report(
     jvm, fs = hadoop_fs(sess, log_dir)
     for bid, name in numbered_child_dirs(sess, log_dir, "batch_id="):
         if bid > batch_id or (report is None and bid == batch_id):
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{log_dir}/{name}"), True)
+            # a silently-failed delete leaves a stale epoch spliced into
+            # the log — the exact corruption this protocol exists to stop
+            if not fs.delete(jvm.org.apache.hadoop.fs.Path(f"{log_dir}/{name}"), True):
+                raise RuntimeError(f"metrics-log purge failed deleting {log_dir}/{name}")
 
 
 def read_batch_log(

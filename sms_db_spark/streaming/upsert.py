@@ -28,15 +28,12 @@ is merge-on-read until compaction, same as q126's scale note.
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fsutil import hadoop_fs
+from ..fsutil import hadoop_fs, numbered_child_dirs
 from .windows import EVENT_SCHEMA  # noqa: F401 (one wire schema, see windows.py)
-
-_STATE_RE = re.compile(r"^state-(\d+)$")
 
 
 def _last():
@@ -78,16 +75,7 @@ def merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def _state_ids(sess: SparkSession, store_dir: str) -> list[int]:
-    jvm, fs = hadoop_fs(sess, store_dir)
-    base = jvm.org.apache.hadoop.fs.Path(store_dir)
-    if not fs.exists(base):
-        return []
-    out = []
-    for st in fs.listStatus(base):
-        m = _STATE_RE.match(st.getPath().getName())
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
+    return [n for n, _ in numbered_child_dirs(sess, store_dir, "state-")]
 
 
 def apply_batch(batch: DataFrame, batch_id: int, store_dir: str) -> None:

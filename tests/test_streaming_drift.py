@@ -142,3 +142,12 @@ def test_empty_first_batch_after_reset_still_purges(spark, tmp_path):
     # checkpoint wiped; the restarted stream's first batch is empty
     append_drift(docs.limit(0), 0, ref, log)
     assert read_drift_log(spark, log).count() == 0
+
+
+def test_empty_reference_corpus_refuses_to_profile(spark):
+    """A distribution over no rows is not a reference; profiling must
+    fail at deploy time, not poison the log with NULL TVDs later."""
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        reference_profile(_docs(spark).limit(0))

@@ -188,3 +188,42 @@ def test_compact_current_rewrites_through_the_pointer(spark, tmp_path):
     r2 = compact_current(spark, store)  # already compact: no new version
     assert r2["compacted"] is False
     assert current_version(spark, store) == "v00000002"
+
+
+def test_dead_marked_version_does_not_displace_retention(spark, tmp_path):
+    """A commit that crashed AFTER its marker but BEFORE the flip (head
+    still on the old version, then superseded) is dead, not lineage: it
+    must be reported 'dead', pruned outright, and must never push the
+    previous live version — which readers may still be scanning — out
+    of the keep window."""
+    store = str(tmp_path / "store")
+    commit_version(spark, store, _df(spark, 10, "a"))  # v1 (live)
+    # crashed flip: data + marker landed, _HEAD never moved off v1
+    _df(spark, 99, "crash").write.parquet(f"{store}/_versions/v00000002")
+    write_text_atomic(
+        spark, f"{store}/_versions/v00000002/_COMMITTED", '{"version": "v00000002"}'
+    )
+    commit_version(spark, store, _df(spark, 5, "c"))  # v3 (live)
+    assert _statuses(spark, store)["v00000002"] == "dead"
+    doomed = prune_versions(spark, store, keep=2)
+    assert doomed == ["v00000002"]  # the dead dir, NOT committed v1
+    assert _statuses(spark, store) == {"v00000001": "old", "v00000003": "live"}
+
+
+def test_rollback_restores_lineage_only(spark, tmp_path):
+    """rollback serves only versions that were actually live once;
+    versions published after the target become dead (pruned later), and
+    a dead dir is never a valid target."""
+    import pytest
+
+    from sms_db_spark.sinks.versioned import rollback
+
+    store = str(tmp_path / "store")
+    commit_version(spark, store, _df(spark, 10, "a"))
+    commit_version(spark, store, _df(spark, 4, "b"))
+    was = rollback(spark, store, "v00000001")
+    assert was == "v00000002"
+    assert read_current(spark, store).count() == 10
+    assert _statuses(spark, store) == {"v00000001": "live", "v00000002": "dead"}
+    with pytest.raises(ValueError, match="never published"):
+        rollback(spark, store, "v00000002")  # rolled out of the lineage
