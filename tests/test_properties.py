@@ -149,3 +149,57 @@ def test_epoch_shuffle_tiles_any_corpus_size(spark, n):
     assert all(r.n_docs == B for r in rows[:-1])
     assert rows[-1].n_docs == n - B * (len(rows) - 1)
     assert sum(r.id_sum for r in rows) == n * (n - 1) // 2  # exact membership
+
+
+# --------------------------------------------------- metrics-log protocol
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(min_value=0, max_value=6), st.booleans()),
+        st.tuples(st.just("reset"), st.just(0), st.just(False)),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=_ops)
+def test_metrics_log_protocol_matches_model(spark, tmp_path_factory, ops):
+    """Model-based law for the shared per-batch log protocol: after ANY
+    sequence of appends (with or without a report — replays, gaps,
+    out-of-order ids) and checkpoint resets (numbering restarts at 0),
+    the on-disk log equals a trivial in-python model of it. This is the
+    invariant both monitors' exactly-once claims reduce to."""
+    from sms_db_spark.streaming.metricslog import append_batch_report, read_batch_log
+
+    log = str(tmp_path_factory.mktemp("mlog") / "log")
+    model: dict[int, int] = {}  # batch_id -> payload marker
+    next_payload = 0
+    cursor = 0  # the stream's current batch numbering position
+    for op, bid, with_report in ops:
+        if op == "reset":
+            cursor = 0
+            continue
+        # a stream only ever presents ids >= its numbering position,
+        # but replays (same id, at-least-once) are legal
+        bid = min(bid, cursor)
+        report = None
+        if with_report:
+            next_payload += 1
+            report = spark.createDataFrame(
+                [(next_payload,)], "payload int"
+            )
+        append_batch_report(spark, log, bid, report)
+        # model: own partition overwritten (or dropped), higher ids dropped
+        model = {k: v for k, v in model.items() if k < bid}
+        if with_report:
+            model[bid] = next_payload
+        cursor = bid + 1
+    got = {
+        r.batch_id: r.payload
+        for r in read_batch_log(
+            spark, log, ["batch_id", "payload"], "batch_id int, payload int"
+        ).collect()
+    }
+    assert got == model

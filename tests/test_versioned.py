@@ -227,3 +227,29 @@ def test_rollback_restores_lineage_only(spark, tmp_path):
     assert _statuses(spark, store) == {"v00000001": "live", "v00000002": "dead"}
     with pytest.raises(ValueError, match="never published"):
         rollback(spark, store, "v00000002")  # rolled out of the lineage
+
+
+def test_versioned_day2_composition(spark, tmp_path):
+    """The day-2 chain on the pointer layout: ingest-commit → merged
+    recommit → compact_current → prune — content exact at every step
+    (full row multiset, not counts), the store readable throughout, and
+    the final lineage exactly the retained tail."""
+    from sms_db_spark.sinks.versioned import compact_current
+
+    store = str(tmp_path / "store")
+    day1 = _df(spark, 30, "day1")
+    commit_version(spark, store, day1.repartition(6))
+    day2 = _df(spark, 10, "day2").select((F.col("id") + 100).alias("id"), "tag")
+    merged = read_current(spark, store).unionByName(day2)
+    commit_version(spark, store, merged.repartition(8))
+    want = sorted((r.id, r.tag) for r in day1.collect()) + sorted(
+        (r.id, r.tag) for r in day2.collect()
+    )
+    assert sorted((r.id, r.tag) for r in read_current(spark, store).collect()) == sorted(want)
+    r = compact_current(spark, store)
+    assert r["compacted"] is True
+    assert sorted((r2.id, r2.tag) for r2 in read_current(spark, store).collect()) == sorted(want)
+    doomed = prune_versions(spark, store, keep=2)
+    assert doomed == ["v00000001"]
+    assert _statuses(spark, store) == {"v00000002": "old", "v00000003": "live"}
+    assert sorted((r2.id, r2.tag) for r2 in read_current(spark, store).collect()) == sorted(want)
