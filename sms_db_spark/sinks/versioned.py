@@ -128,18 +128,20 @@ def recover_head(spark: SparkSession, store: str) -> str | None:
     only via write_text_atomic's documented object-store fallback — roll
     the pointer forward to the NEWEST committed version (both ends of
     the interrupted flip are complete by the marker invariant; newest =
-    finishing the flip that crashed). The publication lineage is lost
-    with the pointer, so it restarts at the recovered version — a
-    conservative reseed (older versions read as dead and age out).
-    Returns the restored name, else None. Run at every writer entry; a
-    no-op on healthy stores."""
+    finishing the flip that crashed). The true lineage is lost with the
+    pointer, so it reseeds with EVERY committed version in numeric
+    order — the conservative direction: a reader-held version must
+    stay under retention's protection, and over-protecting a dead flip
+    costs only disk until it ages out of the keep window. Returns the
+    restored name, else None. Run at every writer entry; a no-op on
+    healthy stores."""
     root = _root(spark, store)
     if current_version(spark, root) is not None:
         return None
     committed = [n for _, n in _versions(spark, root) if _is_committed(spark, root, n)]
     if not committed:
         return None
-    _write_head(spark, root, committed[-1], [committed[-1]])
+    _write_head(spark, root, committed[-1], committed)
     return committed[-1]
 
 
@@ -171,10 +173,14 @@ def rollback(spark: SparkSession, store: str, version: str) -> str:
     """Point the store back at a previously-published version (the
     restore path, first-class instead of hand-editing `_HEAD`). Only
     lineage members are valid targets — a dir that was never live is
-    either dead or an orphan and must not be served. Versions published
-    after the target drop out of the lineage (dead; pruned later).
+    either dead or an orphan and must not be served. The lineage is
+    APPEND-ONLY: the rollback is recorded as one more publication, so
+    the just-superseded version keeps its full retention window (a
+    reader may be scanning it right now), rolling forward again is
+    possible, and the head document remains a complete flip log.
     Returns the version that WAS live."""
     root = _root(spark, store)
+    recover_head(spark, root)
     published = _published(spark, root)
     if version not in published:
         raise ValueError(
@@ -184,7 +190,7 @@ def rollback(spark: SparkSession, store: str, version: str) -> str:
     if not _is_committed(spark, root, version):
         raise ValueError(f"{version} has no {_MARKER} marker — not restorable")
     old = current_version(spark, root)
-    _write_head(spark, root, version, published[: published.index(version) + 1])
+    _write_head(spark, root, version, published + [version])
     return old
 
 
@@ -268,17 +274,29 @@ def prune_versions(spark: SparkSession, store: str, keep: int = 2) -> list[str]:
     live = current_version(spark, root)
     # the retention window counts only the PUBLISHED lineage — the
     # versions a reader can ever have resolved `_HEAD` to; dead dirs
-    # (crashed or rolled-back flips, marked or not) must not displace a
-    # version readers may still be scanning
+    # (flips that crashed before publishing, marked or not) must not
+    # displace a version readers may still be scanning. The lineage may
+    # name a version several times (rollbacks); the window is the last
+    # `keep` DISTINCT publications.
     published = _published(spark, root)
-    retained = set(published[-keep:]) | ({live} if live else set())
-    doomed = [n for _, n in _versions(spark, root) if n not in retained]
+    retained: list[str] = []
+    for n in reversed(published):
+        if n not in retained:
+            retained.append(n)
+        if len(retained) >= keep:
+            break
+    retained_set = set(retained) | ({live} if live else set())
+    doomed = [n for _, n in _versions(spark, root) if n not in retained_set]
+    # trim the recorded lineage BEFORE deleting: a crash mid-prune must
+    # never leave `_HEAD` naming dirs that no longer exist (the
+    # un-deleted dirs simply fall out of lineage and re-doom next run)
+    new_published = [n for n in published if n in retained_set]
+    if live and new_published != published:
+        _write_head(spark, root, live, new_published)
     jvm, fs = hadoop_fs(spark, root)
     for n in doomed:
         if not fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{_VERSIONS}/{n}"), True):
             raise RuntimeError(f"prune failed deleting {store}/{_VERSIONS}/{n}")
-    if doomed and live:
-        _write_head(spark, root, live, [n for n in published if n in retained])
     return doomed
 
 
@@ -286,9 +304,13 @@ def history(spark: SparkSession, store: str) -> list[dict]:
     """Every version dir with its truthful status — the audit surface:
     `live` (the pointer's target), `old` (in the published lineage:
     restorable with `rollback`), `dead` (marker present — data complete
-    — but NEVER in the lineage, or rolled back out of it: a flip that
-    crashed before publishing; pruned, never served), `orphan` (NO
-    marker: a crashed write, never restorable, whatever its number)."""
+    — but not in the lineage: a flip that crashed before publishing,
+    or a version retention already expired), `orphan` (NO marker: a
+    crashed write, never restorable, whatever its number), and on a
+    store whose `_HEAD` was lost, `unpublished` for every marked dir —
+    the lineage went with the pointer, so served-vs-crashed is unknown
+    until `recover_head` runs (which this read-only audit deliberately
+    does not do)."""
     root = _root(spark, store)
     live = current_version(spark, root)
     published = set(_published(spark, root))
@@ -296,6 +318,8 @@ def history(spark: SparkSession, store: str) -> list[dict]:
     for _, name in _versions(spark, root):
         if not _is_committed(spark, root, name):
             status = "orphan"
+        elif live is None:
+            status = "unpublished"
         elif name == live:
             status = "live"
         elif name in published:

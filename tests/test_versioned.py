@@ -210,10 +210,12 @@ def test_dead_marked_version_does_not_displace_retention(spark, tmp_path):
     assert _statuses(spark, store) == {"v00000001": "old", "v00000003": "live"}
 
 
-def test_rollback_restores_lineage_only(spark, tmp_path):
-    """rollback serves only versions that were actually live once;
-    versions published after the target become dead (pruned later), and
-    a dead dir is never a valid target."""
+def test_rollback_is_append_only_and_lineage_gated(spark, tmp_path):
+    """rollback serves only versions that were actually live once, and
+    records itself as one more publication: the just-superseded version
+    keeps its retention window (a reader may be scanning it) and can be
+    rolled forward to again; a marked dir that was never published is
+    refused."""
     import pytest
 
     from sms_db_spark.sinks.versioned import rollback
@@ -224,9 +226,18 @@ def test_rollback_restores_lineage_only(spark, tmp_path):
     was = rollback(spark, store, "v00000001")
     assert was == "v00000002"
     assert read_current(spark, store).count() == 10
-    assert _statuses(spark, store) == {"v00000001": "live", "v00000002": "dead"}
+    # v2 stays lineage ("old"), NOT dead: readers may still hold it
+    assert _statuses(spark, store) == {"v00000001": "live", "v00000002": "old"}
+    # and rolling forward again is possible
+    assert rollback(spark, store, "v00000002") == "v00000001"
+    assert read_current(spark, store).count() == 4
+    # a crashed flip (marked, never published) is never a valid target
+    _df(spark, 9, "crash").write.parquet(f"{store}/_versions/v00000003")
+    write_text_atomic(
+        spark, f"{store}/_versions/v00000003/_COMMITTED", '{"version": "v00000003"}'
+    )
     with pytest.raises(ValueError, match="never published"):
-        rollback(spark, store, "v00000002")  # rolled out of the lineage
+        rollback(spark, store, "v00000003")
 
 
 def test_versioned_day2_composition(spark, tmp_path):
@@ -253,3 +264,34 @@ def test_versioned_day2_composition(spark, tmp_path):
     assert doomed == ["v00000001"]
     assert _statuses(spark, store) == {"v00000002": "old", "v00000003": "live"}
     assert sorted((r2.id, r2.tag) for r2 in read_current(spark, store).collect()) == sorted(want)
+
+
+def test_lost_pointer_recovery_preserves_retention(spark, tmp_path):
+    """After recover_head rebuilds a lost pointer, the reseeded lineage
+    must still protect recently-live versions: the first prune may
+    delete only what normal retention would have (a reader holding the
+    pre-crash live version survives the recovery + prune sequence)."""
+    store = str(tmp_path / "store")
+    for i in range(3):
+        commit_version(spark, store, _df(spark, i + 1, f"t{i}"))
+    jvm, fs = hadoop_fs(spark, store)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store}/_HEAD"), False)
+    doomed = prune_versions(spark, store, keep=2)  # runs recover_head itself
+    assert doomed == ["v00000001"]  # NOT v2 — the pre-crash live's predecessor window
+    assert _statuses(spark, store) == {"v00000002": "old", "v00000003": "live"}
+    assert read_current(spark, store).count() == 3
+
+
+def test_headless_history_reports_unpublished_not_dead(spark, tmp_path):
+    """With the pointer (and lineage) lost, a read-only audit cannot
+    know served-from-crashed; it must say 'unpublished', not condemn
+    recoverable data as dead."""
+    store = str(tmp_path / "store")
+    commit_version(spark, store, _df(spark, 2, "a"))
+    commit_version(spark, store, _df(spark, 3, "b"))
+    jvm, fs = hadoop_fs(spark, store)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store}/_HEAD"), False)
+    assert _statuses(spark, store) == {
+        "v00000001": "unpublished",
+        "v00000002": "unpublished",
+    }
