@@ -12,7 +12,10 @@ publication lineage), so "was this version ever live" is a recorded
 fact: retention protects exactly the lineage readers can have resolved,
 `rollback` restores only lineage members, and a flip that crashed after
 its marker — numbered between two live versions but never served — is
-`dead`, not restorable.
+`dead`, not restorable. The one exception is pointer-loss recovery: the
+flip log dies with the pointer, so `recover_head` conservatively
+readopts every complete version (served-vs-crashed is unknowable) and
+marks them `protected` until retention can prove readers have moved on.
 
 A commit writes a NEW version dir in full, marks it `_COMMITTED`, then
 flips `_HEAD` with `write_text_atomic`. Readers resolve `_HEAD` and
@@ -84,12 +87,17 @@ def _head_doc(spark: SparkSession, store: str) -> dict | None:
     return None if head is None else json.loads(head)
 
 
-def _write_head(spark: SparkSession, root: str, version: str, published: list[str]):
-    write_text_atomic(
-        spark,
-        f"{root}/{_HEAD}",
-        json.dumps({"version": version, "published": published}, sort_keys=True),
-    )
+def _write_head(
+    spark: SparkSession,
+    root: str,
+    version: str,
+    published: list[str],
+    protected: list[str] | None = None,
+):
+    doc = {"version": version, "published": published}
+    if protected:
+        doc["protected"] = sorted(protected)
+    write_text_atomic(spark, f"{root}/{_HEAD}", json.dumps(doc, sort_keys=True))
 
 
 def current_version(spark: SparkSession, store: str) -> str | None:
@@ -129,11 +137,15 @@ def recover_head(spark: SparkSession, store: str) -> str | None:
     the pointer forward to the NEWEST committed version (both ends of
     the interrupted flip are complete by the marker invariant; newest =
     finishing the flip that crashed). The true lineage is lost with the
-    pointer, so it reseeds with EVERY committed version in numeric
-    order — the conservative direction: a reader-held version must
-    stay under retention's protection, and over-protecting a dead flip
-    costs only disk until it ages out of the keep window. Returns the
-    restored name, else None. Run at every writer entry; a no-op on
+    pointer, so it reseeds with EVERY committed version — the
+    conservative direction: any of them could be reader-held or
+    restorable, so all are readopted (a dead flip indistinguishably
+    becomes 'old'; served-vs-crashed is unknowable once the flip log is
+    gone) AND marked `protected`: retention may not delete any of them
+    until `keep` distinct NEW versions have been published since the
+    recovery, at which point every pre-recovery reader is at least
+    `keep` commit cycles stale — the documented prune contract. Returns
+    the restored name, else None. Run at every writer entry; a no-op on
     healthy stores."""
     root = _root(spark, store)
     if current_version(spark, root) is not None:
@@ -141,7 +153,7 @@ def recover_head(spark: SparkSession, store: str) -> str | None:
     committed = [n for _, n in _versions(spark, root) if _is_committed(spark, root, n)]
     if not committed:
         return None
-    _write_head(spark, root, committed[-1], committed)
+    _write_head(spark, root, committed[-1], committed, protected=committed)
     return committed[-1]
 
 
@@ -165,7 +177,14 @@ def commit_version(spark: SparkSession, store: str, df: DataFrame) -> str:
     vdir = f"{root}/{_VERSIONS}/{name}"
     df.write.mode("error").parquet(vdir)
     write_text_atomic(spark, f"{vdir}/{_MARKER}", json.dumps({"version": name}))
-    _write_head(spark, root, name, _published(spark, root) + [name])
+    doc = _head_doc(spark, root) or {}
+    _write_head(
+        spark,
+        root,
+        name,
+        _published(spark, root) + [name],
+        protected=doc.get("protected"),
+    )
     return name
 
 
@@ -190,7 +209,10 @@ def rollback(spark: SparkSession, store: str, version: str) -> str:
     if not _is_committed(spark, root, version):
         raise ValueError(f"{version} has no {_MARKER} marker — not restorable")
     old = current_version(spark, root)
-    _write_head(spark, root, version, published + [version])
+    doc = _head_doc(spark, root) or {}
+    _write_head(
+        spark, root, version, published + [version], protected=doc.get("protected")
+    )
     return old
 
 
@@ -254,16 +276,19 @@ def compact_current(
 
 
 def prune_versions(spark: SparkSession, store: str, keep: int = 2) -> list[str]:
-    """Delete everything except the newest `keep` versions of the
-    PUBLISHED lineage — the only versions a reader can ever have
-    resolved `_HEAD` to. Dead dirs (flips that crashed or were rolled
-    back, with or without a marker) never count toward the retention
-    window, so a crash remnant cannot displace a version readers may
-    still be scanning; under the single-writer contract no write is in
-    flight while maintenance runs. The head's recorded lineage is
-    trimmed to the survivors. keep >= 2 is enforced: readers up to
-    `keep - 1` commit cycles old stay safe. Returns the deleted
-    names."""
+    """Delete everything except the newest `keep` DISTINCT versions of
+    the PUBLISHED lineage — the only versions a reader can ever have
+    resolved `_HEAD` to. Dead dirs (flips that crashed before
+    publishing, with or without a marker) never count toward the
+    retention window, so a crash remnant cannot displace a version
+    readers may still be scanning; under the single-writer contract no
+    write is in flight while maintenance runs. Versions readopted by a
+    pointer-loss recovery are additionally `protected` — undeletable
+    until `keep` distinct post-recovery versions exist, since any of
+    them could be reader-held. The head's recorded lineage is trimmed
+    to the survivors (duplicates collapsed, dangling names dropped).
+    keep >= 2 is enforced: readers up to `keep - 1` commit cycles old
+    stay safe. Returns the deleted names."""
     if keep < 2:
         raise ValueError(
             f"keep must be >= 2 (got {keep}): retention is the only "
@@ -272,27 +297,51 @@ def prune_versions(spark: SparkSession, store: str, keep: int = 2) -> list[str]:
     root = _root(spark, store)
     recover_head(spark, root)
     live = current_version(spark, root)
+    existing = {n for _, n in _versions(spark, root)}
     # the retention window counts only the PUBLISHED lineage — the
     # versions a reader can ever have resolved `_HEAD` to; dead dirs
     # (flips that crashed before publishing, marked or not) must not
     # displace a version readers may still be scanning. The lineage may
     # name a version several times (rollbacks); the window is the last
     # `keep` DISTINCT publications.
+    doc = _head_doc(spark, root) or {}
     published = _published(spark, root)
+    protected = set(doc.get("protected", ()))
+    if protected:
+        # a pointer-loss recovery readopted these conservatively; they
+        # stay undeletable until `keep` distinct NEW versions have been
+        # published since — only then is every pre-recovery reader at
+        # least `keep` commit cycles stale
+        if len({n for n in published if n not in protected}) >= keep:
+            protected = set()
     retained: list[str] = []
     for n in reversed(published):
         if n not in retained:
             retained.append(n)
         if len(retained) >= keep:
             break
-    retained_set = set(retained) | ({live} if live else set())
+    retained_set = (
+        set(retained) | ({live} if live else set()) | (protected & existing)
+    )
     doomed = [n for _, n in _versions(spark, root) if n not in retained_set]
-    # trim the recorded lineage BEFORE deleting: a crash mid-prune must
-    # never leave `_HEAD` naming dirs that no longer exist (the
-    # un-deleted dirs simply fall out of lineage and re-doom next run)
-    new_published = [n for n in published if n in retained_set]
-    if live and new_published != published:
-        _write_head(spark, root, live, new_published)
+    # trim the recorded lineage BEFORE deleting — a crash mid-prune must
+    # never leave `_HEAD` naming dirs that no longer exist (un-deleted
+    # dirs simply fall out of lineage and re-doom next run). The trim
+    # also collapses duplicate entries (rollbacks re-publish names) to
+    # the LAST occurrence and drops names with no dir on disk, so the
+    # head document stays bounded and never names a deleted version.
+    seen: set[str] = set()
+    collapsed: list[str] = []
+    for n in reversed(published):
+        if n in retained_set and n in existing and n not in seen:
+            seen.add(n)
+            collapsed.append(n)
+    new_published = list(reversed(collapsed))
+    if live and (new_published != published or (protected != set(doc.get("protected", ())))):
+        _write_head(
+            spark, root, live, new_published,
+            protected=sorted(protected & existing) if protected else None,
+        )
     jvm, fs = hadoop_fs(spark, root)
     for n in doomed:
         if not fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{_VERSIONS}/{n}"), True):

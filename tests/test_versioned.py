@@ -266,20 +266,35 @@ def test_versioned_day2_composition(spark, tmp_path):
     assert sorted((r2.id, r2.tag) for r2 in read_current(spark, store).collect()) == sorted(want)
 
 
-def test_lost_pointer_recovery_preserves_retention(spark, tmp_path):
-    """After recover_head rebuilds a lost pointer, the reseeded lineage
-    must still protect recently-live versions: the first prune may
-    delete only what normal retention would have (a reader holding the
-    pre-crash live version survives the recovery + prune sequence)."""
+def test_lost_pointer_recovery_protects_all_readopted_versions(spark, tmp_path):
+    """After recover_head rebuilds a lost pointer the flip log is gone,
+    so ANY committed version could be reader-held — including one
+    shadowed by a dead flip. Prune must delete NOTHING until `keep`
+    distinct post-recovery versions exist; then the readopted set ages
+    out together."""
     store = str(tmp_path / "store")
-    for i in range(3):
-        commit_version(spark, store, _df(spark, i + 1, f"t{i}"))
+    commit_version(spark, store, _df(spark, 1, "a"))
+    commit_version(spark, store, _df(spark, 2, "b"))
+    # dead flip: marker landed, _HEAD never moved (still v2)...
+    _df(spark, 9, "crash").write.parquet(f"{store}/_versions/v00000003")
+    write_text_atomic(
+        spark, f"{store}/_versions/v00000003/_COMMITTED", '{"version": "v00000003"}'
+    )
+    # ...then the NEXT flip crashes on the object-store fallback: _HEAD lost
     jvm, fs = hadoop_fs(spark, store)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store}/_HEAD"), False)
     doomed = prune_versions(spark, store, keep=2)  # runs recover_head itself
-    assert doomed == ["v00000001"]  # NOT v2 — the pre-crash live's predecessor window
-    assert _statuses(spark, store) == {"v00000002": "old", "v00000003": "live"}
-    assert read_current(spark, store).count() == 3
+    # the dead flip must NOT displace pre-crash-live v2 from retention:
+    # with the log gone, nothing readopted may be deleted yet
+    assert doomed == []
+    assert spark.read.parquet(f"{store}/_versions/v00000002").count() == 2
+    # protection releases once keep distinct NEW versions exist
+    commit_version(spark, store, _df(spark, 4, "d"))
+    commit_version(spark, store, _df(spark, 5, "e"))
+    doomed = prune_versions(spark, store, keep=2)
+    assert doomed == ["v00000001", "v00000002", "v00000003"]
+    assert _statuses(spark, store) == {"v00000004": "old", "v00000005": "live"}
+    assert read_current(spark, store).count() == 5
 
 
 def test_headless_history_reports_unpublished_not_dead(spark, tmp_path):
@@ -295,3 +310,26 @@ def test_headless_history_reports_unpublished_not_dead(spark, tmp_path):
         "v00000001": "unpublished",
         "v00000002": "unpublished",
     }
+
+
+def test_prune_bounds_lineage_and_drops_dangling_names(spark, tmp_path):
+    """Rollback ping-pong appends to the lineage; prune must collapse it
+    to distinct survivors (the head document stays bounded) and drop
+    names whose dirs no longer exist (a pre-fix crash could have left
+    them), so `_HEAD` never names a deleted version."""
+    from sms_db_spark.sinks.versioned import rollback
+
+    store = str(tmp_path / "store")
+    commit_version(spark, store, _df(spark, 1, "a"))
+    commit_version(spark, store, _df(spark, 2, "b"))
+    for _ in range(3):
+        rollback(spark, store, "v00000001")
+        rollback(spark, store, "v00000002")
+    # manufacture a lineage entry whose dir is gone (crashed old prune)
+    head = json.loads(read_text(spark, f"{store}/_HEAD"))
+    head["published"] = ["v00000099"] + head["published"]
+    write_text_atomic(spark, f"{store}/_HEAD", json.dumps(head))
+    prune_versions(spark, store, keep=2)
+    after = json.loads(read_text(spark, f"{store}/_HEAD"))
+    assert after["published"] == ["v00000001", "v00000002"]  # collapsed + healed
+    assert read_current(spark, store).count() == 2
