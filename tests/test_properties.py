@@ -203,3 +203,82 @@ def test_metrics_log_protocol_matches_model(spark, tmp_path_factory, ops):
         ).collect()
     }
     assert got == model
+
+
+# ------------------------------------------------- versioned store lifecycle
+
+_vops = st.lists(
+    st.one_of(
+        st.tuples(st.just("commit"), st.integers(min_value=1, max_value=20)),
+        st.tuples(st.just("rollback"), st.integers(min_value=0, max_value=5)),
+        st.tuples(st.just("prune"), st.integers(min_value=2, max_value=3)),
+        st.tuples(st.just("lose_head"), st.just(0)),
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ops=_vops)
+def test_versioned_store_invariants_under_any_op_sequence(spark, tmp_path_factory, ops):
+    """Lifecycle law for the commit-pointer store: under ANY sequence of
+    commits, rollbacks, prunes, and pointer losses, (a) the store always
+    recovers to a readable state whose contents match what was committed
+    under that name, (b) `_HEAD` never names a dir that does not exist,
+    and (c) prune never deletes the live version."""
+    import json as _json
+
+    from sms_db_spark.fsutil import hadoop_fs, read_text
+    from sms_db_spark.sinks.versioned import (
+        commit_version,
+        current_version,
+        prune_versions,
+        read_current,
+        recover_head,
+        rollback,
+    )
+
+    store = str(tmp_path_factory.mktemp("vprop") / "store")
+    sizes: dict[str, int] = {}  # committed name -> row count
+    lineage: list[str] = []  # names we know were once live
+    for op, arg in ops:
+        if op == "commit":
+            name = commit_version(spark, store, spark.range(arg).select("id"))
+            sizes[name] = arg
+            lineage.append(name)
+        elif op == "rollback":
+            recover_head(spark, store)
+            alive = [n for n in lineage if n in sizes]
+            if not alive:
+                continue
+            target = alive[arg % len(alive)]
+            try:
+                rollback(spark, store, target)
+                lineage.append(target)
+            except ValueError:
+                pass  # pruned/readopted-away target: refusal is legal
+        elif op == "prune":
+            if current_version(spark, store) is None and not sizes:
+                continue
+            live_before = current_version(spark, store) or recover_head(spark, store)
+            doomed = prune_versions(spark, store, keep=arg)
+            assert live_before not in doomed  # (c)
+            for n in doomed:
+                sizes.pop(n, None)
+        else:  # lose_head
+            jvm, fs = hadoop_fs(spark, store)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store}/_HEAD"), False)
+        # (a)+(b) after every op: recover if needed, then audit
+        if sizes:
+            recover_head(spark, store)
+            live = current_version(spark, store)
+            assert live in sizes
+            assert read_current(spark, store).count() == sizes[live]
+            head = _json.loads(read_text(spark, f"{store}/_HEAD"))
+            jvm, fs = hadoop_fs(spark, store)
+            for n in set(head["published"]):
+                # lineage may only name dirs that exist on disk
+                assert fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(f"{store}/_versions/{n}")
+                ), f"lineage names missing dir {n}"
