@@ -15,8 +15,10 @@ chain: shard assignment, the written bytes, the manifest stats, and
 
 Scale note: the writes are the real distributed writers (one range
 shuffle each); only the N_SHARDS-row manifest ever touches the driver.
-The temp-dir write is the test-scale stand-in for the store path —
-the audit SHAPE (manifest vs oracle recompute) is what runs at 100 TB.
+Scratch location: `spark.sms_db_spark.scratchRoot` (shared storage —
+HDFS/S3A — for cluster runs); unset, a driver-local tempdir, which is
+the local-mode test-scale stand-in. The audit SHAPE (manifest vs
+oracle recompute) is what runs at 100 TB.
 
 Reference lineage: the manifest is the at-scale form of the reference's
 import-stats report (sms-db.pl:333-339) — counts the operator checks
@@ -25,17 +27,49 @@ before trusting a handoff.
 
 from __future__ import annotations
 
+import contextlib
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import hadoop_fs
 from ..operators.sketches import _h60_sql
 from ..plans import QuerySpec
 from ..sinks.shards import _shard_stats, write_training_shards
 from ..streaming.shards import apply_shard_batch, merged_manifest
 from ..tables import load_table
+
+# Scratch root for the write-audit queries. Executors on a real cluster
+# cannot see the driver's /tmp, so a driver-local mkdtemp works only in
+# local mode; set this conf to a shared location (HDFS/S3A URI) to run
+# the audits on a cluster. Unset, the local-tmpdir default preserves the
+# test-scale behavior.
+SCRATCH_ROOT_CONF = "spark.sms_db_spark.scratchRoot"
+
+
+@contextlib.contextmanager
+def _scratch_dir(spark: SparkSession, prefix: str):
+    """A per-run scratch directory every executor can reach: a unique
+    child of the configured shared root, else a driver-local tempdir
+    (local mode). Cleanup goes through the Hadoop FS API for the shared
+    case (the path may be an object-store URI) and shutil locally."""
+    root = spark.conf.get(SCRATCH_ROOT_CONF, None)
+    if root:
+        path = f"{root.rstrip('/')}/{prefix}{uuid.uuid4().hex}"
+        try:
+            yield path
+        finally:
+            jvm, fs = hadoop_fs(spark, path)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+    else:
+        path = tempfile.mkdtemp(prefix=prefix)
+        try:
+            yield path
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
 
 N_AUDIT_SHARDS = 8
 # the checksum column is the manifest sum REDUCED mod 2^60: the full sum
@@ -102,11 +136,8 @@ def q134_shard_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard assignment, written bytes, and manifest stats agree
     end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="sms_db_spark_shard_audit_")
-    try:
+    with _scratch_dir(spark, "sms_db_spark_shard_audit_") as path:
         manifest = write_training_shards(docs, path, N_AUDIT_SHARDS, key="doc_id")
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
     return _audit_frame(spark, manifest["shards"])
 
 
@@ -145,9 +176,9 @@ def q135_stream_shard_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFr
     row, not only a pytest. Oracle identical to q134's: the law says
     streaming == batch == raw-corpus recompute."""
     docs = load_table(spark, sf_dir, "documents")
-    sdir = tempfile.mkdtemp(prefix="sms_db_spark_stream_audit_")
-    bdir = tempfile.mkdtemp(prefix="sms_db_spark_batch_ref_")
-    try:
+    with _scratch_dir(spark, "sms_db_spark_stream_audit_") as sdir, _scratch_dir(
+        spark, "sms_db_spark_batch_ref_"
+    ) as bdir:
         for bid, k in enumerate((2, 0, 1)):  # out-of-order arrival
             apply_shard_batch(
                 docs.filter(F.col("doc_id") % 3 == k), bid, sdir,
@@ -160,9 +191,6 @@ def q135_stream_shard_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFr
         merged = merged_manifest(spark, sdir)
         disk = _shard_stats(spark, sdir)
         batch_ref = write_training_shards(docs, bdir, N_AUDIT_SHARDS, key="doc_id")
-    finally:
-        shutil.rmtree(sdir, ignore_errors=True)
-        shutil.rmtree(bdir, ignore_errors=True)
     return _audit_frame(spark, merged["shards"], disk, extra=batch_ref["shards"])
 
 
@@ -181,8 +209,7 @@ def q139_fold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.shards import fold_cold_batches
 
     docs = load_table(spark, sf_dir, "documents")
-    sdir = tempfile.mkdtemp(prefix="sms_db_spark_fold_audit_")
-    try:
+    with _scratch_dir(spark, "sms_db_spark_fold_audit_") as sdir:
         for bid, k in enumerate((0, 1, 2)):
             apply_shard_batch(
                 docs.filter(F.col("doc_id") % 3 == k), bid, sdir,
@@ -196,8 +223,6 @@ def q139_fold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merged = merged_manifest(spark, sdir)
         disk = _shard_stats(spark, sdir)
-    finally:
-        shutil.rmtree(sdir, ignore_errors=True)
     return _audit_frame(spark, merged["shards"], disk)
 
 

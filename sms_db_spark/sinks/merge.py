@@ -229,13 +229,36 @@ def merge_into_cow(
 
     def _footer_ranges(batches):
         import pandas as pd
+        import pyarrow as pa
         import pyarrow.fs as pafs
         import pyarrow.parquet as pq
+
+        # Hadoop spells object-store schemes its own way (s3a://,
+        # abfss://, wasbs://); pyarrow's from_uri knows only the native
+        # ones and raises ArrowInvalid on the rest. Rewrite the known
+        # aliases, and if the scheme is STILL unrecognized fall back to
+        # stats-less (conservatively touched) — a merge must degrade to
+        # rewriting more files, never fail outright on a valid store.
+        scheme_aliases = {
+            "s3a://": "s3://",
+            "s3n://": "s3://",
+            "abfss://": "abfs://",
+            "wasb://": "abfs://",
+            "wasbs://": "abfs://",
+        }
 
         def key_range(fpath: str):
             """(lo, hi) from footer stats; None marks 'no usable stats —
             conservatively touched'."""
-            pfs, ppath = pafs.FileSystem.from_uri(fpath)
+            uri = fpath
+            for alias, native in scheme_aliases.items():
+                if uri.startswith(alias):
+                    uri = native + uri[len(alias):]
+                    break
+            try:
+                pfs, ppath = pafs.FileSystem.from_uri(uri)
+            except pa.ArrowInvalid:
+                return None  # unknown scheme: no footer access, prune nothing
             with pfs.open_input_file(ppath) as fh:
                 md = pq.ParquetFile(fh).metadata
             if md.num_row_groups == 0:

@@ -23,17 +23,29 @@ from ..fsutil import hadoop_fs, numbered_child_dirs
 def append_batch_report(
     sess: SparkSession, log_dir: str, batch_id: int, report: DataFrame | None
 ) -> None:
-    """Land one batch's report (or None) under the log protocol."""
+    """Land one batch's report (or None) under the log protocol.
+
+    Order matters: the stale-partition purge runs BEFORE the current
+    batch's partition is written. Writing first would open a window —
+    between the write and the purge, or if a purge delete dies mid-loop
+    — where a reader sees the new epoch's report spliced with
+    pre-reset higher-numbered partitions, the exact corruption the
+    protocol exists to stop. Purge-first is safe: a crash after the
+    purge but before the write only loses this batch's report
+    transiently, and the batch replays (at-least-once) and rewrites it.
+    """
+    jvm, fs = hadoop_fs(sess, log_dir)
+    for bid, name in numbered_child_dirs(sess, log_dir, "batch_id="):
+        if bid >= batch_id:
+            # own-id partitions are purged too (the overwrite below would
+            # replace one, but a report=None batch must ALSO clear a
+            # same-numbered pre-reset leftover); a silently-failed delete
+            # leaves a stale epoch spliced into the log
+            if not fs.delete(jvm.org.apache.hadoop.fs.Path(f"{log_dir}/{name}"), True):
+                raise RuntimeError(f"metrics-log purge failed deleting {log_dir}/{name}")
     if report is not None:
         part = os.path.join(log_dir, f"batch_id={batch_id}")
         report.coalesce(1).write.mode("overwrite").parquet(part)
-    jvm, fs = hadoop_fs(sess, log_dir)
-    for bid, name in numbered_child_dirs(sess, log_dir, "batch_id="):
-        if bid > batch_id or (report is None and bid == batch_id):
-            # a silently-failed delete leaves a stale epoch spliced into
-            # the log — the exact corruption this protocol exists to stop
-            if not fs.delete(jvm.org.apache.hadoop.fs.Path(f"{log_dir}/{name}"), True):
-                raise RuntimeError(f"metrics-log purge failed deleting {log_dir}/{name}")
 
 
 def read_batch_log(

@@ -39,6 +39,7 @@ stats are additive, so the collapse is exact."""
 from __future__ import annotations
 
 import json
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -249,7 +250,8 @@ def recover_interrupted_fold(
 
 
 def fold_cold_batches(
-    spark: SparkSession, shard_dir: str, shard_id: int
+    spark: SparkSession, shard_dir: str, shard_id: int,
+    target_bytes: int | None = None,
 ) -> dict | None:
     """Offline cold-batch fold for one shard: rewrite its `_batch=B`
     dirs — EXCEPT the newest (the replayable hot tail) — into a single
@@ -293,9 +295,21 @@ def fold_cold_batches(
     staged = os.path.join(shard_dir, _fold_dirname(shard_id, tgt))
     jvm, fs = hadoop_fs(spark, shard_dir)
     fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)  # stale attempt
+    # the fold IS this layout's compaction, so it uses compaction's
+    # sizing: ceil(cold_bytes / target) output files, measured from the
+    # actual listing. A hardcoded coalesce(1) funneled a shard's whole
+    # cold history through ONE task into one unbounded file — a
+    # single-task bottleneck exactly at the scale this layout targets.
+    from ..sinks.compaction import DEFAULT_TARGET_BYTES, _data_files
+
+    target = DEFAULT_TARGET_BYTES if target_bytes is None else target_bytes
+    cold_bytes = sum(
+        b for d in cold_dirs for _, b in _data_files(spark, d)
+    )
+    n_files = max(1, math.ceil(cold_bytes / target))
     (
         spark.read.parquet(*cold_dirs)
-        .coalesce(1)  # the fold IS this layout's compaction
+        .coalesce(n_files)  # merge-only: no shuffle, whole input files per task
         .write.mode("overwrite")
         .parquet(staged)
     )
