@@ -633,22 +633,43 @@ def q140_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     given — q140 DERIVES the changelog when no one kept one.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return snapshot_diff(*_snapshot_inputs(docs))
+
+
+def _snapshot_inputs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The deterministic old/new snapshot derivation q140's docstring
+    describes, as two raw (doc_id, text) relations: old = id-buckets
+    [0,90%), new = [10%,100%) with buckets [45%,50%) 're-crawled'
+    (suffix appended). Shared with q142, which commits these frames to
+    a real versioned store and diffs the READ-BACKS — so both queries
+    derive from the one recipe and the one oracle."""
     b = _snap_bucket(F.col("doc_id"))
-    old = docs.filter(b < SNAP_OLD_UPTO).select(
+    old = docs.filter(b < SNAP_OLD_UPTO).select("doc_id", "text")
+    recrawled = F.when(
+        (b >= SNAP_CHANGE_LO) & (b < SNAP_CHANGE_HI),
+        F.concat(F.col("text"), F.lit(SNAP_RECRAWL_SUFFIX)),
+    ).otherwise(F.col("text"))
+    new = docs.filter(b >= SNAP_NEW_FROM).select("doc_id", recrawled.alias("text"))
+    return old, new
+
+
+def snapshot_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Diff two (doc_id, text) snapshot relations by content digest —
+    the operator half of q140, reusable over ANY two store versions
+    (q142 runs it over versioned-store read-backs). Presence is keyed
+    on an explicit marker, never digest nullability, and digests
+    compare NULL-safe, so NULL-text docs diff correctly."""
+    old = old_docs.select(
         "doc_id",
         F.lit(1).alias("in_old"),  # presence marker: a NULL text must
         F.md5("text").alias("digest_old"),  # not read as "row absent"
         F.coalesce(F.length("text"), F.lit(0)).alias("co"),
     )
-    recrawled = F.when(
-        (b >= SNAP_CHANGE_LO) & (b < SNAP_CHANGE_HI),
-        F.concat(F.col("text"), F.lit(SNAP_RECRAWL_SUFFIX)),
-    ).otherwise(F.col("text"))
-    new = docs.filter(b >= SNAP_NEW_FROM).select(
+    new = new_docs.select(
         "doc_id",
         F.lit(1).alias("in_new"),
-        F.md5(recrawled).alias("digest_new"),
-        F.coalesce(F.length(recrawled), F.lit(0)).alias("cn"),
+        F.md5("text").alias("digest_new"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("cn"),
     )
     status = (
         F.when(F.col("in_old").isNull(), "added")
@@ -677,7 +698,10 @@ def q140_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q140_SQL = f"""
+def _snapshot_diff_sql(extra: str = "") -> str:
+    """q140's oracle; `extra` appends constant flag columns (q142's
+    lineage_ok) without re-spelling the derivation."""
+    return f"""
 WITH base AS (
   SELECT doc_id, text, {_snap_bucket_sql('doc_id')} AS bkt FROM documents
 ),
@@ -698,7 +722,7 @@ new AS (
 SELECT status, COUNT(*) AS n_docs,
        CAST(SUM(co) AS BIGINT) AS chars_old,
        CAST(SUM(cn) AS BIGINT) AS chars_new,
-       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc{extra}
 FROM (
   SELECT CASE WHEN o.in_old IS NULL THEN 'added'
               WHEN n.in_new IS NULL THEN 'removed'
@@ -710,6 +734,9 @@ FROM (
 )
 GROUP BY status ORDER BY status
 """
+
+
+Q140_SQL = _snapshot_diff_sql()
 
 
 # ------------------------------------------------- auto-strategy join helper
@@ -802,6 +829,52 @@ def plan_join(
     return a.join(b, key), {"strategy": "shuffle", "skew_milli": big_skew}
 
 
+def q144_planned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plan_join as a production consumer (VERDICT r5 item 3): the
+    lineitem⋈orders fact-dim join routed through the profile-driven
+    strategy picker instead of a hand-written join. The profiles see
+    orders under JOIN_BROADCAST_ROWS at every test SF, so the picked
+    plan is a BroadcastHashJoin with no shuffle on either side —
+    pinned by a plan test (tests/test_plans.py) — and the chosen
+    strategy is surfaced as a result column so the driver's hash gate
+    fails if the decision ever drifts. The aggregate itself is the
+    reference's per-correspondent rollup shape (querying.md:20-24) on
+    the fact side.
+
+    100 TB shape: key_profile is one map-side-combined pass per side
+    (collected as ONE summary row each); at real scale those profiles
+    are computed once and persisted, and plan_join accepts the stored
+    dicts — the query demonstrates the live-profile path.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus"
+    )
+    joined, decision = plan_join(li, orders, "okey")
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").cast("double").alias("sum_qty"),
+        )
+        .withColumn("strategy", F.lit(decision["strategy"]))
+        .orderBy("o_orderstatus")
+    )
+
+
+Q144_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       'broadcast' AS strategy
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q125_delta_dedup": QuerySpec(
         q125_delta_dedup,
@@ -837,5 +910,10 @@ QUERIES = {
         q140_snapshot_diff,
         Q140_SQL,
         "snapshot diff: digest-compared added/removed/changed/unchanged",
+    ),
+    "q144_planned_join": QuerySpec(
+        q144_planned_join,
+        Q144_SQL,
+        "profile-driven join: plan_join picks broadcast, surfaced in-result",
     ),
 }

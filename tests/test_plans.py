@@ -592,17 +592,50 @@ def test_q133_candidates_come_from_probe_lists(spark):
 
 
 def test_gate_priority_lists_reference_real_queries(spark):
-    """A typo in the priority lists would silently demote a query out of
-    the driver gate's budget — every entry must resolve."""
-    from sms_db_spark.plans import _CHANGED_THIS_ROUND, _STALE_EVIDENCE
+    """A typo in the changed list would silently demote a query out of
+    the driver gate's budget — every entry must resolve — and the
+    evidence-derived stale ordering must hold: after the changed block,
+    newest-green rounds are non-decreasing (stalest evidence first)."""
+    from sms_db_spark.plans import _CHANGED_THIS_ROUND, _evidence_rounds
 
     specs = registry()
     missing = [n for n in _CHANGED_THIS_ROUND if n not in specs]
     assert not missing, missing
     assert len(set(_CHANGED_THIS_ROUND)) == len(_CHANGED_THIS_ROUND)
-    prefixes = {n.split("_", 1)[0] for n in specs}
-    stale_missing = [p for p in _STALE_EVIDENCE if p not in prefixes]
-    assert not stale_missing, stale_missing
-    # and the changed list leads the ordering
     ordered = list(specs)
     assert ordered[: len(_CHANGED_THIS_ROUND)] == _CHANGED_THIS_ROUND
+    ev = _evidence_rounds()
+    assert ev, "evidence.json missing or empty — run: python tools/evidence.py"
+    # every evidence entry names a registered query (a rename would
+    # orphan its evidence and reset it to never-green silently)
+    unknown = [n for n in ev if n not in specs]
+    assert not unknown, unknown
+    tail = [ev.get(n, 0) for n in ordered[len(_CHANGED_THIS_ROUND):]]
+    assert tail == sorted(tail), "stale cohort not ordered oldest-evidence-first"
+
+
+def test_evidence_artifact_is_current():
+    """evidence.json must be regenerated whenever a CORRECTNESS_r*.json
+    lands — a stale artifact silently reorders the gate."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "evidence.py"), "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_q144_join_strategy_is_broadcast(spark):
+    """plan_join's profile decision for lineitem⋈orders must be a
+    broadcast hash join: no shuffle Exchange on either join input (the
+    only shuffle in the plan is the final groupBy's)."""
+    text = plan(spark, "q144_planned_join")
+    assert "BroadcastHashJoin" in text, text
+    assert "SortMergeJoin" not in text and "ShuffledHashJoin" not in text, text
+    # the aggregate's exchange + the 3-row final sort — none from the join
+    assert n_exchanges(text) <= 2, text

@@ -1,0 +1,60 @@
+"""Unit tests for the driver-gated storage/maintenance audit queries
+(plans/storage_queries.py) beyond what the DuckDB hash gate checks:
+the protocol flags the oracle can only see as constants, and the
+configurable scratch-root plumbing the gate never exercises."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sms_db_spark.plans.storage_queries import (
+    SCRATCH_ROOT_CONF,
+    _scratch_dir,
+    q142_versioned_store_audit,
+    q143_metricslog_readback,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q142_lineage_flag_and_statuses(spark):
+    """The in-result lineage flag must be computed, not assumed: every
+    row carries lineage_ok=1 and the four diff statuses are present."""
+    rows = q142_versioned_store_audit(spark, SF_DIR).collect()
+    assert {r.status for r in rows} == {"added", "removed", "changed", "unchanged"}
+    assert all(r.lineage_ok == 1 for r in rows)
+    # the diff is over real read-backs: changed rows moved chars
+    changed = next(r for r in rows if r.status == "changed")
+    assert changed.chars_new > changed.chars_old
+
+
+def test_q143_only_new_epoch_survives(spark):
+    """After the simulated checkpoint reset, the log holds exactly epoch
+    B's two batches — epoch A's three partitions (including the
+    same-numbered batch 0) are gone, and batch contents match B's
+    doc_id%2 slicing, not A's doc_id%4."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    rows = {r.batch_id: r for r in q143_metricslog_readback(spark, SF_DIR).collect()}
+    assert sorted(rows) == [0, 1]
+    for k in (0, 1):
+        want = docs.filter(F.col("doc_id") % 2 == k).count()
+        assert rows[k].n_docs == want
+
+
+def test_scratch_dir_honors_configured_root(spark, tmp_path):
+    """With spark.sms_db_spark.scratchRoot set, the scratch dir is a
+    child of that root and is deleted on exit (ADVICE r5: driver-local
+    /tmp is invisible to cluster executors)."""
+    root = str(tmp_path / "shared_scratch")
+    os.makedirs(root)
+    spark.conf.set(SCRATCH_ROOT_CONF, root)
+    try:
+        with _scratch_dir(spark, "audit_") as path:
+            assert path.startswith(root)
+            spark.range(5).write.parquet(path)
+            assert spark.read.parquet(path).count() == 5
+        assert os.listdir(root) == []  # cleaned up through the FS API
+    finally:
+        spark.conf.unset(SCRATCH_ROOT_CONF)

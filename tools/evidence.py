@@ -1,0 +1,87 @@
+"""Mechanical per-query evidence age: derive `evidence.json` (query ->
+newest driver-green round) from the CORRECTNESS_r*.json artifacts.
+
+The driver's correctness gate evaluates ~50 queries per round in
+registry order under a wall-clock budget, so the registry sorts
+stalest-evidence-first (after this round's changed queries). That order
+used to come from a hand-maintained list in plans/__init__.py, which
+drifted at least once (q40/q41 reached the r5 gate only by module-order
+luck). This tool replaces the hand list with the artifacts themselves:
+
+    python tools/evidence.py          # rewrite evidence.json at repo root
+    python tools/evidence.py --check  # exit 1 if evidence.json is stale
+
+A row is GREEN when the driver recorded no error, the row counts and
+schema matched, and the value hash matched (hash_match None — a
+rows-only check for a no-oracle query — still counts as green, but the
+weaker basis is the driver's record, not ours to upgrade).
+
+Run this once per round, after the driver drops CORRECTNESS_r{N}.json;
+plans/__init__.py reads evidence.json at registry() time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EVIDENCE_PATH = os.path.join(REPO_ROOT, "evidence.json")
+
+
+def _green(row: dict) -> bool:
+    return (
+        row.get("err") is None
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is not False
+    )
+
+
+def newest_green_rounds(repo_root: str = REPO_ROOT) -> dict:
+    """{query_name: newest round with a driver-green row}, plus the
+    artifact list it was derived from."""
+    rounds: dict[str, int] = {}
+    artifacts = []
+    for fname in sorted(os.listdir(repo_root)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        artifacts.append(fname)
+        with open(os.path.join(repo_root, fname)) as fh:
+            data = json.load(fh)
+        for name, row in data.items():
+            if _green(row):
+                rounds[name] = max(rounds.get(name, 0), rnd)
+    return {
+        "generated_from": artifacts,
+        "newest_green": dict(sorted(rounds.items())),
+    }
+
+
+def main() -> int:
+    doc = newest_green_rounds()
+    text = json.dumps(doc, indent=1, sort_keys=True) + "\n"
+    if "--check" in sys.argv:
+        try:
+            with open(EVIDENCE_PATH) as fh:
+                current = fh.read()
+        except FileNotFoundError:
+            current = ""
+        if current != text:
+            print("evidence.json is stale — run: python tools/evidence.py")
+            return 1
+        print("evidence.json is current")
+        return 0
+    with open(EVIDENCE_PATH, "w") as fh:
+        fh.write(text)
+    print(f"wrote {EVIDENCE_PATH}: {len(doc['newest_green'])} queries "
+          f"from {len(doc['generated_from'])} artifacts")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
