@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..operators.maintenance import DRIFT_FEATURES, _drift_from_counts
 from .curation import DOCS_SCHEMA  # noqa: F401 (one wire schema for doc drops)
 from .metricslog import append_batch_report, read_batch_log
+from .shards import apply_shard_batch
 
 
 def reference_profile(docs: DataFrame) -> dict[str, list[tuple[str, int]]]:
@@ -134,6 +135,96 @@ def append_drift(
     purged even when the new epoch's first batch is empty."""
     append_batch_report(
         batch.sparkSession, log_dir, batch_id, batch_drift(batch, ref)
+    )
+
+
+# Gate threshold: total-variation distance in milli-units (0..1000).
+# 1000 = fully disjoint distributions; a healthy microbatch of the same
+# corpus sits near sampling noise. The default is deliberately generous
+# — the gate exists to stop wholesale shift (a crawler pointed at the
+# wrong source, a language filter dropped), not to flap on noise.
+DEFAULT_MAX_TVD_MILLI = 300
+
+
+def drift_gated_shard_batch(
+    batch: DataFrame,
+    batch_id: int,
+    ref: dict[str, list[tuple[str, int]]],
+    log_dir: str,
+    shard_dir: str,
+    n_shards: int,
+    key: str,
+    max_tvd_milli: int = DEFAULT_MAX_TVD_MILLI,
+) -> dict:
+    """Drift-verdict gating composed into the day-2 chain: the drift
+    report is computed and logged FIRST (the log records quarantined
+    batches too — that is the alerting surface), then the batch reaches
+    `apply_shard_batch` ONLY if every monitored feature's TVD against
+    the reference profile stays under `max_tvd_milli`. This mirrors the
+    quality gate's contract (test_day2_pipeline: audit verdict pauses
+    the upsert): the gate DECIDES, the materializer never sees a
+    quarantined batch, and because the skip happens before any shard
+    write, a drifted batch leaves the layout and its manifest
+    byte-identical — pinned by test_streaming_drift.
+
+    Replay safety: a quarantined batch re-delivered by foreachBatch
+    recomputes the same verdict (the reference profile is fixed rows),
+    and the log append is idempotent per batch_id — so at-least-once
+    delivery cannot sneak a quarantined batch in on the second try.
+
+    Returns {'applied', 'empty', 'max_tvd_milli', 'worst_feature'} —
+    bounded driver metadata, same shape discipline as the manifests.
+    """
+    report = batch_drift(batch, ref)
+    append_batch_report(batch.sparkSession, log_dir, batch_id, report)
+    if report is None:  # empty window: nothing to judge, nothing to shard
+        return {
+            "applied": False,
+            "empty": True,
+            "max_tvd_milli": None,
+            "worst_feature": None,
+        }
+    # |features| rows of already-tiny aggregate — bounded metadata
+    worst = max(
+        report.select("feature", "tvd_milli").collect(),
+        key=lambda r: (r.tvd_milli, r.feature),
+    )
+    verdict = {
+        "applied": False,
+        "empty": False,
+        "max_tvd_milli": int(worst.tvd_milli),
+        "worst_feature": worst.feature,
+    }
+    if worst.tvd_milli >= max_tvd_milli:
+        return verdict  # quarantined: the shard layout never sees it
+    apply_shard_batch(batch, batch_id, shard_dir, n_shards, key)
+    return {**verdict, "applied": True}
+
+
+def stream_gated_shards(
+    spark: SparkSession,
+    drop_dir: str,
+    ref: dict[str, list[tuple[str, int]]],
+    log_dir: str,
+    shard_dir: str,
+    checkpoint_dir: str,
+    n_shards: int,
+    key: str,
+    max_tvd_milli: int = DEFAULT_MAX_TVD_MILLI,
+):
+    """streaming/shards.stream_shards with the drift gate in front:
+    watch drop_dir for document batches, log drift per batch, and
+    materialize only undrifted batches into the shard layout."""
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(drop_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: drift_gated_shard_batch(
+                b, bid, ref, log_dir, shard_dir, n_shards, key, max_tvd_milli
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

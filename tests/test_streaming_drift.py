@@ -151,3 +151,89 @@ def test_empty_reference_corpus_refuses_to_profile(spark):
 
     with pytest.raises(ValueError, match="empty"):
         reference_profile(_docs(spark).limit(0))
+
+
+def test_drift_gate_quarantines_shifted_batch(spark, tmp_path):
+    """The day-2 composition (VERDICT r5 item 4): a distribution-shifted
+    batch is logged but NEVER reaches apply_shard_batch — the shard
+    layout and its manifest are byte-identical before and after the
+    quarantined batch, while clean batches keep materializing."""
+    from sms_db_spark.fsutil import read_text
+    from sms_db_spark.streaming.drift import drift_gated_shard_batch
+    from sms_db_spark.streaming.shards import (
+        STREAM_MANIFEST,
+        merged_manifest,
+        verify_stream_shards,
+    )
+
+    log, shards = str(tmp_path / "log"), str(tmp_path / "shards")
+    docs = _docs(spark)
+    ref = reference_profile(docs)
+
+    clean0 = docs.filter(F.col("doc_id") % 3 == 0)
+    # poisoned: the language distribution collapses to one never-seen
+    # bucket — the "crawler pointed at the wrong source" failure
+    poisoned = docs.filter(F.col("doc_id") % 3 == 1).withColumn(
+        "lang", F.lit("xx")
+    )
+    clean2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    v0 = drift_gated_shard_batch(clean0, 0, ref, log, shards, 4, "doc_id")
+    assert v0["applied"] is True and v0["max_tvd_milli"] < 300
+    manifest_before = read_text(spark, f"{shards}/{STREAM_MANIFEST}")
+
+    v1 = drift_gated_shard_batch(poisoned, 1, ref, log, shards, 4, "doc_id")
+    assert v1["applied"] is False and v1["worst_feature"] == "lang"
+    assert v1["max_tvd_milli"] >= 300
+    # the layout never saw the drifted batch: manifest bytes unchanged,
+    # no _batch=1 directory anywhere
+    assert read_text(spark, f"{shards}/{STREAM_MANIFEST}") == manifest_before
+    assert not list(tmp_path.glob("shards/_shard=*/_batch=1"))
+
+    # the gate's log still records the quarantined batch (the alert)
+    logged = {r.batch_id for r in read_drift_log(spark, log).collect()}
+    assert logged == {0, 1}
+
+    # the chain keeps flowing for clean data and the store verifies
+    v2 = drift_gated_shard_batch(clean2, 2, ref, log, shards, 4, "doc_id")
+    assert v2["applied"] is True
+    assert verify_stream_shards(spark, shards)["ok"]
+    want = clean0.count() + clean2.count()
+    assert merged_manifest(spark, shards)["total_rows"] == want
+
+
+def test_drift_gate_empty_batch_applies_nothing(spark, tmp_path):
+    from sms_db_spark.streaming.drift import drift_gated_shard_batch
+
+    log, shards = str(tmp_path / "log"), str(tmp_path / "shards")
+    docs = _docs(spark)
+    ref = reference_profile(docs)
+    v = drift_gated_shard_batch(docs.limit(0), 0, ref, log, shards, 4, "doc_id")
+    assert v == {
+        "applied": False, "empty": True,
+        "max_tvd_milli": None, "worst_feature": None,
+    }
+    assert not (tmp_path / "shards").exists()
+
+
+def test_stream_gated_shards_end_to_end(spark, tmp_path):
+    """The streaming entry: two drops (one clean, one poisoned) through
+    stream_gated_shards — only the clean batch lands in the layout."""
+    from sms_db_spark.streaming.drift import stream_gated_shards
+    from sms_db_spark.streaming.shards import merged_manifest
+
+    drop, log = tmp_path / "drop", str(tmp_path / "log")
+    shards, ckpt = str(tmp_path / "shards"), str(tmp_path / "ckpt")
+    docs = _docs(spark)
+    ref = reference_profile(docs)
+    clean = docs.filter(F.col("doc_id") % 2 == 0)
+    poisoned = docs.filter(F.col("doc_id") % 2 == 1).withColumn("lang", F.lit("zz"))
+    for s in (clean, poisoned):
+        s.write.mode("append").parquet(str(drop))
+        q = stream_gated_shards(
+            spark, str(drop), ref, log, shards, ckpt, 4, "doc_id"
+        )
+        q.awaitTermination(120)
+    assert merged_manifest(spark, shards)["total_rows"] == clean.count()
+    logged = {r.batch_id for r in read_drift_log(spark, log).collect()}
+    assert logged == {0, 1}
