@@ -133,6 +133,105 @@ def _mms_element(row) -> ET.Element:
     return e
 
 
+ROWS_PER_FRAGMENT = 50_000  # bounds driver memory to one fragment's bytes
+
+
+def export_xml_sharded(
+    messages: DataFrame,
+    parts: DataFrame,
+    path: str,
+    message_type: str = "all",
+    fragments_dir: str | None = None,
+) -> int:
+    """export_xml with the serialization DISTRIBUTED (the 100x-scale
+    path): each range partition of the ordered export frame renders its
+    messages to an XML fragment (the per-element bytes are produced by
+    the same _sms_element/_mms_element builders, so fragment content is
+    identical to the single-writer path); the driver then only streams
+    fragment bytes between the header and footer. The single-document
+    contract (one root, global timestamp order, exact root count —
+    sms-db.pl:237-311) is preserved, but the ElementTree work — the
+    actual cost of a big export — scales with executors instead of
+    bottlenecking on one writer, and driver memory is O(one fragment).
+
+    Ordering: repartitionByRange + sortWithinPartitions on the export
+    sort keys IS Spark's global sort, and fragment files are
+    concatenated in partition order, so the document order equals
+    export_xml's. On tied sort keys both paths break ties
+    arbitrarily, so byte-identity with export_xml is guaranteed only
+    for tie-free keys (unique timestamps); content is identical always.
+
+    `fragments_dir` (default `<path>.fragments`) must be visible to
+    both executors and driver — on a cluster, shared storage; the
+    final document itself is written driver-local like export_xml.
+    """
+    spark = messages.sparkSession
+    frag_root = fragments_dir or f"{path}.fragments"
+    sms_frame = sms_export_frame(messages, parts) if message_type in ("sms", "all") else None
+    mms_frame = mms_export_frame(messages, parts) if message_type in ("mms", "all") else None
+    jobs = [
+        (frame, build, keys, f"{frag_root}/{tag}")
+        for frame, build, keys, tag in (
+            (sms_frame, _sms_element, ("date", "address"), "sms"),
+            (mms_frame, _mms_element, ("timestamp", "sender_address"), "mms"),
+        )
+        if frame is not None
+    ]
+    for frame, *_ in jobs:
+        frame.persist()  # counted for the header, then serialized
+    from ..fsutil import hadoop_fs
+
+    jvm, fs = hadoop_fs(spark, frag_root)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(frag_root), True)  # stale run
+    try:
+        counts = [frame.count() for frame, *_ in jobs]
+        total = sum(counts)
+        par = spark.sparkContext.defaultParallelism
+        for (frame, build, keys, frag_dir), n in zip(jobs, counts):
+            n_parts = max(1, par, -(-n // ROWS_PER_FRAGMENT))
+            ordered = frame.repartitionByRange(n_parts, *keys).sortWithinPartitions(*keys)
+
+            def serialize(rows, build=build):
+                for row in rows:
+                    e = build(row)
+                    ET.indent(e, level=1)
+                    # tostring char-ref-escapes non-ASCII, so the record
+                    # is pure ASCII and the text write re-emits the exact
+                    # bytes the single-writer path produces
+                    yield (b"  " + ET.tostring(e)).decode("ascii")
+
+            ordered.rdd.mapPartitions(serialize).saveAsTextFile(frag_dir)
+        with open(path, "wb") as fh:
+            fh.write(b"<?xml version='1.0' encoding='UTF-8' standalone='yes'?>\n")
+            fh.write(
+                f"<!--File Created By sms-db-spark v{__version__} on {time.ctime()}-->\n".encode()
+            )
+            fh.write(f'<smses count="{total}">\n'.encode())
+            for _, _, _, frag_dir in jobs:
+                frags = [
+                    st.getPath()
+                    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(frag_dir))
+                    if st.isFile() and st.getPath().getName().startswith("part-")
+                ]
+                # numeric order: lexicographic breaks when the part index
+                # outgrows its zero-pad width (part-100000 < part-99999)
+                frags.sort(key=lambda p: int(p.getName().split("-")[1]))
+                for p in frags:
+                    stream = fs.open(p)
+                    try:
+                        fh.write(
+                            bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+                        )
+                    finally:
+                        stream.close()
+            fh.write(b"</smses>\n")
+    finally:
+        for frame, *_ in jobs:
+            frame.unpersist()
+        fs.delete(jvm.org.apache.hadoop.fs.Path(frag_root), True)
+    return total
+
+
 def export_xml(messages: DataFrame, parts: DataFrame, path: str, message_type: str = "all") -> int:
     """Write the Synctech XML document; returns exported-message count
     (the root `count` attribute, sms-db.pl:306).

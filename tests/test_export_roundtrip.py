@@ -189,3 +189,74 @@ def test_store_schema_parity_shared_by_both_lanes(tmp_path):
     con.execute("INSERT INTO messages(timestamp,hash) VALUES (1,'aa')")
     with pytest.raises(sqlite3.IntegrityError):
         con.execute("INSERT INTO messages(timestamp,hash) VALUES (2,'aa')")
+
+
+def _strip_stamp(raw: bytes) -> bytes:
+    """Drop the creation comment (line 2): it embeds wall-clock time."""
+    lines = raw.split(b"\n")
+    return b"\n".join(lines[:1] + lines[2:])
+
+
+def test_sharded_export_identical_bytes_small(spark, tmp_path):
+    """export_xml_sharded must reproduce export_xml byte-for-byte
+    (modulo the timestamped comment) on the fixture store — fragment
+    serialization and concatenation change WHERE bytes are produced,
+    never WHICH."""
+    from sms_db_spark.sinks.xml_export import export_xml_sharded
+
+    res = _store(spark)
+    single, sharded = tmp_path / "single.xml", tmp_path / "sharded.xml"
+    n1 = export_xml(res.messages, res.parts, str(single))
+    n2 = export_xml_sharded(res.messages, res.parts, str(sharded))
+    assert n1 == n2 == 5
+    assert _strip_stamp(single.read_bytes()) == _strip_stamp(sharded.read_bytes())
+    assert not (tmp_path / "sharded.xml.fragments").exists()  # cleaned up
+
+
+def _synthetic_store(spark, n):
+    """A tie-free canonical store (unique timestamps) big enough to
+    exercise multiple fragments: 3/4 SMS, 1/4 MMS, one text part each."""
+    messages = spark.range(n).selectExpr(
+        "id AS _id",
+        "1577836800000 + id * 1000 AS timestamp",
+        "concat('+1555', lpad(CAST(id % 97 AS STRING), 7, '0')) AS sender_address",
+        "concat('Sender ', id % 97) AS sender_name",
+        "concat('+1666', lpad(CAST(id % 89 AS STRING), 7, '0')) AS recipient_address",
+        "concat('Recipient ', id % 89) AS recipient_name",
+        "CAST(1 + id % 2 AS INT) AS msg_box",
+        "CAST(CASE WHEN id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS message_type",
+        "CAST(0 AS INT) AS source_format",
+        "md5(CAST(id AS STRING)) AS hash",
+    )
+    parts = spark.range(n).selectExpr(
+        "id AS _id",
+        "id AS message_id",
+        "CAST(NULL AS BINARY) AS data",
+        "concat('message body number ', id) AS text",
+        "'text/plain' AS content_type",
+        "CAST(NULL AS STRING) AS filename",
+    )
+    return messages, parts
+
+
+def test_sharded_export_scale_and_reimport(spark, tmp_path):
+    """Multi-fragment export: same bytes as the single writer, and the
+    document re-imports completely (count + bodies survive)."""
+    from pyspark.sql import functions as F
+
+    from sms_db_spark.sinks.xml_export import export_xml_sharded
+
+    n = 20_000
+    messages, parts = _synthetic_store(spark, n)
+    single, sharded = tmp_path / "single.xml", tmp_path / "sharded.xml"
+    assert export_xml(messages, parts, str(single)) == n
+    assert export_xml_sharded(messages, parts, str(sharded)) == n
+    assert _strip_stamp(single.read_bytes()) == _strip_stamp(sharded.read_bytes())
+
+    staged = read_xml_staging(spark, str(sharded))
+    m2, p2 = normalize_xml(*staged)
+    res = finalize_import(m2, p2)
+    assert res.total == n and res.inserted == n
+    # spot-check content integrity through the round trip
+    texts = res.parts.filter(F.col("text").contains("number 1234")).count()
+    assert texts >= 1
