@@ -63,13 +63,26 @@ def _scratch_dir(spark: SparkSession, prefix: str):
             yield path
         finally:
             jvm, fs = hadoop_fs(spark, path)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            # a silently-failed delete leaks a full per-run store into
+            # shared storage on every gate/bench run — same loud-failure
+            # discipline as the metrics-log purge
+            if not fs.delete(p, True) and fs.exists(p):
+                raise RuntimeError(f"scratch cleanup failed deleting {path}")
     else:
         path = tempfile.mkdtemp(prefix=prefix)
         try:
             yield path
         finally:
             shutil.rmtree(path, ignore_errors=True)
+
+
+def _detached(df: DataFrame) -> DataFrame:
+    """Materialize a scratch-backed result as driver-held rows BEFORE
+    the scratch store is torn down (the frames these audits return are
+    otherwise lazy scans of deleted dirs). Only for bounded audit
+    outputs — the callers return a handful of rows by construction."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 N_AUDIT_SHARDS = 8
 # the checksum column is the manifest sum REDUCED mod 2^60: the full sum
@@ -270,12 +283,8 @@ def q142_versioned_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         diff = snapshot_diff(old_back, new_back).withColumn(
             "lineage_ok", F.lit(lineage_ok).cast("int")
         )
-        # materialize BEFORE the scratch store is torn down (the
-        # read-back frames are lazy scans of its version dirs); the
-        # result is 4 driver-held rows, the same shape as _audit_frame
-        rows = diff.collect()
-        schema = diff.schema
-    return spark.createDataFrame(rows, schema)
+        # 4 driver-held rows, the same shape discipline as _audit_frame
+        return _detached(diff)
 
 
 def _q142_sql() -> str:
@@ -333,9 +342,7 @@ def q143_metricslog_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_doc",
             "max_doc",
         ).orderBy("batch_id")
-        rows = out.collect()  # 2 driver-held rows; scratch log dies here
-        schema = out.schema
-    return spark.createDataFrame(rows, schema)
+        return _detached(out)  # 2 driver-held rows; scratch log dies here
 
 
 Q143_SQL = """

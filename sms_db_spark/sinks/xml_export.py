@@ -161,12 +161,22 @@ def export_xml_sharded(
     arbitrarily, so byte-identity with export_xml is guaranteed only
     for tie-free keys (unique timestamps); content is identical always.
 
-    `fragments_dir` (default `<path>.fragments`) must be visible to
-    both executors and driver — on a cluster, shared storage; the
+    `fragments_dir`, when given, is a PARENT under which a unique
+    per-run child is created and deleted — nothing else in it is
+    touched (so a shared scratch root is safe to pass). It must be
+    visible to both executors and driver — on a cluster, shared
+    storage. Default: a unique `<path>.fragments-<run>` sibling. The
     final document itself is written driver-local like export_xml.
     """
+    import uuid
+
     spark = messages.sparkSession
-    frag_root = fragments_dir or f"{path}.fragments"
+    run_id = uuid.uuid4().hex
+    frag_root = (
+        f"{fragments_dir.rstrip('/')}/export-{run_id}"
+        if fragments_dir
+        else f"{path}.fragments-{run_id}"
+    )
     sms_frame = sms_export_frame(messages, parts) if message_type in ("sms", "all") else None
     mms_frame = mms_export_frame(messages, parts) if message_type in ("mms", "all") else None
     jobs = [
@@ -182,7 +192,6 @@ def export_xml_sharded(
     from ..fsutil import hadoop_fs
 
     jvm, fs = hadoop_fs(spark, frag_root)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(frag_root), True)  # stale run
     try:
         counts = [frame.count() for frame, *_ in jobs]
         total = sum(counts)
@@ -198,9 +207,15 @@ def export_xml_sharded(
                     # tostring char-ref-escapes non-ASCII, so the record
                     # is pure ASCII and the text write re-emits the exact
                     # bytes the single-writer path produces
-                    yield (b"  " + ET.tostring(e)).decode("ascii")
+                    yield ((b"  " + ET.tostring(e)).decode("ascii"),)
 
-            ordered.rdd.mapPartitions(serialize).saveAsTextFile(frag_dir)
+            # DataFrame text writer with compression pinned OFF: a site
+            # default like mapred.output.compress=true would make
+            # saveAsTextFile emit part-00000.deflate — compressed bytes
+            # the concatenation below would splice raw into the document
+            spark.createDataFrame(
+                ordered.rdd.mapPartitions(serialize), "value string"
+            ).write.option("compression", "none").text(frag_dir)
         with open(path, "wb") as fh:
             fh.write(b"<?xml version='1.0' encoding='UTF-8' standalone='yes'?>\n")
             fh.write(

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..operators.maintenance import DRIFT_FEATURES, _drift_from_counts
 from .curation import DOCS_SCHEMA  # noqa: F401 (one wire schema for doc drops)
 from .metricslog import append_batch_report, read_batch_log
-from .shards import apply_shard_batch
+from .shards import apply_shard_batch, skip_shard_batch
 
 
 def reference_profile(docs: DataFrame) -> dict[str, list[tuple[str, int]]]:
@@ -172,12 +172,20 @@ def drift_gated_shard_batch(
     and the log append is idempotent per batch_id — so at-least-once
     delivery cannot sneak a quarantined batch in on the second try.
 
+    A batch that does NOT land still runs the layout's landing hygiene
+    (`skip_shard_batch`): after a checkpoint reset, the new epoch's
+    first batch may be empty or quarantined, and skipping the purge
+    would leave the dead epoch's directories and manifest entries for
+    later clean batches to splice against (they only purge ids >=
+    their own). Gate decisions must not weaken the exactly-once layout.
+
     Returns {'applied', 'empty', 'max_tvd_milli', 'worst_feature'} —
     bounded driver metadata, same shape discipline as the manifests.
     """
     report = batch_drift(batch, ref)
     append_batch_report(batch.sparkSession, log_dir, batch_id, report)
     if report is None:  # empty window: nothing to judge, nothing to shard
+        skip_shard_batch(batch.sparkSession, shard_dir, batch_id)
         return {
             "applied": False,
             "empty": True,
@@ -196,7 +204,10 @@ def drift_gated_shard_batch(
         "worst_feature": worst.feature,
     }
     if worst.tvd_milli >= max_tvd_milli:
-        return verdict  # quarantined: the shard layout never sees it
+        # quarantined: the layout never sees the rows, but its epoch
+        # hygiene still runs
+        skip_shard_batch(batch.sparkSession, shard_dir, batch_id)
+        return verdict
     apply_shard_batch(batch, batch_id, shard_dir, n_shards, key)
     return {**verdict, "applied": True}
 

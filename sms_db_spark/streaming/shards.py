@@ -57,13 +57,13 @@ def _load_manifest(spark: SparkSession, shard_dir: str) -> dict:
     return json.loads(text) if text else {"batches": {}}
 
 
-def apply_shard_batch(
-    batch: DataFrame, batch_id: int, shard_dir: str, n_shards: int, key: str
-) -> None:
-    """Land one microbatch into the shard layout, idempotently."""
-    sess = batch.sparkSession
-    check_shard_input(batch, key)
-    manifest = _load_manifest(sess, shard_dir)
+def _purge_for_batch(sess: SparkSession, shard_dir: str, batch_id: int, manifest: dict) -> None:
+    """The landing hygiene shared by apply_shard_batch and
+    skip_shard_batch: clear this id's own directories and — when the
+    manifest proves a checkpoint reset — every higher-numbered (dead
+    epoch) directory and staged fold. Manifest entries are NOT touched
+    here (the caller trims and writes them; the order data-then-manifest
+    keeps a crash conservative: leftover dirs re-purge next time)."""
     jvm, fs = hadoop_fs(sess, shard_dir)
     base = jvm.org.apache.hadoop.fs.Path(shard_dir)
     # Own-batch landing MUST be idempotent regardless of manifest state:
@@ -107,6 +107,43 @@ def apply_shard_batch(
                         and int(name.split("=", 1)[1]) > batch_id
                     ):
                         fs.delete(bt.getPath(), True)
+
+
+def skip_shard_batch(sess: SparkSession, shard_dir: str, batch_id: int) -> None:
+    """The no-data half of a landing, for callers that DECIDE not to
+    land a batch (the drift gate's quarantine, an empty window): run
+    exactly the hygiene apply_shard_batch would run — own-id purge,
+    dead-epoch purge after a checkpoint reset, manifest trim to ids
+    below this one — without appending any rows. Without this, a
+    skipped first batch of a new numbering epoch would leave the dead
+    epoch's same/lower-numbered directories AND manifest entries in
+    place for later clean batches to splice against (they only purge
+    ids >= their own): the epoch-splice corruption the metrics-log
+    protocol guards against, on the shard side. A fresh store is left
+    untouched (no dirs, no manifest created)."""
+    manifest = _load_manifest(sess, shard_dir)
+    jvm, fs = hadoop_fs(sess, shard_dir)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(shard_dir)):
+        return
+    _purge_for_batch(sess, shard_dir, batch_id, manifest)
+    trimmed = {b: v for b, v in manifest["batches"].items() if int(b) < batch_id}
+    if trimmed != manifest["batches"]:
+        manifest["batches"] = trimmed
+        write_text_atomic(
+            sess,
+            os.path.join(shard_dir, STREAM_MANIFEST),
+            json.dumps(manifest, sort_keys=True, indent=1),
+        )
+
+
+def apply_shard_batch(
+    batch: DataFrame, batch_id: int, shard_dir: str, n_shards: int, key: str
+) -> None:
+    """Land one microbatch into the shard layout, idempotently."""
+    sess = batch.sparkSession
+    check_shard_input(batch, key)
+    manifest = _load_manifest(sess, shard_dir)
+    _purge_for_batch(sess, shard_dir, batch_id, manifest)
     sharded = (
         shard_transform(batch, n_shards, key)
         .withColumn("_batch", F.lit(batch_id))

@@ -210,7 +210,26 @@ def test_sharded_export_identical_bytes_small(spark, tmp_path):
     n2 = export_xml_sharded(res.messages, res.parts, str(sharded))
     assert n1 == n2 == 5
     assert _strip_stamp(single.read_bytes()) == _strip_stamp(sharded.read_bytes())
-    assert not (tmp_path / "sharded.xml.fragments").exists()  # cleaned up
+    assert not list(tmp_path.glob("sharded.xml.fragments*"))  # cleaned up
+
+
+def test_sharded_export_owns_only_its_child_in_fragments_dir(spark, tmp_path):
+    """A caller-supplied fragments_dir is a shared parent: the export
+    must create and delete only its own per-run child, never touch
+    sibling content."""
+    from sms_db_spark.sinks.xml_export import export_xml_sharded
+
+    res = _store(spark)
+    frag_parent = tmp_path / "scratch"
+    frag_parent.mkdir()
+    (frag_parent / "precious.txt").write_text("do not delete")
+    out = tmp_path / "backup.xml"
+    n = export_xml_sharded(
+        res.messages, res.parts, str(out), fragments_dir=str(frag_parent)
+    )
+    assert n == 5
+    assert (frag_parent / "precious.txt").read_text() == "do not delete"
+    assert not list(frag_parent.glob("export-*"))  # own child cleaned
 
 
 def _synthetic_store(spark, n):

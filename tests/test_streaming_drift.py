@@ -237,3 +237,50 @@ def test_stream_gated_shards_end_to_end(spark, tmp_path):
     assert merged_manifest(spark, shards)["total_rows"] == clean.count()
     logged = {r.batch_id for r in read_drift_log(spark, log).collect()}
     assert logged == {0, 1}
+
+
+def test_quarantined_first_batch_after_reset_still_purges_dead_epoch(spark, tmp_path):
+    """The reset-splice hole: if the new numbering epoch's FIRST batch
+    is quarantined (or empty), the gate must still run the layout's
+    landing hygiene — otherwise the dead epoch's same/lower-numbered
+    directories and manifest entries survive (later clean batches purge
+    only ids >= their own) and splice into the new epoch while
+    verify_stream_shards stays green."""
+    from sms_db_spark.streaming.drift import drift_gated_shard_batch
+    from sms_db_spark.streaming.shards import (
+        apply_shard_batch,
+        merged_manifest,
+        verify_stream_shards,
+    )
+
+    log, shards = str(tmp_path / "log"), str(tmp_path / "shards")
+    docs = _docs(spark)
+    ref = reference_profile(docs)
+    # old epoch: three clean batches land
+    for bid in range(3):
+        apply_shard_batch(
+            docs.filter(F.col("doc_id") % 3 == bid), bid, shards, 4, "doc_id"
+        )
+    # checkpoint reset; the NEW epoch's batch 0 is drifted -> quarantined
+    poisoned = docs.filter(F.col("doc_id") % 2 == 0).withColumn("lang", F.lit("xx"))
+    v0 = drift_gated_shard_batch(poisoned, 0, ref, log, shards, 4, "doc_id")
+    assert v0["applied"] is False
+    # the dead epoch must be gone already, not waiting for a clean batch
+    assert not list(tmp_path.glob("shards/_shard=*/_batch=*"))
+    assert merged_manifest(spark, shards)["total_rows"] == 0
+    # new epoch's clean batch 1 lands alone — nothing spliced
+    clean1 = docs.filter(F.col("doc_id") % 2 == 1)
+    v1 = drift_gated_shard_batch(clean1, 1, ref, log, shards, 4, "doc_id")
+    assert v1["applied"] is True
+    assert merged_manifest(spark, shards)["total_rows"] == clean1.count()
+    assert verify_stream_shards(spark, shards)["ok"]
+    batches = {p.name for p in tmp_path.glob("shards/_shard=*/_batch=*")}
+    assert batches == {"_batch=1"}
+
+
+def test_skip_shard_batch_is_noop_on_fresh_store(spark, tmp_path):
+    from sms_db_spark.streaming.shards import skip_shard_batch
+
+    shards = tmp_path / "shards"
+    skip_shard_batch(spark, str(shards), 3)
+    assert not shards.exists()
