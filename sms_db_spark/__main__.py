@@ -33,6 +33,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", help="input to import (file for xml, directory/db for bugle/signal)")
     p.add_argument("-o", help="XML export output path")
     p.add_argument("-t", default="all", choices=["sms", "mms", "all"], help="message type")
+    # Spark-engine extension (no reference twin, sms-db.pl has no flag
+    # here): route -o through the distributed fragment serializer for
+    # big exports; output is byte-identical to the default path.
+    p.add_argument(
+        "--sharded-export",
+        action="store_true",
+        help="serialize XML export fragments on executors (large stores)",
+    )
     return p
 
 
@@ -108,9 +116,10 @@ def main(argv: list[str] | None = None) -> int:
         if existing[0] is None:
             print(f"No store at '{args.d}'", file=sys.stderr)
             return 1
-        from .sinks.xml_export import export_xml
+        from .sinks.xml_export import export_xml, export_xml_sharded
 
-        count = export_xml(existing[0], existing[1], args.o, message_type=args.t)
+        exporter = export_xml_sharded if args.sharded_export else export_xml
+        count = exporter(existing[0], existing[1], args.o, message_type=args.t)
         print(f"Total messages exported:\t{count}")
 
     print(f"Elapsed time:\t\t\t{round(time.time() - t0, 3)} seconds")
