@@ -1,12 +1,18 @@
 """Read Bugle / Signal SQLite backup files into the staging DataFrames the
 normalizers consume (S2/S3, sms-db.pl:95-100 and 119-124).
 
-Read strategy: a phone backup is single-device data (MB-GB) — a driver-side
-stdlib-sqlite3 read into `createDataFrame` with the EXPLICIT staging schema
-is correct and dependency-free. The at-scale path for server-sized SQLite/
-JDBC sources is `spark.read.jdbc` with partitionColumn/lowerBound/upperBound
-(range-parallel scans); the staging schemas and everything downstream are
-identical, so swapping the reader is a one-call change.
+Read strategy, sized to the table: a phone backup is usually
+single-device data (MB) — a driver-side stdlib-sqlite3 read into
+`createDataFrame` with the EXPLICIT staging schema is correct and
+dependency-free. Past DISTRIBUTED_ROWS_THRESHOLD rows the reader
+switches itself to rowid-range parallel scans: the db file ships once
+per executor via SparkContext.addFile, each task opens it read-only
+and reads its `rowid BETWEEN lo AND hi` slice through `mapInPandas`
+(Arrow-batched) — the same range-partitioned shape `spark.read.jdbc`
+with partitionColumn/lowerBound/upperBound plans, without needing a
+JDBC driver jar. Tables SQLite cannot range-address (WITHOUT ROWID)
+stay on the driver path. Both paths produce identical frames
+(schema-first, tested), so the split is invisible downstream.
 
 Missing columns are tolerated per-layout (older/newer app schemas): any
 staging column absent from the on-disk table surfaces as NULL, matching
@@ -20,6 +26,15 @@ import sqlite3
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+# Above this row count the one-file read is worth parallelizing; below
+# it, task scheduling would cost more than the driver-side fetch. A
+# multi-GB Bugle db (the case the driver-side contract documented as
+# its limit) is far above it.
+DISTRIBUTED_ROWS_THRESHOLD = 100_000
+# target rows per range task — bounds per-task memory and balances the
+# scan even when executors outnumber ranges
+ROWS_PER_RANGE_TASK = 50_000
 
 from .bugle import (
     BUGLE_CONV_PARTICIPANTS_SCHEMA,
@@ -39,40 +54,125 @@ from .signal import (
 )
 
 
+def _rowid_selectable(con: sqlite3.Connection, table: str) -> bool:
+    """Whether `rowid` can be selected (False for WITHOUT ROWID tables)."""
+    try:
+        con.execute(f"SELECT rowid FROM {table} LIMIT 1")
+        return True
+    except sqlite3.OperationalError:
+        return False
+
+
+def _projection(
+    con: sqlite3.Connection, table: str, schema: T.StructType
+) -> str | None:
+    """The schema-first SELECT list (absent columns → NULL), or None
+    when the table itself is absent. `rowid` never appears in PRAGMA
+    table_info but is usually selectable — the part importer needs it
+    to pin the reference's part-table row order; WITHOUT ROWID tables
+    degrade it to NULL like any other absent column."""
+    try:
+        present = {r[1] for r in con.execute(f"PRAGMA table_info({table})")}
+    except sqlite3.DatabaseError:
+        present = set()
+    if not present:
+        return None
+    rowid_ok = any(
+        f.name == "rowid" and f.name not in present for f in schema.fields
+    ) and _rowid_selectable(con, table)
+    return ", ".join(
+        f.name
+        if f.name in present or (f.name == "rowid" and rowid_ok)
+        else f"NULL AS {f.name}"
+        for f in schema.fields
+    )
+
+
 def read_sqlite_table(
     spark: SparkSession, db_path: str, table: str, schema: T.StructType
 ) -> DataFrame:
     """One staging frame from one SQLite table, schema-first (never
-    inference). Absent columns → NULL; absent table → empty frame."""
+    inference). Absent columns → NULL; absent table → empty frame.
+    Routes itself: driver-side fetch for ordinary backup tables,
+    rowid-range distributed scan past DISTRIBUTED_ROWS_THRESHOLD
+    (see module docstring)."""
     con = sqlite3.connect(db_path)
     try:
-        try:
-            present = {r[1] for r in con.execute(f"PRAGMA table_info({table})")}
-        except sqlite3.DatabaseError:
-            present = set()
-        if not present:
+        cols = _projection(con, table, schema)
+        if cols is None:
             return spark.createDataFrame([], schema)
-        # `rowid` never appears in PRAGMA table_info but is usually
-        # selectable — the part importer needs it to pin the reference's
-        # part-table row order. WITHOUT ROWID tables raise on it, so probe
-        # once and degrade to NULL like any other absent column.
-        rowid_ok = False
-        if any(f.name == "rowid" and f.name not in present for f in schema.fields):
-            try:
-                con.execute(f"SELECT rowid FROM {table} LIMIT 1")
-                rowid_ok = True
-            except sqlite3.OperationalError:
-                rowid_ok = False
-        cols = ", ".join(
-            f.name
-            if f.name in present or (f.name == "rowid" and rowid_ok)
-            else f"NULL AS {f.name}"
-            for f in schema.fields
-        )
+        if _rowid_selectable(con, table):
+            n_rows, lo, hi = con.execute(
+                f"SELECT COUNT(*), MIN(rowid), MAX(rowid) FROM {table}"
+            ).fetchone()
+            if n_rows >= DISTRIBUTED_ROWS_THRESHOLD:
+                return _read_sqlite_ranges(
+                    spark, db_path, table, schema, cols, int(lo), int(hi), int(n_rows)
+                )
         rows = con.execute(f"SELECT {cols} FROM {table}").fetchall()
     finally:
         con.close()
     return spark.createDataFrame(rows, schema)
+
+
+def _read_sqlite_ranges(
+    spark: SparkSession,
+    db_path: str,
+    table: str,
+    schema: T.StructType,
+    cols: str,
+    lo: int,
+    hi: int,
+    n_rows: int,
+) -> DataFrame:
+    """Distributed rowid-range scan of one SQLite table: the file ships
+    once per executor (SparkContext.addFile), each task opens it
+    READ-ONLY (uri mode=ro — safe concurrent readers, backups are
+    static) and fetches its `rowid BETWEEN` slice; Arrow batches carry
+    the rows back under the explicit schema. Range skew follows rowid
+    sparsity, which for the autoincrement app tables this reads is
+    near-dense; the worst case degrades to fewer effective tasks,
+    never wrong rows."""
+    import pandas as pd  # noqa: F401 (executor-side dependency, fail fast here)
+
+    sc = spark.sparkContext
+    sc.addFile(db_path)  # re-adding the same path later is a no-op
+    base_name = os.path.basename(db_path)
+    span = hi - lo + 1
+    n_parts = max(
+        1,
+        min(
+            sc.defaultParallelism,
+            -(-n_rows // ROWS_PER_RANGE_TASK),
+            span,  # never more tasks than addressable rowids
+        ),
+    )
+    step = -(-span // n_parts)
+    bounds = [
+        (lo + i * step, min(hi, lo + (i + 1) * step - 1)) for i in range(n_parts)
+    ]
+    ranges = spark.createDataFrame(bounds, "lo long, hi long").repartition(n_parts)
+
+    def scan(batches):
+        import pandas as pd
+        from pyspark.files import SparkFiles
+
+        local = SparkFiles.get(base_name)
+        path = local if os.path.exists(local) else db_path
+        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        try:
+            names = [f.name for f in schema.fields]
+            for pdf in batches:
+                for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
+                    rows = con.execute(
+                        f"SELECT {cols} FROM {table} WHERE rowid BETWEEN ? AND ?",
+                        (int(lo_), int(hi_)),
+                    ).fetchall()
+                    yield pd.DataFrame(rows, columns=names, dtype=object)
+        finally:
+            con.close()
+
+    return ranges.mapInPandas(scan, schema)
 
 
 def read_bugle_staging(
