@@ -154,12 +154,16 @@ def _read_sqlite_ranges(
     ranges = spark.createDataFrame(bounds, "lo long, hi long").repartition(n_parts)
 
     def scan(batches):
+        import pathlib
+
         import pandas as pd
         from pyspark.files import SparkFiles
 
         local = SparkFiles.get(base_name)
         path = local if os.path.exists(local) else db_path
-        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        # as_uri percent-escapes spaces/specials the raw f"file:{path}"
+        # form would misparse
+        con = sqlite3.connect(pathlib.Path(path).as_uri() + "?mode=ro", uri=True)
         try:
             names = [f.name for f in schema.fields]
             for pdf in batches:
