@@ -65,26 +65,41 @@ def _rowid_selectable(con: sqlite3.Connection, table: str) -> bool:
 
 def _projection(
     con: sqlite3.Connection, table: str, schema: T.StructType
-) -> str | None:
-    """The schema-first SELECT list (absent columns → NULL), or None
-    when the table itself is absent. `rowid` never appears in PRAGMA
-    table_info but is usually selectable — the part importer needs it
-    to pin the reference's part-table row order; WITHOUT ROWID tables
-    degrade it to NULL like any other absent column."""
+) -> tuple[str, bool] | None:
+    """(schema-first SELECT list, rowid-selectable) — absent columns →
+    NULL — or None when the table itself is absent. `rowid` never
+    appears in PRAGMA table_info but is usually selectable — the part
+    importer needs it to pin the reference's part-table row order;
+    WITHOUT ROWID tables degrade it to NULL like any other absent
+    column. rowid selectability is probed ONCE here and shared with
+    the routing decision, so projection and routing can never disagree
+    about it."""
     try:
         present = {r[1] for r in con.execute(f"PRAGMA table_info({table})")}
     except sqlite3.DatabaseError:
         present = set()
     if not present:
         return None
-    rowid_ok = any(
-        f.name == "rowid" and f.name not in present for f in schema.fields
-    ) and _rowid_selectable(con, table)
-    return ", ".join(
+    rowid_ok = _rowid_selectable(con, table)
+    cols = ", ".join(
         f.name
         if f.name in present or (f.name == "rowid" and rowid_ok)
         else f"NULL AS {f.name}"
         for f in schema.fields
+    )
+    return cols, rowid_ok
+
+
+def _wal_pending(con: sqlite3.Connection, db_path: str) -> bool:
+    """True when the db is in WAL mode with a non-empty -wal sidecar:
+    recent writes live in frames the main file does not contain, and
+    shipping only the main file would silently truncate the read."""
+    mode = con.execute("PRAGMA journal_mode").fetchone()[0]
+    wal = db_path + "-wal"
+    return (
+        str(mode).lower() == "wal"
+        and os.path.exists(wal)
+        and os.path.getsize(wal) > 0
     )
 
 
@@ -95,17 +110,28 @@ def read_sqlite_table(
     inference). Absent columns → NULL; absent table → empty frame.
     Routes itself: driver-side fetch for ordinary backup tables,
     rowid-range distributed scan past DISTRIBUTED_ROWS_THRESHOLD
-    (see module docstring)."""
+    (see module docstring). Tables the distributed path cannot address
+    faithfully stay on the driver: WITHOUT ROWID (no range key) and
+    WAL databases with uncheckpointed frames (addFile ships only the
+    main file, not the -wal sidecar — executor reads would silently
+    miss the WAL's rows)."""
     con = sqlite3.connect(db_path)
     try:
-        cols = _projection(con, table, schema)
-        if cols is None:
+        proj = _projection(con, table, schema)
+        if proj is None:
             return spark.createDataFrame([], schema)
-        if _rowid_selectable(con, table):
-            n_rows, lo, hi = con.execute(
-                f"SELECT COUNT(*), MIN(rowid), MAX(rowid) FROM {table}"
-            ).fetchone()
-            if n_rows >= DISTRIBUTED_ROWS_THRESHOLD:
+        cols, rowid_ok = proj
+        if rowid_ok:
+            # COUNT(*) alone keeps SQLite's b-tree count optimization;
+            # MIN/MAX (each O(log n)) are fetched only once the count
+            # says the distributed path is worth planning
+            (n_rows,) = con.execute(f"SELECT COUNT(*) FROM {table}").fetchone()
+            if n_rows >= DISTRIBUTED_ROWS_THRESHOLD and not _wal_pending(
+                con, db_path
+            ):
+                lo, hi = con.execute(
+                    f"SELECT MIN(rowid), MAX(rowid) FROM {table}"
+                ).fetchone()
                 return _read_sqlite_ranges(
                     spark, db_path, table, schema, cols, int(lo), int(hi), int(n_rows)
                 )
@@ -113,6 +139,51 @@ def read_sqlite_table(
     finally:
         con.close()
     return spark.createDataFrame(rows, schema)
+
+
+# (realpath, mtime_ns, size) -> unique shipped name. addFile keys files
+# by BASENAME with no invalidation, so two different dbs sharing a name
+# (Signal layouts pin 'database.sqlite') would collide, and a changed
+# file behind an already-shipped path would be served stale. Shipping
+# through a uniquely-named symlink sidesteps both; the cache keeps one
+# ship per unchanged file (read_bugle_staging reads 5 tables of one db).
+_SHIP_CACHE: dict[tuple[str, int, int], str] = {}
+_SHIP_DIR: str | None = None
+
+
+def _ship_db(spark: SparkSession, db_path: str) -> tuple[str, str]:
+    """Ship db_path to the executors under a collision-proof unique
+    name; returns (name for SparkFiles.get, driver-local link path).
+    The link path is the LOCAL-MODE read path: local mode skips the
+    userFiles fetch entirely (executors share the driver's filesystem),
+    so SparkFiles.get points at a file that was never materialized —
+    tasks then open the unique link, which is only resolvable on the
+    driver's machine, keeping the cluster case on the fetched copy."""
+    global _SHIP_DIR
+    import tempfile
+    import uuid
+
+    import shutil
+
+    real = os.path.realpath(db_path)
+    st = os.stat(real)
+    key = (real, st.st_mtime_ns, st.st_size)
+    name = _SHIP_CACHE.get(key)
+    if name is None:
+        if _SHIP_DIR is None:
+            _SHIP_DIR = tempfile.mkdtemp(prefix="sms_db_spark_ship_")
+        name = f"sqlite-{uuid.uuid4().hex}-{os.path.basename(real)}"
+        link = os.path.join(_SHIP_DIR, name)
+        try:
+            # HARDlink: zero-copy and — unlike a symlink — survives
+            # Spark's path canonicalization (a symlink gets registered
+            # under its TARGET's basename, resurrecting the collision)
+            os.link(real, link)
+        except OSError:
+            shutil.copy2(real, link)  # cross-device temp: pay the copy
+        spark.sparkContext.addFile(link)
+        _SHIP_CACHE[key] = name
+    return name, os.path.join(_SHIP_DIR, name)
 
 
 def _read_sqlite_ranges(
@@ -126,32 +197,31 @@ def _read_sqlite_ranges(
     n_rows: int,
 ) -> DataFrame:
     """Distributed rowid-range scan of one SQLite table: the file ships
-    once per executor (SparkContext.addFile), each task opens it
-    READ-ONLY (uri mode=ro — safe concurrent readers, backups are
-    static) and fetches its `rowid BETWEEN` slice; Arrow batches carry
-    the rows back under the explicit schema. Range skew follows rowid
-    sparsity, which for the autoincrement app tables this reads is
-    near-dense; the worst case degrades to fewer effective tasks,
-    never wrong rows."""
-    import pandas as pd  # noqa: F401 (executor-side dependency, fail fast here)
+    once per executor (SparkContext.addFile under a unique name — see
+    _ship_db), each task opens it READ-ONLY (uri mode=ro — safe
+    concurrent readers, backups are static) and streams its
+    `rowid BETWEEN` slice in fetchmany chunks; Arrow batches carry the
+    rows back under the explicit schema. The range count derives from
+    the ROW count, never the executor count, so per-task memory is
+    bounded by ~ROWS_PER_RANGE_TASK rows regardless of cluster size
+    (extra ranges just queue); range skew follows rowid sparsity,
+    which for the autoincrement app tables this reads is near-dense —
+    the worst case degrades to fewer effective tasks, never wrong
+    rows."""
+    # executor-side dependencies, fail fast at the routing point
+    import pandas as pd  # noqa: F401
+    import pyarrow  # noqa: F401
 
-    sc = spark.sparkContext
-    sc.addFile(db_path)  # re-adding the same path later is a no-op
-    base_name = os.path.basename(db_path)
+    shipped, local_link = _ship_db(spark, db_path)
     span = hi - lo + 1
-    n_parts = max(
-        1,
-        min(
-            sc.defaultParallelism,
-            -(-n_rows // ROWS_PER_RANGE_TASK),
-            span,  # never more tasks than addressable rowids
-        ),
-    )
+    n_parts = max(1, min(-(-n_rows // ROWS_PER_RANGE_TASK), span))
     step = -(-span // n_parts)
     bounds = [
         (lo + i * step, min(hi, lo + (i + 1) * step - 1)) for i in range(n_parts)
     ]
-    ranges = spark.createDataFrame(bounds, "lo long, hi long").repartition(n_parts)
+    ranges = spark.createDataFrame(bounds, "lo long, hi long").repartition(
+        min(n_parts, max(1, spark.sparkContext.defaultParallelism))
+    )
 
     def scan(batches):
         import pathlib
@@ -159,20 +229,36 @@ def _read_sqlite_ranges(
         import pandas as pd
         from pyspark.files import SparkFiles
 
-        local = SparkFiles.get(base_name)
-        path = local if os.path.exists(local) else db_path
+        local = SparkFiles.get(shipped)
+        if not os.path.exists(local):
+            # local mode: the fetch was skipped, open the unique link
+            # (resolvable only on the driver's machine — the raw user
+            # path is never used, so an equal path naming a DIFFERENT
+            # file on a real executor can't be read silently)
+            if os.path.exists(local_link):
+                local = local_link
+            else:
+                raise FileNotFoundError(
+                    f"shipped SQLite copy missing on this executor: {local}"
+                )
         # as_uri percent-escapes spaces/specials the raw f"file:{path}"
         # form would misparse
-        con = sqlite3.connect(pathlib.Path(path).as_uri() + "?mode=ro", uri=True)
+        con = sqlite3.connect(pathlib.Path(local).as_uri() + "?mode=ro", uri=True)
         try:
             names = [f.name for f in schema.fields]
             for pdf in batches:
                 for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
-                    rows = con.execute(
+                    cur = con.execute(
                         f"SELECT {cols} FROM {table} WHERE rowid BETWEEN ? AND ?",
                         (int(lo_), int(hi_)),
-                    ).fetchall()
-                    yield pd.DataFrame(rows, columns=names, dtype=object)
+                    )
+                    while True:
+                        # chunked: a dense range never materializes more
+                        # than one Arrow batch of rows at a time
+                        rows = cur.fetchmany(ROWS_PER_RANGE_TASK)
+                        if not rows:
+                            break
+                        yield pd.DataFrame(rows, columns=names, dtype=object)
         finally:
             con.close()
 

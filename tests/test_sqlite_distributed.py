@@ -92,3 +92,93 @@ def test_without_rowid_table_stays_on_driver_path(spark, big_db):
     df = sio.read_sqlite_table(spark, big_db, "norowid", schema)
     rows = {r.k: (r.rowid, r.v) for r in df.collect()}
     assert rows == {f"k{i}": (None, i) for i in range(5)}
+
+
+def _mkdb(path, n, offset=0):
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE messages (_id INTEGER PRIMARY KEY, body TEXT, ts INT, payload BLOB)")
+    con.executemany(
+        "INSERT INTO messages VALUES (?, ?, ?, ?)",
+        ((i, f"body {offset + i}", offset + i, None) for i in range(n)),
+    )
+    con.commit()
+    con.close()
+
+
+def test_same_basename_dbs_do_not_collide(spark, tmp_path, monkeypatch):
+    """Signal layouts pin fixed filenames — two different backups named
+    database.sqlite in one session must each be read correctly (addFile
+    keys by basename; the reader ships under unique names)."""
+    monkeypatch.setattr(sio, "DISTRIBUTED_ROWS_THRESHOLD", 50)
+    monkeypatch.setattr(sio, "ROWS_PER_RANGE_TASK", 100)
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(); b_dir.mkdir()
+    _mkdb(str(a_dir / "database.sqlite"), 300, offset=0)
+    _mkdb(str(b_dir / "database.sqlite"), 300, offset=1_000_000)
+    sub = T.StructType(
+        [T.StructField("_id", T.LongType()), T.StructField("ts", T.LongType())]
+    )
+    da = sio.read_sqlite_table(spark, str(a_dir / "database.sqlite"), "messages", sub)
+    db = sio.read_sqlite_table(spark, str(b_dir / "database.sqlite"), "messages", sub)
+    assert da.agg(F.min("ts"), F.max("ts")).collect()[0][:] == (0, 299)
+    assert db.agg(F.min("ts"), F.max("ts")).collect()[0][:] == (1_000_000, 1_000_299)
+
+
+def test_rewritten_db_is_not_served_stale(spark, tmp_path, monkeypatch):
+    """Overwriting a previously-shipped db must re-ship: bounds come
+    from the new file, so serving the old shipped bytes would silently
+    return wrong rows."""
+    import time as _time
+
+    monkeypatch.setattr(sio, "DISTRIBUTED_ROWS_THRESHOLD", 50)
+    monkeypatch.setattr(sio, "ROWS_PER_RANGE_TASK", 100)
+    p = str(tmp_path / "mut.db")
+    sub = T.StructType(
+        [T.StructField("_id", T.LongType()), T.StructField("ts", T.LongType())]
+    )
+    _mkdb(p, 200, offset=0)
+    first = sio.read_sqlite_table(spark, p, "messages", sub).count()
+    assert first == 200
+    _time.sleep(0.01)  # distinct mtime_ns
+    import os as _os
+
+    _os.remove(p)
+    _mkdb(p, 260, offset=5_000)
+    df = sio.read_sqlite_table(spark, p, "messages", sub)
+    assert df.count() == 260
+    assert df.agg(F.min("ts")).collect()[0][0] == 5_000
+
+
+def test_wal_pending_frames_fall_back_to_driver_path(spark, tmp_path, monkeypatch):
+    """A WAL db with uncheckpointed frames must NOT take the distributed
+    path (only the main file ships; executors would miss the WAL rows)."""
+    monkeypatch.setattr(sio, "DISTRIBUTED_ROWS_THRESHOLD", 50)
+    p = str(tmp_path / "wal.db")
+    con = sqlite3.connect(p)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute("CREATE TABLE messages (_id INTEGER PRIMARY KEY, ts INT)")
+    con.executemany(
+        "INSERT INTO messages VALUES (?, ?)", ((i, i) for i in range(500))
+    )
+    con.commit()
+    # an OPEN READ TRANSACTION keeps the writer's close() from
+    # checkpointing and deleting the -wal sidecar
+    holder = sqlite3.connect(p)
+    holder.execute("BEGIN")
+    holder.execute("SELECT 1 FROM messages LIMIT 1").fetchall()
+    con.close()
+    try:
+        import os as _os
+
+        assert _os.path.getsize(p + "-wal") > 0  # frames really pending
+
+        def boom(*a, **k):
+            raise AssertionError("distributed path taken on a WAL-pending db")
+
+        monkeypatch.setattr(sio, "_read_sqlite_ranges", boom)
+        sub = T.StructType([T.StructField("_id", T.LongType()), T.StructField("ts", T.LongType())])
+        df = sio.read_sqlite_table(spark, p, "messages", sub)
+        assert df.count() == 500  # driver path sees main + WAL
+    finally:
+        holder.close()
