@@ -103,6 +103,65 @@ def read_metrics(spark: SparkSession, log_dir: str) -> DataFrame:
     )
 
 
+def quality_gated_upsert_batch(
+    batch: DataFrame, batch_id: int, log_dir: str, store_dir: str
+) -> dict:
+    """The pause-the-merge discipline as a first-class composition
+    (previously only test_day2_pipeline's hand-rolled loop): audit the
+    batch, log the report under the shared per-batch protocol, and
+    hand the batch to the CDC upsert ONLY when every constraint
+    passed. A quarantined batch still runs the upsert store's state
+    janitoring (`skip_upsert_batch`) — without it, a new numbering
+    epoch that STARTS with quarantined batches would leave the dead
+    epoch's snapshots for a later clean batch to merge as its
+    predecessor (the epoch-splice failure mode, upsert-side).
+
+    Replay safety mirrors the drift gate: the verdict is a pure
+    function of the batch, the log append is idempotent per batch_id,
+    and both apply and skip are replay-idempotent.
+
+    Returns {'applied', 'failed_checks', 'total'} — bounded metadata.
+    """
+    from .upsert import apply_batch, skip_upsert_batch
+
+    sess = batch.sparkSession
+    report = audit_batch(batch).localCheckpoint(eager=True)  # audited once
+    append_batch_report(sess, log_dir, batch_id, report)
+    rows = report.collect()  # 4 rows: one per constraint
+    failed = sorted(r.check_name for r in rows if r.passed != 1)
+    verdict = {
+        "applied": not failed,
+        "failed_checks": failed,
+        "total": int(rows[0].total) if rows else 0,
+    }
+    if failed:
+        skip_upsert_batch(sess, store_dir, batch_id)
+        return verdict
+    apply_batch(batch, batch_id, store_dir)
+    return verdict
+
+
+def stream_gated_upsert(
+    spark: SparkSession,
+    drop_dir: str,
+    log_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """stream_upsert with the quality gate in front: watch drop_dir for
+    event batches, log the constraint report per batch, merge only
+    batches with every constraint green."""
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(drop_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: quality_gated_upsert_batch(b, bid, log_dir, store_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_quality_monitor(spark: SparkSession, drop_dir: str, log_dir: str, checkpoint_dir: str):
     """Watch drop_dir for event batches; maintain the metrics log."""
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(drop_dir)

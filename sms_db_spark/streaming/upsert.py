@@ -109,6 +109,30 @@ def apply_batch(batch: DataFrame, batch_id: int, store_dir: str) -> None:
             )
 
 
+def skip_upsert_batch(sess: SparkSession, store_dir: str, batch_id: int) -> None:
+    """The no-data half of apply_batch, for callers that DECIDE not to
+    merge a batch (the quality gate's quarantine): run the same state
+    janitoring a merge would — drop every snapshot with id >= batch_id
+    (a failed attempt, or a dead numbering epoch after a checkpoint
+    reset) and every snapshot older than the predecessor. Without
+    this, a gated stream whose new epoch STARTS with skipped batches
+    would later hand a clean batch the dead epoch's lower-numbered
+    snapshot as its predecessor (apply_batch treats any id < its own
+    as lineage) and splice the two epochs' states. Idempotent: a
+    replayed skip recomputes the same deletes; a fresh store is left
+    untouched."""
+    ids = _state_ids(sess, store_dir)
+    prior = [i for i in ids if i < batch_id]
+    keep = {prior[-1]} if prior else set()
+    jvm, fs = hadoop_fs(sess, store_dir)
+    for i in ids:
+        if i not in keep:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(os.path.join(store_dir, f"state-{i}")),
+                True,
+            )
+
+
 def read_upsert_store(spark: SparkSession, store_dir: str) -> DataFrame:
     """Serving view of the latest state: live keys only (tombstones
     filtered), q126's exact output shape."""
