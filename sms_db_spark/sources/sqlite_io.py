@@ -93,9 +93,12 @@ def _projection(
 def _wal_pending(con: sqlite3.Connection, db_path: str) -> bool:
     """True when the db is in WAL mode with a non-empty -wal sidecar:
     recent writes live in frames the main file does not contain, and
-    shipping only the main file would silently truncate the read."""
+    shipping only the main file would silently truncate the read. The
+    sidecar lives next to the REAL file (SQLite's unix VFS resolves
+    symlinks), so probe realpath — consistent with _ship_db, or a
+    symlinked WAL db would dodge the guard."""
     mode = con.execute("PRAGMA journal_mode").fetchone()[0]
-    wal = db_path + "-wal"
+    wal = os.path.realpath(db_path) + "-wal"
     return (
         str(mode).lower() == "wal"
         and os.path.exists(wal)
@@ -141,37 +144,52 @@ def read_sqlite_table(
     return spark.createDataFrame(rows, schema)
 
 
-# (realpath, mtime_ns, size) -> unique shipped name. addFile keys files
-# by BASENAME with no invalidation, so two different dbs sharing a name
-# (Signal layouts pin 'database.sqlite') would collide, and a changed
-# file behind an already-shipped path would be served stale. Shipping
-# through a uniquely-named symlink sidesteps both; the cache keeps one
-# ship per unchanged file (read_bugle_staging reads 5 tables of one db).
-_SHIP_CACHE: dict[tuple[str, int, int], str] = {}
+# (applicationId, realpath, mtime_ns, size) -> unique shipped name.
+# addFile keys files by BASENAME with no invalidation, so two different
+# dbs sharing a name (Signal layouts pin 'database.sqlite') would
+# collide, and a changed file behind an already-shipped path would be
+# served stale. Shipping through a uniquely-named hardlink sidesteps
+# both; the cache keeps one ship per unchanged file per SparkContext
+# (read_bugle_staging reads 5 tables of one db; the applicationId key
+# re-ships after a session restart, whose new context never received
+# the old addFile). Superseded entries for the same file are evicted
+# and their links removed so a long-lived driver re-reading rewritten
+# dbs does not pin disk; the ship dir itself dies with the process.
+_SHIP_CACHE: dict[tuple[str, str, int, int], str] = {}
 _SHIP_DIR: str | None = None
 
 
 def _ship_db(spark: SparkSession, db_path: str) -> tuple[str, str]:
     """Ship db_path to the executors under a collision-proof unique
     name; returns (name for SparkFiles.get, driver-local link path).
-    The link path is the LOCAL-MODE read path: local mode skips the
-    userFiles fetch entirely (executors share the driver's filesystem),
-    so SparkFiles.get points at a file that was never materialized —
-    tasks then open the unique link, which is only resolvable on the
-    driver's machine, keeping the cluster case on the fetched copy."""
+    The link path is the LOCAL-MODE read path: when the fetch into
+    userFiles was skipped (executors share the driver's filesystem),
+    tasks open the unique link, which is only resolvable on the
+    driver's machine — keeping the cluster case on the fetched copy."""
     global _SHIP_DIR
+    import atexit
+    import shutil
     import tempfile
     import uuid
 
-    import shutil
-
     real = os.path.realpath(db_path)
     st = os.stat(real)
-    key = (real, st.st_mtime_ns, st.st_size)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, real, st.st_mtime_ns, st.st_size)
     name = _SHIP_CACHE.get(key)
     if name is None:
         if _SHIP_DIR is None:
             _SHIP_DIR = tempfile.mkdtemp(prefix="sms_db_spark_ship_")
+            atexit.register(shutil.rmtree, _SHIP_DIR, ignore_errors=True)
+        # evict superseded versions of this file (older mtime/size, or a
+        # dead context's entry): unlink their ship files; a hardlink to a
+        # rewritten-in-place db would otherwise pin the old blocks forever
+        for old in [k for k in _SHIP_CACHE if k[1] == real and k != key]:
+            stale = _SHIP_CACHE.pop(old)
+            try:
+                os.unlink(os.path.join(_SHIP_DIR, stale))
+            except OSError:
+                pass
         name = f"sqlite-{uuid.uuid4().hex}-{os.path.basename(real)}"
         link = os.path.join(_SHIP_DIR, name)
         try:

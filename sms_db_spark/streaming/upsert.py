@@ -99,14 +99,22 @@ def apply_batch(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     state.write.mode("overwrite").parquet(
         os.path.join(store_dir, f"state-{batch_id}")
     )
+    _janitor_states(sess, store_dir, ids, {batch_id} | ({prior[-1]} if prior else set()))
+
+
+def _janitor_states(
+    sess: SparkSession, store_dir: str, ids: list[int], keep: set[int]
+) -> None:
+    """THE snapshot-retention delete loop, shared by the merge and the
+    gate's skip path so the two can never diverge on policy. A failed
+    delete raises: a silently-surviving snapshot is exactly the stale
+    state read_upsert_store would then serve forever."""
     jvm, fs = hadoop_fs(sess, store_dir)
-    keep = {batch_id} | ({prior[-1]} if prior else set())
     for i in ids:
         if i not in keep:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(os.path.join(store_dir, f"state-{i}")),
-                True,
-            )
+            p = jvm.org.apache.hadoop.fs.Path(os.path.join(store_dir, f"state-{i}"))
+            if not fs.delete(p, True) and fs.exists(p):
+                raise RuntimeError(f"state janitor failed deleting {store_dir}/state-{i}")
 
 
 def skip_upsert_batch(sess: SparkSession, store_dir: str, batch_id: int) -> None:
@@ -123,14 +131,7 @@ def skip_upsert_batch(sess: SparkSession, store_dir: str, batch_id: int) -> None
     untouched."""
     ids = _state_ids(sess, store_dir)
     prior = [i for i in ids if i < batch_id]
-    keep = {prior[-1]} if prior else set()
-    jvm, fs = hadoop_fs(sess, store_dir)
-    for i in ids:
-        if i not in keep:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(os.path.join(store_dir, f"state-{i}")),
-                True,
-            )
+    _janitor_states(sess, store_dir, ids, {prior[-1]} if prior else set())
 
 
 def read_upsert_store(spark: SparkSession, store_dir: str) -> DataFrame:

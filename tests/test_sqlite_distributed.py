@@ -182,3 +182,35 @@ def test_wal_pending_frames_fall_back_to_driver_path(spark, tmp_path, monkeypatc
         assert df.count() == 500  # driver path sees main + WAL
     finally:
         holder.close()
+
+
+def test_symlinked_wal_db_still_falls_back(spark, tmp_path, monkeypatch):
+    """The -wal sidecar lives next to the REAL file; a symlinked db path
+    must not dodge the WAL guard (sidecar probe is realpath-based)."""
+    monkeypatch.setattr(sio, "DISTRIBUTED_ROWS_THRESHOLD", 50)
+    import os as _os
+
+    real = str(tmp_path / "real.db")
+    con = sqlite3.connect(real)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute("CREATE TABLE messages (_id INTEGER PRIMARY KEY, ts INT)")
+    con.executemany("INSERT INTO messages VALUES (?, ?)", ((i, i) for i in range(300)))
+    con.commit()
+    holder = sqlite3.connect(real)
+    holder.execute("BEGIN")
+    holder.execute("SELECT 1 FROM messages LIMIT 1").fetchall()
+    con.close()
+    try:
+        assert _os.path.getsize(real + "-wal") > 0
+        link = str(tmp_path / "latest.db")
+        _os.symlink(real, link)
+
+        def boom(*a, **k):
+            raise AssertionError("distributed path taken on a symlinked WAL-pending db")
+
+        monkeypatch.setattr(sio, "_read_sqlite_ranges", boom)
+        sub = T.StructType([T.StructField("_id", T.LongType()), T.StructField("ts", T.LongType())])
+        assert sio.read_sqlite_table(spark, link, "messages", sub).count() == 300
+    finally:
+        holder.close()
