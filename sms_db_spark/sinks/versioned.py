@@ -57,6 +57,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..fsutil import hadoop_fs, numbered_child_dirs, read_text, write_text_atomic
 
@@ -273,6 +274,44 @@ def compact_current(
         spark, store, read_current(spark, root).coalesce(report["n_files_after"])
     )
     return {**report, "compacted": True, "version": name}
+
+
+def merge_current(
+    spark: SparkSession,
+    store: str,
+    source: DataFrame,
+    keys: list,
+    delete_condition=None,
+) -> dict:
+    """MERGE INTO through the commit pointer: sinks/merge.py's exact
+    semantics (`_resolve`: matched+condition → delete, matched →
+    update, source-only → insert, target-only → keep) applied to the
+    live version and committed as the NEXT version — the zero-window
+    form of `merge_into` for stores on this layout. No staging swap,
+    no `.premerge` backup, no recovery path: at every instant `_HEAD`
+    names a complete dataset, readers mid-scan keep their version, and
+    `rollback` undoes a bad merge as a first-class operation (the flat
+    store's failed-merge answer is 'the swap restored the backup';
+    this layout's is 'the old version never stopped existing').
+    Returns merge_into's stats dict plus the committed version name.
+
+    delete_condition is evaluated on the MATCHED join row (target
+    columns as `t_<name>`, source as `s_<name>`), same contract as
+    merge_into."""
+    from .merge import _action_counts, _resolve
+
+    result = _resolve(read_current(spark, store), source, keys, delete_condition)
+    counts = _action_counts(result)
+    name = commit_version(
+        spark, store, result.filter(F.col("_action") != "delete").drop("_action")
+    )
+    return {
+        "inserted": counts.get("insert", 0),
+        "updated": counts.get("update", 0),
+        "deleted": counts.get("delete", 0),
+        "unchanged": counts.get("keep", 0),
+        "version": name,
+    }
 
 
 def prune_versions(spark: SparkSession, store: str, keep: int = 2) -> list[str]:

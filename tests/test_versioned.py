@@ -333,3 +333,57 @@ def test_prune_bounds_lineage_and_drops_dangling_names(spark, tmp_path):
     after = json.loads(read_text(spark, f"{store}/_HEAD"))
     assert after["published"] == ["v00000001", "v00000002"]  # collapsed + healed
     assert read_current(spark, store).count() == 2
+
+
+def test_merge_current_equals_flat_merge_and_is_rollbackable(spark, tmp_path):
+    """merge_current = merge_into's exact semantics through the commit
+    pointer: same stats and same resulting rows as the flat-store merge
+    on identical inputs, with the pre-merge version still live-able via
+    rollback (the zero-window failed-merge answer)."""
+    from sms_db_spark.sinks.merge import merge_into
+    from sms_db_spark.sinks.versioned import merge_current, rollback
+
+    target = spark.range(10).select(
+        "id", (F.col("id") * 10).alias("value"), F.lit("old").alias("src")
+    )
+    source = spark.range(5, 15).select(
+        "id", (F.col("id") * 100).alias("value"), F.lit("new").alias("src")
+    )
+    flat = str(tmp_path / "flat")
+    target.write.parquet(flat)
+    flat_stats = merge_into(
+        spark, flat, source, ["id"], delete_condition=F.col("s_id") == 7
+    )
+
+    store = str(tmp_path / "versioned")
+    v1 = commit_version(spark, store, target)
+    stats = merge_current(
+        spark, store, source, ["id"], delete_condition=F.col("s_id") == 7
+    )
+    version = stats.pop("version")
+    assert stats == flat_stats  # {'inserted':5,'updated':4,'deleted':1,'unchanged':5}
+    assert stats == {"inserted": 5, "updated": 4, "deleted": 1, "unchanged": 5}
+    merged = read_current(spark, store)
+    flat_rows = spark.read.parquet(flat)
+    assert merged.exceptAll(flat_rows).count() == 0
+    assert flat_rows.exceptAll(merged).count() == 0
+    # the pre-merge state never stopped existing: rollback restores it
+    assert _statuses(spark, store) == {v1: "old", version: "live"}
+    assert rollback(spark, store, v1) == version
+    assert read_current(spark, store).exceptAll(target).count() == 0
+
+
+def test_merge_current_schema_mismatch_refused_without_new_version(spark, tmp_path):
+    from sms_db_spark.sinks.versioned import merge_current
+
+    store = str(tmp_path / "store")
+    v1 = commit_version(spark, store, _df(spark, 5, "a"))
+    bad = spark.range(3).select("id", F.lit(1).alias("unexpected"))
+    try:
+        merge_current(spark, store, bad, ["id"])
+        assert False, "schema mismatch must refuse"
+    except ValueError:
+        pass
+    # refusal happened BEFORE any commit: the store is untouched
+    assert current_version(spark, store) == v1
+    assert _statuses(spark, store) == {v1: "live"}
