@@ -97,6 +97,34 @@ WRITE_AUDITS = [
 BEST_OF = 3
 
 
+def calibration(spark) -> float:
+    """A fixed reference job (never changes across rounds): times the
+    MACHINE+JVM, not this repo's code. Round-over-round bench
+    comparisons divide by this to separate real plan changes from
+    ambient machine-speed drift — the r2 and r5 cross-round deltas were
+    both ambient (1.4-2x), each proven by hand with worktree A/Bs that
+    this field now replaces. Same methodology as the queries: best-of-3
+    after one warm-up."""
+    from pyspark.sql import functions as F
+
+    def job():
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select((F.col("id") % 9973).alias("k"), F.col("id").alias("v"))
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    job()  # warm-up
+    best = float("inf")
+    for _ in range(BEST_OF):
+        t0 = time.time()
+        job()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -117,6 +145,7 @@ def main() -> None:
             timings[name] = round(best, 3)
         return timings
 
+    cal = calibration(spark)
     headline = run(HEADLINE)
     write_audits = run(WRITE_AUDITS)
 
@@ -129,9 +158,12 @@ def main() -> None:
                 "queries": headline,
                 "write_audits": write_audits,
                 "write_audits_total": round(sum(write_audits.values()), 3),
+                "calibration_sec": cal,
                 "sf": sf,
                 "methodology": f"per-query best-of-{BEST_OF} after one warm-up run; "
-                "write-audit queries timed separately (store-writer IO, not query latency)",
+                "write-audit queries timed separately (store-writer IO, not query "
+                "latency); calibration_sec times a FIXED reference job — divide "
+                "cross-round totals by it to cancel ambient machine-speed drift",
             }
         )
     )
