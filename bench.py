@@ -98,18 +98,25 @@ BEST_OF = 3
 
 
 def calibration(spark) -> float:
-    """A fixed reference job (never changes across rounds): times the
-    MACHINE+JVM, not this repo's code. Round-over-round bench
-    comparisons divide by this to separate real plan changes from
-    ambient machine-speed drift — the r2 and r5 cross-round deltas were
-    both ambient (1.4-2x), each proven by hand with worktree A/Bs that
-    this field now replaces. Same methodology as the queries: best-of-3
-    after one warm-up."""
+    """A fixed reference job (never changes across rounds) timed on a
+    session clone with its runtime confs PINNED, so the measurement
+    tracks the machine/JVM and is insulated from this repo's session
+    tuning (a session.py conf change must move the queries, not the
+    baseline; static confs like executor memory still apply — they ARE
+    machine shape). Round-over-round bench comparisons divide by this
+    to separate real plan changes from ambient machine-speed drift —
+    the r2 and r5 cross-round deltas were both ambient (1.4-2x), each
+    proven by hand with worktree A/Bs that this field now replaces.
+    Same methodology as the queries: best-of-3 after one warm-up."""
     from pyspark.sql import functions as F
+
+    session = spark.newSession()  # isolated SQLConf, shared context
+    session.conf.set("spark.sql.shuffle.partitions", "32")
+    session.conf.set("spark.sql.adaptive.enabled", "true")
 
     def job():
         (
-            spark.range(0, 20_000_000, 1, 32)
+            session.range(0, 20_000_000, 1, 32)
             .select((F.col("id") % 9973).alias("k"), F.col("id").alias("v"))
             .groupBy("k")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))

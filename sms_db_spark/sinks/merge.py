@@ -89,6 +89,18 @@ def _action_counts(result: DataFrame) -> dict:
     }
 
 
+def _merge_stats(counts: dict) -> dict:
+    """THE action-name → stats-key mapping, shared by merge_into,
+    merge_into_cow, and versioned.merge_current so the three surfaces
+    can never report differently-shaped stats."""
+    return {
+        "inserted": counts.get("insert", 0),
+        "updated": counts.get("update", 0),
+        "deleted": counts.get("delete", 0),
+        "unchanged": counts.get("keep", 0),
+    }
+
+
 def merge_into(
     spark: SparkSession,
     target_path: str,
@@ -112,12 +124,7 @@ def merge_into(
         "overwrite"
     ).parquet(staged)
     atomic_swap(spark, target_path, staged, backup)
-    return {
-        "inserted": counts.get("insert", 0),
-        "updated": counts.get("update", 0),
-        "deleted": counts.get("delete", 0),
-        "unchanged": counts.get("keep", 0),
-    }
+    return _merge_stats(counts)
 
 
 def merge_into_cow(
@@ -334,10 +341,7 @@ def merge_into_cow(
                 "store now holds duplicate key versions — dedup required"
             )
     return {
-        "inserted": counts.get("insert", 0),
-        "updated": counts.get("update", 0),
-        "deleted": counts.get("delete", 0),
-        "unchanged": counts.get("keep", 0),
+        **_merge_stats(counts),
         "files_rewritten": len(touched_set),
         "files_skipped": n_skipped,
     }

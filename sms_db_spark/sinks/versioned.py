@@ -244,7 +244,9 @@ def rewrite_current(spark: SparkSession, store: str, transform) -> str:
     version, apply `transform` (compaction's coalesce, a Z-order sort,
     a merge result — any DataFrame -> DataFrame), commit the result as
     the next version. At every instant `_HEAD` names a complete
-    dataset; there is nothing to recover at job entry."""
+    dataset. Writer entry, so a crashed pointer flip is repaired here
+    BEFORE read_current would refuse on the missing pointer."""
+    recover_head(spark, store)
     return commit_version(spark, store, transform(read_current(spark, store)))
 
 
@@ -298,20 +300,15 @@ def merge_current(
     delete_condition is evaluated on the MATCHED join row (target
     columns as `t_<name>`, source as `s_<name>`), same contract as
     merge_into."""
-    from .merge import _action_counts, _resolve
+    from .merge import _action_counts, _merge_stats, _resolve
 
+    recover_head(spark, store)  # writer entry: finish any crashed flip
     result = _resolve(read_current(spark, store), source, keys, delete_condition)
     counts = _action_counts(result)
     name = commit_version(
         spark, store, result.filter(F.col("_action") != "delete").drop("_action")
     )
-    return {
-        "inserted": counts.get("insert", 0),
-        "updated": counts.get("update", 0),
-        "deleted": counts.get("delete", 0),
-        "unchanged": counts.get("keep", 0),
-        "version": name,
-    }
+    return {**_merge_stats(counts), "version": name}
 
 
 def prune_versions(spark: SparkSession, store: str, keep: int = 2) -> list[str]:

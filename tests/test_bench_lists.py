@@ -1,27 +1,16 @@
 """bench.py's query lists must always resolve against the registry — a
 rename that orphans a name would crash the driver's per-round bench run
-and silently cost the round its BENCH artifact."""
+and silently cost the round its BENCH artifact. Metadata-only: no Spark
+session needed (conftest's sys.path insert makes `import bench` work)."""
 
 from __future__ import annotations
 
-import importlib.util
-import os
+import bench
+
+from sms_db_spark.plans import registry
 
 
-def _bench():
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
-    )
-    spec = importlib.util.spec_from_file_location("bench_under_test", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
-def test_bench_names_resolve_and_buckets_are_disjoint(spark):
-    from sms_db_spark.plans import registry
-
-    bench = _bench()
+def test_bench_names_resolve_and_buckets_are_disjoint():
     specs = registry()
     missing = [n for n in bench.HEADLINE + bench.WRITE_AUDITS if n not in specs]
     assert not missing, missing

@@ -376,14 +376,30 @@ def test_merge_current_equals_flat_merge_and_is_rollbackable(spark, tmp_path):
 def test_merge_current_schema_mismatch_refused_without_new_version(spark, tmp_path):
     from sms_db_spark.sinks.versioned import merge_current
 
+    import pytest
+
     store = str(tmp_path / "store")
     v1 = commit_version(spark, store, _df(spark, 5, "a"))
     bad = spark.range(3).select("id", F.lit(1).alias("unexpected"))
-    try:
+    with pytest.raises(ValueError, match="schema mismatch"):
         merge_current(spark, store, bad, ["id"])
-        assert False, "schema mismatch must refuse"
-    except ValueError:
-        pass
     # refusal happened BEFORE any commit: the store is untouched
     assert current_version(spark, store) == v1
     assert _statuses(spark, store) == {v1: "live"}
+
+
+def test_merge_current_recovers_lost_pointer_at_entry(spark, tmp_path):
+    """merge_current is a writer entry point: a pointer lost to the
+    object-store fallback must be repaired there, not refused by
+    read_current (the module's run-recovery-at-every-writer-entry
+    contract)."""
+    from sms_db_spark.sinks.versioned import merge_current
+
+    store = str(tmp_path / "store")
+    commit_version(spark, store, _df(spark, 5, "a"))
+    jvm, fs = hadoop_fs(spark, store)
+    assert fs.delete(jvm.org.apache.hadoop.fs.Path(f"{store}/_HEAD"), False)
+    source = _df(spark, 8, "a")  # 5 updates + 3 inserts
+    stats = merge_current(spark, store, source, ["id"])
+    assert (stats["updated"], stats["inserted"]) == (5, 3)
+    assert read_current(spark, store).count() == 8
