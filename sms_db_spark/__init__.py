@@ -10,7 +10,7 @@ Layout:
   functions/  — scalar expression + hashing helpers (ref §2.2 operators)
   plans/      — named query surface with DuckDB oracle twins
   sources/    — XML / Bugle / Signal importer normalizers (ref sms-db.pl:63-229)
-  sinks/      — JDBC-SQLite + XML export (ref sms-db.pl:235-313)
+  sinks/      — SQLite store writer + XML export (ref sms-db.pl:235-313)
   operators/  — dedup, similarity, text-analysis, multimodal extensions
   streaming/  — incremental ingest as Structured Streaming
 """

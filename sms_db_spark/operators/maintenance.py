@@ -865,10 +865,20 @@ def q144_planned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q144_SQL = """
+# The oracle derives the expected strategy from the SAME row-count
+# threshold plan_join applies (ADVICE r6): hardcoding 'broadcast' made
+# the pin valid only below the SF where orders crosses
+# JOIN_BROADCAST_ROWS (~sf0.7). Past it the live path picks 'shuffle' —
+# never 'salted' for this pair at ANY scale: l_orderkey has at most 7
+# lineitems per order and ~4 mean, so the fact side's skew_milli is
+# bounded near max_cnt/mean = 1750 < JOIN_SKEW_MILLI, and the orders
+# side's unique keys profile at exactly 1000.
+Q144_SQL = f"""
 SELECT o_orderstatus, COUNT(*) AS n_items,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       'broadcast' AS strategy
+       CASE WHEN LEAST((SELECT COUNT(*) FROM lineitem),
+                       (SELECT COUNT(*) FROM orders)) <= {JOIN_BROADCAST_ROWS}
+            THEN 'broadcast' ELSE 'shuffle' END AS strategy
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus

@@ -115,7 +115,10 @@ def q64_export_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     xm, xp = normalize_xml(*xml_frames(spark))
     xm, xp = _ckpt(xm, xp)
     res = finalize_import(xm, xp)
-    return sms_export_frame(res.messages, res.parts)
+    # the frame carries the store _id as its tie-breaking sort key; the
+    # golden oracle pins the four exported columns (projection preserves
+    # the sort — no exchange is added)
+    return sms_export_frame(res.messages, res.parts).drop("_id")
 
 
 def q65_sql_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:

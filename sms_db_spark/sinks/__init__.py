@@ -1,1 +1,1 @@
-"""Sinks: parquet store, JDBC-to-SQLite, single-document XML export."""
+"""Sinks: parquet store, SQLite store writer, single-document XML export."""

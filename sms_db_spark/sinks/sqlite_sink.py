@@ -1,15 +1,18 @@
 """SQLite-compatible sink: the output db is literally queryable with the
-sqlite3 CLI like the reference's store (README.md:103-105, BASELINE.json
-spark_approach "DataFrame ops + JDBC to SQLite").
+sqlite3 CLI like the reference's store (README.md:103-105).
 
-Two paths:
-  - JDBC (org.sqlite.JDBC / Xerial): the cluster path — df.write.jdbc with
-    batched inserts. Used when the driver jar is on the classpath.
-  - Driver-side fallback (python sqlite3 over toLocalIterator): used in
-    this container (no sqlite-jdbc jar baked in). Streams partition
-    iterators — constant memory — but single-writer; fine for the export
-    scale SQLite itself can handle (SQLite is a single-writer store anyway,
-    so even the JDBC path cannot parallelize the final write).
+ONE write path — python sqlite3 over toLocalIterator. Streams partition
+iterators (constant driver memory) into a single writer, which is the
+only parallelism SQLite itself admits: the output is one single-writer
+db file, so no cluster-side writer (JDBC included) could parallelize
+the final insert anyway — it would funnel the same rows through the
+same file lock. A JDBC lane existed through round 6 but could never
+execute here (no sqlite-jdbc jar is vendored and none can be fetched),
+and an unprovable lane on the primary compat sink is worse than no
+lane (VERDICT r6 item 4): deleted, driver writer promoted to the only
+documented path. On a cluster the export cost is the upstream
+DataFrame work, which stays distributed; the final file write is
+inherently serial either way.
 
 Schema parity: CREATE TABLE statements mirror sms-db.pl:49,53 including
 `hash INT UNIQUE` (SQLite type affinity stores the hex text) and
@@ -21,7 +24,6 @@ from __future__ import annotations
 import sqlite3
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from .. import DATABASE_VERSION
 
@@ -35,14 +37,6 @@ PARTS_DDL = (
     "message_id INT,data BLOB,content_type TEXT,filename TEXT,"
     "FOREIGN KEY (message_id) REFERENCES messages(_id) ON DELETE CASCADE)"
 )
-
-
-def _jdbc_available(spark) -> bool:
-    try:
-        spark._jvm.java.lang.Class.forName("org.sqlite.JDBC")
-        return True
-    except Exception:
-        return False
 
 
 def _create_store_schema(db_path: str) -> None:
@@ -62,23 +56,6 @@ def write_store_sqlite(messages: DataFrame, parts: DataFrame, db_path: str) -> N
     """Write the canonical store to a SQLite file the reference's users can
     query verbatim (querying.md). Reconstitutes the parts.data polymorphism:
     text parts store their text in `data` (sms-db.pl:54-55 simplified table)."""
-    spark = messages.sparkSession
-    if _jdbc_available(spark):
-        # DDL parity on the JDBC lane too: mode="append" on auto-created
-        # tables would let Spark infer DDL — no AUTOINCREMENT, no
-        # `hash INT UNIQUE`, no FK, no user_version pragma. Pre-create the
-        # reference schema (sms-db.pl:49-53) driver-side so both lanes
-        # produce the identical store format.
-        _create_store_schema(db_path)
-        url = f"jdbc:sqlite:{db_path}"
-        props = {"driver": "org.sqlite.JDBC", "batchsize": "10000"}
-        messages.orderBy("_id").write.jdbc(url, "messages", mode="append", properties=props)
-        parts_flat = parts.withColumn(
-            "data", F.coalesce(F.col("data"), F.encode(F.col("text"), "UTF-8"))
-        ).drop("text")
-        parts_flat.orderBy("_id").write.jdbc(url, "parts", mode="append", properties=props)
-        return
-
     _create_store_schema(db_path)
     con = sqlite3.connect(db_path)
     try:

@@ -9,6 +9,7 @@ via toLocalIterator (constant driver memory, no full collect).
 
 from __future__ import annotations
 
+import os
 import time
 import xml.etree.ElementTree as ET
 from base64 import b64encode
@@ -36,7 +37,10 @@ _PART_CONST_ATTRS = {
 
 def sms_export_frame(messages: DataFrame, parts: DataFrame) -> DataFrame:
     """SMS rows with body = first part (W1: row_number by part _id replaces
-    the reference's unordered selectrow_array, sms-db.pl:247)."""
+    the reference's unordered selectrow_array, sms-db.pl:247). Carries the
+    store `_id` as the FINAL sort key: with it the export order is a total
+    order, so single-writer and sharded serialization produce identical
+    bytes even on tied (date, address) pairs."""
     w = Window.partitionBy("message_id").orderBy("_id")
     first_part = (
         parts.withColumn("rn", F.row_number().over(w))
@@ -53,13 +57,16 @@ def sms_export_frame(messages: DataFrame, parts: DataFrame) -> DataFrame:
             F.col("timestamp").alias("date"),
             F.col("msg_box").alias("type"),
             "body",
+            messages._id.alias("_id"),
         )
-        .orderBy("date", "address")
+        .orderBy("date", "address", "_id")
     )
 
 
 def mms_export_frame(messages: DataFrame, parts: DataFrame) -> DataFrame:
-    """MMS rows with nested parts collected per message in _id order."""
+    """MMS rows with nested parts collected per message in _id order;
+    the store `_id` rides along as the tie-breaking final sort key
+    (same total-order contract as sms_export_frame)."""
     parts_nested = parts.groupBy("message_id").agg(
         F.array_sort(
             F.collect_list(F.struct("_id", "text", "data", "content_type", "filename"))
@@ -71,8 +78,9 @@ def mms_export_frame(messages: DataFrame, parts: DataFrame) -> DataFrame:
         .select(
             "timestamp", "msg_box", "sender_address", "sender_name",
             "recipient_address", "recipient_name", "parts",
+            messages._id.alias("_id"),
         )
-        .orderBy("timestamp", "sender_address")
+        .orderBy("timestamp", "sender_address", "_id")
     )
 
 
@@ -133,7 +141,37 @@ def _mms_element(row) -> ET.Element:
     return e
 
 
-ROWS_PER_FRAGMENT = 50_000  # bounds driver memory to one fragment's bytes
+ROWS_PER_FRAGMENT = 50_000  # bounds each distributed serialization task
+_CONCAT_CHUNK = 1 << 20  # fragment-concat copy buffer: driver memory bound
+
+
+def _stream_fragment(fh, jvm, fs, p) -> None:
+    """Append one fragment file's bytes to `fh` in bounded chunks —
+    never one whole-fragment buffer (a single toByteArray + py4j
+    transfer made driver memory O(largest fragment), ADVICE r6).
+    Local-scheme fragments stream straight from the filesystem; remote
+    schemes (HDFS/object stores) are pulled to a driver-local temp
+    FILE via the Hadoop raw-local copy (no .crc sidecar), then
+    streamed — O(chunk) memory, O(one fragment) local disk."""
+    import shutil
+
+    uri = p.toUri()
+    if uri.getScheme() in (None, "file"):
+        with open(uri.getPath(), "rb") as src:
+            shutil.copyfileobj(src, fh, _CONCAT_CHUNK)
+        return
+    import tempfile
+
+    tmp = tempfile.NamedTemporaryFile(prefix="sms_db_spark_frag_", delete=False)
+    tmp.close()
+    try:
+        fs.copyToLocalFile(
+            False, p, jvm.org.apache.hadoop.fs.Path("file:" + tmp.name), True
+        )
+        with open(tmp.name, "rb") as src:
+            shutil.copyfileobj(src, fh, _CONCAT_CHUNK)
+    finally:
+        os.unlink(tmp.name)
 
 
 def export_xml_sharded(
@@ -157,9 +195,10 @@ def export_xml_sharded(
     Ordering: repartitionByRange + sortWithinPartitions on the export
     sort keys IS Spark's global sort, and fragment files are
     concatenated in partition order, so the document order equals
-    export_xml's. On tied sort keys both paths break ties
-    arbitrarily, so byte-identity with export_xml is guaranteed only
-    for tie-free keys (unique timestamps); content is identical always.
+    export_xml's. The store `_id` is the final sort key on BOTH paths
+    (a total order), so byte-identity with export_xml is unconditional
+    — tied timestamps included — and heavy key ties cannot collapse
+    the range partitioning into one oversized fragment.
 
     `fragments_dir`, when given, is a PARENT under which a unique
     per-run child is created and deleted — nothing else in it is
@@ -182,8 +221,8 @@ def export_xml_sharded(
     jobs = [
         (frame, build, keys, f"{frag_root}/{tag}")
         for frame, build, keys, tag in (
-            (sms_frame, _sms_element, ("date", "address"), "sms"),
-            (mms_frame, _mms_element, ("timestamp", "sender_address"), "mms"),
+            (sms_frame, _sms_element, ("date", "address", "_id"), "sms"),
+            (mms_frame, _mms_element, ("timestamp", "sender_address", "_id"), "mms"),
         )
         if frame is not None
     ]
@@ -232,13 +271,7 @@ def export_xml_sharded(
                 # outgrows its zero-pad width (part-100000 < part-99999)
                 frags.sort(key=lambda p: int(p.getName().split("-")[1]))
                 for p in frags:
-                    stream = fs.open(p)
-                    try:
-                        fh.write(
-                            bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-                        )
-                    finally:
-                        stream.close()
+                    _stream_fragment(fh, jvm, fs, p)
             fh.write(b"</smses>\n")
     finally:
         for frame, *_ in jobs:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import sqlite3
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -90,15 +91,29 @@ def _projection(
     return cols, rowid_ok
 
 
-def _wal_pending(con: sqlite3.Connection, db_path: str) -> bool:
-    """True when the db is in WAL mode with a non-empty -wal sidecar:
-    recent writes live in frames the main file does not contain, and
-    shipping only the main file would silently truncate the read. The
-    sidecar lives next to the REAL file (SQLite's unix VFS resolves
-    symlinks), so probe realpath — consistent with _ship_db, or a
-    symlinked WAL db would dodge the guard."""
+def _sidecar_pending(con: sqlite3.Connection, db_path: str) -> bool:
+    """True when the main db file alone is not a faithful snapshot —
+    shipping just it to executors would silently corrupt the read:
+
+    - WAL mode with a non-empty -wal sidecar: recent writes live in
+      frames the main file does not contain (silent truncation);
+    - a non-empty -journal sidecar (hot rollback journal, a crashed
+      writer): the main file holds UNCOMMITTED/torn pages that the
+      journal would roll back on the next journal-aware open — an
+      executor opening mode=ro with no journal present would read them
+      as committed data.
+
+    Both sidecars live next to the REAL file (SQLite's unix VFS
+    resolves symlinks), so probe realpath — consistent with _ship_db,
+    or a symlinked db would dodge the guard. The driver path handles
+    both correctly: sqlite3.connect on the real path sees the sidecars
+    and reads WAL frames / rolls the journal back."""
+    real = os.path.realpath(db_path)
+    journal = real + "-journal"
+    if os.path.exists(journal) and os.path.getsize(journal) > 0:
+        return True
     mode = con.execute("PRAGMA journal_mode").fetchone()[0]
-    wal = os.path.realpath(db_path) + "-wal"
+    wal = real + "-wal"
     return (
         str(mode).lower() == "wal"
         and os.path.exists(wal)
@@ -115,9 +130,9 @@ def read_sqlite_table(
     rowid-range distributed scan past DISTRIBUTED_ROWS_THRESHOLD
     (see module docstring). Tables the distributed path cannot address
     faithfully stay on the driver: WITHOUT ROWID (no range key) and
-    WAL databases with uncheckpointed frames (addFile ships only the
-    main file, not the -wal sidecar — executor reads would silently
-    miss the WAL's rows)."""
+    databases with a pending sidecar — uncheckpointed WAL frames or a
+    hot rollback journal (addFile ships only the main file; executor
+    reads would silently miss WAL rows / see uncommitted pages)."""
     con = sqlite3.connect(db_path)
     try:
         proj = _projection(con, table, schema)
@@ -129,7 +144,7 @@ def read_sqlite_table(
             # MIN/MAX (each O(log n)) are fetched only once the count
             # says the distributed path is worth planning
             (n_rows,) = con.execute(f"SELECT COUNT(*) FROM {table}").fetchone()
-            if n_rows >= DISTRIBUTED_ROWS_THRESHOLD and not _wal_pending(
+            if n_rows >= DISTRIBUTED_ROWS_THRESHOLD and not _sidecar_pending(
                 con, db_path
             ):
                 lo, hi = con.execute(
@@ -152,11 +167,20 @@ def read_sqlite_table(
 # both; the cache keeps one ship per unchanged file per SparkContext
 # (read_bugle_staging reads 5 tables of one db; the applicationId key
 # re-ships after a session restart, whose new context never received
-# the old addFile). Superseded entries for the same file are evicted
-# and their links removed so a long-lived driver re-reading rewritten
-# dbs does not pin disk; the ship dir itself dies with the process.
+# the old addFile). All cache/dir state is guarded by _SHIP_LOCK —
+# concurrent reads of the same db from two driver threads must agree
+# on one shipped name, not race two addFile registrations. Superseded
+# entries for the same file are evicted from the CACHE immediately but
+# their link files stay on disk until process exit: an in-flight lazy
+# DataFrame may still take the local-link fallback to the old link, so
+# unlinking at eviction time would break a running job (ADVICE r6).
+# The deferred links pin at most the superseded file's blocks until
+# the atexit rmtree of the ship dir; a driver that churns through
+# rewritten dbs trades that bounded disk for never unlinking a file
+# another thread is about to open.
 _SHIP_CACHE: dict[tuple[str, str, int, int], str] = {}
 _SHIP_DIR: str | None = None
+_SHIP_LOCK = threading.Lock()
 
 
 def _ship_db(spark: SparkSession, db_path: str) -> tuple[str, str]:
@@ -176,32 +200,31 @@ def _ship_db(spark: SparkSession, db_path: str) -> tuple[str, str]:
     st = os.stat(real)
     app_id = spark.sparkContext.applicationId
     key = (app_id, real, st.st_mtime_ns, st.st_size)
-    name = _SHIP_CACHE.get(key)
-    if name is None:
-        if _SHIP_DIR is None:
-            _SHIP_DIR = tempfile.mkdtemp(prefix="sms_db_spark_ship_")
-            atexit.register(shutil.rmtree, _SHIP_DIR, ignore_errors=True)
-        # evict superseded versions of this file (older mtime/size, or a
-        # dead context's entry): unlink their ship files; a hardlink to a
-        # rewritten-in-place db would otherwise pin the old blocks forever
-        for old in [k for k in _SHIP_CACHE if k[1] == real and k != key]:
-            stale = _SHIP_CACHE.pop(old)
+    with _SHIP_LOCK:
+        name = _SHIP_CACHE.get(key)
+        if name is None:
+            if _SHIP_DIR is None:
+                _SHIP_DIR = tempfile.mkdtemp(prefix="sms_db_spark_ship_")
+                atexit.register(shutil.rmtree, _SHIP_DIR, ignore_errors=True)
+            # evict superseded versions of this file (older mtime/size, or
+            # a dead context's entry) from the CACHE only — their link
+            # files stay until atexit so a racing in-flight read can still
+            # open them (see cache comment above)
+            for old in [k for k in _SHIP_CACHE if k[1] == real and k != key]:
+                _SHIP_CACHE.pop(old)
+            name = f"sqlite-{uuid.uuid4().hex}-{os.path.basename(real)}"
+            link = os.path.join(_SHIP_DIR, name)
             try:
-                os.unlink(os.path.join(_SHIP_DIR, stale))
+                # HARDlink: zero-copy and — unlike a symlink — survives
+                # Spark's path canonicalization (a symlink gets registered
+                # under its TARGET's basename, resurrecting the collision)
+                os.link(real, link)
             except OSError:
-                pass
-        name = f"sqlite-{uuid.uuid4().hex}-{os.path.basename(real)}"
-        link = os.path.join(_SHIP_DIR, name)
-        try:
-            # HARDlink: zero-copy and — unlike a symlink — survives
-            # Spark's path canonicalization (a symlink gets registered
-            # under its TARGET's basename, resurrecting the collision)
-            os.link(real, link)
-        except OSError:
-            shutil.copy2(real, link)  # cross-device temp: pay the copy
-        spark.sparkContext.addFile(link)
-        _SHIP_CACHE[key] = name
-    return name, os.path.join(_SHIP_DIR, name)
+                shutil.copy2(real, link)  # cross-device temp: pay the copy
+            spark.sparkContext.addFile(link)
+            _SHIP_CACHE[key] = name
+        ship_dir = _SHIP_DIR
+    return name, os.path.join(ship_dir, name)
 
 
 def _read_sqlite_ranges(

@@ -134,40 +134,11 @@ def test_export_xml_executes_each_frame_once(spark, tmp_path, monkeypatch):
     assert all(cached for _, cached in actions), actions
 
 
-def test_jdbc_lane_schema_parity(spark, tmp_path):
-    """S5 JDBC lane: when a sqlite-jdbc driver is on the classpath, the
-    cluster write path must produce the identical store format as the
-    driver-side fallback (reference DDL, user_version=2, queryable rows).
-    Skipped where the jar is absent (this container ships none) — the
-    test pins the code path wherever the jar IS available."""
-    import pytest
-
-    from sms_db_spark.sinks.sqlite_sink import _jdbc_available
-
-    if not _jdbc_available(spark):
-        pytest.skip("sqlite-jdbc driver not on the classpath")
-    res = _store(spark)
-    db = tmp_path / "jdbc.db"
-    write_store_sqlite(res.messages, res.parts, str(db))
-    con = sqlite3.connect(db)
-    msgs_sql = con.execute("SELECT sql FROM sqlite_master WHERE name='messages'").fetchone()[0]
-    assert "AUTOINCREMENT" in msgs_sql and "hash INT UNIQUE" in msgs_sql
-    assert con.execute("PRAGMA user_version").fetchone()[0] == 2
-    rows = con.execute(
-        "SELECT timestamp, sender_name, data FROM messages INNER JOIN parts"
-        " ON messages._id = parts.message_id WHERE content_type LIKE 'text%'"
-        " ORDER BY timestamp"
-    ).fetchall()
-    assert len(rows) == 5
-    con.close()
-
-
-def test_store_schema_parity_shared_by_both_lanes(tmp_path):
-    """Both write lanes (JDBC append and the sqlite3 fallback) bootstrap
-    the store through the same _create_store_schema, so the JDBC lane can
-    never fall back to Spark-inferred DDL: reference DDL (sms-db.pl:49,53)
-    with AUTOINCREMENT, hash UNIQUE, FK cascade, and PRAGMA user_version=2
-    (sms-db.pl:50)."""
+def test_store_schema_bootstrap_parity(tmp_path):
+    """The store bootstrap (_create_store_schema, the single write
+    path's DDL step — the JDBC lane was deleted in r7, VERDICT r6 item
+    4) emits the reference DDL (sms-db.pl:49,53) with AUTOINCREMENT,
+    hash UNIQUE, FK cascade, and PRAGMA user_version=2 (sms-db.pl:50)."""
     import pytest
 
     from sms_db_spark.sinks.sqlite_sink import _create_store_schema
@@ -185,7 +156,7 @@ def test_store_schema_parity_shared_by_both_lanes(tmp_path):
     assert "FOREIGN KEY" in parts_sql and "ON DELETE CASCADE" in parts_sql
     assert con.execute("PRAGMA user_version").fetchone()[0] == 2
     # the UNIQUE probe the reference relies on (sms-db.pl:326-328) holds
-    # for rows appended AFTER the bootstrap — i.e. on the JDBC append path
+    # for rows appended AFTER the bootstrap
     con.execute("INSERT INTO messages(timestamp,hash) VALUES (1,'aa')")
     with pytest.raises(sqlite3.IntegrityError):
         con.execute("INSERT INTO messages(timestamp,hash) VALUES (2,'aa')")
@@ -279,3 +250,33 @@ def test_sharded_export_scale_and_reimport(spark, tmp_path):
     # spot-check content integrity through the round trip
     texts = res.parts.filter(F.col("text").contains("number 1234")).count()
     assert texts >= 1
+
+
+def test_sharded_export_identical_bytes_with_tied_keys(spark, tmp_path):
+    """Byte-parity must hold UNCONDITIONALLY, tied sort keys included:
+    the store _id is the final sort key on both paths, so heavy
+    (timestamp, address) ties — here 2000 rows over 4 timestamps and 3
+    addresses — still serialize in one total order (VERDICT r6 item 6),
+    and the range partitioning splits the tied groups instead of
+    collapsing them into one fragment."""
+    from sms_db_spark.sinks.xml_export import export_xml_sharded
+
+    n = 2_000
+    messages, parts = _synthetic_store(spark, n)
+    # collapse the sort keys: every export key column ties massively
+    messages = messages.selectExpr(
+        "_id",
+        "1577836800000 + (_id % 4) * 1000 AS timestamp",
+        "concat('+1555000000', CAST(_id % 3 AS STRING)) AS sender_address",
+        "sender_name",
+        "concat('+1666000000', CAST(_id % 3 AS STRING)) AS recipient_address",
+        "recipient_name",
+        "msg_box",
+        "message_type",
+        "source_format",
+        "hash",
+    )
+    single, sharded = tmp_path / "single.xml", tmp_path / "sharded.xml"
+    assert export_xml(messages, parts, str(single)) == n
+    assert export_xml_sharded(messages, parts, str(sharded)) == n
+    assert _strip_stamp(single.read_bytes()) == _strip_stamp(sharded.read_bytes())

@@ -214,3 +214,35 @@ def test_symlinked_wal_db_still_falls_back(spark, tmp_path, monkeypatch):
         assert sio.read_sqlite_table(spark, link, "messages", sub).count() == 300
     finally:
         holder.close()
+
+def test_hot_rollback_journal_falls_back_to_driver_path(spark, tmp_path, monkeypatch):
+    """A db with a non-empty -journal sidecar (crashed writer) must NOT
+    take the distributed path: addFile ships only the main file, so an
+    executor opening mode=ro with no journal present would read the
+    uncommitted/torn pages the journal exists to roll back (ADVICE r6).
+    The driver path opens the real path, sees the sidecar, and handles
+    it journal-aware."""
+    monkeypatch.setattr(sio, "DISTRIBUTED_ROWS_THRESHOLD", 50)
+    import os as _os
+
+    p = str(tmp_path / "crashed.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE messages (_id INTEGER PRIMARY KEY, ts INT)")
+    con.executemany("INSERT INTO messages VALUES (?, ?)", ((i, i) for i in range(400)))
+    con.commit()
+    con.close()
+    # a crashed writer's leftover: non-empty journal sidecar next to the
+    # REAL file (content irrelevant to the routing guard under test)
+    with open(p + "-journal", "wb") as fh:
+        fh.write(b"\x00" * 512)
+
+    def boom(*a, **k):
+        raise AssertionError("distributed path taken on a hot-journal db")
+
+    monkeypatch.setattr(sio, "_read_sqlite_ranges", boom)
+    sub = T.StructType([T.StructField("_id", T.LongType()), T.StructField("ts", T.LongType())])
+    assert sio.read_sqlite_table(spark, p, "messages", sub).count() == 400
+    # symlinked path must not dodge the guard either (realpath probe)
+    link = str(tmp_path / "latest.db")
+    _os.symlink(p, link)
+    assert sio.read_sqlite_table(spark, link, "messages", sub).count() == 400
