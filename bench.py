@@ -80,6 +80,7 @@ HEADLINE = [
     "q140_snapshot_diff",
     "q141_epoch_shuffle",
     "q144_planned_join",
+    "q147_salted_planned_join",
 ]
 
 # Write-audit queries run real store writers (shards, versioned commits,
@@ -92,6 +93,8 @@ WRITE_AUDITS = [
     "q139_fold_audit",
     "q142_versioned_store_audit",
     "q143_metricslog_readback",
+    "q145_versioned_merge_audit",
+    "q146_gated_upsert_audit",
 ]
 
 BEST_OF = 3
@@ -156,24 +159,36 @@ def main() -> None:
     headline = run(HEADLINE)
     write_audits = run(WRITE_AUDITS)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(headline.values()), 3),
-                "unit": "sec",
-                "queries": headline,
-                "write_audits": write_audits,
-                "write_audits_total": round(sum(write_audits.values()), 3),
-                "calibration_sec": cal,
-                "sf": sf,
-                "methodology": f"per-query best-of-{BEST_OF} after one warm-up run; "
-                "write-audit queries timed separately (store-writer IO, not query "
-                "latency); calibration_sec times a FIXED reference job — divide "
-                "cross-round totals by it to cancel ambient machine-speed drift",
-            }
-        )
-    )
+    # Field order is capture-driven (VERDICT r6 item 7 intent): the
+    # driver records only the TAIL of stdout (BENCH_r06's artifact has a
+    # "tail" field that lost the line's head — metric, value, q01 —
+    # while keeping the end), so the headline numbers go LAST: a
+    # truncated capture then always carries value / write_audits_total /
+    # calibration_sec, and only per-query detail can fall off. The
+    # bulky fixed-text methodology moves to the front where losing it
+    # costs nothing, and the complete line also lands in
+    # BENCH_local.json, immune to capture truncation entirely.
+    doc = {
+        "metric": "headline_queries_total_wall",
+        "unit": "sec",
+        "sf": sf,
+        "methodology": f"per-query best-of-{BEST_OF} after one warm-up run; "
+        "write-audit queries timed separately (store-writer IO, not query "
+        "latency); calibration_sec times a FIXED reference job — divide "
+        "cross-round totals by it to cancel ambient machine-speed drift",
+        "queries": headline,
+        "write_audits": write_audits,
+        "value": round(sum(headline.values()), 3),
+        "write_audits_total": round(sum(write_audits.values()), 3),
+        "calibration_sec": cal,
+    }
+    line = json.dumps(doc)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -885,6 +885,87 @@ ORDER BY o_orderstatus
 """
 
 
+def q147_salted_planned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plan_join's SALTED branch as a driver-gated production consumer
+    (VERDICT r6 item 3 — q144 gates only the broadcast decision): a
+    deliberately skewed fact key (q35's viral-key shape: ~90% of
+    lineitem rows collapse onto key 0, the rest keep their orderkey)
+    joined to a per-key dimension through the profile-driven picker.
+    `broadcast_rows=0` models the regime where neither side fits a
+    broadcast (at gate SFs both sides would otherwise be tiny), so the
+    decision rests on the skew profile alone — and that profile is
+    scale-INVARIANT by construction: the hot key holds ~90% of rows,
+    so skew_milli ≈ 900 * n_keys >= JOIN_SKEW_MILLI whenever the
+    corpus has >= 9 distinct keys (sf0.001 already has ~150). The
+    oracle can therefore pin 'salted'/'left'/8 as constants; the live
+    decision is surfaced in-result so any drift fails the hash gate.
+    Salt invariance (salted result == plain join) is exactly what the
+    plain-SQL oracle checks row-for-row.
+
+    100 TB shape: this is the hot-key join that kills the plain
+    shuffle (one reducer owns the viral key); the salt splits it
+    across n_salt reducers while the dimension side replicates only
+    n_salt-fold — bounded, unlike AQE skew handling which cannot split
+    a single in-flight aggregation key.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 != 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderkey") % 10 != 0, F.lit(0))
+            .otherwise(F.col("o_orderkey"))
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined, decision = plan_join(li, dim, "k", broadcast_rows=0)
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").cast("double").alias("sum_qty"),
+            # n_orders is constant per key (the dim is keyed); max picks
+            # that constant deterministically
+            F.max("n_orders").alias("n_orders"),
+        )
+        .withColumn("strategy", F.lit(decision["strategy"]))
+        .withColumn("salted_side", F.lit(decision.get("salted_side", "none")))
+        .withColumn("n_salt", F.lit(decision.get("n_salt", 0)).cast("int"))
+        .orderBy("k")
+    )
+
+
+# 'salted'/'left'/8 are pinnable constants here — unlike q144's
+# threshold-derived strategy — because the skew is constructed to be
+# scale-invariant (see q147's docstring): broadcast is disabled by
+# parameter and skew_milli >= 900 * n_keys clears JOIN_SKEW_MILLI at
+# every SF with >= 9 distinct keys.
+Q147_SQL = f"""
+WITH lk AS (
+  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0 ELSE l_orderkey END AS k,
+         l_quantity
+  FROM lineitem
+), ok AS (
+  SELECT CASE WHEN o_orderkey % 10 <> 0 THEN 0 ELSE o_orderkey END AS k,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT lk.k AS k, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(MAX(n_orders) AS BIGINT) AS n_orders,
+       'salted' AS strategy, 'left' AS salted_side,
+       CAST({JOIN_N_SALT} AS INT) AS n_salt
+FROM lk JOIN ok ON lk.k = ok.k
+GROUP BY lk.k ORDER BY k
+"""
+
+
 QUERIES = {
     "q125_delta_dedup": QuerySpec(
         q125_delta_dedup,
@@ -925,5 +1006,10 @@ QUERIES = {
         q144_planned_join,
         Q144_SQL,
         "profile-driven join: plan_join picks broadcast, surfaced in-result",
+    ),
+    "q147_salted_planned_join": QuerySpec(
+        q147_salted_planned_join,
+        Q147_SQL,
+        "profile-driven join, skew regime: the salted branch under the gate",
     ),
 }

@@ -352,6 +352,237 @@ SELECT CAST(doc_id % 2 AS INT) AS batch_id, COUNT(*) AS n_docs,
 FROM documents GROUP BY doc_id % 2 ORDER BY batch_id
 """
 
+# q145 bucket bands (curation's md5 bucket, 1000 buckets): the target
+# snapshot holds [0, UPD_HI); the merge deletes [0, DEL_HI), updates
+# [UPD_LO, UPD_HI) with a suffix, inserts [UPD_HI, INS_HI) — so every
+# MERGE action class is populated and the post-merge store is a pure
+# function of the raw corpus the oracle can recompute.
+_MERGE_DEL_HI = 50
+_MERGE_UPD_LO = 450
+_MERGE_UPD_HI = 600
+_MERGE_INS_HI = 800
+_MERGE_SUFFIX = " merged-v2"
+
+
+def q145_versioned_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-window MERGE INTO under the hash gate (VERDICT r6 item 2 —
+    q142 gates commit/flip/rollback but not the versioned merge):
+    commit a corpus snapshot as v1, drive an insert+update+delete mix
+    through `merge_current` (sinks/versioned.py), read the committed
+    v2 back through the pointer, and return the read-back aggregated
+    per action class WITH the merge's own stats dict pinned as result
+    columns. The oracle recomputes the merged store and the expected
+    action counts from the raw corpus, so a hash match proves the
+    merge semantics (matched+condition → delete, matched → update,
+    source-only → insert, target-only → keep), the commit protocol
+    around them, and the stats reporting — any of the three drifting
+    fails the gate. `protocol_ok` additionally pins version naming and
+    history()'s live/old classification after the merge commit.
+
+    Scale note: target, source, and the merge's full-outer resolve are
+    real distributed frames through the commit protocol; only the
+    3-row class aggregate and the stats dict touch the driver.
+    """
+    from ..operators.maintenance import _snap_bucket
+    from ..sinks.versioned import commit_version, history, merge_current, read_current
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = _snap_bucket(F.col("doc_id"))
+    base = docs.select("doc_id", "text", b.alias("bkt"))
+    live = F.lit("live").alias("op")
+    target = base.filter(F.col("bkt") < _MERGE_UPD_HI).select("doc_id", "text", live)
+    source = (
+        base.filter(F.col("bkt") < _MERGE_DEL_HI)
+        .select("doc_id", "text", F.lit("del").alias("op"))
+        .unionByName(
+            base.filter(
+                (F.col("bkt") >= _MERGE_UPD_LO) & (F.col("bkt") < _MERGE_UPD_HI)
+            ).select(
+                "doc_id", F.concat("text", F.lit(_MERGE_SUFFIX)).alias("text"), live
+            )
+        )
+        .unionByName(
+            base.filter(
+                (F.col("bkt") >= _MERGE_UPD_HI) & (F.col("bkt") < _MERGE_INS_HI)
+            ).select("doc_id", "text", live)
+        )
+    )
+    with _scratch_dir(spark, "sms_db_spark_merge_audit_") as store:
+        v1 = commit_version(spark, store, target)
+        stats = merge_current(
+            spark, store, source, ["doc_id"], delete_condition=F.col("s_op") == "del"
+        )
+        merged = read_current(spark, store)
+        statuses = {h["version"]: h["status"] for h in history(spark, store)}
+        protocol_ok = int(
+            v1 == "v00000001"
+            and stats["version"] == "v00000002"
+            and statuses == {v1: "old", "v00000002": "live"}
+        )
+        out = (
+            merged.withColumn("bkt", _snap_bucket(F.col("doc_id")))
+            .withColumn(
+                "class",
+                F.when(F.col("bkt") < _MERGE_UPD_LO, "kept")
+                .when(F.col("bkt") < _MERGE_UPD_HI, "updated")
+                .otherwise("inserted"),
+            )
+            .groupBy("class")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text")).cast("bigint").alias("chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .withColumn("n_inserted", F.lit(stats["inserted"]).cast("bigint"))
+            .withColumn("n_updated", F.lit(stats["updated"]).cast("bigint"))
+            .withColumn("n_deleted", F.lit(stats["deleted"]).cast("bigint"))
+            .withColumn("n_unchanged", F.lit(stats["unchanged"]).cast("bigint"))
+            .withColumn("protocol_ok", F.lit(protocol_ok).cast("int"))
+            .orderBy("class")
+        )
+        # 3 driver-held rows, the same shape discipline as _audit_frame
+        return _detached(out)
+
+
+def _q145_sql() -> str:
+    from ..operators.maintenance import _snap_bucket_sql
+
+    bkt = _snap_bucket_sql("doc_id")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {bkt} AS bkt FROM documents
+), merged AS (
+  SELECT doc_id,
+         CASE WHEN bkt >= {_MERGE_UPD_LO} AND bkt < {_MERGE_UPD_HI}
+              THEN text || '{_MERGE_SUFFIX}' ELSE text END AS text,
+         CASE WHEN bkt < {_MERGE_UPD_LO} THEN 'kept'
+              WHEN bkt < {_MERGE_UPD_HI} THEN 'updated'
+              ELSE 'inserted' END AS class
+  FROM base WHERE bkt >= {_MERGE_DEL_HI} AND bkt < {_MERGE_INS_HI}
+), stats AS (
+  SELECT CAST(SUM(CASE WHEN bkt >= {_MERGE_UPD_HI} AND bkt < {_MERGE_INS_HI}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+         CAST(SUM(CASE WHEN bkt >= {_MERGE_UPD_LO} AND bkt < {_MERGE_UPD_HI}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+         CAST(SUM(CASE WHEN bkt < {_MERGE_DEL_HI} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deleted,
+         CAST(SUM(CASE WHEN bkt >= {_MERGE_DEL_HI} AND bkt < {_MERGE_UPD_LO}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+  FROM base WHERE bkt < {_MERGE_INS_HI}
+)
+SELECT class, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       n_inserted, n_updated, n_deleted, n_unchanged,
+       1 AS protocol_ok
+FROM merged CROSS JOIN stats
+GROUP BY class, n_inserted, n_updated, n_deleted, n_unchanged
+ORDER BY class
+"""
+
+
+def q146_gated_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-2 quality→upsert composition under the hash gate
+    (VERDICT r6 item 5 — previously pytest-only): drive
+    `quality_gated_upsert_batch` through a clean two-batch epoch, a
+    checkpoint reset, a POISONED batch (every value pushed past
+    VALUE_CAP → quarantined), and a final clean batch; then read the
+    upsert store AND the metrics log back. The quarantined batch must
+    leave the store untouched while still running the state janitoring
+    that deletes the dead pre-reset epoch's snapshots — so the final
+    store is a pure function of the LAST clean batch alone, which the
+    oracle recomputes from the raw corpus (q126's last-write-wins
+    recompute on that slice). An epoch-splice regression (dead
+    epoch state merged as predecessor) or a quarantine leak (poisoned
+    rows reaching the store) both change the aggregate and fail the
+    hash. `protocol_ok` pins the verdict dicts and the log protocol:
+    exactly the new epoch's two reports survive, the poisoned batch
+    failing only range_value, the clean one all-green.
+
+    Clean slices filter to rows satisfying every constraint (the raw
+    corpus has value<=0 rows at some SFs), so batch verdicts are
+    deterministic at any SF.
+    """
+    from ..streaming.quality import quality_gated_upsert_batch, read_metrics
+    from ..streaming.upsert import read_upsert_store
+
+    ev = load_table(spark, sf_dir, "events")
+    clean = ev.filter(
+        (F.col("value") > 0) & (F.col("value") <= 1000) & F.col("user_id").isNotNull()
+    )
+
+    def part(k: int) -> DataFrame:
+        return clean.filter(F.col("event_id") % 4 == k)
+
+    with _scratch_dir(spark, "sms_db_spark_gated_upsert_audit_") as root:
+        log_dir, store_dir = f"{root}/log", f"{root}/store"
+        # epoch A: two clean batches land and merge
+        quality_gated_upsert_batch(part(0), 0, log_dir, store_dir)
+        quality_gated_upsert_batch(part(1), 1, log_dir, store_dir)
+        # checkpoint reset: numbering restarts, and the NEW epoch STARTS
+        # with a poisoned batch — the exact shape of the epoch-splice
+        # hole the skip path closes
+        poisoned = part(2).withColumn("value", F.col("value") + F.lit(2000.0))
+        v0 = quality_gated_upsert_batch(poisoned, 0, log_dir, store_dir)
+        v1 = quality_gated_upsert_batch(part(3), 1, log_dir, store_dir)
+        log = {
+            (r.batch_id, r.check_name): (r.violations, r.passed)
+            for r in read_metrics(spark, log_dir).collect()  # 8 rows
+        }
+        n_poisoned = poisoned.count()
+        protocol_ok = int(
+            v0 == {"applied": False, "failed_checks": ["range_value"], "total": n_poisoned}
+            and v1["applied"] is True
+            and v1["failed_checks"] == []
+            and {b for b, _ in log} == {0, 1}  # epoch A fully purged
+            and log[(0, "range_value")] == (n_poisoned, 0)
+            and all(
+                passed == 1
+                for (b, c), (_, passed) in log.items()
+                if not (b == 0 and c == "range_value")
+            )
+        )
+        out = (
+            read_upsert_store(spark, store_dir)
+            .groupBy((F.col("user_id") % 8).cast("int").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("n_changes").cast("bigint").alias("n_changes"),
+                F.sum(F.col("current_value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+                F.max("updated_at").alias("max_updated_at"),
+            )
+            .withColumn("protocol_ok", F.lit(protocol_ok).cast("int"))
+            .orderBy("bucket")
+        )
+        return _detached(out)  # 8 driver-held rows; scratch store dies here
+
+
+Q146_SQL = """
+WITH clean AS (
+  SELECT * FROM events
+  WHERE value > 0 AND value <= 1000 AND user_id IS NOT NULL
+), ch AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM clean WHERE event_id % 4 = 3
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM ch
+)
+SELECT CAST(user_id % 8 AS INT) AS bucket, COUNT(*) AS n_users,
+       CAST(SUM(n_changes) AS BIGINT) AS n_changes,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MAX(ts) AS max_updated_at,
+       1 AS protocol_ok
+FROM ranked WHERE rn = 1 AND op = 'upsert'
+GROUP BY bucket ORDER BY bucket
+"""
+
 QUERIES = {
     "q134_shard_manifest_audit": QuerySpec(
         q134_shard_manifest_audit,
@@ -377,5 +608,15 @@ QUERIES = {
         q143_metricslog_readback,
         Q143_SQL,
         "metrics-log protocol round-trip: reset purge + read-back",
+    ),
+    "q145_versioned_merge_audit": QuerySpec(
+        q145_versioned_merge_audit,
+        _q145_sql(),
+        "zero-window MERGE INTO: commit, keyed merge, read-back, stats",
+    ),
+    "q146_gated_upsert_audit": QuerySpec(
+        q146_gated_upsert_audit,
+        Q146_SQL,
+        "quality-gated upsert: quarantine + reset hygiene, store read-back",
     ),
 }

@@ -639,3 +639,21 @@ def test_q144_join_strategy_is_broadcast(spark):
     assert "SortMergeJoin" not in text and "ShuffledHashJoin" not in text, text
     # the aggregate's exchange + the 3-row final sort — none from the join
     assert n_exchanges(text) <= 2, text
+
+
+def test_q147_join_strategy_is_salted(spark):
+    """plan_join's skew decision for the constructed viral-key join must
+    be the SALTED shuffle: the dimension side replicated n_salt-fold
+    (an explode Generate in the plan) and the join keyed on (k, _salt)
+    — never a plain single-reducer-per-key shuffle of the hot key."""
+    text = plan(spark, "q147_salted_planned_join")
+    # the salt expansion: an explode Generate feeding the join, and the
+    # join keyed on (k, _salt). (At test SF Catalyst may still broadcast
+    # the replicated dim — the salt decision, not the exchange kind, is
+    # the contract here; at scale the same plan shuffles on (k, _salt).)
+    assert "Generate" in text and "explode(" in text, text
+    assert text.count("_salt") >= 2, text
+    # the surfaced decision is part of the result contract
+    row = registry()["q147_salted_planned_join"].fn(spark, SF_DIR).limit(1).collect()[0]
+    assert row["strategy"] == "salted" and row["salted_side"] == "left"
+    assert row["n_salt"] == 8
