@@ -500,16 +500,33 @@ def q146_gated_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the new epoch's two reports survive, the poisoned batch
     failing only range_value, the clean one all-green.
 
-    Clean slices filter to rows satisfying every constraint (the raw
-    corpus has value<=0 rows at some SFs), so batch verdicts are
-    deterministic at any SF.
+    Clean slices are filtered to rows satisfying every audited
+    constraint — value range, non-null user_id, accepted event_type,
+    and window-deduped event_id — so batch verdicts are deterministic
+    at any SF and under any future corpus regeneration (the raw corpus
+    has value<=0 rows at some SFs; the other constraints hold today
+    but are enforced rather than assumed).
     """
-    from ..streaming.quality import quality_gated_upsert_batch, read_metrics
+    from pyspark.sql import Window
+
+    from ..streaming.quality import (
+        ACCEPTED_EVENT_TYPES,
+        quality_gated_upsert_batch,
+        read_metrics,
+    )
     from ..streaming.upsert import read_upsert_store
 
     ev = load_table(spark, sf_dir, "events")
-    clean = ev.filter(
-        (F.col("value") > 0) & (F.col("value") <= 1000) & F.col("user_id").isNotNull()
+    clean = (
+        ev.filter(
+            (F.col("value") > 0)
+            & (F.col("value") <= 1000)
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin(*ACCEPTED_EVENT_TYPES)
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("event_id")))
+        .filter(F.col("_n") == 1)
+        .drop("_n")
     )
 
     def part(k: int) -> DataFrame:
@@ -564,6 +581,8 @@ Q146_SQL = """
 WITH clean AS (
   SELECT * FROM events
   WHERE value > 0 AND value <= 1000 AND user_id IS NOT NULL
+    AND event_type IN ('view', 'click', 'purchase', 'signup', 'error')
+  QUALIFY COUNT(*) OVER (PARTITION BY event_id) = 1
 ), ch AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op

@@ -40,7 +40,7 @@ PARTS_DDL = (
 
 
 def _create_store_schema(db_path: str) -> None:
-    """Driver-side store-schema bootstrap shared by both write lanes:
+    """Driver-side store-schema bootstrap for the write path:
     the reference DDL (sms-db.pl:49,53) + PRAGMA user_version (sms-db.pl:50)."""
     con = sqlite3.connect(db_path)
     try:

@@ -97,11 +97,16 @@ def _sidecar_pending(con: sqlite3.Connection, db_path: str) -> bool:
 
     - WAL mode with a non-empty -wal sidecar: recent writes live in
       frames the main file does not contain (silent truncation);
-    - a non-empty -journal sidecar (hot rollback journal, a crashed
+    - a HOT -journal sidecar (valid rollback-journal magic: a crashed
       writer): the main file holds UNCOMMITTED/torn pages that the
       journal would roll back on the next journal-aware open — an
       executor opening mode=ro with no journal present would read them
-      as committed data.
+      as committed data. The magic check matters: journal_mode=PERSIST
+      leaves a non-empty COLD journal (zeroed header) after every
+      successful commit, and treating that as hot would permanently
+      disable the distributed scan for such dbs. SQLite itself ignores
+      a journal without the magic, so a cold/garbage sidecar reads
+      identically with or without it present.
 
     Both sidecars live next to the REAL file (SQLite's unix VFS
     resolves symlinks), so probe realpath — consistent with _ship_db,
@@ -110,8 +115,15 @@ def _sidecar_pending(con: sqlite3.Connection, db_path: str) -> bool:
     and reads WAL frames / rolls the journal back."""
     real = os.path.realpath(db_path)
     journal = real + "-journal"
-    if os.path.exists(journal) and os.path.getsize(journal) > 0:
-        return True
+    # the rollback-journal header magic (SQLite file format §journal)
+    hot_magic = b"\xd9\xd5\x05\xf9\x20\xa1\x63\xd7"
+    try:
+        if os.path.getsize(journal) > 0:
+            with open(journal, "rb") as fh:
+                if fh.read(8) == hot_magic:
+                    return True
+    except OSError:
+        pass  # no journal sidecar
     mode = con.execute("PRAGMA journal_mode").fetchone()[0]
     wal = real + "-wal"
     return (

@@ -215,13 +215,16 @@ def test_symlinked_wal_db_still_falls_back(spark, tmp_path, monkeypatch):
     finally:
         holder.close()
 
-def test_hot_rollback_journal_falls_back_to_driver_path(spark, tmp_path, monkeypatch):
-    """A db with a non-empty -journal sidecar (crashed writer) must NOT
-    take the distributed path: addFile ships only the main file, so an
-    executor opening mode=ro with no journal present would read the
-    uncommitted/torn pages the journal exists to roll back (ADVICE r6).
-    The driver path opens the real path, sees the sidecar, and handles
-    it journal-aware."""
+def test_hot_rollback_journal_guard(spark, tmp_path, monkeypatch):
+    """The sidecar guard must flag a HOT -journal (valid journal magic:
+    a crashed writer — executors shipped only the main file would read
+    the torn pages it exists to roll back, ADVICE r6) and must NOT flag
+    a COLD one (zeroed header, what journal_mode=PERSIST leaves after
+    every successful commit — flagging it would permanently disable the
+    distributed scan for such dbs). End-to-end the guard is a BACKSTOP:
+    the routing probe's own first statement triggers SQLite's
+    hot-journal playback on the real file, so by ship time the main
+    file is consistent either way — asserted last."""
     monkeypatch.setattr(sio, "DISTRIBUTED_ROWS_THRESHOLD", 50)
     import os as _os
 
@@ -231,18 +234,31 @@ def test_hot_rollback_journal_falls_back_to_driver_path(spark, tmp_path, monkeyp
     con.executemany("INSERT INTO messages VALUES (?, ?)", ((i, i) for i in range(400)))
     con.commit()
     con.close()
-    # a crashed writer's leftover: non-empty journal sidecar next to the
-    # REAL file (content irrelevant to the routing guard under test)
+    sub = T.StructType([T.StructField("_id", T.LongType()), T.StructField("ts", T.LongType())])
+    hot = b"\xd9\xd5\x05\xf9\x20\xa1\x63\xd7" + b"\x00" * 504
+
+    # COLD journal (PERSIST-mode leftover): not pending
     with open(p + "-journal", "wb") as fh:
         fh.write(b"\x00" * 512)
+    assert not sio._sidecar_pending(sqlite3.connect(p), p)
 
-    def boom(*a, **k):
-        raise AssertionError("distributed path taken on a hot-journal db")
-
-    monkeypatch.setattr(sio, "_read_sqlite_ranges", boom)
-    sub = T.StructType([T.StructField("_id", T.LongType()), T.StructField("ts", T.LongType())])
-    assert sio.read_sqlite_table(spark, p, "messages", sub).count() == 400
-    # symlinked path must not dodge the guard either (realpath probe)
+    # HOT journal: pending — probed as pure file IO, before any SQL on
+    # the connection could trigger recovery
+    with open(p + "-journal", "wb") as fh:
+        fh.write(hot)
+    assert sio._sidecar_pending(sqlite3.connect(p), p)
+    # a symlinked db path must not dodge the guard (realpath probe)
     link = str(tmp_path / "latest.db")
     _os.symlink(p, link)
-    assert sio.read_sqlite_table(spark, link, "messages", sub).count() == 400
+    assert sio._sidecar_pending(sqlite3.connect(link), link)
+
+    # end-to-end: the routing probe's first statement plays the hot
+    # journal back (our fake holds zero records, so content is
+    # unchanged), the sidecar is gone by routing time, and the
+    # DISTRIBUTED read proceeds on the now-consistent file
+    df = sio.read_sqlite_table(spark, p, "messages", sub)
+    assert df.count() == 400
+    assert not (
+        _os.path.exists(p + "-journal") and _os.path.getsize(p + "-journal") > 0
+        and open(p + "-journal", "rb").read(8) == hot[:8]
+    )
