@@ -118,12 +118,19 @@ def _sidecar_pending(con: sqlite3.Connection, db_path: str) -> bool:
     # the rollback-journal header magic (SQLite file format §journal)
     hot_magic = b"\xd9\xd5\x05\xf9\x20\xa1\x63\xd7"
     try:
-        if os.path.getsize(journal) > 0:
+        size = os.path.getsize(journal)
+    except FileNotFoundError:
+        size = 0
+    except OSError:
+        return True  # journal exists but is unreadable: assume hot —
+        # misrouting to the driver path costs parallelism, never rows
+    if size > 0:
+        try:
             with open(journal, "rb") as fh:
                 if fh.read(8) == hot_magic:
                     return True
-    except OSError:
-        pass  # no journal sidecar
+        except OSError:
+            return True  # same conservative routing as above
     mode = con.execute("PRAGMA journal_mode").fetchone()[0]
     wal = real + "-wal"
     return (
@@ -179,20 +186,24 @@ def read_sqlite_table(
 # both; the cache keeps one ship per unchanged file per SparkContext
 # (read_bugle_staging reads 5 tables of one db; the applicationId key
 # re-ships after a session restart, whose new context never received
-# the old addFile). All cache/dir state is guarded by _SHIP_LOCK —
-# concurrent reads of the same db from two driver threads must agree
-# on one shipped name, not race two addFile registrations. Superseded
-# entries for the same file are evicted from the CACHE immediately but
-# their link files stay on disk until process exit: an in-flight lazy
-# DataFrame may still take the local-link fallback to the old link, so
-# unlinking at eviction time would break a running job (ADVICE r6).
-# The deferred links pin at most the superseded file's blocks until
-# the atexit rmtree of the ship dir; a driver that churns through
-# rewritten dbs trades that bounded disk for never unlinking a file
-# another thread is about to open.
+# the old addFile). Locking is two-level (ADVICE r7): _SHIP_LOCK
+# guards only the in-memory maps (cheap, never held across IO), and a
+# per-realpath lock in _SHIP_FILE_LOCKS serializes the ship of ONE
+# file — the link/copy (a cross-device fallback can copy a multi-GB
+# db) and addFile run under it, so concurrent first-reads of the same
+# db agree on one shipped name while UNRELATED dbs ship concurrently.
+# Superseded entries for the same file are evicted from the CACHE
+# immediately but their link files are kept one extra generation: an
+# in-flight lazy DataFrame may still take the local-link fallback to
+# the just-superseded link, so it is unlinked only at the NEXT
+# eviction of the same file (by then every job planned against it has
+# long since re-resolved) — pending disk is bounded at one superseded
+# link per rewritten file, and atexit removes the last ones.
 _SHIP_CACHE: dict[tuple[str, str, int, int], str] = {}
 _SHIP_DIR: str | None = None
 _SHIP_LOCK = threading.Lock()
+_SHIP_FILE_LOCKS: dict[str, threading.Lock] = {}
+_SHIP_SUPERSEDED: dict[str, str] = {}  # realpath -> link name pending unlink
 
 
 def _ship_db(spark: SparkSession, db_path: str) -> tuple[str, str]:
@@ -214,28 +225,43 @@ def _ship_db(spark: SparkSession, db_path: str) -> tuple[str, str]:
     key = (app_id, real, st.st_mtime_ns, st.st_size)
     with _SHIP_LOCK:
         name = _SHIP_CACHE.get(key)
-        if name is None:
+        if name is not None:
+            return name, os.path.join(_SHIP_DIR, name)
+        flock = _SHIP_FILE_LOCKS.setdefault(real, threading.Lock())
+    with flock:  # one ship per file at a time; other files unaffected
+        with _SHIP_LOCK:
+            name = _SHIP_CACHE.get(key)  # shipped while we waited?
+            if name is not None:
+                return name, os.path.join(_SHIP_DIR, name)
             if _SHIP_DIR is None:
                 _SHIP_DIR = tempfile.mkdtemp(prefix="sms_db_spark_ship_")
                 atexit.register(shutil.rmtree, _SHIP_DIR, ignore_errors=True)
-            # evict superseded versions of this file (older mtime/size, or
-            # a dead context's entry) from the CACHE only — their link
-            # files stay until atexit so a racing in-flight read can still
-            # open them (see cache comment above)
+            ship_dir = _SHIP_DIR
+        name = f"sqlite-{uuid.uuid4().hex}-{os.path.basename(real)}"
+        link = os.path.join(ship_dir, name)
+        try:
+            # HARDlink: zero-copy and — unlike a symlink — survives
+            # Spark's path canonicalization (a symlink gets registered
+            # under its TARGET's basename, resurrecting the collision)
+            os.link(real, link)
+        except OSError:
+            shutil.copy2(real, link)  # cross-device temp: pay the copy
+        spark.sparkContext.addFile(link)
+        with _SHIP_LOCK:
+            # evict superseded versions of this file (older mtime/size,
+            # or a dead context's entry); unlink the link DEFERRED at the
+            # previous eviction (two generations old — nothing in flight
+            # can still resolve it) and defer this generation's
             for old in [k for k in _SHIP_CACHE if k[1] == real and k != key]:
-                _SHIP_CACHE.pop(old)
-            name = f"sqlite-{uuid.uuid4().hex}-{os.path.basename(real)}"
-            link = os.path.join(_SHIP_DIR, name)
-            try:
-                # HARDlink: zero-copy and — unlike a symlink — survives
-                # Spark's path canonicalization (a symlink gets registered
-                # under its TARGET's basename, resurrecting the collision)
-                os.link(real, link)
-            except OSError:
-                shutil.copy2(real, link)  # cross-device temp: pay the copy
-            spark.sparkContext.addFile(link)
+                old_name = _SHIP_CACHE.pop(old)
+                prev = _SHIP_SUPERSEDED.pop(real, None)
+                if prev is not None:
+                    try:
+                        os.unlink(os.path.join(ship_dir, prev))
+                    except OSError:
+                        pass  # already gone (atexit raced a shutdown)
+                _SHIP_SUPERSEDED[real] = old_name
             _SHIP_CACHE[key] = name
-        ship_dir = _SHIP_DIR
     return name, os.path.join(ship_dir, name)
 
 

@@ -262,3 +262,40 @@ def test_hot_rollback_journal_guard(spark, tmp_path, monkeypatch):
         _os.path.exists(p + "-journal") and _os.path.getsize(p + "-journal") > 0
         and open(p + "-journal", "rb").read(8) == hot[:8]
     )
+
+
+def test_superseded_ship_links_bounded_to_one_pending(spark, tmp_path, monkeypatch):
+    """A driver that repeatedly re-reads a rewritten db must not pin one
+    shipped link per superseded version until process exit: eviction
+    keeps exactly ONE generation back (in-flight fallback safety) and
+    unlinks the older one at the next eviction of the same file
+    (ADVICE r7). The live link and the current read stay intact."""
+    import os as _os
+    import time as _time
+
+    monkeypatch.setattr(sio, "DISTRIBUTED_ROWS_THRESHOLD", 50)
+    monkeypatch.setattr(sio, "ROWS_PER_RANGE_TASK", 100)
+    p = str(tmp_path / "churn.db")
+    sub = T.StructType(
+        [T.StructField("_id", T.LongType()), T.StructField("ts", T.LongType())]
+    )
+    base = _os.path.basename(p)
+
+    def links():
+        return sorted(
+            f for f in _os.listdir(sio._SHIP_DIR) if f.endswith("-" + base)
+        )
+
+    counts = []
+    for gen in range(4):
+        if _os.path.exists(p):
+            _os.remove(p)
+        _mkdb(p, 100 + gen, offset=gen * 10_000)
+        _time.sleep(0.01)  # distinct mtime_ns
+        df = sio.read_sqlite_table(spark, p, "messages", sub)
+        assert df.count() == 100 + gen
+        counts.append(len(links()))
+    # gen 0: live only; every later gen: live + exactly one pending
+    assert counts == [1, 2, 2, 2], counts
+    # the pending one is the IMMEDIATELY superseded generation
+    assert sio._SHIP_SUPERSEDED[_os.path.realpath(p)] in links()
