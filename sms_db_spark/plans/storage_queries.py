@@ -482,6 +482,89 @@ ORDER BY class
 """
 
 
+def _clean_events(ev: DataFrame) -> DataFrame:
+    """The deterministic 'clean slice' of the events corpus: rows
+    satisfying every constraint the quality gate audits — value range,
+    non-null user_id, accepted event_type, window-deduped event_id.
+    Built FROM quality.VALUE_CAP / ACCEPTED_EVENT_TYPES (ADVICE r7:
+    hardcoded copies here would desync the slice definition from the
+    audit when a constant changes) — shared by q146 and q149."""
+    from pyspark.sql import Window
+
+    from ..streaming.quality import ACCEPTED_EVENT_TYPES, VALUE_CAP
+
+    return (
+        ev.filter(
+            (F.col("value") > 0)
+            & (F.col("value") <= VALUE_CAP)
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isin(*ACCEPTED_EVENT_TYPES)
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("event_id")))
+        .filter(F.col("_n") == 1)
+        .drop("_n")
+    )
+
+
+def _gated_upsert_sql(slice_pred: str) -> str:
+    """The q126-style last-write-wins recompute over a clean-slice
+    predicate — the DuckDB twin of (clean slice → changelog → fold →
+    serving view → bucket aggregate). Interpolates the SAME quality
+    constants the Spark side imports (ADVICE r7), mirroring how
+    Q144_SQL/Q147_SQL interpolate the JOIN_* constants."""
+    from ..streaming.quality import ACCEPTED_EVENT_TYPES, VALUE_CAP
+
+    accepted = ", ".join(f"'{t}'" for t in ACCEPTED_EVENT_TYPES)
+    return f"""
+WITH clean AS (
+  SELECT * FROM events
+  WHERE value > 0 AND value <= {VALUE_CAP} AND user_id IS NOT NULL
+    AND event_type IN ({accepted})
+  QUALIFY COUNT(*) OVER (PARTITION BY event_id) = 1
+), ch AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM clean WHERE {slice_pred}
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM ch
+)
+SELECT CAST(user_id % 8 AS INT) AS bucket, COUNT(*) AS n_users,
+       CAST(SUM(n_changes) AS BIGINT) AS n_changes,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MAX(ts) AS max_updated_at,
+       1 AS protocol_ok
+FROM ranked WHERE rn = 1 AND op = 'upsert'
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+def _upsert_readback_frame(
+    spark: SparkSession, store_dir: str, protocol_ok: int
+) -> DataFrame:
+    """Serving-view read-back aggregated per user-id bucket with the
+    protocol flag pinned in-result — the shared output shape of the
+    gated-upsert audits (8 rows; aggregated BEFORE any collect)."""
+    from ..streaming.upsert import read_upsert_store
+
+    return (
+        read_upsert_store(spark, store_dir)
+        .groupBy((F.col("user_id") % 8).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_changes").cast("bigint").alias("n_changes"),
+            F.sum(F.col("current_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("updated_at").alias("max_updated_at"),
+        )
+        .withColumn("protocol_ok", F.lit(protocol_ok).cast("int"))
+        .orderBy("bucket")
+    )
+
+
 def q146_gated_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The day-2 quality→upsert composition under the hash gate
     (VERDICT r6 item 5 — previously pytest-only): drive
@@ -500,34 +583,18 @@ def q146_gated_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the new epoch's two reports survive, the poisoned batch
     failing only range_value, the clean one all-green.
 
-    Clean slices are filtered to rows satisfying every audited
-    constraint — value range, non-null user_id, accepted event_type,
-    and window-deduped event_id — so batch verdicts are deterministic
-    at any SF and under any future corpus regeneration (the raw corpus
+    Clean slices come from _clean_events — rows satisfying every
+    audited constraint (value range, non-null user_id, accepted
+    event_type, window-deduped event_id), derived from the quality
+    module's own constants — so batch verdicts are deterministic at
+    any SF and under any future corpus regeneration (the raw corpus
     has value<=0 rows at some SFs; the other constraints hold today
     but are enforced rather than assumed).
     """
-    from pyspark.sql import Window
-
-    from ..streaming.quality import (
-        ACCEPTED_EVENT_TYPES,
-        quality_gated_upsert_batch,
-        read_metrics,
-    )
-    from ..streaming.upsert import read_upsert_store
+    from ..streaming.quality import quality_gated_upsert_batch, read_metrics
 
     ev = load_table(spark, sf_dir, "events")
-    clean = (
-        ev.filter(
-            (F.col("value") > 0)
-            & (F.col("value") <= 1000)
-            & F.col("user_id").isNotNull()
-            & F.col("event_type").isin(*ACCEPTED_EVENT_TYPES)
-        )
-        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("event_id")))
-        .filter(F.col("_n") == 1)
-        .drop("_n")
-    )
+    clean = _clean_events(ev)
 
     def part(k: int) -> DataFrame:
         return clean.filter(F.col("event_id") % 4 == k)
@@ -560,47 +627,209 @@ def q146_gated_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not (b == 0 and c == "range_value")
             )
         )
-        out = (
-            read_upsert_store(spark, store_dir)
-            .groupBy((F.col("user_id") % 8).cast("int").alias("bucket"))
-            .agg(
-                F.count(F.lit(1)).alias("n_users"),
-                F.sum("n_changes").cast("bigint").alias("n_changes"),
-                F.sum(F.col("current_value").cast("decimal(18,2)"))
-                .cast("double")
-                .alias("sum_value"),
-                F.max("updated_at").alias("max_updated_at"),
-            )
-            .withColumn("protocol_ok", F.lit(protocol_ok).cast("int"))
-            .orderBy("bucket")
-        )
+        out = _upsert_readback_frame(spark, store_dir, protocol_ok)
         return _detached(out)  # 8 driver-held rows; scratch store dies here
 
+# q148 synthetic store shape: timestamps collide heavily (TS_MOD values
+# across the whole corpus) so the audit exercises exactly the tied-key
+# regime where the _id total order is what keeps the sharded and
+# single-writer documents byte-identical; addresses collide too
+# (ADDR_MOD distinct values) so ties are ties on the full (date,
+# address) prefix, not just the date.
+_EXPORT_TS_BASE = 1_500_000_000_000
+_EXPORT_TS_MOD = 97
+_EXPORT_ADDR_MOD = 50
 
-Q146_SQL = """
-WITH clean AS (
-  SELECT * FROM events
-  WHERE value > 0 AND value <= 1000 AND user_id IS NOT NULL
-    AND event_type IN ('view', 'click', 'purchase', 'signup', 'error')
-  QUALIFY COUNT(*) OVER (PARTITION BY event_id) = 1
-), ch AS (
-  SELECT user_id, ts, event_id, value,
-         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
-  FROM clean WHERE event_id % 4 = 3
-), ranked AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
-         count(*) OVER (PARTITION BY user_id) AS n_changes
-  FROM ch
+
+def q148_sharded_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED XML serializer under the hash gate (VERDICT r7
+    item 4 — q64 gates the export frame, pytest pins byte-parity on
+    fixtures; the sharded writer itself had no driver-green row):
+    derive a synthetic SMS store from the documents corpus, export it
+    through BOTH export_xml_sharded (range-partitioned fragment
+    serialization) and export_xml (single driver writer), re-import
+    each document through the distributed XML source, and return per
+    path the exported count, re-imported count, and a content checksum
+    over the four exported attributes — which the oracle recomputes
+    from the raw corpus. A hash match proves the whole chain per path:
+    frame construction, serialization, the root count, fragment
+    ordering/concat, and the re-import parse. `bytes_equal` pins the
+    sharded==single byte-identity law on corpus-scale tied keys (only
+    the creation-stamp comment, different by design, is excluded).
+
+    Scale note: fragment serialization and the re-import parse are
+    distributed; the driver streams fragment bytes (O(chunk) memory)
+    and holds two aggregate rows. The document files are driver-local
+    by the exporters' contract; fragments go through the shared
+    scratch root when configured.
+    """
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from ..operators.sketches import _h60
+    from ..schemas import MSG_SMS
+    from ..sinks.xml_export import export_xml, export_xml_sharded
+    from ..sources.xml_source import read_xml_staging_distributed
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    messages = docs.select(
+        d.alias("_id"),
+        F.lit(MSG_SMS).cast("int").alias("message_type"),
+        (d % 2 + 1).cast("int").alias("msg_box"),
+        F.concat(F.lit("+1555"), (d % _EXPORT_ADDR_MOD).cast("string")).alias(
+            "sender_address"
+        ),
+        F.concat(F.lit("+1666"), (d % _EXPORT_ADDR_MOD).cast("string")).alias(
+            "recipient_address"
+        ),
+        (F.lit(_EXPORT_TS_BASE) + d % _EXPORT_TS_MOD).alias("timestamp"),
+    )
+    parts = docs.select(
+        d.alias("_id"),
+        d.alias("message_id"),
+        F.concat(
+            F.lit("doc "), d.cast("string"), F.lit(" len "), F.col("n_chars").cast("string")
+        ).alias("text"),
+        F.lit(None).cast("binary").alias("data"),
+    )
+
+    def digest(path: str) -> str:
+        h = hashlib.sha256()
+        with open(path, "rb") as fh:
+            for ln in fh:
+                if ln.startswith(b"<!--File Created By"):
+                    continue  # the creation stamp differs by design
+                h.update(ln)
+        return h.hexdigest()
+
+    with _scratch_dir(spark, "sms_db_spark_export_frag_") as frag_root, (
+        tempfile.TemporaryDirectory(prefix="sms_db_spark_export_docs_")
+    ) as tmp:
+        single = _os.path.join(tmp, "single.xml")
+        sharded = _os.path.join(tmp, "sharded.xml")
+        n_single = export_xml(messages, parts, single, "sms")
+        n_sharded = export_xml_sharded(
+            messages, parts, sharded, "sms", fragments_dir=frag_root
+        )
+        bytes_equal = int(digest(single) == digest(sharded))
+        rows = []
+        for label, fpath, n_exported in (
+            ("sharded", sharded, n_sharded),
+            ("single", single, n_single),
+        ):
+            sms, _mms, _addr, _part = read_xml_staging_distributed(spark, fpath)
+            agg = sms.agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum(
+                        _h60(
+                            F.concat_ws(
+                                "\x01",
+                                F.col("address"),
+                                F.col("date").cast("string"),
+                                F.col("type").cast("string"),
+                                F.col("body"),
+                            )
+                        ).cast("decimal(38,0)")
+                    )
+                    % F.lit(_CHECKSUM_MOD)
+                )
+                .cast("bigint")
+                .alias("chk"),
+            ).collect()[0]
+            rows.append(
+                (label, int(n_exported), int(agg["n"]), int(agg["chk"]), bytes_equal)
+            )
+    return spark.createDataFrame(
+        rows,
+        "path string, n_exported bigint, n_reimported bigint,"
+        " checksum_mod bigint, bytes_equal int",
+    ).orderBy("path")
+
+
+def _q148_sql() -> str:
+    h = _h60_sql("address || chr(1) || date_s || chr(1) || type_s || chr(1) || body")
+    return f"""
+WITH synth AS (
+  SELECT (CASE WHEN doc_id % 2 = 0 THEN '+1555' ELSE '+1666' END)
+           || CAST(doc_id % {_EXPORT_ADDR_MOD} AS VARCHAR) AS address,
+         CAST({_EXPORT_TS_BASE} + doc_id % {_EXPORT_TS_MOD} AS VARCHAR) AS date_s,
+         CAST(doc_id % 2 + 1 AS VARCHAR) AS type_s,
+         'doc ' || CAST(doc_id AS VARCHAR) || ' len ' || CAST(n_chars AS VARCHAR) AS body
+  FROM documents
+), agg AS (
+  SELECT COUNT(*) AS n, CAST(SUM({h}) % {_CHECKSUM_MOD} AS BIGINT) AS chk FROM synth
 )
-SELECT CAST(user_id % 8 AS INT) AS bucket, COUNT(*) AS n_users,
-       CAST(SUM(n_changes) AS BIGINT) AS n_changes,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-       MAX(ts) AS max_updated_at,
-       1 AS protocol_ok
-FROM ranked WHERE rn = 1 AND op = 'upsert'
-GROUP BY bucket ORDER BY bucket
+SELECT p.path, agg.n AS n_exported, agg.n AS n_reimported,
+       agg.chk AS checksum_mod, 1 AS bytes_equal
+FROM agg CROSS JOIN (VALUES ('sharded'), ('single')) AS p(path)
+ORDER BY path
 """
+
+
+def q149_stream_gated_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-trigger composition under the hash gate (VERDICT r7
+    item 5 — q146 gates the per-batch protocol by calling it directly;
+    this gates the layer q146 cannot touch: readStream file discovery,
+    availableNow trigger semantics, foreachBatch dispatch, and
+    checkpoint-tracked batch numbering ACROSS query restarts). Four
+    slices of the clean events corpus land as parquet drops, each
+    followed by a full stream_gated_upsert run (availableNow:
+    drain-and-stop) against ONE persistent checkpoint — batch ids 0..3
+    are assigned by the checkpoint, not by this query. Drop 2 is
+    poisoned (every value pushed past VALUE_CAP): the gate must
+    quarantine exactly that batch, so the final store is the fold of
+    slices {0,1,3} alone, which the oracle recomputes from the raw
+    corpus. `protocol_ok` pins the log protocol: 4 batches x 4 checks,
+    batch 2 failing only range_value with every poisoned row counted,
+    everything else green.
+
+    Each drop is coalesced to ONE file so a file-source read limit can
+    never split a drop into two batches (a split poisoned drop would
+    still quarantine both halves — store-equivalent — but the log
+    shape, and with it protocol_ok, must be deterministic).
+
+    Scale note: the drops, per-batch audits, and state folds are all
+    distributed; the driver holds the 16-row log, the verdict dicts,
+    and the 8-row read-back aggregate.
+    """
+    from ..streaming.quality import VALUE_CAP, read_metrics, stream_gated_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    clean = _clean_events(ev)
+    with _scratch_dir(spark, "sms_db_spark_stream_upsert_audit_") as root:
+        drop = f"{root}/drop"
+        log_dir, store_dir, ckpt = f"{root}/log", f"{root}/store", f"{root}/ckpt"
+        n_poisoned = 0
+        for k in range(4):
+            s = clean.filter(F.col("event_id") % 4 == k)
+            if k == 2:
+                s = s.withColumn("value", F.col("value") + F.lit(2.0 * VALUE_CAP))
+                n_poisoned = s.count()
+            s.coalesce(1).write.mode("append").parquet(drop)
+            q = stream_gated_upsert(spark, drop, log_dir, store_dir, ckpt)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("stream_gated_upsert run did not drain in 600s")
+        log = {
+            (r.batch_id, r.check_name): (r.violations, r.passed)
+            for r in read_metrics(spark, log_dir).collect()  # 16 rows
+        }
+        protocol_ok = int(
+            {b for b, _ in log} == {0, 1, 2, 3}
+            and len(log) == 16
+            and log[(2, "range_value")] == (n_poisoned, 0)
+            and all(
+                passed == 1
+                for (b, c), (_, passed) in log.items()
+                if not (b == 2 and c == "range_value")
+            )
+        )
+        out = _upsert_readback_frame(spark, store_dir, protocol_ok)
+        return _detached(out)  # 8 driver-held rows; scratch store dies here
+
 
 QUERIES = {
     "q134_shard_manifest_audit": QuerySpec(
@@ -635,7 +864,17 @@ QUERIES = {
     ),
     "q146_gated_upsert_audit": QuerySpec(
         q146_gated_upsert_audit,
-        Q146_SQL,
+        _gated_upsert_sql("event_id % 4 = 3"),
         "quality-gated upsert: quarantine + reset hygiene, store read-back",
+    ),
+    "q148_sharded_export_audit": QuerySpec(
+        q148_sharded_export_audit,
+        _q148_sql(),
+        "distributed XML export: sharded==single bytes + re-import hash",
+    ),
+    "q149_stream_gated_upsert_audit": QuerySpec(
+        q149_stream_gated_upsert_audit,
+        _gated_upsert_sql("event_id % 4 <> 2"),
+        "stream-triggered gated upsert: mid-stream quarantine, read-back",
     ),
 }

@@ -657,3 +657,25 @@ def test_q147_join_strategy_is_salted(spark):
     row = registry()["q147_salted_planned_join"].fn(spark, SF_DIR).limit(1).collect()[0]
     assert row["strategy"] == "salted" and row["salted_side"] == "left"
     assert row["n_salt"] == 8
+
+
+def test_q147_salted_join_shuffle_regime(spark):
+    """The salted branch exists FOR the shuffle regime (VERDICT r7 item
+    3): with broadcast disabled — the at-scale condition, where the
+    replicated dim exceeds any real threshold — the planned join must
+    be a shuffled join (SortMergeJoin / ShuffledHashJoin) keyed on
+    BOTH k and _salt, proving the salt actually spreads the hot key
+    across n_salt reducers instead of one."""
+    from sms_db_spark.operators.maintenance import q147_salted_planned_join
+
+    session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the static threshold governs the planned shape; pin the adaptive
+    # one too so a runtime re-plan can't reintroduce a broadcast
+    session.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    text = _explain_str(q147_salted_planned_join(session, SF_DIR))
+    assert "SortMergeJoin" in text or "ShuffledHashJoin" in text, text
+    assert "BroadcastHashJoin" not in text, text
+    # the join's equi-keys are (k, _salt) on both sides
+    assert re.search(r"keys \[2\]: \[k#\d+L?, _salt#\d+\]", text), text
