@@ -514,7 +514,10 @@ def _gated_upsert_sql(slice_pred: str) -> str:
     Q144_SQL/Q147_SQL interpolate the JOIN_* constants."""
     from ..streaming.quality import ACCEPTED_EVENT_TYPES, VALUE_CAP
 
-    accepted = ", ".join(f"'{t}'" for t in ACCEPTED_EVENT_TYPES)
+    # SQL-escape the literals (ADVICE r8): a future event type carrying a
+    # single quote must not produce malformed — or predicate-shifting —
+    # oracle SQL on the DuckDB side
+    accepted = ", ".join("'" + t.replace("'", "''") + "'" for t in ACCEPTED_EVENT_TYPES)
     return f"""
 WITH clean AS (
   SELECT * FROM events

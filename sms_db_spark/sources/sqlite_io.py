@@ -147,7 +147,18 @@ def read_sqlite_table(
     inference). Absent columns → NULL; absent table → empty frame.
     Routes itself: driver-side fetch for ordinary backup tables,
     rowid-range distributed scan past DISTRIBUTED_ROWS_THRESHOLD
-    (see module docstring). Tables the distributed path cannot address
+    (see module docstring).
+
+    Rewrite hazard (ADVICE r8): the distributed path binds the returned
+    DataFrame to a shipped snapshot of the CURRENT file. A plan held
+    lazy while the same db path is rewritten TWICE can, in local mode,
+    find its snapshot's fallback link already unlinked (superseded
+    links are retained exactly one generation back) and fail with
+    FileNotFoundError at execution time — it can never silently read
+    the wrong generation. Execute (or localCheckpoint) frames before
+    rewriting their source file more than once.
+
+    Tables the distributed path cannot address
     faithfully stay on the driver: WITHOUT ROWID (no range key) and
     databases with a pending sidecar — uncheckpointed WAL frames or a
     hot rollback journal (addFile ships only the main file; executor
@@ -197,8 +208,19 @@ def read_sqlite_table(
 # in-flight lazy DataFrame may still take the local-link fallback to
 # the just-superseded link, so it is unlinked only at the NEXT
 # eviction of the same file (by then every job planned against it has
-# long since re-resolved) — pending disk is bounded at one superseded
-# link per rewritten file, and atexit removes the last ones.
+# long since re-resolved; a plan held across TWO rewrites can hit the
+# unlinked path — the documented read_sqlite_table hazard, loud, never
+# stale) — pending disk is bounded at one superseded link per
+# rewritten file, and atexit removes the last ones. Map growth is
+# bounded the same way (ADVICE r8): every ship also sweeps entries of
+# DEAD SparkContexts (one context lives per driver process, so another
+# applicationId's jobs cannot be in flight — their links unlink
+# immediately), and per-file locks whose realpath has no remaining
+# cache entry are dropped unless held, keeping all four structures
+# O(live dbs of the live context). Dropping an unheld lock another
+# thread has setdefault-ed but not yet acquired is benign: ship names
+# are uuid-unique, so the worst case is one redundant ship, never a
+# collision.
 _SHIP_CACHE: dict[tuple[str, str, int, int], str] = {}
 _SHIP_DIR: str | None = None
 _SHIP_LOCK = threading.Lock()
@@ -248,20 +270,36 @@ def _ship_db(spark: SparkSession, db_path: str) -> tuple[str, str]:
             shutil.copy2(real, link)  # cross-device temp: pay the copy
         spark.sparkContext.addFile(link)
         with _SHIP_LOCK:
-            # evict superseded versions of this file (older mtime/size,
-            # or a dead context's entry); unlink the link DEFERRED at the
-            # previous eviction (two generations old — nothing in flight
-            # can still resolve it) and defer this generation's
-            for old in [k for k in _SHIP_CACHE if k[1] == real and k != key]:
+            # evict superseded versions of this file (older mtime/size)
+            # and EVERY entry of a dead context (any other app_id: one
+            # SparkContext lives per driver process, so its jobs cannot
+            # be in flight — links unlink immediately). A superseded
+            # live-context link is unlinked DEFERRED at the NEXT
+            # eviction of the same file (one generation back — nothing
+            # in flight can still resolve the older one).
+            for old in [
+                k for k in _SHIP_CACHE if (k[1] == real and k != key) or k[0] != app_id
+            ]:
                 old_name = _SHIP_CACHE.pop(old)
-                prev = _SHIP_SUPERSEDED.pop(real, None)
-                if prev is not None:
-                    try:
-                        os.unlink(os.path.join(ship_dir, prev))
-                    except OSError:
-                        pass  # already gone (atexit raced a shutdown)
-                _SHIP_SUPERSEDED[real] = old_name
+                if old[0] != app_id:  # dead context: all its links are dead
+                    doomed = (old_name, _SHIP_SUPERSEDED.pop(old[1], None))
+                else:
+                    doomed = (_SHIP_SUPERSEDED.pop(real, None),)
+                    _SHIP_SUPERSEDED[real] = old_name
+                for stale in doomed:
+                    if stale is not None:
+                        try:
+                            os.unlink(os.path.join(ship_dir, stale))
+                        except OSError:
+                            pass  # already gone (atexit raced a shutdown)
             _SHIP_CACHE[key] = name
+            # lock-map symmetry (ADVICE r8): a realpath with no live
+            # cache entry needs no serializer; skip held locks (a ship
+            # of that file is mid-flight and will re-insert its entry)
+            live = {k[1] for k in _SHIP_CACHE}
+            for gone in [r for r in _SHIP_FILE_LOCKS if r not in live]:
+                if not _SHIP_FILE_LOCKS[gone].locked():
+                    del _SHIP_FILE_LOCKS[gone]
     return name, os.path.join(ship_dir, name)
 
 

@@ -299,3 +299,54 @@ def test_superseded_ship_links_bounded_to_one_pending(spark, tmp_path, monkeypat
     assert counts == [1, 2, 2, 2], counts
     # the pending one is the IMMEDIATELY superseded generation
     assert sio._SHIP_SUPERSEDED[_os.path.realpath(p)] in links()
+
+
+def test_ship_maps_bounded_under_churn_and_dead_contexts(spark, tmp_path, monkeypatch):
+    """Long-lived-driver growth of the ship structures is O(live dbs of
+    the live context) (ADVICE r8 / VERDICT r8 item 5): churning one path
+    keeps exactly one cache entry, one per-file lock, and at most one
+    pending superseded link for it; entries of a DEAD SparkContext
+    (another applicationId — its jobs cannot be in flight) are swept at
+    the next ship, links unlinked, and their per-file locks dropped."""
+    import os as _os
+    import time as _time
+
+    monkeypatch.setattr(sio, "DISTRIBUTED_ROWS_THRESHOLD", 50)
+    monkeypatch.setattr(sio, "ROWS_PER_RANGE_TASK", 100)
+    p = str(tmp_path / "bound.db")
+    sub = T.StructType(
+        [T.StructField("_id", T.LongType()), T.StructField("ts", T.LongType())]
+    )
+    real = None
+    for gen in range(4):
+        if _os.path.exists(p):
+            _os.remove(p)
+        _mkdb(p, 80 + gen, offset=gen * 1_000)
+        _time.sleep(0.01)  # distinct mtime_ns
+        assert sio.read_sqlite_table(spark, p, "messages", sub).count() == 80 + gen
+        real = _os.path.realpath(p)
+        # churn bound: one cache entry, one lock, ≤1 pending link for p
+        assert sum(1 for k in sio._SHIP_CACHE if k[1] == real) == 1
+        assert sum(1 for r in sio._SHIP_FILE_LOCKS if r == real) == 1
+        assert sum(1 for r in sio._SHIP_SUPERSEDED if r == real) <= 1
+    # plant a dead-context entry (foreign applicationId) with real link
+    # files: the next ship of ANY db must sweep entry, links, and lock
+    import threading as _threading
+
+    dead_main = _os.path.join(sio._SHIP_DIR, "sqlite-deadbeef-dead.db")
+    dead_super = _os.path.join(sio._SHIP_DIR, "sqlite-cafebabe-dead.db")
+    for f in (dead_main, dead_super):
+        with open(f, "wb") as fh:
+            fh.write(b"x")
+    with sio._SHIP_LOCK:
+        sio._SHIP_CACHE[("app-dead", "/dead/real.db", 1, 1)] = _os.path.basename(dead_main)
+        sio._SHIP_SUPERSEDED["/dead/real.db"] = _os.path.basename(dead_super)
+        sio._SHIP_FILE_LOCKS["/dead/real.db"] = _threading.Lock()
+    _os.remove(p)
+    _mkdb(p, 90, offset=9_000)
+    _time.sleep(0.01)
+    assert sio.read_sqlite_table(spark, p, "messages", sub).count() == 90
+    assert not any(k[0] == "app-dead" for k in sio._SHIP_CACHE)
+    assert "/dead/real.db" not in sio._SHIP_SUPERSEDED
+    assert "/dead/real.db" not in sio._SHIP_FILE_LOCKS
+    assert not _os.path.exists(dead_main) and not _os.path.exists(dead_super)
