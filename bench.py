@@ -102,6 +102,55 @@ WRITE_AUDITS = [
 
 BEST_OF = 3
 
+# Per-query anchor: BENCH_r07's headline timings (calibration 0.524) —
+# the last uncontaminated artifact. BENCH_r08 recorded seven queries
+# 3-13x slower with ZERO code changes; re-measurement at HEAD put all
+# of them back at r7 parity, proving the recorded regression was
+# ambient machine load concentrated in the Python-worker/Arrow lane,
+# which neither the CPU-bound nor the scheduler calibration job
+# exercises (VERDICT r8). The anchor powers a per-run sanity check:
+# when several anchored queries blow past 3x while the calibration
+# axes stay flat, the artifact is flagged suspect_ambient rather than
+# read as a plan regression by the 2x rule.
+ANCHOR_ROUND = 7
+ANCHOR_CAL_SEC = 0.524
+ANCHOR = {
+    "q01_eq_filter_sort": 0.374, "q06_join_meta_data": 1.26,
+    "q07_flagship_join_like": 0.635, "q20_dedup_exact": 0.314,
+    "q22_first_per_group": 0.798, "q23_agg_rollup": 1.098,
+    "q26_three_way_join": 0.582, "q30_window_agg": 0.433,
+    "q41_text_quality": 0.288, "q44_minhash_signatures": 0.395,
+    "q45_minhash_lsh_pairs": 0.872, "q46_simhash": 0.291,
+    "q48_ann_bruteforce_topk": 0.467, "q49_ann_lsh_topk": 0.444,
+    "q51_ann_ivf_topk": 0.864, "q53_clean_pipeline": 0.833,
+    "q55_multimodal_features": 0.274, "q57_tfidf_topk": 0.732,
+    "q69_import_scale": 1.297, "q33_asof_join": 0.814,
+    "q73_lsh_jaccard_verified": 1.706, "q74_embedding_neardup_lsh": 1.393,
+    "q75_multimodal_real_decode": 0.312, "q76_filtered_ann_lsh": 0.858,
+    "q79_sequence_packing": 0.25, "q81_contamination": 1.373,
+    "q88_dup_ngram_coverage": 0.921, "q90_hashed_classifier": 0.89,
+    "q83_dedup_clusters_star": 2.307, "q92_domain_gate": 0.438,
+    "q94_bpe_pair_counts": 0.633, "q97_cluster_representatives": 2.528,
+    "q98_semantic_dedup": 2.401, "q99_dsir_importance": 0.985,
+    "q100_centroid_outliers": 0.553, "q101_length_percentiles": 0.461,
+    "q102_hll_registers": 0.951, "q104_count_min": 1.281,
+    "q111_reconcile_full_outer": 0.746, "q114_heavy_hitters": 2.082,
+    "q123_ann_serving": 1.667, "q124_kmeans_hashed_seed_train": 3.57,
+    "q125_delta_dedup": 0.971, "q126_scd_upsert": 0.463,
+    "q128_sq8_ann_recall": 0.652, "q132_dup_spans": 1.242,
+    "q133_hard_negatives": 0.794, "q138_jl_projection_recall": 0.827,
+    "q140_snapshot_diff": 0.345, "q141_epoch_shuffle": 1.131,
+    "q144_planned_join": 1.93, "q147_salted_planned_join": 1.354,
+}
+# a query must exceed this multiple of its anchor to count as a suspect
+SUSPECT_RATIO = 3.0
+# ignore sub-this-anchor queries (scheduler jitter dominates them)
+SUSPECT_MIN_ANCHOR_SEC = 0.2
+# more than this many suspects with flat calibrations = ambient noise
+SUSPECT_COUNT = 3
+# calibration drift below this is "flat" (machine-speed band, not load)
+CAL_FLAT_RATIO = 1.5
+
 
 def calibration(spark) -> float:
     """A fixed reference job (never changes across rounds) timed on a
@@ -162,6 +211,82 @@ def calibration_overhead(spark) -> float:
     return round(best, 3)
 
 
+def calibration_python(spark) -> float:
+    """Third calibration axis (VERDICT r8 item 1): a FIXED Arrow /
+    Python-worker job — mapInPandas over spark.range with a pinned
+    numpy kernel, then a small aggregate — timed best-of-3 after one
+    warm-up like everything else. The r8 bench window proved ambient
+    load can land almost entirely on the Python-worker lane (recorded
+    q75/q76/q79/q81/q88/q90 at 7-13x, re-measured at parity) while the
+    CPU-bound JVM calibration stays flat at 0.51 vs 0.524 — this axis
+    is what registers that pressure: Python worker launch/reuse, Arrow
+    serialization both ways, and GIL-side compute."""
+    from pyspark.sql import functions as F
+
+    session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "32")
+    session.conf.set("spark.sql.adaptive.enabled", "true")
+    schema = "k bigint, s double"
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            v = pdf["id"].to_numpy(dtype="float64")
+            s = np.sqrt(v + 1.0) * 1.000001 + np.log1p(v)
+            yield pd.DataFrame({"k": pdf["id"] % 97, "s": s})
+
+    def job():
+        (
+            session.range(0, 8_000_000, 1, 32)
+            .mapInPandas(work, schema)
+            .groupBy("k")
+            .agg(F.sum("s").alias("t"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    job()  # warm-up (worker launch + JIT)
+    best = float("inf")
+    for _ in range(BEST_OF):
+        t0 = time.time()
+        job()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def ambient_check(headline: dict, cal: float, cal_overhead: float) -> dict:
+    """Sanity-check the run against the r7 anchor: per-suspect ratios
+    and the suspect_ambient flag. Flagged = several anchored queries
+    blew past SUSPECT_RATIO while the calibration axes stayed flat —
+    exactly the r8 signature of ambient machine load, which must read
+    as a contaminated artifact, not a plan regression. (A real
+    regression changes specific queries after a code change; ambient
+    load inflates many unchanged ones at once with flat calibrations.)
+    """
+    suspects = {
+        q: round(t / ANCHOR[q], 2)
+        for q, t in headline.items()
+        if q in ANCHOR
+        and ANCHOR[q] >= SUSPECT_MIN_ANCHOR_SEC
+        and t > SUSPECT_RATIO * ANCHOR[q]
+    }
+    # r8's overhead axis (0.056s) predates the anchor round; treat the
+    # CPU axis as the primary flatness signal and the overhead axis as
+    # flat below an absolute bound rather than a round-over-round ratio
+    cal_flat = cal <= CAL_FLAT_RATIO * ANCHOR_CAL_SEC and cal_overhead <= 0.25
+    anchored_total = sum(t for q, t in headline.items() if q in ANCHOR)
+    anchor_total = sum(ANCHOR[q] for q in headline if q in ANCHOR)
+    return {
+        "anchor_round": ANCHOR_ROUND,
+        "anchor_total_ratio": round(anchored_total / anchor_total, 3)
+        if anchor_total
+        else None,
+        "suspects_vs_anchor": dict(sorted(suspects.items())),
+        "suspect_ambient": len(suspects) > SUSPECT_COUNT and cal_flat,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -184,8 +309,10 @@ def main() -> None:
 
     cal = calibration(spark)
     cal_overhead = calibration_overhead(spark)
+    cal_python = calibration_python(spark)
     headline = run(HEADLINE)
     write_audits = run(WRITE_AUDITS)
+    ambient = ambient_check(headline, cal, cal_overhead)
 
     # Field order is capture-driven (VERDICT r6 item 7 intent): the
     # driver records only the TAIL of stdout (BENCH_r06's artifact has a
@@ -204,14 +331,19 @@ def main() -> None:
         "write-audit queries timed separately (store-writer IO, not query "
         "latency); calibration_sec times a FIXED CPU-bound reference job, "
         "calibration_overhead_sec a fixed near-empty job (per-job scheduler "
-        "latency) — normalize multi-second queries by the former, "
-        "sub-second ones by the latter (they drift independently)",
+        "latency), calibration_python_sec a fixed mapInPandas job (the "
+        "Arrow/Python-worker lane, which r8 proved drifts independently of "
+        "both) — normalize each query by its lane's axis; suspect_ambient "
+        "marks the r8 signature (many anchored queries >3x with flat "
+        "calibrations = ambient load, not a plan regression)",
         "queries": headline,
         "write_audits": write_audits,
+        **ambient,
         "value": round(sum(headline.values()), 3),
         "write_audits_total": round(sum(write_audits.values()), 3),
         "calibration_sec": cal,
         "calibration_overhead_sec": cal_overhead,
+        "calibration_python_sec": cal_python,
     }
     line = json.dumps(doc)
     with open(
@@ -233,6 +365,9 @@ def main() -> None:
                 "write_audits_total": doc["write_audits_total"],
                 "calibration_sec": cal,
                 "calibration_overhead_sec": cal_overhead,
+                "calibration_python_sec": cal_python,
+                "anchor_total_ratio": ambient["anchor_total_ratio"],
+                "suspect_ambient": ambient["suspect_ambient"],
             },
             separators=(",", ":"),
         )

@@ -12,6 +12,29 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+# Hadoop spells object-store schemes its own way (s3a://, abfss://,
+# wasbs://); pyarrow's FileSystem.from_uri knows only the native ones
+# and raises ArrowInvalid on the rest. The ONE alias table shared by
+# every pyarrow-side footer reader (merge pruning, layout audits) —
+# public schemes only.
+PYARROW_SCHEME_ALIASES = {
+    "s3a://": "s3://",
+    "s3n://": "s3://",
+    "abfss://": "abfs://",
+    "wasb://": "abfs://",
+    "wasbs://": "abfs://",
+}
+
+
+def pyarrow_uri(path: str) -> str:
+    """A Hadoop-qualified URI respelled for pyarrow FileSystem.from_uri
+    (unknown schemes pass through — the caller handles ArrowInvalid)."""
+    for alias, native in PYARROW_SCHEME_ALIASES.items():
+        if path.startswith(alias):
+            return native + path[len(alias):]
+    return path
+
+
 def hadoop_fs(spark: SparkSession, path: str):
     """(jvm, FileSystem) for path under the session's Hadoop conf."""
     jvm = spark._jvm

@@ -77,6 +77,40 @@ def write_zordered(
     )
 
 
+def file_column_ranges_fs(spark, path: str, cols: list[str]) -> list[dict]:
+    """file_column_ranges for any Hadoop-reachable store (HDFS/S3A, not
+    just the driver's local disk): data files come from the Hadoop FS
+    listing and each footer is read with pyarrow FileSystem.from_uri
+    through fsutil's scheme-alias table. Driver-side by design — the
+    callers are layout AUDITS over a handful of files; a million-file
+    prune uses the distributed footer scan in sinks/merge.py."""
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    from ..fsutil import pyarrow_uri
+    from .compaction import _data_files
+
+    out = []
+    for fpath, _bytes in sorted(_data_files(spark, path)):
+        pfs, ppath = pafs.FileSystem.from_uri(pyarrow_uri(fpath))
+        with pfs.open_input_file(ppath) as fh:
+            md = pq.ParquetFile(fh).metadata
+        idx = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        rng: dict = {"file": fpath.rsplit("/", 1)[-1]}
+        for c in cols:
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            rng[c] = (min(mins), max(maxs))
+        out.append(rng)
+    return out
+
+
 def file_column_ranges(path: str, cols: list[str]) -> list[dict]:
     """Per-data-file min/max for cols, read from the parquet footers —
     exactly the stats a scan's file/row-group pruning consults."""

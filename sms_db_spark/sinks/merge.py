@@ -240,30 +240,17 @@ def merge_into_cow(
         import pyarrow.fs as pafs
         import pyarrow.parquet as pq
 
-        # Hadoop spells object-store schemes its own way (s3a://,
-        # abfss://, wasbs://); pyarrow's from_uri knows only the native
-        # ones and raises ArrowInvalid on the rest. Rewrite the known
-        # aliases, and if the scheme is STILL unrecognized fall back to
-        # stats-less (conservatively touched) — a merge must degrade to
-        # rewriting more files, never fail outright on a valid store.
-        scheme_aliases = {
-            "s3a://": "s3://",
-            "s3n://": "s3://",
-            "abfss://": "abfs://",
-            "wasb://": "abfs://",
-            "wasbs://": "abfs://",
-        }
+        from ..fsutil import pyarrow_uri
 
         def key_range(fpath: str):
             """(lo, hi) from footer stats; None marks 'no usable stats —
-            conservatively touched'."""
-            uri = fpath
-            for alias, native in scheme_aliases.items():
-                if uri.startswith(alias):
-                    uri = native + uri[len(alias):]
-                    break
+            conservatively touched'. Scheme handling via fsutil's shared
+            alias table; a STILL-unrecognized scheme falls back to
+            stats-less (conservatively touched) — a merge must degrade
+            to rewriting more files, never fail outright on a valid
+            store."""
             try:
-                pfs, ppath = pafs.FileSystem.from_uri(uri)
+                pfs, ppath = pafs.FileSystem.from_uri(pyarrow_uri(fpath))
             except pa.ArrowInvalid:
                 return None  # unknown scheme: no footer access, prune nothing
             with pfs.open_input_file(ppath) as fh:

@@ -18,3 +18,51 @@ def test_bench_names_resolve_and_buckets_are_disjoint():
     assert not overlap, f"a query must live in exactly one bucket: {overlap}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
     assert len(set(bench.WRITE_AUDITS)) == len(bench.WRITE_AUDITS)
+
+
+def test_anchor_names_are_headline_names():
+    """Every anchored query must still be a HEADLINE query (a rename or
+    removal would silently shrink the ambient check's coverage)."""
+    stray = [q for q in bench.ANCHOR if q not in bench.HEADLINE]
+    assert not stray, stray
+
+
+def test_ambient_check_flags_the_r8_signature():
+    """The exact r8 contamination shape — several anchored queries far
+    past 3x with calibrations flat — must flag; an isolated blowup
+    (a real per-query regression) and a global slowdown WITH a moved
+    calibration (genuine machine-speed drift) must not."""
+    flat_cal, flat_overhead = bench.ANCHOR_CAL_SEC, 0.06
+    base = dict(bench.ANCHOR)
+
+    # r8 shape: six Python-lane queries at 7-13x, calibrations flat
+    r8 = dict(base)
+    for q, mult in (
+        ("q76_filtered_ann_lsh", 13.0), ("q88_dup_ngram_coverage", 12.0),
+        ("q79_sequence_packing", 10.4), ("q81_contamination", 9.3),
+        ("q90_hashed_classifier", 8.2), ("q75_multimodal_real_decode", 7.8),
+    ):
+        r8[q] = round(base[q] * mult, 3)
+    out = bench.ambient_check(r8, flat_cal, flat_overhead)
+    assert out["suspect_ambient"] is True
+    assert set(out["suspects_vs_anchor"]) >= {
+        "q76_filtered_ann_lsh", "q81_contamination", "q88_dup_ngram_coverage",
+    }
+
+    # one real regression: NOT ambient (it should be investigated)
+    one = dict(base)
+    one["q44_minhash_signatures"] = base["q44_minhash_signatures"] * 10
+    out = bench.ambient_check(one, flat_cal, flat_overhead)
+    assert out["suspect_ambient"] is False
+    assert list(out["suspects_vs_anchor"]) == ["q44_minhash_signatures"]
+
+    # global slowdown with a MOVED calibration: machine drift, the
+    # calibration normalizes it — not flagged as ambient contamination
+    slow = {q: t * 4 for q, t in base.items()}
+    out = bench.ambient_check(slow, flat_cal * 4, flat_overhead)
+    assert out["suspect_ambient"] is False
+
+    # clean run: nothing flagged, ratio near 1
+    out = bench.ambient_check(base, flat_cal, flat_overhead)
+    assert out["suspect_ambient"] is False and not out["suspects_vs_anchor"]
+    assert out["anchor_total_ratio"] == 1.0
