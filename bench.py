@@ -98,6 +98,9 @@ WRITE_AUDITS = [
     "q146_gated_upsert_audit",
     "q148_sharded_export_audit",
     "q149_stream_gated_upsert_audit",
+    "q150_cow_merge_audit",
+    "q151_layout_audit",
+    "q152_stream_neardup_audit",
 ]
 
 BEST_OF = 3

@@ -1117,6 +1117,87 @@ FROM documents
 """
 
 
+_NEARDUP_DROPS = 4
+
+
+def q152_stream_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate detection under the hash gate (VERDICT
+    r8 item 6 — the last streaming lane with only a pytest row): land
+    the documents corpus as four CONTIGUOUS doc_id-range drops
+    (ingest-time order — the synthetic event clock is BASE_EPOCH +
+    doc_id seconds, so range order IS time order), after each drop run
+    stream_neardup_pairs (streaming/neardup.py:61) to completion
+    (availableNow) against ONE persistent checkpoint, and return the
+    distinct emitted pair set. The oracle recomputes the contract from
+    the raw corpus: the UNCAPPED banded-MinHash bucket self-join
+    restricted to the pair horizon — so a hash match proves the
+    watermarked stream-stream join pairs each drop against both itself
+    and the already-ingested history exactly once each, across four
+    query restarts, with no watermark-eviction loss at the drop
+    boundaries and no pair invented or dropped by the state protocol.
+
+    One file per drop (coalesce(1)) and one stream run per drop keep
+    batch boundaries deterministic under any file-source read limit
+    (q149's discipline); within a drop, rows span less than the
+    watermark delay only at tiny SF — correctness never depends on it
+    because each run sees exactly one new file.
+
+    Scale note: banding, the stream-stream join, and its state store
+    are distributed; the driver holds only the emitted pair list (the
+    same bounded shape the batch q45 result already returns).
+    """
+    from ..streaming.neardup import stream_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = int(docs.agg(F.max("doc_id")).first()[0])
+    span = mx + 1
+    with _scratch_dir(spark, "sms_db_spark_stream_neardup_audit_") as root:
+        drop, out, ckpt = f"{root}/drop", f"{root}/out", f"{root}/ckpt"
+        for k in range(_NEARDUP_DROPS):
+            lo = k * span // _NEARDUP_DROPS
+            hi = (k + 1) * span // _NEARDUP_DROPS
+            (
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(drop)
+            )
+            q = (
+                stream_neardup_pairs(spark, drop)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("stream_neardup run did not drain in 600s")
+        pairs = (
+            spark.read.parquet(out)
+            .distinct()  # once per shared band -> once per pair (q45's read-side dedup)
+            .orderBy("doc_a", "doc_b")
+        )
+        return _detached(pairs)
+
+
+def _q152_sql() -> str:
+    from ..operators.dedup import _BANDS_SQL
+    from ..streaming.neardup import PAIR_HORIZON_SECONDS
+
+    return f"""
+WITH bands AS ({_BANDS_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+ AND b.doc_id - a.doc_id <= {PAIR_HORIZON_SECONDS}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "q134_shard_manifest_audit": QuerySpec(
         q134_shard_manifest_audit,
@@ -1172,5 +1253,10 @@ QUERIES = {
         q151_layout_audit,
         _Q151_SQL,
         "compaction + Z-order: rows preserved, both-axis footer pruning",
+    ),
+    "q152_stream_neardup_audit": QuerySpec(
+        q152_stream_neardup_audit,
+        _q152_sql(),
+        "streaming near-dup: watermarked band self-join == batch recompute",
     ),
 }

@@ -41,7 +41,11 @@ from ..operators.dedup import band_rows
 from .curation import DOCS_SCHEMA
 
 BASE_EPOCH = 1_600_000_000  # deterministic synthetic ingest clock
-PAIR_HORIZON = "1 hour"  # max ingest-time distance at which two docs pair
+# max ingest-time distance at which two docs pair; the SECONDS form is
+# the source of truth so the gate oracle (q152) can interpolate the
+# identical bound as integer doc_id arithmetic
+PAIR_HORIZON_SECONDS = 3600
+PAIR_HORIZON = f"{PAIR_HORIZON_SECONDS} seconds"
 WATERMARK_DELAY = "10 minutes"  # allowed out-of-order slack per side
 
 
@@ -67,6 +71,15 @@ def stream_neardup_pairs(spark: SparkSession, drop_dir: str) -> DataFrame:
     dropDuplicates with its own retention horizon."""
     a = _banded_stream(spark, drop_dir, "a")
     b = _banded_stream(spark, drop_dir, "b")
+    # StreamingJoinHelper logs a WARN per batch ("Error trying to
+    # extract state constraint") because the doc_a < doc_b conjunct is
+    # not a time predicate — benign: the extraction is per-conjunct,
+    # the two time-range conjuncts still yield the state watermark,
+    # and eviction is REAL (verified under q152's protocol at sf0.1:
+    # state 80000 rows peak, 12784 removed the batch after the
+    # watermark first passed the horizon). Moving the ordering to a
+    # post-join filter does not silence it either — Catalyst pushes
+    # the filter straight back into the join condition.
     return (
         a.join(
             b,
