@@ -153,6 +153,11 @@ SUSPECT_MIN_ANCHOR_SEC = 0.2
 SUSPECT_COUNT = 3
 # calibration drift below this is "flat" (machine-speed band, not load)
 CAL_FLAT_RATIO = 1.5
+# Python-lane axis anchor: measured on this machine the round the axis
+# was introduced (r9, ambient-quiet window, best-of-3). The job is
+# pinned, so any future drift of this number is ENVIRONMENT (ambient
+# load, dependency/runtime change), never a repo plan change.
+ANCHOR_CAL_PYTHON_SEC = 1.4
 
 
 def calibration(spark) -> float:
@@ -258,15 +263,20 @@ def calibration_python(spark) -> float:
     return round(best, 3)
 
 
-def ambient_check(headline: dict, cal: float, cal_overhead: float) -> dict:
+def ambient_check(
+    headline: dict, cal: float, cal_overhead: float, cal_python: float
+) -> dict:
     """Sanity-check the run against the r7 anchor: per-suspect ratios
     and the suspect_ambient flag. Flagged = several anchored queries
-    blew past SUSPECT_RATIO while the calibration axes stayed flat —
-    exactly the r8 signature of ambient machine load, which must read
-    as a contaminated artifact, not a plan regression. (A real
-    regression changes specific queries after a code change; ambient
-    load inflates many unchanged ones at once with flat calibrations.)
-    """
+    blew past SUSPECT_RATIO while the JVM calibration axes stayed flat
+    AND the Python-lane axis registered pressure — exactly the r8
+    signature of ambient machine load, which must read as a
+    contaminated artifact, not a plan regression. All three axes
+    matter: if the Python axis is ALSO flat, nothing environmental
+    explains the suspects and the flag must NOT fire (a real lane-wide
+    regression — e.g. a dependency change — looks exactly like that,
+    and writing it off as noise would bury it). The calibration jobs
+    are pinned, so an elevated axis is always environment."""
     suspects = {
         q: round(t / ANCHOR[q], 2)
         for q, t in headline.items()
@@ -277,7 +287,11 @@ def ambient_check(headline: dict, cal: float, cal_overhead: float) -> dict:
     # r8's overhead axis (0.056s) predates the anchor round; treat the
     # CPU axis as the primary flatness signal and the overhead axis as
     # flat below an absolute bound rather than a round-over-round ratio
-    cal_flat = cal <= CAL_FLAT_RATIO * ANCHOR_CAL_SEC and cal_overhead <= 0.25
+    ambient_signature = (
+        cal <= CAL_FLAT_RATIO * ANCHOR_CAL_SEC
+        and cal_overhead <= 0.25
+        and cal_python > CAL_FLAT_RATIO * ANCHOR_CAL_PYTHON_SEC
+    )
     anchored_total = sum(t for q, t in headline.items() if q in ANCHOR)
     anchor_total = sum(ANCHOR[q] for q in headline if q in ANCHOR)
     return {
@@ -286,7 +300,7 @@ def ambient_check(headline: dict, cal: float, cal_overhead: float) -> dict:
         if anchor_total
         else None,
         "suspects_vs_anchor": dict(sorted(suspects.items())),
-        "suspect_ambient": len(suspects) > SUSPECT_COUNT and cal_flat,
+        "suspect_ambient": len(suspects) > SUSPECT_COUNT and ambient_signature,
     }
 
 
@@ -315,7 +329,7 @@ def main() -> None:
     cal_python = calibration_python(spark)
     headline = run(HEADLINE)
     write_audits = run(WRITE_AUDITS)
-    ambient = ambient_check(headline, cal, cal_overhead)
+    ambient = ambient_check(headline, cal, cal_overhead, cal_python)
 
     # Field order is capture-driven (VERDICT r6 item 7 intent): the
     # driver records only the TAIL of stdout (BENCH_r06's artifact has a

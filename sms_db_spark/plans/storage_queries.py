@@ -875,6 +875,14 @@ def q150_cow_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     mx = int(docs.agg(F.max("doc_id")).first()[0])
+    if mx >= _COW_INS_OFFSET:
+        # the audit's insert keys must land beyond every file range; a
+        # colliding offset would silently turn inserts into updates and
+        # misclassify the read-back — refuse loudly instead
+        raise ValueError(
+            f"q150: max(doc_id)={mx} >= insert offset {_COW_INS_OFFSET}; "
+            "raise _COW_INS_OFFSET for this corpus"
+        )
     d = F.col("doc_id")
     base = docs.select("doc_id", "text")
     source = (
@@ -1175,7 +1183,11 @@ def q152_stream_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
                 raise RuntimeError("stream_neardup run did not drain in 600s")
         pairs = (
-            spark.read.parquet(out)
+            # explicit schema: a corpus with zero candidate pairs leaves
+            # the streaming sink with no data files, and a schema-less
+            # read would fail where the oracle returns an empty set
+            spark.read.schema("doc_a bigint, doc_b bigint")
+            .parquet(out)
             .distinct()  # once per shared band -> once per pair (q45's read-side dedup)
             .orderBy("doc_a", "doc_b")
         )

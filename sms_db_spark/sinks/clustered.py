@@ -77,6 +77,35 @@ def write_zordered(
     )
 
 
+def _ranges_from_metadata(md, name: str, cols: list[str]) -> dict:
+    """THE footer-metadata → per-column (min, max) extraction, shared by
+    both range readers so a stats-handling fix can never apply to one
+    and not the other. A column with unusable stats — zero row groups,
+    absent from the file (schema evolution), or missing min/max — maps
+    to None: 'cannot prune on this file', the same conservative meaning
+    merge.py's key_range assigns (files_overlapping counts it as
+    overlapping everything)."""
+    rng: dict = {"file": name}
+    if md.num_row_groups == 0:
+        rng.update({c: None for c in cols})
+        return rng
+    idx = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
+    for c in cols:
+        if c not in idx:
+            rng[c] = None
+            continue
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or st.min is None or st.max is None:
+                mins = []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        rng[c] = (min(mins), max(maxs)) if mins else None
+    return rng
+
+
 def file_column_ranges_fs(spark, path: str, cols: list[str]) -> list[dict]:
     """file_column_ranges for any Hadoop-reachable store (HDFS/S3A, not
     just the driver's local disk): data files come from the Hadoop FS
@@ -95,19 +124,7 @@ def file_column_ranges_fs(spark, path: str, cols: list[str]) -> list[dict]:
         pfs, ppath = pafs.FileSystem.from_uri(pyarrow_uri(fpath))
         with pfs.open_input_file(ppath) as fh:
             md = pq.ParquetFile(fh).metadata
-        idx = {
-            md.row_group(0).column(i).path_in_schema: i
-            for i in range(md.num_columns)
-        }
-        rng: dict = {"file": fpath.rsplit("/", 1)[-1]}
-        for c in cols:
-            mins, maxs = [], []
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx[c]).statistics
-                mins.append(st.min)
-                maxs.append(st.max)
-            rng[c] = (min(mins), max(maxs))
-        out.append(rng)
+        out.append(_ranges_from_metadata(md, fpath.rsplit("/", 1)[-1], cols))
     return out
 
 
@@ -123,19 +140,16 @@ def file_column_ranges(path: str, cols: list[str]) -> list[dict]:
         if not name.endswith(".parquet") or name.startswith("_"):
             continue
         md = pq.ParquetFile(os.path.join(path, name)).metadata
-        idx = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
-        rng: dict = {"file": name}
-        for c in cols:
-            mins, maxs = [], []
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx[c]).statistics
-                mins.append(st.min)
-                maxs.append(st.max)
-            rng[c] = (min(mins), max(maxs))
-        out.append(rng)
+        out.append(_ranges_from_metadata(md, name, cols))
     return out
 
 
 def files_overlapping(ranges: list[dict], col: str, lo, hi) -> int:
-    """How many files a [lo, hi] predicate on col would have to read."""
-    return sum(1 for r in ranges if not (r[col][1] < lo or r[col][0] > hi))
+    """How many files a [lo, hi] predicate on col would have to read.
+    A None range (unusable footer stats) cannot be pruned and counts
+    as overlapping — the same conservatism as the merge prune."""
+    return sum(
+        1
+        for r in ranges
+        if r[col] is None or not (r[col][1] < lo or r[col][0] > hi)
+    )

@@ -29,13 +29,18 @@ def test_anchor_names_are_headline_names():
 
 def test_ambient_check_flags_the_r8_signature():
     """The exact r8 contamination shape — several anchored queries far
-    past 3x with calibrations flat — must flag; an isolated blowup
-    (a real per-query regression) and a global slowdown WITH a moved
-    calibration (genuine machine-speed drift) must not."""
+    past 3x, JVM calibrations flat, Python-lane axis registering the
+    pressure — must flag; an isolated blowup (a real per-query
+    regression), a lane-wide slowdown with ALL axes flat (a real
+    regression the flag must not bury), and a global slowdown WITH a
+    moved calibration (machine drift) must not."""
     flat_cal, flat_overhead = bench.ANCHOR_CAL_SEC, 0.06
+    flat_py = bench.ANCHOR_CAL_PYTHON_SEC
+    loaded_py = flat_py * 6  # the Python axis under ambient pressure
     base = dict(bench.ANCHOR)
 
-    # r8 shape: six Python-lane queries at 7-13x, calibrations flat
+    # r8 shape: six Python-lane queries at 7-13x, JVM axes flat, the
+    # Python axis elevated (the load is measurable where it landed)
     r8 = dict(base)
     for q, mult in (
         ("q76_filtered_ann_lsh", 13.0), ("q88_dup_ngram_coverage", 12.0),
@@ -43,26 +48,31 @@ def test_ambient_check_flags_the_r8_signature():
         ("q90_hashed_classifier", 8.2), ("q75_multimodal_real_decode", 7.8),
     ):
         r8[q] = round(base[q] * mult, 3)
-    out = bench.ambient_check(r8, flat_cal, flat_overhead)
+    out = bench.ambient_check(r8, flat_cal, flat_overhead, loaded_py)
     assert out["suspect_ambient"] is True
     assert set(out["suspects_vs_anchor"]) >= {
         "q76_filtered_ann_lsh", "q81_contamination", "q88_dup_ngram_coverage",
     }
 
+    # same query shape but EVERY axis flat: nothing environmental
+    # explains it — a real lane-wide regression, must not be buried
+    out = bench.ambient_check(r8, flat_cal, flat_overhead, flat_py)
+    assert out["suspect_ambient"] is False
+
     # one real regression: NOT ambient (it should be investigated)
     one = dict(base)
     one["q44_minhash_signatures"] = base["q44_minhash_signatures"] * 10
-    out = bench.ambient_check(one, flat_cal, flat_overhead)
+    out = bench.ambient_check(one, flat_cal, flat_overhead, loaded_py)
     assert out["suspect_ambient"] is False
     assert list(out["suspects_vs_anchor"]) == ["q44_minhash_signatures"]
 
     # global slowdown with a MOVED calibration: machine drift, the
     # calibration normalizes it — not flagged as ambient contamination
     slow = {q: t * 4 for q, t in base.items()}
-    out = bench.ambient_check(slow, flat_cal * 4, flat_overhead)
+    out = bench.ambient_check(slow, flat_cal * 4, flat_overhead, loaded_py)
     assert out["suspect_ambient"] is False
 
     # clean run: nothing flagged, ratio near 1
-    out = bench.ambient_check(base, flat_cal, flat_overhead)
+    out = bench.ambient_check(base, flat_cal, flat_overhead, flat_py)
     assert out["suspect_ambient"] is False and not out["suspects_vs_anchor"]
     assert out["anchor_total_ratio"] == 1.0
