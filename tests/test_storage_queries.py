@@ -43,6 +43,22 @@ def test_q143_only_new_epoch_survives(spark):
         assert rows[k].n_docs == want
 
 
+def test_q150_prune_and_untouched_flags(spark):
+    """The copy-on-write flags must be computed from the real file
+    listing, not assumed: the delta touches only low-range files
+    (prune_ok), skipped files survive under name+size (untouched_ok),
+    all three action classes are populated, and deletions happened."""
+    from sms_db_spark.plans.storage_queries import q150_cow_merge_audit
+
+    rows = {r["class"]: r for r in q150_cow_merge_audit(spark, SF_DIR).collect()}
+    assert sorted(rows) == ["inserted", "kept", "updated"]
+    any_row = rows["kept"]
+    assert any_row.prune_ok == 1 and any_row.untouched_ok == 1
+    assert any_row.n_deleted > 0 and any_row.n_updated > 0 and any_row.n_inserted > 0
+    assert rows["inserted"].n_docs == any_row.n_inserted
+    assert rows["updated"].n_docs == any_row.n_updated
+
+
 def test_scratch_dir_honors_configured_root(spark, tmp_path):
     """With spark.sms_db_spark.scratchRoot set, the scratch dir is a
     child of that root and is deleted on exit (ADVICE r5: driver-local
