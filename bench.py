@@ -330,13 +330,21 @@ def main() -> None:
     cal_overhead = calibration_overhead(spark)
     cal_python = calibration_python(spark)
     headline = run(HEADLINE)
+    # the Python axis is sampled AGAIN after the headline loop: ambient
+    # load arriving mid-run (after the pre-sample, during the minutes
+    # the queries take) would otherwise reproduce the r8 suspect shape
+    # with a deceptively flat pre-sampled axis — the elevation test
+    # uses whichever bracket caught the pressure
+    cal_python_post = calibration_python(spark)
     # Write audits: warm-up + ONE timed run (r9). They are IO-dominated
     # full protocol runs (q152 alone is ~44s of stream restarts at
     # sf0.1) — best-of-3 would triple a bucket that is deliberately
     # outside the round-over-round headline trend, and the driver's
     # bench window has to fit the whole artifact.
     write_audits = run(WRITE_AUDITS, best_of=1)
-    ambient = ambient_check(headline, cal, cal_overhead, cal_python)
+    ambient = ambient_check(
+        headline, cal, cal_overhead, max(cal_python, cal_python_post)
+    )
 
     # Field order is capture-driven (VERDICT r6 item 7 intent): the
     # driver records only the TAIL of stdout (BENCH_r06's artifact has a
@@ -358,9 +366,12 @@ def main() -> None:
         "calibration_overhead_sec a fixed near-empty job (per-job scheduler "
         "latency), calibration_python_sec a fixed mapInPandas job (the "
         "Arrow/Python-worker lane, which r8 proved drifts independently of "
-        "both) — normalize each query by its lane's axis; suspect_ambient "
-        "marks the r8 signature (many anchored queries >3x with flat "
-        "calibrations = ambient load, not a plan regression)",
+        "both; sampled before AND after the headline loop — the post "
+        "bracket catches mid-run load) — normalize each query by its "
+        "lane's axis; suspect_ambient marks the r8 signature: many "
+        "anchored queries >3x while the JVM axes stay flat AND the "
+        "Python axis registered the pressure (all-axes-flat with many "
+        "suspects is treated as a real regression, never written off)",
         "queries": headline,
         "write_audits": write_audits,
         **ambient,
@@ -369,6 +380,7 @@ def main() -> None:
         "calibration_sec": cal,
         "calibration_overhead_sec": cal_overhead,
         "calibration_python_sec": cal_python,
+        "calibration_python_post_sec": cal_python_post,
     }
     line = json.dumps(doc)
     with open(
@@ -391,6 +403,7 @@ def main() -> None:
                 "calibration_sec": cal,
                 "calibration_overhead_sec": cal_overhead,
                 "calibration_python_sec": cal_python,
+                "calibration_python_post_sec": cal_python_post,
                 "anchor_total_ratio": ambient["anchor_total_ratio"],
                 "suspect_ambient": ambient["suspect_ambient"],
             },

@@ -1162,9 +1162,23 @@ def q152_stream_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32 partitions of near-empty state tripled the audit's wall time
     # (27.1s -> 9.8s at sf0.01, identical pairs). A production stream
     # sizes this to its cluster; the audit sizes it to the audit. Set
-    # on a CLONE (never the caller's session — _tuned's discipline).
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # on a CLONE (never the caller's session — _tuned's discipline),
+    # and copy the caller's RUNTIME confs across first: newSession()
+    # inherits only builder-time options (verified on 4.1.2), so a bare
+    # clone would drop _tuned's pins — notably the
+    # InferFiltersFromGenerate exclusion, without which the banded
+    # explode regains the heavy-generate pathology _tuned exists to
+    # prevent (q81: 18s vs 2.3s).
+    session = spark.newSession()
+    for k in (
+        "spark.sql.session.timeZone",
+        "spark.sql.optimizer.excludedRules",
+    ):
+        v = spark.conf.get(k, None)
+        if v is not None:
+            session.conf.set(k, v)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = session
     docs = load_table(spark, sf_dir, "documents")
     mx = int(docs.agg(F.max("doc_id")).first()[0])
     span = mx + 1
