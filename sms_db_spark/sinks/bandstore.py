@@ -1,0 +1,159 @@
+"""Persisted MinHash band store + incremental near-dup pairing: the
+batch complement the streaming near-dup docstring promises ("deep
+history stays a batch join against the band store",
+streaming/neardup.py:19) but nothing implemented until now.
+
+The problem at 100 TB: q45 re-bands and re-buckets the WHOLE corpus per
+run — correct for a one-shot audit, quadratic waste for a daily delta.
+The store shape fixes the asymmetry:
+
+  - `write_band_store` bands the corpus ONCE (the same stateless
+    band_rows expression q44/q45/q152 bind) and persists
+    (doc_id, band_id, band_hash) partitioned by a hash bucket of the
+    band key (`_bucket=K` dirs). Banding is map-side; the write is one
+    repartition by bucket. Store size is 8 small rows per document —
+    ~1% of a text corpus.
+  - `delta_neardup_pairs` bands only the delta, broadcast-SEMI-joins
+    the store on (bucket, band_id, band_hash) — the store scan is
+    map-side, no shuffle of history, and the `_bucket` partition
+    column gives Catalyst a dynamic-partition-pruning handle so a
+    small delta touches only its buckets' directories — then groups
+    ONLY the matched rows (bounded by |delta bands| x bucket size) and
+    expands pairs in-bucket exactly like lsh_candidate_pairs.
+
+Semantics contract (pinned by tests/test_bandstore.py): the emitted
+pair set equals q45's batch pairs over the UNION corpus (same
+hot-bucket cap, measured on the union bucket size) restricted to pairs
+involving at least one delta document. Delta doc_ids must be disjoint
+from store doc_ids (fold a paired delta in with mode='append' AFTER
+pairing); a doc present on both sides would pair with itself-as-history
+and is the caller's bug, not a silent dedup here.
+
+Store metadata (`_band_meta.json`, written atomically) records the
+bucket count and the banding parameters; `mode='append'` refuses a
+mismatched store — appending bands hashed under a different bucket
+count would silently split buckets and lose pairs.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fsutil import read_text, write_text_atomic
+from ..operators.dedup import BAND_SIZE, LSH_MAX_BUCKET, NUM_HASHES, band_rows
+
+N_BAND_BUCKETS = 64
+_META_NAME = "_band_meta.json"
+
+
+def _bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64("band_id", "band_hash"), F.lit(n_buckets)).cast("int")
+
+
+def _meta_path(path: str) -> str:
+    return path.rstrip("/") + "/" + _META_NAME
+
+
+def read_band_meta(spark: SparkSession, path: str) -> dict:
+    text = read_text(spark, _meta_path(path))
+    if text is None:
+        raise ValueError(f"band store at {path} has no {_META_NAME}")
+    return json.loads(text)
+
+
+def write_band_store(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = N_BAND_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Band docs (doc_id, text) and persist under `_bucket=K` partition
+    dirs. mode='append' folds a new slice into an existing store (AFTER
+    pairing it — see module contract) and refuses a store whose banding
+    parameters differ from this build's."""
+    spark = docs.sparkSession
+    meta = {
+        "n_buckets": n_buckets,
+        "num_hashes": NUM_HASHES,
+        "band_size": BAND_SIZE,
+    }
+    if mode == "append":
+        have = read_band_meta(spark, path)
+        if have != meta:
+            raise ValueError(
+                f"band store parameter mismatch: store {have}, build {meta} — "
+                "appending would split buckets; rewrite the store instead"
+            )
+    bands = band_rows(docs).withColumn("_bucket", _bucket_col(n_buckets))
+    (
+        bands.repartition(n_buckets, "_bucket")
+        .write.mode(mode)
+        .partitionBy("_bucket")
+        .parquet(path)
+    )
+    if mode != "append":
+        write_text_atomic(spark, _meta_path(path), json.dumps(meta))
+
+
+def delta_neardup_pairs(
+    spark: SparkSession,
+    delta_docs: DataFrame,
+    store_path: str,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup candidate pairs (doc_a < doc_b) involving at least one
+    delta document, against the banded history at store_path — without
+    re-banding or shuffling the history.
+
+    Shape: band the delta map-side; broadcast its distinct band keys
+    into a LEFT SEMI join against the store (map-side scan; `_bucket`
+    in the join key hands Catalyst the partition-pruning handle);
+    union the surviving history rows with the delta's own bands; ONE
+    shuffle groups just those rows per (band_id, band_hash); the
+    hot-bucket cap measures the UNION bucket size (q45's exact cap
+    law on the union corpus — a bucket that q45 would drop is dropped
+    here even when the delta alone is small); pair expansion is
+    map-side over the sorted in-bucket array, keeping pairs with a
+    delta member.
+    """
+    meta = read_band_meta(spark, store_path)
+    n_buckets = int(meta["n_buckets"])
+    if (int(meta["num_hashes"]), int(meta["band_size"])) != (NUM_HASHES, BAND_SIZE):
+        raise ValueError(
+            f"band store at {store_path} was built with "
+            f"{meta['num_hashes']}x{meta['band_size']} banding; this build "
+            f"is {NUM_HASHES}x{BAND_SIZE} — signatures are incomparable"
+        )
+    store = spark.read.parquet(store_path).select(
+        "doc_id", "band_id", "band_hash", F.col("_bucket").cast("int").alias("_bucket")
+    )
+    delta = band_rows(delta_docs).withColumn("_bucket", _bucket_col(n_buckets))
+    keys = delta.select("_bucket", "band_id", "band_hash").distinct()
+    union = (
+        store.join(F.broadcast(keys), ["_bucket", "band_id", "band_hash"], "left_semi")
+        .withColumn("is_delta", F.lit(False))
+        .unionByName(delta.withColumn("is_delta", F.lit(True)))
+    )
+    buckets = union.groupBy("band_id", "band_hash").agg(
+        # struct sorts by its first field, so the array is doc_id-ordered
+        # and pair expansion emits doc_a < doc_b directly
+        F.array_sort(F.collect_set(F.struct("doc_id", "is_delta"))).alias("docs")
+    )
+    pairs = F.expr(
+        """
+        flatten(transform(docs, (x, i) ->
+          filter(transform(slice(docs, i + 2, size(docs) - i - 1),
+                    y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                                (x.is_delta OR y.is_delta) AS keep)),
+                 p -> p.keep)))
+        """
+    )
+    return (
+        buckets.filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
