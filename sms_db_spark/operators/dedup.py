@@ -167,6 +167,33 @@ Q44_SQL = _BANDS_SQL
 LSH_MAX_BUCKET = 64
 
 
+def bucket_cap_filter(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """THE hot-bucket cap law over a grouped (.., docs: array) relation
+    — one implementation shared by the one-shot path here and the
+    incremental band-store path (sinks/bandstore.py), so the cap
+    semantics (pairable lower bound, inclusive upper cap) can never
+    drift between them."""
+    return buckets.filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+
+
+def bucket_pair_expr(doc_field: str = "", keep_expr: str | None = None):
+    """THE in-bucket pair-expansion expression over a doc_id-sorted
+    `docs` array: every (i, j>i) pair, map-side, bounded by the cap.
+    doc_field selects into struct elements ('' for plain arrays,
+    '.doc_id' for struct arrays); keep_expr optionally filters pairs
+    (the band-store path keeps only delta-involving ones). The slice
+    arithmetic lives ONLY here."""
+    inner = (
+        f"struct(x{doc_field} AS doc_a, y{doc_field} AS doc_b"
+        + (f", {keep_expr} AS keep" if keep_expr else "")
+        + ")"
+    )
+    body = f"transform(slice(docs, i + 2, size(docs) - i - 1), y -> {inner})"
+    if keep_expr:
+        body = f"filter({body}, p -> p.keep)"
+    return F.expr(f"flatten(transform(docs, (x, i) -> {body}))")
+
+
 def lsh_candidate_pairs(bands: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) from banded signatures, hot-bucket
     capped.
@@ -182,16 +209,9 @@ def lsh_candidate_pairs(bands: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> D
     buckets = bands.groupBy("band_id", "band_hash").agg(
         F.array_sort(F.collect_set("doc_id")).alias("docs")
     )
-    pairs = F.expr(
-        """
-        flatten(transform(docs, (x, i) ->
-          transform(slice(docs, i + 2, size(docs) - i - 1),
-                    y -> struct(x AS doc_a, y AS doc_b))))
-        """
-    )
     return (
-        buckets.filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
-        .select(F.explode(pairs).alias("p"))
+        bucket_cap_filter(buckets, max_bucket)
+        .select(F.explode(bucket_pair_expr()).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )

@@ -43,10 +43,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fsutil import read_text, write_text_atomic
-from ..operators.dedup import BAND_SIZE, LSH_MAX_BUCKET, NUM_HASHES, band_rows
+from ..operators.dedup import (
+    BAND_SIZE,
+    LSH_MAX_BUCKET,
+    NUM_HASHES,
+    band_rows,
+    bucket_cap_filter,
+    bucket_pair_expr,
+)
 
 N_BAND_BUCKETS = 64
 _META_NAME = "_band_meta.json"
+# the store's fixed on-disk schema (band_rows' output + the bucket
+# partition column) — read with it explicitly: inference would fail on
+# a legitimately-empty store (meta present, zero banded rows) and costs
+# a footer pass per call otherwise
+STORE_SCHEMA = "doc_id bigint, band_id bigint, band_hash string, _bucket int"
+# above this many distinct delta band keys, skip the broadcast hint and
+# let Catalyst/AQE pick the join (a forced broadcast of a huge catch-up
+# delta would die on driver/broadcast memory instead of degrading to a
+# shuffle semi join)
+BROADCAST_KEY_LIMIT = 2_000_000
 
 
 def _bucket_col(n_buckets: int):
@@ -75,6 +92,10 @@ def write_band_store(
     pairing it — see module contract) and refuses a store whose banding
     parameters differ from this build's."""
     spark = docs.sparkSession
+    if mode not in ("overwrite", "append"):
+        # e.g. 'ignore' would no-op the data write yet re-stamp the
+        # metadata below — a silently parameter-mismatched store
+        raise ValueError(f"write_band_store: mode must be overwrite|append, got {mode!r}")
     meta = {
         "n_buckets": n_buckets,
         "num_hashes": NUM_HASHES,
@@ -127,13 +148,22 @@ def delta_neardup_pairs(
             f"{meta['num_hashes']}x{meta['band_size']} banding; this build "
             f"is {NUM_HASHES}x{BAND_SIZE} — signatures are incomparable"
         )
-    store = spark.read.parquet(store_path).select(
-        "doc_id", "band_id", "band_hash", F.col("_bucket").cast("int").alias("_bucket")
+    store = spark.read.schema(STORE_SCHEMA).parquet(store_path).select(
+        "doc_id", "band_id", "band_hash", "_bucket"
     )
-    delta = band_rows(delta_docs).withColumn("_bucket", _bucket_col(n_buckets))
+    # the banding fold is the dominant per-row cost (see band_rows);
+    # pin it so the keys branch and the union branch share ONE
+    # evaluation instead of re-running the signature expression twice
+    delta = (
+        band_rows(delta_docs)
+        .withColumn("_bucket", _bucket_col(n_buckets))
+        .localCheckpoint(eager=True)
+    )
     keys = delta.select("_bucket", "band_id", "band_hash").distinct()
+    if keys.count() <= BROADCAST_KEY_LIMIT:  # cheap: counts the pinned delta
+        keys = F.broadcast(keys)
     union = (
-        store.join(F.broadcast(keys), ["_bucket", "band_id", "band_hash"], "left_semi")
+        store.join(keys, ["_bucket", "band_id", "band_hash"], "left_semi")
         .withColumn("is_delta", F.lit(False))
         .unionByName(delta.withColumn("is_delta", F.lit(True)))
     )
@@ -142,18 +172,16 @@ def delta_neardup_pairs(
         # and pair expansion emits doc_a < doc_b directly
         F.array_sort(F.collect_set(F.struct("doc_id", "is_delta"))).alias("docs")
     )
-    pairs = F.expr(
-        """
-        flatten(transform(docs, (x, i) ->
-          filter(transform(slice(docs, i + 2, size(docs) - i - 1),
-                    y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-                                (x.is_delta OR y.is_delta) AS keep)),
-                 p -> p.keep)))
-        """
-    )
     return (
-        buckets.filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
-        .select(F.explode(pairs).alias("p"))
+        # cap + expansion are dedup.py's shared law — the keep predicate
+        # drops history-history pairs after the cap is applied to the
+        # full union bucket
+        bucket_cap_filter(buckets, max_bucket)
+        .select(
+            F.explode(
+                bucket_pair_expr(".doc_id", "x.is_delta OR y.is_delta")
+            ).alias("p")
+        )
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )

@@ -102,6 +102,35 @@ def test_append_folds_delta_and_guards_params(spark, tmp_path):
     assert read_band_meta(spark, store)["n_buckets"] == 64
 
 
+def test_empty_store_bootstrap_and_mode_guard(spark, tmp_path):
+    """A legitimately-empty store (meta present, zero banded rows —
+    the day-0 bootstrap) must serve the first delta's in-delta pairs
+    instead of failing schema inference; modes other than
+    overwrite/append refuse (an 'ignore' no-op data write would
+    re-stamp mismatched metadata)."""
+    store = str(tmp_path / "bands")
+    docs = _docs(spark)
+    empty = docs.filter(F.lit(False))
+    write_band_store(empty, store)
+
+    delta = docs.filter(F.col("doc_id") >= SPLIT)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in delta_neardup_pairs(spark, delta, store).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(band_rows(delta)).collect()
+    }
+    assert got == want
+
+    try:
+        write_band_store(delta, store, mode="ignore")
+        raise AssertionError("mode='ignore' must refuse")
+    except ValueError as e:
+        assert "overwrite|append" in str(e)
+
+
 def test_history_side_is_not_shuffled(spark, tmp_path):
     """The scale contract: the store scan reaches the semi-join with no
     Exchange between them (map-side broadcast semi) — history bytes
