@@ -101,49 +101,55 @@ WRITE_AUDITS = [
     "q150_cow_merge_audit",
     "q151_layout_audit",
     "q152_stream_neardup_audit",
+    "q153_band_store_audit",
+    "q154_bucketed_join_audit",
 ]
 
 BEST_OF = 3
 
-# Per-query anchor: BENCH_r07's headline timings (calibration 0.524) —
-# the last uncontaminated artifact. BENCH_r08 recorded seven queries
-# 3-13x slower with ZERO code changes; re-measurement at HEAD put all
-# of them back at r7 parity, proving the recorded regression was
-# ambient machine load concentrated in the Python-worker/Arrow lane,
-# which neither the CPU-bound nor the scheduler calibration job
-# exercises (VERDICT r8). The anchor powers a per-run sanity check:
-# when several anchored queries blow past 3x while the calibration
-# axes stay flat, the artifact is flagged suspect_ambient rather than
-# read as a plan regression by the 2x rule.
-ANCHOR_ROUND = 7
-ANCHOR_CAL_SEC = 0.524
+# Per-query anchor: BENCH_r09's driver-recorded headline timings
+# (calibration 0.505 — refreshed from r7 per VERDICT r9 item 7 so the
+# anchor tracks the current machine era; r9 ran at anchor_total_ratio
+# 0.99 vs r7 on identical calibration, so the two anchors agree and
+# this refresh re-bases, it does not move the goalposts). History the
+# flag encodes: BENCH_r08 recorded seven queries 3-13x slower with
+# ZERO code changes; re-measurement at HEAD put all of them back at r7
+# parity, proving the recorded regression was ambient machine load
+# concentrated in the Python-worker/Arrow lane, which neither the
+# CPU-bound nor the scheduler calibration job exercises (VERDICT r8).
+# The anchor powers a per-run sanity check: when several anchored
+# queries blow past 3x while the calibration axes stay flat, the
+# artifact is flagged suspect_ambient rather than read as a plan
+# regression by the 2x rule.
+ANCHOR_ROUND = 9
+ANCHOR_CAL_SEC = 0.505
 ANCHOR = {
-    "q01_eq_filter_sort": 0.374, "q06_join_meta_data": 1.26,
-    "q07_flagship_join_like": 0.635, "q20_dedup_exact": 0.314,
-    "q22_first_per_group": 0.798, "q23_agg_rollup": 1.098,
-    "q26_three_way_join": 0.582, "q30_window_agg": 0.433,
-    "q41_text_quality": 0.288, "q44_minhash_signatures": 0.395,
-    "q45_minhash_lsh_pairs": 0.872, "q46_simhash": 0.291,
-    "q48_ann_bruteforce_topk": 0.467, "q49_ann_lsh_topk": 0.444,
-    "q51_ann_ivf_topk": 0.864, "q53_clean_pipeline": 0.833,
-    "q55_multimodal_features": 0.274, "q57_tfidf_topk": 0.732,
-    "q69_import_scale": 1.297, "q33_asof_join": 0.814,
-    "q73_lsh_jaccard_verified": 1.706, "q74_embedding_neardup_lsh": 1.393,
-    "q75_multimodal_real_decode": 0.312, "q76_filtered_ann_lsh": 0.858,
-    "q79_sequence_packing": 0.25, "q81_contamination": 1.373,
-    "q88_dup_ngram_coverage": 0.921, "q90_hashed_classifier": 0.89,
-    "q83_dedup_clusters_star": 2.307, "q92_domain_gate": 0.438,
-    "q94_bpe_pair_counts": 0.633, "q97_cluster_representatives": 2.528,
-    "q98_semantic_dedup": 2.401, "q99_dsir_importance": 0.985,
-    "q100_centroid_outliers": 0.553, "q101_length_percentiles": 0.461,
-    "q102_hll_registers": 0.951, "q104_count_min": 1.281,
-    "q111_reconcile_full_outer": 0.746, "q114_heavy_hitters": 2.082,
-    "q123_ann_serving": 1.667, "q124_kmeans_hashed_seed_train": 3.57,
-    "q125_delta_dedup": 0.971, "q126_scd_upsert": 0.463,
-    "q128_sq8_ann_recall": 0.652, "q132_dup_spans": 1.242,
-    "q133_hard_negatives": 0.794, "q138_jl_projection_recall": 0.827,
-    "q140_snapshot_diff": 0.345, "q141_epoch_shuffle": 1.131,
-    "q144_planned_join": 1.93, "q147_salted_planned_join": 1.354,
+    "q01_eq_filter_sort": 0.374, "q06_join_meta_data": 1.304,
+    "q07_flagship_join_like": 0.589, "q20_dedup_exact": 0.42,
+    "q22_first_per_group": 0.799, "q23_agg_rollup": 0.969,
+    "q26_three_way_join": 0.518, "q30_window_agg": 0.32,
+    "q41_text_quality": 0.241, "q44_minhash_signatures": 0.392,
+    "q45_minhash_lsh_pairs": 1.043, "q46_simhash": 0.334,
+    "q48_ann_bruteforce_topk": 0.54, "q49_ann_lsh_topk": 0.633,
+    "q51_ann_ivf_topk": 0.941, "q53_clean_pipeline": 0.839,
+    "q55_multimodal_features": 0.298, "q57_tfidf_topk": 0.741,
+    "q69_import_scale": 1.166, "q33_asof_join": 0.65,
+    "q73_lsh_jaccard_verified": 1.479, "q74_embedding_neardup_lsh": 1.414,
+    "q75_multimodal_real_decode": 0.297, "q76_filtered_ann_lsh": 0.993,
+    "q79_sequence_packing": 0.234, "q81_contamination": 1.209,
+    "q88_dup_ngram_coverage": 0.802, "q90_hashed_classifier": 0.798,
+    "q83_dedup_clusters_star": 2.639, "q92_domain_gate": 0.456,
+    "q94_bpe_pair_counts": 0.517, "q97_cluster_representatives": 2.674,
+    "q98_semantic_dedup": 2.599, "q99_dsir_importance": 1.045,
+    "q100_centroid_outliers": 0.653, "q101_length_percentiles": 0.509,
+    "q102_hll_registers": 1.015, "q104_count_min": 1.309,
+    "q111_reconcile_full_outer": 0.661, "q114_heavy_hitters": 1.818,
+    "q123_ann_serving": 1.658, "q124_kmeans_hashed_seed_train": 3.594,
+    "q125_delta_dedup": 0.795, "q126_scd_upsert": 0.426,
+    "q128_sq8_ann_recall": 0.587, "q132_dup_spans": 1.211,
+    "q133_hard_negatives": 0.944, "q138_jl_projection_recall": 0.81,
+    "q140_snapshot_diff": 0.367, "q141_epoch_shuffle": 0.932,
+    "q144_planned_join": 1.866, "q147_salted_planned_join": 1.158,
 }
 # a query must exceed this multiple of its anchor to count as a suspect
 SUSPECT_RATIO = 3.0
@@ -153,13 +159,16 @@ SUSPECT_MIN_ANCHOR_SEC = 0.2
 SUSPECT_COUNT = 3
 # calibration drift below this is "flat" (machine-speed band, not load)
 CAL_FLAT_RATIO = 1.5
-# Python-lane axis anchor: measured on this machine the round the axis
-# was introduced (r9), IN THE BENCH CONTEXT where it is consumed (a
-# standalone session measured ~1.4s for the same job — worker-pool
-# warmth matters, so the anchor must come from the same harness). The
-# job is pinned, so any future drift of this number is ENVIRONMENT
-# (ambient load, dependency/runtime change), never a repo plan change.
-ANCHOR_CAL_PYTHON_SEC = 0.75
+# Python-lane axis anchor: the driver's r9 bench recorded 1.408 pre /
+# 1.318 post in this exact harness (same machine era as the query
+# anchor above — refreshed together, VERDICT r9 item 7; the r9 session
+# had measured 0.75 on its own local runs, i.e. this axis spreads ~2x
+# with worker-pool warmth and ambient conditions, which is why the
+# flatness test uses the generous CAL_FLAT_RATIO band rather than a
+# tight equality). The job is pinned, so any future drift of this
+# number is ENVIRONMENT (ambient load, dependency/runtime change),
+# never a repo plan change.
+ANCHOR_CAL_PYTHON_SEC = 1.408
 
 
 def calibration(spark) -> float:
@@ -286,9 +295,10 @@ def ambient_check(
         and ANCHOR[q] >= SUSPECT_MIN_ANCHOR_SEC
         and t > SUSPECT_RATIO * ANCHOR[q]
     }
-    # r8's overhead axis (0.056s) predates the anchor round; treat the
-    # CPU axis as the primary flatness signal and the overhead axis as
-    # flat below an absolute bound rather than a round-over-round ratio
+    # the overhead axis sits at ~0.05s when healthy (r8 0.056, r9
+    # 0.054); treat the CPU axis as the primary flatness signal and the
+    # overhead axis as flat below an absolute bound rather than a
+    # round-over-round ratio (a ratio on a 50ms number is all jitter)
     ambient_signature = (
         cal <= CAL_FLAT_RATIO * ANCHOR_CAL_SEC
         and cal_overhead <= 0.25

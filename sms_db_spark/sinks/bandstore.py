@@ -153,14 +153,17 @@ def delta_neardup_pairs(
     )
     # the banding fold is the dominant per-row cost (see band_rows);
     # pin it so the keys branch and the union branch share ONE
-    # evaluation instead of re-running the signature expression twice
-    delta = (
-        band_rows(delta_docs)
-        .withColumn("_bucket", _bucket_col(n_buckets))
-        .localCheckpoint(eager=True)
-    )
+    # evaluation instead of re-running the signature expression twice.
+    # persist, NOT localCheckpoint (ADVICE r9): checkpoint blocks have
+    # no release API short of context shutdown, so a long-lived daily
+    # driver would accumulate one delta's blocks per run; a cached
+    # frame is released deterministically by release_delta_pin below.
+    delta = band_rows(delta_docs).withColumn("_bucket", _bucket_col(n_buckets)).persist()
     keys = delta.select("_bucket", "band_id", "band_hash").distinct()
-    if keys.count() <= BROADCAST_KEY_LIMIT:  # cheap: counts the pinned delta
+    # this count is the action that materializes the pinned delta; its
+    # result decides the hint (a forced broadcast of a huge catch-up
+    # delta would die on driver memory instead of degrading to shuffle)
+    if keys.count() <= BROADCAST_KEY_LIMIT:
         keys = F.broadcast(keys)
     union = (
         store.join(keys, ["_bucket", "band_id", "band_hash"], "left_semi")
@@ -172,7 +175,7 @@ def delta_neardup_pairs(
         # and pair expansion emits doc_a < doc_b directly
         F.array_sort(F.collect_set(F.struct("doc_id", "is_delta"))).alias("docs")
     )
-    return (
+    pairs = (
         # cap + expansion are dedup.py's shared law — the keep predicate
         # drops history-history pairs after the cap is applied to the
         # full union bucket
@@ -185,3 +188,21 @@ def delta_neardup_pairs(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    # hand the pin's lifetime to the caller: the result is lazy, so the
+    # cached delta must outlive it — release_delta_pin(pairs) after the
+    # result is materialized (consuming pairs afterwards stays correct,
+    # it just re-evaluates the banding per plan branch)
+    pairs._delta_pin = delta
+    return pairs
+
+
+def release_delta_pin(pairs: DataFrame) -> None:
+    """Release the cached delta bands behind a delta_neardup_pairs
+    result. Call once the pairs are materialized (written / collected /
+    folded into the store): the long-lived daily-delta driver this
+    module is designed for would otherwise accumulate one delta's
+    cached blocks per run until context shutdown (ADVICE r9). Safe on
+    any DataFrame (no-op without a pin) and idempotent."""
+    pin = getattr(pairs, "_delta_pin", None)
+    if pin is not None:
+        pin.unpersist()

@@ -292,6 +292,24 @@ def _ship_db(spark: SparkSession, db_path: str) -> tuple[str, str]:
                             os.unlink(os.path.join(ship_dir, stale))
                         except OSError:
                             pass  # already gone (atexit raced a shutdown)
+            # duplicate-ship race (ADVICE r9): the lock-map sweep below
+            # can delete a lock another thread setdefault-ed but had not
+            # yet acquired, so two threads may ship the same generation
+            # under different locks. The loser's insert would silently
+            # overwrite the winner's name, orphaning that link on disk
+            # untracked. The winner's name may still be resolving in its
+            # caller, so defer it one generation via _SHIP_SUPERSEDED —
+            # the same law as a superseded live-context link — unlinking
+            # whatever that slot previously deferred.
+            displaced = _SHIP_CACHE.get(key)
+            if displaced is not None and displaced != name:
+                prior = _SHIP_SUPERSEDED.pop(real, None)
+                _SHIP_SUPERSEDED[real] = displaced
+                if prior is not None and prior != displaced:
+                    try:
+                        os.unlink(os.path.join(ship_dir, prior))
+                    except OSError:
+                        pass
             _SHIP_CACHE[key] = name
             # lock-map symmetry (ADVICE r8): a realpath with no live
             # cache entry needs no serializer; skip held locks (a ship

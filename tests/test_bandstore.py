@@ -15,6 +15,7 @@ from sms_db_spark.operators.dedup import band_rows, lsh_candidate_pairs
 from sms_db_spark.sinks.bandstore import (
     delta_neardup_pairs,
     read_band_meta,
+    release_delta_pin,
     write_band_store,
 )
 from sms_db_spark.tables import load_table
@@ -34,10 +35,22 @@ def test_delta_pairs_match_batch_union(spark, tmp_path):
     delta = docs.filter(F.col("doc_id") >= SPLIT)
 
     write_band_store(history, store)
-    got = {
-        (r.doc_a, r.doc_b)
-        for r in delta_neardup_pairs(spark, delta, store).collect()
-    }
+    pairs = delta_neardup_pairs(spark, delta, store)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+
+    # the documented pin lifecycle (ADVICE r9): the delta bands are
+    # cached while the result is live; release_delta_pin frees the
+    # blocks deterministically, is idempotent, and the pairs stay
+    # correct (re-evaluated from lineage) afterwards
+    pin = pairs._delta_pin
+    lvl = pin.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    release_delta_pin(pairs)
+    release_delta_pin(pairs)  # idempotent
+    lvl = pin.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == got
+    release_delta_pin(pairs.limit(1))  # no pin on a derived frame: no-op
 
     batch_union = {
         (r.doc_a, r.doc_b)

@@ -684,3 +684,48 @@ def test_q147_salted_join_shuffle_regime(spark):
     assert re.search(
         r"keys\s*\[2\]\s*:\s*\[\s*k#\d+\w*\s*,\s*_salt#\d+\w*\s*\]", text
     ), text
+
+
+def test_tuned_and_clone_share_parity_confs(spark):
+    """The parity pins have ONE owner (TUNED_PARITY_CONFS, ADVICE r9):
+    _tuned's wrapper must apply exactly that dict (this is also the
+    equivalence witness for the r10 changed-list: the _tuned refactor
+    burns no gate slots because the resulting conf set is pinned
+    identical here), and clone_tuned_session must carry every key —
+    including future ones — across newSession()'s runtime-conf drop,
+    copying the PARENT's live value when it differs from the default."""
+    from sms_db_spark.plans import TUNED_PARITY_CONFS, _tuned, clone_tuned_session
+
+    # the dict is the documented set (a third entry added later is
+    # covered by the loops below, not by this guard)
+    assert set(TUNED_PARITY_CONFS) == {
+        "spark.sql.session.timeZone",
+        "spark.sql.optimizer.excludedRules",
+    }
+
+    seen = {}
+
+    def probe(session, sf_dir):
+        for k in TUNED_PARITY_CONFS:
+            seen[k] = session.conf.get(k)
+        seen["shuffle"] = session.conf.get("spark.sql.shuffle.partitions")
+        return session.range(1)
+
+    _tuned(probe)(spark, SF_DIR)
+    assert seen.pop("shuffle") == "32"
+    assert seen == TUNED_PARITY_CONFS
+
+    # clone: copies the parent's LIVE values (tweak one to prove it is
+    # not just re-applying defaults), on an isolated SQLConf
+    parent = spark.newSession()
+    tweaked = dict(TUNED_PARITY_CONFS, **{"spark.sql.session.timeZone": "Asia/Tokyo"})
+    for k, v in tweaked.items():
+        parent.conf.set(k, v)
+    clone = clone_tuned_session(parent)
+    assert clone is not parent
+    for k, v in tweaked.items():
+        assert clone.conf.get(k) == v
+    # and an untuned parent yields the pinned defaults
+    bare = clone_tuned_session(spark.newSession())
+    for k, v in TUNED_PARITY_CONFS.items():
+        assert bare.conf.get(k) == v

@@ -350,3 +350,59 @@ def test_ship_maps_bounded_under_churn_and_dead_contexts(spark, tmp_path, monkey
     assert "/dead/real.db" not in sio._SHIP_SUPERSEDED
     assert "/dead/real.db" not in sio._SHIP_FILE_LOCKS
     assert not _os.path.exists(dead_main) and not _os.path.exists(dead_super)
+
+
+def test_duplicate_ship_defers_displaced_link(spark, tmp_path, monkeypatch):
+    """Duplicate-ship race (ADVICE r9): the lock-map sweep can delete a
+    per-file lock another thread setdefault-ed but had not yet
+    acquired, so two threads can ship the SAME generation. The loser's
+    cache insert must not drop the winner's link untracked — the
+    winner's name may still be resolving in its caller, so it is
+    deferred one generation via _SHIP_SUPERSEDED (whose previously
+    pending link is unlinked, keeping the ≤1-pending bound)."""
+    import os as _os
+
+    p = str(tmp_path / "race.db")
+    _mkdb(p, 40)
+    real = _os.path.realpath(p)
+    # make sure the ship dir exists before planting link files in it
+    other = str(tmp_path / "other.db")
+    _mkdb(other, 5)
+    sio._ship_db(spark, other)
+    ship_dir = sio._SHIP_DIR
+    st = _os.stat(real)
+    key = (spark.sparkContext.applicationId, real, st.st_mtime_ns, st.st_size)
+    base = _os.path.basename(real)
+    winner = f"sqlite-{'0' * 32}-{base}"
+    pending = f"sqlite-{'1' * 32}-{base}"
+    for n in (winner, pending):
+        with open(_os.path.join(ship_dir, n), "wb") as fh:
+            fh.write(b"x")
+
+    # simulate the winner finishing between our cache recheck and our
+    # insert: _ship_db calls addFile in exactly that window
+    orig = spark.sparkContext.addFile
+
+    def add_and_race(path):
+        with sio._SHIP_LOCK:
+            sio._SHIP_CACHE[key] = winner
+            sio._SHIP_SUPERSEDED[real] = pending
+        return orig(path)
+
+    monkeypatch.setattr(spark.sparkContext, "addFile", add_and_race)
+    try:
+        name, link = sio._ship_db(spark, p)
+    finally:
+        monkeypatch.undo()
+    assert name != winner and _os.path.exists(link)
+    assert sio._SHIP_CACHE[key] == name
+    # the displaced winner is tracked (deferred), its link intact …
+    assert sio._SHIP_SUPERSEDED[real] == winner
+    assert _os.path.exists(_os.path.join(ship_dir, winner))
+    # … and the previously pending link was unlinked: ≤1 pending holds
+    assert not _os.path.exists(_os.path.join(ship_dir, pending))
+    # hygiene for later tests sharing the module-level maps
+    with sio._SHIP_LOCK:
+        sio._SHIP_CACHE.pop(key, None)
+        sio._SHIP_SUPERSEDED.pop(real, None)
+        sio._SHIP_FILE_LOCKS.pop(real, None)
