@@ -191,18 +191,45 @@ def delta_neardup_pairs(
     # hand the pin's lifetime to the caller: the result is lazy, so the
     # cached delta must outlive it — release_delta_pin(pairs) after the
     # result is materialized (consuming pairs afterwards stays correct,
-    # it just re-evaluates the banding per plan branch)
+    # it just re-evaluates the banding per plan branch). The pin rides
+    # the frame as an attribute AND is tracked in _LIVE_PINS: any
+    # transformation of the result (.filter/.repartition/...) yields a
+    # fresh DataFrame without the attribute, so the attribute alone
+    # could silently lose the lifecycle — the registry makes the no-arg
+    # release_delta_pin() a catch-all that cannot miss.
     pairs._delta_pin = delta
+    _LIVE_PINS.append(delta)
     return pairs
 
 
-def release_delta_pin(pairs: DataFrame) -> None:
+# delta pins not yet released, in creation order. Not thread-guarded:
+# the daily-delta driver this module targets runs one delta at a time;
+# concurrent pairing from multiple threads should release per-frame.
+_LIVE_PINS: list[DataFrame] = []
+
+
+def release_delta_pin(pairs: DataFrame | None = None) -> None:
     """Release the cached delta bands behind a delta_neardup_pairs
     result. Call once the pairs are materialized (written / collected /
     folded into the store): the long-lived daily-delta driver this
     module is designed for would otherwise accumulate one delta's
-    cached blocks per run until context shutdown (ADVICE r9). Safe on
-    any DataFrame (no-op without a pin) and idempotent."""
+    cached blocks per run until context shutdown (ADVICE r9).
+
+    With `pairs`: releases that result's pin — but ONLY the exact frame
+    delta_neardup_pairs returned carries it; a derived frame
+    (.filter()/.repartition()/...) does not, and passing one is a
+    silent no-op. With NO argument: releases EVERY pin this process has
+    created and not yet released — the robust per-run epilogue for a
+    driver that transforms the result before releasing. Idempotent
+    either way."""
+    if pairs is None:
+        while _LIVE_PINS:
+            _LIVE_PINS.pop().unpersist()
+        return
     pin = getattr(pairs, "_delta_pin", None)
     if pin is not None:
         pin.unpersist()
+        try:
+            _LIVE_PINS.remove(pin)
+        except ValueError:
+            pass  # already released via the no-arg catch-all

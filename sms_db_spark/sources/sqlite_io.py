@@ -211,7 +211,8 @@ def read_sqlite_table(
 # long since re-resolved; a plan held across TWO rewrites can hit the
 # unlinked path — the documented read_sqlite_table hazard, loud, never
 # stale) — pending disk is bounded at one superseded link per
-# rewritten file, and atexit removes the last ones. Map growth is
+# rewritten file per generation (plus one per duplicate-ship race,
+# rare and thread-bounded), and atexit removes the last ones. Map growth is
 # bounded the same way (ADVICE r8): every ship also sweeps entries of
 # DEAD SparkContexts (one context lives per driver process, so another
 # applicationId's jobs cannot be in flight — their links unlink
@@ -225,7 +226,10 @@ _SHIP_CACHE: dict[tuple[str, str, int, int], str] = {}
 _SHIP_DIR: str | None = None
 _SHIP_LOCK = threading.Lock()
 _SHIP_FILE_LOCKS: dict[str, threading.Lock] = {}
-_SHIP_SUPERSEDED: dict[str, str] = {}  # realpath -> link name pending unlink
+# realpath -> link names pending unlink at the NEXT eviction of that
+# file (normally one: the immediately-superseded generation; a
+# duplicate-ship race adds the loser's never-handed-out link too)
+_SHIP_SUPERSEDED: dict[str, list[str]] = {}
 
 
 def _ship_db(spark: SparkSession, db_path: str) -> tuple[str, str]:
@@ -277,40 +281,45 @@ def _ship_db(spark: SparkSession, db_path: str) -> tuple[str, str]:
             # live-context link is unlinked DEFERRED at the NEXT
             # eviction of the same file (one generation back — nothing
             # in flight can still resolve the older one).
+            doomed: list[str] = []
+            defer: list[str] = []
             for old in [
                 k for k in _SHIP_CACHE if (k[1] == real and k != key) or k[0] != app_id
             ]:
                 old_name = _SHIP_CACHE.pop(old)
                 if old[0] != app_id:  # dead context: all its links are dead
-                    doomed = (old_name, _SHIP_SUPERSEDED.pop(old[1], None))
+                    doomed.append(old_name)
+                    doomed.extend(_SHIP_SUPERSEDED.pop(old[1], []))
                 else:
-                    doomed = (_SHIP_SUPERSEDED.pop(real, None),)
-                    _SHIP_SUPERSEDED[real] = old_name
-                for stale in doomed:
-                    if stale is not None:
-                        try:
-                            os.unlink(os.path.join(ship_dir, stale))
-                        except OSError:
-                            pass  # already gone (atexit raced a shutdown)
+                    defer.append(old_name)
+            if defer:  # a superseded generation of THIS file: the
+                # previously pending links have now survived one full
+                # generation — unlink them, and defer the new ones
+                doomed.extend(_SHIP_SUPERSEDED.pop(real, []))
+                _SHIP_SUPERSEDED[real] = defer
+            for stale in doomed:
+                try:
+                    os.unlink(os.path.join(ship_dir, stale))
+                except OSError:
+                    pass  # already gone (atexit raced a shutdown)
             # duplicate-ship race (ADVICE r9): the lock-map sweep below
             # can delete a lock another thread setdefault-ed but had not
             # yet acquired, so two threads may ship the same generation
-            # under different locks. The loser's insert would silently
-            # overwrite the winner's name, orphaning that link on disk
-            # untracked. The winner's name may still be resolving in its
-            # caller, so defer it one generation via _SHIP_SUPERSEDED —
-            # the same law as a superseded live-context link — unlinking
-            # whatever that slot previously deferred.
-            displaced = _SHIP_CACHE.get(key)
-            if displaced is not None and displaced != name:
-                prior = _SHIP_SUPERSEDED.pop(real, None)
-                _SHIP_SUPERSEDED[real] = displaced
-                if prior is not None and prior != displaced:
-                    try:
-                        os.unlink(os.path.join(ship_dir, prior))
-                    except OSError:
-                        pass
-            _SHIP_CACHE[key] = name
+            # under different locks. The loser must not displace the
+            # winner's name (its caller may still be resolving it, and
+            # shoving it into the pending slot would spend the
+            # one-generation safety window of the GENUINELY superseded
+            # link already deferred there) — instead the loser ADOPTS
+            # the winner's name and defers its own link, which was
+            # never handed out but WAS just addFile'd, so an executor's
+            # next dependency fetch may still pull it; it unlinks at
+            # the next eviction of this file like any pending link.
+            winner = _SHIP_CACHE.get(key)
+            if winner is not None:
+                _SHIP_SUPERSEDED.setdefault(real, []).append(name)
+                name = winner
+            else:
+                _SHIP_CACHE[key] = name
             # lock-map symmetry (ADVICE r8): a realpath with no live
             # cache entry needs no serializer; skip held locks (a ship
             # of that file is mid-flight and will re-insert its entry)

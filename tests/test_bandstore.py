@@ -52,6 +52,20 @@ def test_delta_pairs_match_batch_union(spark, tmp_path):
     assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == got
     release_delta_pin(pairs.limit(1))  # no pin on a derived frame: no-op
 
+    # the no-arg catch-all (a driver that transformed the result away
+    # from the attribute-bearing frame): releases every live pin
+    import sms_db_spark.sinks.bandstore as _bs
+
+    pairs2 = delta_neardup_pairs(spark, delta, store)
+    pin2 = pairs2._delta_pin
+    derived = pairs2.filter(F.col("doc_a") >= 0)  # attribute lost here
+    assert not hasattr(derived, "_delta_pin")
+    release_delta_pin()
+    lvl = pin2.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+    assert _bs._LIVE_PINS == []
+    release_delta_pin(pairs2)  # per-frame release after catch-all: no-op
+
     batch_union = {
         (r.doc_a, r.doc_b)
         for r in lsh_candidate_pairs(band_rows(docs)).collect()

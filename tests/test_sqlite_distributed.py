@@ -298,7 +298,8 @@ def test_superseded_ship_links_bounded_to_one_pending(spark, tmp_path, monkeypat
     # gen 0: live only; every later gen: live + exactly one pending
     assert counts == [1, 2, 2, 2], counts
     # the pending one is the IMMEDIATELY superseded generation
-    assert sio._SHIP_SUPERSEDED[_os.path.realpath(p)] in links()
+    (pend,) = sio._SHIP_SUPERSEDED[_os.path.realpath(p)]
+    assert pend in links()
 
 
 def test_ship_maps_bounded_under_churn_and_dead_contexts(spark, tmp_path, monkeypatch):
@@ -328,7 +329,7 @@ def test_ship_maps_bounded_under_churn_and_dead_contexts(spark, tmp_path, monkey
         # churn bound: one cache entry, one lock, ≤1 pending link for p
         assert sum(1 for k in sio._SHIP_CACHE if k[1] == real) == 1
         assert sum(1 for r in sio._SHIP_FILE_LOCKS if r == real) == 1
-        assert sum(1 for r in sio._SHIP_SUPERSEDED if r == real) <= 1
+        assert len(sio._SHIP_SUPERSEDED.get(real, [])) <= 1
     # plant a dead-context entry (foreign applicationId) with real link
     # files: the next ship of ANY db must sweep entry, links, and lock
     import threading as _threading
@@ -340,7 +341,7 @@ def test_ship_maps_bounded_under_churn_and_dead_contexts(spark, tmp_path, monkey
             fh.write(b"x")
     with sio._SHIP_LOCK:
         sio._SHIP_CACHE[("app-dead", "/dead/real.db", 1, 1)] = _os.path.basename(dead_main)
-        sio._SHIP_SUPERSEDED["/dead/real.db"] = _os.path.basename(dead_super)
+        sio._SHIP_SUPERSEDED["/dead/real.db"] = [_os.path.basename(dead_super)]
         sio._SHIP_FILE_LOCKS["/dead/real.db"] = _threading.Lock()
     _os.remove(p)
     _mkdb(p, 90, offset=9_000)
@@ -355,11 +356,13 @@ def test_ship_maps_bounded_under_churn_and_dead_contexts(spark, tmp_path, monkey
 def test_duplicate_ship_defers_displaced_link(spark, tmp_path, monkeypatch):
     """Duplicate-ship race (ADVICE r9): the lock-map sweep can delete a
     per-file lock another thread setdefault-ed but had not yet
-    acquired, so two threads can ship the SAME generation. The loser's
-    cache insert must not drop the winner's link untracked — the
-    winner's name may still be resolving in its caller, so it is
-    deferred one generation via _SHIP_SUPERSEDED (whose previously
-    pending link is unlinked, keeping the ≤1-pending bound)."""
+    acquired, so two threads can ship the SAME generation. The loser
+    must not displace the winner's name (the winner's caller may still
+    be resolving it, and shoving it into the pending slot would spend
+    the one-generation window of the GENUINELY superseded link already
+    deferred there) — the loser ADOPTS the winner's name and defers its
+    own just-addFile'd link via _SHIP_SUPERSEDED, leaving the genuine
+    pending link's window intact."""
     import os as _os
 
     p = str(tmp_path / "race.db")
@@ -386,7 +389,7 @@ def test_duplicate_ship_defers_displaced_link(spark, tmp_path, monkeypatch):
     def add_and_race(path):
         with sio._SHIP_LOCK:
             sio._SHIP_CACHE[key] = winner
-            sio._SHIP_SUPERSEDED[real] = pending
+            sio._SHIP_SUPERSEDED[real] = [pending]
         return orig(path)
 
     monkeypatch.setattr(spark.sparkContext, "addFile", add_and_race)
@@ -394,13 +397,19 @@ def test_duplicate_ship_defers_displaced_link(spark, tmp_path, monkeypatch):
         name, link = sio._ship_db(spark, p)
     finally:
         monkeypatch.undo()
-    assert name != winner and _os.path.exists(link)
-    assert sio._SHIP_CACHE[key] == name
-    # the displaced winner is tracked (deferred), its link intact …
-    assert sio._SHIP_SUPERSEDED[real] == winner
-    assert _os.path.exists(_os.path.join(ship_dir, winner))
-    # … and the previously pending link was unlinked: ≤1 pending holds
-    assert not _os.path.exists(_os.path.join(ship_dir, pending))
+    # the loser adopted the winner's name: one name per generation
+    assert name == winner and _os.path.exists(link)
+    assert sio._SHIP_CACHE[key] == winner
+    # the loser's own (never-handed-out, but addFile'd) link is
+    # deferred alongside the genuine pending link — whose
+    # one-generation window the race did NOT spend
+    loser_links = [
+        n for n in sio._SHIP_SUPERSEDED[real] if n not in (winner, pending)
+    ]
+    assert len(loser_links) == 1
+    assert sio._SHIP_SUPERSEDED[real] == [pending, loser_links[0]]
+    for n in (winner, pending, loser_links[0]):
+        assert _os.path.exists(_os.path.join(ship_dir, n))
     # hygiene for later tests sharing the module-level maps
     with sio._SHIP_LOCK:
         sio._SHIP_CACHE.pop(key, None)
