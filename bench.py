@@ -103,6 +103,7 @@ WRITE_AUDITS = [
     "q152_stream_neardup_audit",
     "q153_band_store_audit",
     "q154_bucketed_join_audit",
+    "q155_partitioned_prune_audit",
 ]
 
 BEST_OF = 3

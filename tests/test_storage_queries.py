@@ -59,6 +59,39 @@ def test_q150_prune_and_untouched_flags(spark):
     assert rows["updated"].n_docs == any_row.n_updated
 
 
+def test_q155_layout_flags_and_backfill(spark):
+    """The partitioned-store flags must be computed from the real plan
+    and file listing, not assumed: the slice plans with partition
+    pruning, the executed scan touched only in-range directories, the
+    backfill left other partitions byte-identical — and the backfilled
+    day's sum reflects the doubled values while other days are raw."""
+    from sms_db_spark.plans.storage_queries import (
+        _BACKFILL_DAY,
+        _PRUNE_HI,
+        _PRUNE_LO,
+        q155_partitioned_prune_audit,
+    )
+
+    rows = {r.day: r for r in q155_partitioned_prune_audit(spark, SF_DIR).collect()}
+    assert min(rows) >= _PRUNE_LO and max(rows) <= _PRUNE_HI
+    assert _BACKFILL_DAY in rows
+    any_row = rows[_BACKFILL_DAY]
+    assert any_row.prune_plan_ok == 1
+    assert any_row.files_pruned_ok == 1
+    assert any_row.backfill_untouched_ok == 1
+    # the corrected day serves doubled values; a raw day serves raw.
+    # Double BEFORE the decimal cast, as the write path did — rounding
+    # does not commute with the doubling (round(2v,2) != 2*round(v,2))
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    for day, factor in ((_BACKFILL_DAY, 2), (_PRUNE_LO, 1)):
+        want = (
+            ev.filter(F.to_date("ts") == day)
+            .agg(F.sum((F.col("value") * factor).cast("decimal(18,2)")))
+            .first()[0]
+        )
+        assert abs(rows[day].sum_value - float(want)) < 1e-6
+
+
 def test_scratch_dir_honors_configured_root(spark, tmp_path):
     """With spark.sms_db_spark.scratchRoot set, the scratch dir is a
     child of that root and is deleted on exit (ADVICE r5: driver-local
