@@ -1401,12 +1401,12 @@ ORDER BY class
 N_JOIN_BUCKETS = 8
 
 
-def _plan_text(df: DataFrame) -> str:
+def _plan_text(df: DataFrame, mode: str = "simple") -> str:
     import io
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        df.explain("simple")
+        df.explain(mode)
     return buf.getvalue()
 
 
@@ -1536,14 +1536,18 @@ def q155_partitioned_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     every row.
 
     Three layout laws are pinned in-result (constants on the oracle
-    side, measured here): `prune_plan_ok` (the slice plans with
-    PartitionFilters on event_date — pruning at file-listing time, not
-    a post-scan filter), `files_pruned_ok` (input_file_name() over the
-    executed slice touches ONLY in-range partition directories — the
-    physical twin of the plan claim), and `backfill_untouched_ok`
-    (after the one-day re-land, every OTHER partition's files are
-    byte-identical by name+size+mtime — the 1-of-1000-partitions
-    correction workflow touches one directory).
+    side, measured here): `prune_plan_ok` (the scan's PartitionFilters
+    list itself carries the event_date RANGE conjuncts — not just the
+    inferred isnotnull, and not a substring match elsewhere in the
+    plan), `files_pruned_ok` (the scan's driver-side `numPartitions`
+    metric — the file listing the physical plan actually enumerated —
+    equals the in-range directory count and is strictly below the
+    store's total; input_file_name() would be tautological here, since
+    it samples rows AFTER the filter and so shows in-range files even
+    when pruning is broken and every directory was scanned), and
+    `backfill_untouched_ok` (after the one-day re-land, every OTHER
+    partition's files are byte-identical by name+size+mtime — the
+    1-of-1000-partitions correction workflow touches one directory).
 
     Scale note: this is the time-axis half of the storage layout story
     (SCALE.md §5; bucketing is the join-key half). At 100 TB with ~1000
@@ -1551,7 +1555,6 @@ def q155_partitioned_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bad upstream day is recomputed and re-landed without rewriting
     history. Only the ≤5-row per-day aggregate reaches the driver.
     """
-    import io
     import os
 
     from ..operators.sketches import _h60
@@ -1594,21 +1597,43 @@ def q155_partitioned_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         backfill_untouched_ok = int(_snapshot(_BACKFILL_DAY) == before)
 
         sliced = day_slice(spark, store, _PRUNE_LO, _PRUNE_HI)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            sliced.explain("formatted")
-        plan = buf.getvalue()
-        prune_plan_ok = int("PartitionFilters" in plan and "event_date" in plan)
-        # physical pruning: the files the EXECUTED scan touched (the
-        # logical listing sees every partition; input_file_name is the
-        # per-row physical source) all sit in in-range directories.
-        # ISO dates compare lexically, so string bounds are exact.
-        touched = {
-            r[0] for r in sliced.select(F.input_file_name()).distinct().collect()
-        }
-        days = {f.split("event_date=", 1)[1].split("/", 1)[0] for f in touched}
+        # plan law: the RANGE conjuncts sit inside the PartitionFilters
+        # list itself. A bare substring pair ('PartitionFilters' +
+        # 'event_date' anywhere) would stay green on the inferred
+        # isnotnull filter alone while range pruning is broken —
+        # 'event_date' also matches the scan's Output/ReadSchema.
+        pf_lines = [
+            ln
+            for ln in _plan_text(sliced, "formatted").splitlines()
+            if "PartitionFilters" in ln
+        ]
+        prune_plan_ok = int(
+            bool(pf_lines)
+            and all(
+                "event_date" in ln and ">=" in ln and "<=" in ln
+                for ln in pf_lines
+            )
+        )
+        # physical law: the listing the scan actually enumerated.
+        # Pruning is a listing-time event, so NO job is needed — forcing
+        # the scan's lazy selectedPartitions sets the driver-side
+        # numPartitions metric (measured: 0 before the touch, 5 after;
+        # an action on a DERIVED plan never sets this frame's metric).
+        # It must equal the in-range directory count and be strictly
+        # below the store total (all-days-in-range would be vacuous).
+        # NOTE input_file_name() cannot measure this: it samples rows
+        # AFTER the filter, so broken pruning still shows only in-range
+        # files (empirically verified — a UDF filter that scanned all
+        # partitions produced the same file set).
+        scan = (
+            sliced._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        )
+        scan.selectedPartitions()  # forces the pruned listing + metric
+        n_listed = scan.metrics().apply("numPartitions").value()
+        all_days = {d.split("=", 1)[1] for d in partition_dirs(store)}
+        in_range = {d for d in all_days if _PRUNE_LO <= d <= _PRUNE_HI}
         files_pruned_ok = int(
-            bool(days) and all(_PRUNE_LO <= d <= _PRUNE_HI for d in days)
+            0 < len(in_range) < len(all_days) and n_listed == len(in_range)
         )
 
         h = _h60(

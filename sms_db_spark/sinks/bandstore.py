@@ -199,13 +199,30 @@ def delta_neardup_pairs(
     # release_delta_pin() a catch-all that cannot miss.
     pairs._delta_pin = delta
     _LIVE_PINS.append(delta)
+    if len(_LIVE_PINS) >= _PIN_WARN_THRESHOLD:
+        import warnings
+
+        warnings.warn(
+            f"{len(_LIVE_PINS)} delta pins are live and unreleased — a "
+            "driver that never calls release_delta_pin() accumulates one "
+            "cached delta per run (the exact leak the pin API exists to "
+            "prevent); call release_delta_pin() after each run's pairs "
+            "are materialized",
+            ResourceWarning,
+            stacklevel=2,
+        )
     return pairs
 
 
 # delta pins not yet released, in creation order. Not thread-guarded:
 # the daily-delta driver this module targets runs one delta at a time;
 # concurrent pairing from multiple threads should release per-frame.
+# The list holds STRONG references by design — a weakref registry would
+# lose the handle the unpersist needs once the caller drops theirs — so
+# a driver that never releases grows it one entry per run; the warning
+# above makes that visible long before it matters.
 _LIVE_PINS: list[DataFrame] = []
+_PIN_WARN_THRESHOLD = 16
 
 
 def release_delta_pin(pairs: DataFrame | None = None) -> None:

@@ -56,6 +56,8 @@ def test_delta_pairs_match_batch_union(spark, tmp_path):
     # from the attribute-bearing frame): releases every live pin
     import sms_db_spark.sinks.bandstore as _bs
 
+    release_delta_pin()  # drain pins left by other tests: the == []
+    # assertion below must not depend on test execution order
     pairs2 = delta_neardup_pairs(spark, delta, store)
     pin2 = pairs2._delta_pin
     derived = pairs2.filter(F.col("doc_a") >= 0)  # attribute lost here
