@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -108,11 +110,6 @@ WRITE_AUDITS = [
     "q154_bucketed_join_audit",
     "q155_partitioned_prune_audit",
 ]
-
-# the shared untimed warm for the write-audit bucket: cheapest audit
-# that writes a real store, absorbing the session's one-time file-write
-# init (committer/codec setup the noop-sink headline loop never pays)
-WRITE_AUDIT_WARM = "q143_metricslog_readback"
 
 BEST_OF = 3
 
@@ -374,15 +371,22 @@ def main() -> None:
     # deliberately outside the round-over-round headline trend, and
     # with q153-q155 added the duplicate pushed the whole artifact's
     # wall time toward the driver's bench window (measured 528 s under
-    # ambient load; 431 s without the per-audit warm-ups). One SHARED
-    # untimed warm (the cheapest audit) still runs first: the headline
-    # loop writes only to the noop sink, so the session's first REAL
-    # file write pays one-time committer/codec init — without this,
-    # whichever audit runs first absorbs ~20 s of session-global setup
-    # (measured on q134) and its number stops meaning anything.
-    specs[WRITE_AUDIT_WARM].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # ambient load; 431 s without the per-audit warm-ups). One MINIMAL
+    # untimed real write still runs first: the headline loop writes
+    # only to the noop sink, so the session's first REAL file write
+    # pays one-time committer/codec init — without this, whichever
+    # audit runs first absorbs ~20 s of session-global setup (measured
+    # on q134) and its number stops meaning anything. A one-row parquet
+    # write pays that init without running any timed audit twice (an
+    # audit-as-warm would privately warm that audit and deflate its
+    # number relative to its cold bucket-mates).
+    warm_dir = tempfile.mkdtemp(prefix="bench_write_warm_")
+    try:
+        spark.range(1).write.mode("overwrite").parquet(
+            os.path.join(warm_dir, "w")
+        )
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
     write_audits = run(WRITE_AUDITS, best_of=1, warm=False)
     ambient = ambient_check(
         headline, cal, cal_overhead, max(cal_python, cal_python_post)

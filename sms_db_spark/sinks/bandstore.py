@@ -202,13 +202,17 @@ def delta_neardup_pairs(
     if len(_LIVE_PINS) >= _PIN_WARN_THRESHOLD:
         import warnings
 
+        # UserWarning, NOT ResourceWarning: CPython's default filters
+        # IGNORE ResourceWarning, so a plain `python driver.py` would
+        # never see it and the leak-visibility this exists for would be
+        # silently off exactly where it matters (review r10)
         warnings.warn(
             f"{len(_LIVE_PINS)} delta pins are live and unreleased — a "
             "driver that never calls release_delta_pin() accumulates one "
             "cached delta per run (the exact leak the pin API exists to "
             "prevent); call release_delta_pin() after each run's pairs "
             "are materialized",
-            ResourceWarning,
+            UserWarning,
             stacklevel=2,
         )
     return pairs

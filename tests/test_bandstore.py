@@ -53,11 +53,11 @@ def test_delta_pairs_match_batch_union(spark, tmp_path):
     release_delta_pin(pairs.limit(1))  # no pin on a derived frame: no-op
 
     # the no-arg catch-all (a driver that transformed the result away
-    # from the attribute-bearing frame): releases every live pin
+    # from the attribute-bearing frame): releases every live pin —
+    # including any left by other tests, which is what makes the == []
+    # assertion below order-independent by construction
     import sms_db_spark.sinks.bandstore as _bs
 
-    release_delta_pin()  # drain pins left by other tests: the == []
-    # assertion below must not depend on test execution order
     pairs2 = delta_neardup_pairs(spark, delta, store)
     pin2 = pairs2._delta_pin
     derived = pairs2.filter(F.col("doc_a") >= 0)  # attribute lost here
