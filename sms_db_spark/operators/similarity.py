@@ -399,28 +399,55 @@ def _unit(col_name: str, nrm_col: str) -> Column:
     return F.transform(F.col(col_name), lambda x: x.cast("double") / F.col(nrm_col))
 
 
+# the per-row nearest-centroid argmax as ONE expression over the packed
+# centroid array: dot evaluated exactly once per centroid (transform),
+# then array_max over (sim, -cid) structs — the identical total order
+# max_by(cid, struct(sim, -cid)) ranks by (highest sim, ties to the
+# LOWEST cid), and max over it is order-independent, so the
+# collect_list packing order cannot affect the result
+_ARGMAX_SQL = (
+    "array_max(transform(cents, c -> named_struct("
+    "'sim', aggregate(zip_with(embedding, c.c_unit,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v),"
+    " 'ncid', -c.cid)))"
+)
+
+
 def _assign(emb: DataFrame, cent: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
-    """Nearest-centroid assignment: crossJoin against the broadcast
-    centroid table, then a map-side max_by partial agg (q51's shape).
+    """Nearest-centroid assignment, MAP-ONLY: the K normalized centroids
+    are packed into a single array row, broadcast, and the per-row
+    argmax runs as one expression fold (_ARGMAX_SQL) — no groupBy, so
+    the corpus never shuffles for an assignment pass.
+
+    The previous shape (crossJoin to K rows + groupBy(vec_id) max_by)
+    computed the same argmax but paid one full-corpus exchange per call
+    — N rows × (embedding + carry) bytes, the only corpus-wide shuffle
+    in the Lloyd training loop (q86/q124 pay it per round) and a
+    pure-overhead predecessor to q98/q133's own cid-keyed shuffles. At
+    10^9+ vectors that exchange dominates the round; the fold removes
+    it outright (A/B at sf0.1: bit-identical assignments, 4.20→3.73 s
+    on the q124 loop even at a 2000-vector scale where shuffle cost is
+    trivial). Broadcast payload is K×D doubles either way.
 
     Centroids are L2-normalized ONCE (K rows, driver-cheap) so the
     per-row ranking is a single dot-product fold instead of the full
     3-fold cosine: argmax_c cos(e, c) == argmax_c dot(e, c/|c|) because
-    |e| is a per-row positive constant. This cuts the arithmetic of the
-    N x K scoring stage 3x; the oracle ranks by the identical
-    normalized-dot expression so near-tie rounding agrees."""
-    cent_n = _unit_centroids(cent)
+    |e| is a per-row positive constant. The oracle ranks by the
+    identical normalized-dot expression so near-tie rounding agrees.
+    Contract: cent is non-empty (seeds are, and _update never drops
+    every cluster)."""
+    packed = _unit_centroids(cent).agg(
+        F.collect_list(F.struct("cid", "c_unit")).alias("cents")
+    )
     return (
-        emb.crossJoin(F.broadcast(cent_n))
+        emb.crossJoin(F.broadcast(packed))
+        .withColumn("_best", F.expr(_ARGMAX_SQL))
         .select(
-            "vec_id", "embedding", *carry, "cid",
-            _dot("embedding", "c_unit").alias("sim"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
-            F.first("embedding").alias("embedding"),
-            *[F.first(c).alias(c) for c in carry],
+            "vec_id",
+            (-F.col("_best.ncid")).cast("bigint").alias("cid"),
+            "embedding",
+            *carry,
         )
     )
 
