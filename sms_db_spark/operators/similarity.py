@@ -771,22 +771,41 @@ def q100_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged as outliers (candidates for removal as noise, or for UPWEIGHT
     under D4-style diversification).
 
-    The winning similarity is max(sim) from the same single
-    broadcast-crossJoin pass that picks the centroid — no second scoring
-    pass. One window shuffle on cid; deciles are ntile over (sim, vec_id)
-    so ties bin identically in any engine.
+    The winning similarity rides the same argmax fold that picks the
+    centroid — no second scoring pass, and (like _assign) no groupBy:
+    the packed-centroid fold makes the N x K pass MAP-ONLY, so the
+    corpus never shuffles for assignment (the previous
+    crossJoin+groupBy(vec_id) shape paid one full-corpus exchange just
+    to finalize the partition-local argmax). Unlike _assign, the fold
+    ranks by FULL cosine — centroid_sim is an output VALUE the oracle
+    hashes, so the arithmetic must stay dot/(|e|*|c|) exactly; both
+    norms are hoisted out of the per-centroid lambda (pure functions of
+    their own arrays — identical doubles, computed once instead of K
+    and N times). One window shuffle on cid; deciles are ntile over
+    (sim, vec_id) so ties bin identically in any engine.
     """
     emb = load_table_parallel(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
+    packed = cent.select("cid", "c_emb", _norm("c_emb").alias("c_nrm")).agg(
+        F.collect_list(F.struct("cid", "c_emb", "c_nrm")).alias("cents")
+    )
+    cos_argmax = (
+        "array_max(transform(cents, c -> named_struct("
+        "'sim', aggregate(zip_with(embedding, c.c_emb,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (_enrm * c.c_nrm),"
+        " 'ncid', -c.cid)))"
+    )
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", cosine("embedding", "c_emb").alias("sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
-            F.max("sim").alias("centroid_sim"),
+        emb.crossJoin(F.broadcast(packed))
+        .withColumn("_enrm", _norm("embedding"))
+        .withColumn("_best", F.expr(cos_argmax))
+        .select(
+            "vec_id",
+            (-F.col("_best.ncid")).cast("bigint").alias("cid"),
+            F.col("_best.sim").alias("centroid_sim"),
         )
     )
     w = Window.partitionBy("cid").orderBy("centroid_sim", "vec_id")
