@@ -483,19 +483,18 @@ def q123_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # quality gate BEFORE assignment: only passing vectors pay the
     # broadcast-centroid fold, and both audit and serving see the same
-    # candidate universe
+    # candidate universe. Assignment is the shared map-only packed fold
+    # (similarity._argmax_cosine_packed): no groupBy, so the passing
+    # corpus never shuffles to pick its list.
+    from .similarity import _argmax_cosine_packed
+
     cand = (
-        emb.join(F.broadcast(passing_ids), "vec_id", "left_semi")
-        .crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", cosine("embedding", "c_emb").alias("sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
-            F.first("embedding").alias("emb2"),
+        _argmax_cosine_packed(
+            emb.join(F.broadcast(passing_ids), "vec_id", "left_semi"), cent
         )
         .select(
             F.col("vec_id").alias("neighbor_id"),
-            F.col("emb2").alias("c_emb"),
+            F.col("embedding").alias("c_emb"),
             F.col("cid").alias("c_cid"),
         )
         # feeds BOTH the serving equi-join and the exact audit — one pass

@@ -291,10 +291,11 @@ def q51_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     offline; the serving plan below is identical either way).
 
     Scale shape (the part that matters at 100 TB):
-      - assignment is a crossJoin against a BROADCAST centroid table
-        followed by groupBy(vec_id) + max_by — the partial aggregate
-        collapses the N×K rows back to N map-side (each vec_id lives in
-        one input partition), so no K-amplified shuffle;
+      - assignment is MAP-ONLY — the K centroids pack into one broadcast
+        array row and the full-cosine argmax runs as an expression fold
+        (_argmax_cosine_packed): the corpus never shuffles to pick its
+        list (the former crossJoin + groupBy(vec_id) paid a full-corpus
+        exchange to finalize a partition-local argmax);
       - the probe table is Q×N_PROBE rows and broadcasts into the
         candidate join, so candidate selection is also shuffle-free;
       - only the final per-query top-k window shuffles, on query_id
@@ -305,21 +306,9 @@ def q51_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
 
-    # coarse assignment: argmax cosine, ties -> smallest cid (struct
-    # ordering: max sim, then max(-cid) == min cid)
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            cosine("embedding", "c_emb").alias("sim"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
-            F.first("embedding").alias("c_emb"),
-        )
+    # coarse assignment: argmax cosine, ties -> smallest cid
+    assigned = _argmax_cosine_packed(emb, cent).select(
+        "vec_id", F.col("embedding").alias("c_emb"), "cid"
     )
 
     q = emb.filter(F.col("vec_id") < 10).select(
@@ -446,6 +435,47 @@ def _assign(emb: DataFrame, cent: DataFrame, carry: tuple[str, ...] = ()) -> Dat
         .select(
             "vec_id",
             (-F.col("_best.ncid")).cast("bigint").alias("cid"),
+            "embedding",
+            *carry,
+        )
+    )
+
+
+# the full-cosine twin of _ARGMAX_SQL, for queries whose oracle ranks
+# by (or outputs) cosine itself: sim = dot/(|e|*|c|), with both norms
+# hoisted out of the per-centroid lambda (pure functions of their own
+# arrays — identical doubles, computed once per row / per centroid
+# instead of per pair)
+_COS_ARGMAX_SQL = (
+    "array_max(transform(cents, c -> named_struct("
+    "'sim', aggregate(zip_with(embedding, c.c_emb,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (_enrm * c.c_nrm),"
+    " 'ncid', -c.cid)))"
+)
+
+
+def _argmax_cosine_packed(
+    emb: DataFrame, cent: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, cid, sim, embedding, *carry): nearest centroid by FULL
+    cosine, map-only — _assign's packed-broadcast fold (same corpus-
+    shuffle-removal rationale, see _assign) for consumers whose oracle
+    compares or outputs the cosine VALUE, where ranking by normalized
+    dot would drift on near-ties. sim is the winner's cosine,
+    bit-identical to the former per-pair cosine("embedding", "c_emb")
+    (hash-gate-proven on q100). Contract: cent is non-empty."""
+    packed = cent.select("cid", "c_emb", _norm("c_emb").alias("c_nrm")).agg(
+        F.collect_list(F.struct("cid", "c_emb", "c_nrm")).alias("cents")
+    )
+    return (
+        emb.crossJoin(F.broadcast(packed))
+        .withColumn("_enrm", _norm("embedding"))
+        .withColumn("_best", F.expr(_COS_ARGMAX_SQL))
+        .select(
+            "vec_id",
+            (-F.col("_best.ncid")).cast("bigint").alias("cid"),
+            F.col("_best.sim").alias("sim"),
             "embedding",
             *carry,
         )
@@ -642,8 +672,8 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate (cosine >= threshold) in the same cluster.
 
     Scale shape:
-      - assignment is q51's broadcast-crossJoin + map-side max_by — no
-        K-amplified shuffle;
+      - assignment is the packed-centroid map-only fold (_assign) — the
+        corpus never shuffles to pick its cluster;
       - the pair stage shuffles once on cid; in-cluster expansion is
         bounded by SEMDEDUP_MAX_CLUSTER² (rank-by-vec_id head, the same
         discipline as the LSH hot-bucket cap) — at 100 TB you grow
@@ -772,41 +802,19 @@ def q100_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     under D4-style diversification).
 
     The winning similarity rides the same argmax fold that picks the
-    centroid — no second scoring pass, and (like _assign) no groupBy:
-    the packed-centroid fold makes the N x K pass MAP-ONLY, so the
-    corpus never shuffles for assignment (the previous
-    crossJoin+groupBy(vec_id) shape paid one full-corpus exchange just
-    to finalize the partition-local argmax). Unlike _assign, the fold
-    ranks by FULL cosine — centroid_sim is an output VALUE the oracle
-    hashes, so the arithmetic must stay dot/(|e|*|c|) exactly; both
-    norms are hoisted out of the per-centroid lambda (pure functions of
-    their own arrays — identical doubles, computed once instead of K
-    and N times). One window shuffle on cid; deciles are ntile over
+    centroid — no second scoring pass, and no groupBy: the
+    packed-centroid fold (_argmax_cosine_packed — the FULL-cosine
+    variant, since centroid_sim is an output VALUE the oracle hashes)
+    makes the N x K pass MAP-ONLY, so the corpus never shuffles for
+    assignment. One window shuffle on cid; deciles are ntile over
     (sim, vec_id) so ties bin identically in any engine.
     """
     emb = load_table_parallel(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    packed = cent.select("cid", "c_emb", _norm("c_emb").alias("c_nrm")).agg(
-        F.collect_list(F.struct("cid", "c_emb", "c_nrm")).alias("cents")
-    )
-    cos_argmax = (
-        "array_max(transform(cents, c -> named_struct("
-        "'sim', aggregate(zip_with(embedding, c.c_emb,"
-        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (_enrm * c.c_nrm),"
-        " 'ncid', -c.cid)))"
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(packed))
-        .withColumn("_enrm", _norm("embedding"))
-        .withColumn("_best", F.expr(cos_argmax))
-        .select(
-            "vec_id",
-            (-F.col("_best.ncid")).cast("bigint").alias("cid"),
-            F.col("_best.sim").alias("centroid_sim"),
-        )
+    assigned = _argmax_cosine_packed(emb, cent).select(
+        "vec_id", "cid", F.col("sim").alias("centroid_sim")
     )
     w = Window.partitionBy("cid").orderBy("centroid_sim", "vec_id")
     return (
@@ -974,15 +982,8 @@ def q121_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", cosine("embedding", "c_emb").alias("sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
-            F.first("embedding").alias("c_emb2"),
-        )
-        .select("vec_id", F.col("c_emb2").alias("embedding"), "cid")
+    assigned = _argmax_cosine_packed(emb, cent).select(
+        "vec_id", "embedding", "cid"
     )
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
