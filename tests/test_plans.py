@@ -407,6 +407,24 @@ def test_q100_outliers_single_assignment_pass(spark):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1, p
 
 
+def test_assignment_passes_never_shuffle_the_corpus(spark):
+    """The r10 packed-argmax law: NO centroid-assignment pass shuffles
+    the corpus. The former crossJoin + groupBy(vec_id) shape planned an
+    `Exchange hashpartitioning(vec_id...)` per assignment; the fold is
+    map-only, so a vec_id-keyed exchange anywhere in these plans means
+    the shape regressed. q124 pins the Lloyd training loop's final
+    assignment (per-round passes sit behind checkpoints but share the
+    same _assign code path); q51 pins IVF serving's list assignment;
+    q100 pins the full-cosine variant."""
+    for name in (
+        "q124_kmeans_hashed_seed_train",
+        "q51_ann_ivf_topk",
+        "q100_centroid_outliers",
+    ):
+        p = plan(spark, name, "simple")
+        assert not re.findall(r"hashpartitioning\(vec_id", p), (name, p)
+
+
 def test_q101_percentiles_pruned_scan(spark):
     """Length percentiles: the documents scan must read only
     (source, n_chars) — not text."""
