@@ -464,7 +464,7 @@ def q123_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions of exact integer counts (no float accumulation), so the
     doubles are bit-identical in both engines.
     """
-    from .similarity import N_CENTROIDS, N_PROBE, cosine
+    from .similarity import N_CENTROIDS, N_PROBE, _argmax_cosine_packed, cosine
 
     s = _scored(spark, sf_dir)
     passing_ids = s.filter(
@@ -486,8 +486,6 @@ def q123_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate universe. Assignment is the shared map-only packed fold
     # (similarity._argmax_cosine_packed): no groupBy, so the passing
     # corpus never shuffles to pick its list.
-    from .similarity import _argmax_cosine_packed
-
     cand = (
         _argmax_cosine_packed(
             emb.join(F.broadcast(passing_ids), "vec_id", "left_semi"), cent

@@ -424,10 +424,15 @@ def _assign(emb: DataFrame, cent: DataFrame, carry: tuple[str, ...] = ()) -> Dat
     3-fold cosine: argmax_c cos(e, c) == argmax_c dot(e, c/|c|) because
     |e| is a per-row positive constant. The oracle ranks by the
     identical normalized-dot expression so near-tie rounding agrees.
-    Contract: cent is non-empty (seeds are, and _update never drops
-    every cluster)."""
-    packed = _unit_centroids(cent).agg(
-        F.collect_list(F.struct("cid", "c_unit")).alias("cents")
+
+    Degenerate input keeps the old crossJoin contract ENFORCED, not
+    just documented: an empty cent packs to an empty array, which the
+    size guard drops, so the result is zero rows — never N rows with a
+    NULL cid (review r10)."""
+    packed = (
+        _unit_centroids(cent)
+        .agg(F.collect_list(F.struct("cid", "c_unit")).alias("cents"))
+        .where(F.size("cents") > 0)
     )
     return (
         emb.crossJoin(F.broadcast(packed))
@@ -455,18 +460,27 @@ _COS_ARGMAX_SQL = (
 )
 
 
-def _argmax_cosine_packed(
-    emb: DataFrame, cent: DataFrame, carry: tuple[str, ...] = ()
-) -> DataFrame:
-    """(vec_id, cid, sim, embedding, *carry): nearest centroid by FULL
-    cosine, map-only — _assign's packed-broadcast fold (same corpus-
-    shuffle-removal rationale, see _assign) for consumers whose oracle
-    compares or outputs the cosine VALUE, where ranking by normalized
-    dot would drift on near-ties. sim is the winner's cosine,
-    bit-identical to the former per-pair cosine("embedding", "c_emb")
-    (hash-gate-proven on q100). Contract: cent is non-empty."""
-    packed = cent.select("cid", "c_emb", _norm("c_emb").alias("c_nrm")).agg(
-        F.collect_list(F.struct("cid", "c_emb", "c_nrm")).alias("cents")
+def _argmax_cosine_packed(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid, sim, embedding): nearest centroid by FULL cosine,
+    map-only — _assign's packed-broadcast fold (same corpus-shuffle-
+    removal rationale, see _assign) for consumers whose oracle compares
+    or outputs the cosine VALUE, where ranking by normalized dot would
+    drift on near-ties. sim is the winner's cosine, bit-identical to
+    the former per-pair cosine("embedding", "c_emb") (hash-gate-proven
+    on q100). Empty cent yields zero rows (same size guard as _assign).
+
+    K ceiling (honest, vs the old K-row broadcast): the broadcast
+    payload is K×(D+2) doubles EITHER way, but here it rides one row's
+    array, built by a single-partition collect_list and bounded by
+    Spark's ~2 GB single-array cap — comfortable at the K=2^16 IVF
+    sizing SCALE.md §4 vouches for (~34 MB at D=64), and safe to
+    K~10^6; q98-at-100 TB sizing (k ≈ N/1000 >> 10^6) should chunk the
+    packing into B array columns and fold argmax-of-argmaxes, or fall
+    back to the K-row broadcast shape — both stay map-only."""
+    packed = (
+        cent.select("cid", "c_emb", _norm("c_emb").alias("c_nrm"))
+        .agg(F.collect_list(F.struct("cid", "c_emb", "c_nrm")).alias("cents"))
+        .where(F.size("cents") > 0)
     )
     return (
         emb.crossJoin(F.broadcast(packed))
@@ -477,7 +491,6 @@ def _argmax_cosine_packed(
             (-F.col("_best.ncid")).cast("bigint").alias("cid"),
             F.col("_best.sim").alias("sim"),
             "embedding",
-            *carry,
         )
     )
 
@@ -523,9 +536,10 @@ def q86_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     across rows), and the update step's means are exact integer sums of
     1e-6-floored components — no float-summation order sensitivity, so
     the DuckDB oracle (same two rounds unrolled as SQL) must agree
-    hash-exactly. Per round: one broadcast crossJoin + two map-side
-    partial aggs; nothing shuffles more than K×(D+1) scalars. Empty
-    clusters drop out (both engines aggregate only present cids).
+    hash-exactly. Per round: one map-only packed-fold assignment (no
+    corpus shuffle — see _assign) + ONE groupBy(cid) update agg;
+    nothing shuffles more than K×(D+1) scalars. Empty clusters drop
+    out (both engines aggregate only present cids).
     """
     emb = load_table_parallel(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(

@@ -215,3 +215,21 @@ def test_hard_negatives_are_label_mismatched_and_ranked(spark):
         assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= HN_K
         sims = [r.cos_sim for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_assignment_folds_empty_centroids_yield_zero_rows(spark):
+    """The packed-argmax degenerate contract is enforced, not prose: an
+    empty centroid table yields ZERO assigned rows (the size guard drops
+    the empty packed array), exactly the old crossJoin behavior — never
+    the whole corpus under a NULL cid (review r10)."""
+    from pyspark.sql import functions as F
+
+    import sms_db_spark.operators.similarity as S
+    from sms_db_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    no_cent = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    assert S._assign(emb, no_cent).count() == 0
+    assert S._argmax_cosine_packed(emb, no_cent).count() == 0
