@@ -109,7 +109,37 @@ WRITE_AUDITS = [
     "q153_band_store_audit",
     "q154_bucketed_join_audit",
     "q155_partitioned_prune_audit",
+    "q156_streaming_parity_audit",
 ]
+
+# Cold-protocol write-audit anchor: BENCH_r10's driver timings — the
+# first artifact under the one-run/no-warm-up protocol, which VERDICT
+# r10 designates the comparison baseline (r9's warm numbers are
+# incomparable to cold runs by construction). q134's 27.694 includes
+# the ~20s session-global committer/codec init the shared warm failed
+# to absorb in the driver path (VERDICT r10 item 5) — the r11 warm
+# adds a partitioned one-row write to cover the dynamic-partition
+# committer q134 actually uses, so a HEALTHY r11 q134 lands far BELOW
+# this anchor (only >2x ratios are reported; shrink is success).
+# q156 is new in r11 and has no anchor yet.
+WRITE_AUDIT_ANCHOR_ROUND = 10
+WRITE_AUDIT_ANCHOR = {
+    "q134_shard_manifest_audit": 27.694,
+    "q135_stream_shard_manifest_audit": 16.385,
+    "q139_fold_audit": 14.694,
+    "q142_versioned_store_audit": 4.697,
+    "q143_metricslog_readback": 4.06,
+    "q145_versioned_merge_audit": 5.568,
+    "q146_gated_upsert_audit": 8.444,
+    "q148_sharded_export_audit": 8.105,
+    "q149_stream_gated_upsert_audit": 7.996,
+    "q150_cow_merge_audit": 4.18,
+    "q151_layout_audit": 3.958,
+    "q152_stream_neardup_audit": 13.297,
+    "q153_band_store_audit": 6.08,
+    "q154_bucketed_join_audit": 4.106,
+    "q155_partitioned_prune_audit": 1.798,
+}
 
 BEST_OF = 3
 
@@ -159,6 +189,13 @@ ANCHOR = {
 }
 # a query must exceed this multiple of its anchor to count as a suspect
 SUSPECT_RATIO = 3.0
+# medium band (VERDICT r10 item 4): era-normalized ratio a substantial
+# query may reach before it is REPORTED (never fatal, never part of the
+# ambient flag) — without this tier a genuine 1.9x single-query
+# regression on a multi-second query rides invisibly under the 3x
+# suspect bar whenever the round's reading is "broad ambient noise"
+WATCH_RATIO = 2.0
+WATCH_MIN_ANCHOR_SEC = 1.0
 # ignore sub-this-anchor queries (scheduler jitter dominates them)
 SUSPECT_MIN_ANCHOR_SEC = 0.2
 # more than this many suspects with flat calibrations = ambient noise
@@ -320,6 +357,17 @@ def ambient_check(
         and cal_overhead <= 0.25
         and cal_python > CAL_FLAT_RATIO * ANCHOR_CAL_PYTHON_SEC * era
     )
+    # medium band: era-normalized (a slower machine must not fill the
+    # watch list with its uniform drift), substantial queries only, and
+    # disjoint from the suspect tier above — reported, never fatal
+    watch = {
+        q: round(t / (ANCHOR[q] * era), 2)
+        for q, t in headline.items()
+        if q in ANCHOR
+        and q not in suspects
+        and ANCHOR[q] >= WATCH_MIN_ANCHOR_SEC
+        and t > WATCH_RATIO * ANCHOR[q] * era
+    }
     anchored_total = sum(t for q, t in headline.items() if q in ANCHOR)
     anchor_total = sum(ANCHOR[q] for q in headline if q in ANCHOR)
     return {
@@ -328,6 +376,7 @@ def ambient_check(
         if anchor_total
         else None,
         "suspects_vs_anchor": dict(sorted(suspects.items())),
+        "watch_vs_anchor": dict(sorted(watch.items())),
         "suspect_ambient": len(suspects) > SUSPECT_COUNT and ambient_signature,
     }
 
@@ -380,14 +429,38 @@ def main() -> None:
     # write pays that init without running any timed audit twice (an
     # audit-as-warm would privately warm that audit and deflate its
     # number relative to its cold bucket-mates).
+    # BOTH write shapes the audits use (VERDICT r10 item 5: q134's
+    # driver-recorded 27.7s says the r10 plain-parquet warm did NOT
+    # absorb the init in the driver path; q134's actual write is
+    # partitionBy parquet, whose dynamic-partition/committer setup the
+    # plain shape may never touch): one plain one-row write, one
+    # partitioned one-row write.
     warm_dir = tempfile.mkdtemp(prefix="bench_write_warm_")
     try:
         spark.range(1).write.mode("overwrite").parquet(
             os.path.join(warm_dir, "w")
         )
+        (
+            spark.range(1)
+            .selectExpr("id", "id % 1 AS p")
+            .write.mode("overwrite")
+            .partitionBy("p")
+            .parquet(os.path.join(warm_dir, "wp"))
+        )
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
     write_audits = run(WRITE_AUDITS, best_of=1, warm=False)
+    # cold-to-cold watch (same era normalization as the headline tier;
+    # reported, never fatal): audits past WATCH_RATIO of their r10
+    # cold-protocol anchor. q134's anchor embeds the r10 init accident,
+    # so for it only SHRINKING is meaningful — see WRITE_AUDIT_ANCHOR.
+    cal_for_era = max(0.5, cal / ANCHOR_CAL_SEC)
+    write_watch = {
+        q: round(t / (WRITE_AUDIT_ANCHOR[q] * cal_for_era), 2)
+        for q, t in write_audits.items()
+        if q in WRITE_AUDIT_ANCHOR
+        and t > WATCH_RATIO * WRITE_AUDIT_ANCHOR[q] * cal_for_era
+    }
     ambient = ambient_check(
         headline, cal, cal_overhead, max(cal_python, cal_python_post)
     )
@@ -421,6 +494,8 @@ def main() -> None:
         "suspects is treated as a real regression, never written off)",
         "queries": headline,
         "write_audits": write_audits,
+        "write_audit_anchor_round": WRITE_AUDIT_ANCHOR_ROUND,
+        "write_watch_vs_anchor": dict(sorted(write_watch.items())),
         **ambient,
         "value": round(sum(headline.values()), 3),
         "write_audits_total": round(sum(write_audits.values()), 3),

@@ -1688,6 +1688,465 @@ ORDER BY day
 """
 
 
+# q156: the combined streaming-lane parity audit (VERDICT r10 item 2).
+# Docs lanes split the corpus into this many contiguous doc_id-range
+# drops (q152's slicing arithmetic): 3 drift batches = cold start + two
+# history-carrying restarts, every log-protocol transition.
+_PARITY_DROPS = 3
+_SESSION_GAP_MS = 30 * 60 * 1000  # q32's 30-minute gap, in the lane's ms unit
+_WINDOW_DURATION = "10 minutes"
+_WINDOW_WATERMARK = "20 minutes"
+_FLUSH_TYPE = "__flush__"  # sentinel event_type; its window never flushes
+
+
+def _lane_checksum(df: DataFrame, parts: list) -> tuple[int, int]:
+    """(n_rows, checksum_mod) over a lane's bounded result frame: the
+    repo's standard content hash (_h60 of the ':'-joined row string,
+    decimal-pre-summed mod 2^60). NULL-able string parts must arrive
+    pre-coalesced — concat_ws SKIPS nulls while the oracle's || would
+    propagate them, so a silent null would de-sync the engines."""
+    from ..operators.sketches import _h60
+
+    h = _h60(F.concat_ws(":", *parts))
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(h.cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD))
+        .cast("bigint")
+        .alias("chk"),
+    ).first()
+    return int(r["n"]), int(r["chk"] if r["chk"] is not None else 0)
+
+
+def _drain(q, what: str) -> None:
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"{what} stream did not drain in 600s")
+
+
+def q156_streaming_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five pytest-only streaming lanes under ONE hash-gated audit
+    (VERDICT r10 item 2 — the recurring promised-but-ungated class that
+    produced q153/q154/q155 across two rounds, closed for streaming in
+    one row per lane): each lane runs its REAL streaming entry point
+    over staged drops to completion (availableNow, persistent
+    checkpoints, q152's run-per-drop discipline where batch numbering
+    matters), and the oracle recomputes the lane's emitted content from
+    the raw tables with the batch twin's SQL — so a hash match proves
+    stream==batch parity through the actual streaming runtime, not just
+    the shared expressions the pytest lanes already pin.
+
+    Lanes and their parity laws (one result row each):
+      - curation (streaming/curation.py): stream_curate over 3 doc
+        drops == q41-gate + q77-split on the raw corpus, checksummed
+        over (doc_id, n_tokens, bucket, split) of gate-passers.
+      - drift (streaming/drift.py): 3 per-batch TVD reports in the
+        metrics log == q136's shared `_drift_from_counts` arithmetic
+        recomputed per doc_id-range window against the full-corpus
+        reference profile (batch ⊆ corpus, so the merged bucket set is
+        exactly the corpus bucket set).
+      - sessions (streaming/sessions.py): applyInPandasWithState closed
+        sessions == q32's lag/gap/cumsum sessionization on ms-truncated
+        timestamps MINUS each user's last (still-open) session.
+      - sketches (streaming/sketches.py): the persisted HLL register
+        table after streaming the corpus == q102's one-shot registers
+        (merge-equals-whole across microbatches).
+      - windows (streaming/windows.py): watermarked append-mode tumbling
+        counts == the batch tumbling aggregate — every real window
+        emitted exactly ONCE, flushed deterministically by two sentinel
+        drops (watermark advances from the PREVIOUS batch's max event
+        time, the cross-run law test_streaming_windows pins: sentinel 1
+        lifts the watermark past every real window end, sentinel 2
+        triggers the batch that flushes under it; the sentinels' own
+        far-future window never emits). A duplicate or lost emission
+        breaks n_rows/checksum_mod against the batch aggregate.
+
+    `replay_ok` is measured, not asserted: drift re-appends its last
+    batch_id (foreachBatch at-least-once redelivery — the log must
+    overwrite, not double), sketches re-merges the full corpus registers
+    into the store (max-merge idempotence), and the three file-sink
+    lanes restart their query on the same checkpoint with no new input
+    (a sink-protocol bug that re-emits on restart flips the flag).
+
+    Scale note: every lane is the production shape at 100 TB/day — the
+    drift reference is |features x buckets| rows computed once, session
+    state is 3 scalars per active user, HLL state is 2^p registers
+    independent of history, curation is map-only, and the window state
+    is bounded by the watermark horizon. The driver holds only the
+    5-row lane summary; drops and checkpoints live in scratch.
+    """
+    from ..operators.sketches import _h60
+    from ..streaming.curation import DOCS_SCHEMA, stream_curate
+    from ..streaming.drift import (
+        append_drift,
+        read_drift_log,
+        reference_profile,
+        stream_drift_monitor,
+    )
+    from ..streaming.sessions import SESSION_SCHEMA, stream_sessions
+    from ..streaming.sketches import merge_registers, stream_hll
+    from ..streaming.windows import stream_windowed_counts
+
+    # state-store sizing on a CLONE (q152's discipline): 8 partitions fit
+    # the audit corpus; the caller's session is never mutated
+    session = clone_tuned_session(spark)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = session
+    docs = load_table(spark, sf_dir, "documents").select(
+        *[f.name for f in DOCS_SCHEMA.fields]
+    )
+    events = load_table(spark, sf_dir, "events")
+    mx = int(docs.agg(F.max("doc_id")).first()[0])
+    span = mx + 1
+
+    with _scratch_dir(spark, "sms_db_spark_stream_parity_audit_") as root:
+        doc_drop = f"{root}/docs"
+        lanes: list[tuple[str, int, int, int]] = []
+
+        # ---- drift: run-per-drop (batch numbering is the contract) ----
+        ref = reference_profile(docs)
+        slices = []
+        for k in range(_PARITY_DROPS):
+            lo, hi = k * span // _PARITY_DROPS, (k + 1) * span // _PARITY_DROPS
+            s = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            slices.append(s)
+            s.coalesce(1).write.mode("append").parquet(doc_drop)
+            _drain(
+                stream_drift_monitor(
+                    spark, doc_drop, ref, f"{root}/driftlog", f"{root}/ckpt_drift"
+                ),
+                "drift",
+            )
+        drift_parts = [
+            F.col("batch_id").cast("string"),
+            F.col("feature"),
+            F.col("n_a").cast("string"),
+            F.col("n_b").cast("string"),
+            F.col("n_buckets").cast("string"),
+            F.col("tvd_milli").cast("string"),
+            F.coalesce(F.col("top_bucket"), F.lit("\x01")),
+        ]
+        n, chk = _lane_checksum(read_drift_log(spark, f"{root}/driftlog"), drift_parts)
+        # at-least-once redelivery of the LAST batch: overwrite, not double
+        append_drift(slices[-1], _PARITY_DROPS - 1, ref, f"{root}/driftlog")
+        replay = int(
+            _lane_checksum(read_drift_log(spark, f"{root}/driftlog"), drift_parts)
+            == (n, chk)
+        )
+        lanes.append(("drift", n, chk, replay))
+
+        # ---- curation: one run over all drops; stateless parity ----
+        def run_curation():
+            q = (
+                stream_curate(spark, doc_drop)
+                .writeStream.format("parquet")
+                .option("path", f"{root}/curated")
+                .option("checkpointLocation", f"{root}/ckpt_cur")
+                .partitionBy("split")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q, "curation")
+
+        run_curation()
+        cur_parts = [
+            F.col("doc_id").cast("string"),
+            F.col("n_tokens").cast("string"),
+            F.col("bucket").cast("string"),
+            F.col("split"),
+        ]
+        curated = spark.read.parquet(f"{root}/curated")
+        n, chk = _lane_checksum(curated, cur_parts)
+        run_curation()  # restart, no new input: the sink must not re-emit
+        replay = int(
+            _lane_checksum(spark.read.parquet(f"{root}/curated"), cur_parts) == (n, chk)
+        )
+        lanes.append(("curation", n, chk, replay))
+
+        # ---- sketches: one run; merge-equals-whole + idempotent merge ----
+        _drain(
+            stream_hll(spark, doc_drop, f"{root}/regs", f"{root}/ckpt_hll"), "sketches"
+        )
+        reg_parts = [F.col("bucket").cast("string"), F.col("max_rho").cast("string")]
+        current = spark.read.parquet(f"{root}/regs/current")
+        n, chk = _lane_checksum(current, reg_parts)
+        # redelivery safety = max-merge idempotence: any redelivered
+        # batch's registers are pointwise-dominated by the store, and
+        # self-merge is the strongest dominated case (q106's law) —
+        # without re-paying the corpus banding a real re-band would cost
+        remerged = merge_registers(current, current)
+        replay = int(_lane_checksum(remerged, reg_parts) == (n, chk))
+        lanes.append(("sketches", n, chk, replay))
+
+        # ---- events drops: real corpus + two far-future sentinels ----
+        ev_drop = f"{root}/events"
+        ev_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        real = events.select(*ev_cols).withColumn("ts_ms", F.unix_millis("ts"))
+        real.coalesce(1).write.mode("append").parquet(ev_drop)
+
+        def sentinel(event_id: int, extra: str):
+            # built FROM the events frame (tz-safe: no driver datetime
+            # arithmetic); 30 days past the corpus, 1ms apart so the
+            # sentinel user's own session never closes
+            return (
+                events.agg(F.max("ts").alias("ts"))
+                .select(
+                    F.lit(event_id).alias("event_id"),
+                    F.expr(f"ts + INTERVAL 30 DAYS + INTERVAL {extra}").alias("ts"),
+                    F.lit(-1).cast("long").alias("user_id"),
+                    F.lit(_FLUSH_TYPE).alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit(None).cast("string").alias("props"),
+                )
+                .withColumn("ts_ms", F.unix_millis("ts"))
+            )
+
+        # ---- windows: sentinel-flush protocol (2 runs + replay) ----
+        sentinel(-1, "0 MILLISECOND").coalesce(1).write.mode("append").parquet(ev_drop)
+
+        def run_windows():
+            _drain(
+                stream_windowed_counts(
+                    spark,
+                    ev_drop,
+                    f"{root}/windows",
+                    f"{root}/ckpt_win",
+                    _WINDOW_DURATION,
+                    _WINDOW_WATERMARK,
+                ),
+                "windows",
+            )
+
+        run_windows()  # real + sentinel 1: watermark ends past every real window
+        sentinel(-2, "1 MILLISECOND").coalesce(1).write.mode("append").parquet(ev_drop)
+        run_windows()  # sentinel 2's batch flushes every real window
+
+        win_schema = (
+            "window_start timestamp, window_end timestamp, event_type string,"
+            " n_events bigint, total_value double"
+        )
+
+        def win_frame():
+            # integer cents, not the double: the decimal(18,2) sum is
+            # exact, so round(x*100) is the exact integral value on both
+            # engines — no float-format drift in the hash
+            return (
+                spark.read.schema(win_schema)
+                .parquet(f"{root}/windows")
+                .filter(F.col("event_type") != _FLUSH_TYPE)
+                .select(
+                    F.unix_millis("window_start").alias("ms"),
+                    "event_type",
+                    "n_events",
+                    F.round(F.col("total_value") * 100).cast("bigint").alias("cents"),
+                )
+            )
+
+        win_parts = [
+            F.col("ms").cast("string"),
+            F.col("event_type"),
+            F.col("n_events").cast("string"),
+            F.col("cents").cast("string"),
+        ]
+        n, chk = _lane_checksum(win_frame(), win_parts)
+        run_windows()  # restart, no new input
+        replay = int(_lane_checksum(win_frame(), win_parts) == (n, chk))
+        lanes.append(("windows", n, chk, replay))
+
+        # ---- sessions: one stateful run over all three files ----
+        def run_sessions():
+            q = (
+                stream_sessions(spark, ev_drop, gap_ms=_SESSION_GAP_MS)
+                .writeStream.format("parquet")
+                .option("path", f"{root}/sessions")
+                .option("checkpointLocation", f"{root}/ckpt_sess")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q, "sessions")
+
+        run_sessions()
+
+        def sess_frame():
+            return (
+                spark.read.schema(SESSION_SCHEMA)
+                .parquet(f"{root}/sessions")
+                .filter(F.col("user_id") >= 0)  # the sentinel user is protocol
+            )
+
+        sess_parts = [
+            F.col("user_id").cast("string"),
+            F.col("session_start_ms").cast("string"),
+            F.col("session_end_ms").cast("string"),
+            F.col("n_events").cast("string"),
+        ]
+        n, chk = _lane_checksum(sess_frame(), sess_parts)
+        run_sessions()  # restart, no new input
+        replay = int(_lane_checksum(sess_frame(), sess_parts) == (n, chk))
+        lanes.append(("sessions", n, chk, replay))
+
+    return spark.createDataFrame(
+        sorted(lanes),
+        "lane string, n_rows bigint, checksum_mod bigint, replay_ok int",
+    ).orderBy("lane")
+
+
+def _q156_drift_sql() -> str:
+    """Per-(batch, feature) drift rows in DuckDB: the SAME integer-milli
+    TVD arithmetic as maintenance.Q136_SQL, but window A = the batch's
+    doc_id range and window B = the FULL corpus (the audit's reference
+    profile). Batch ⊆ corpus, so grouping the corpus alone yields
+    exactly the merged bucket set the streaming monitor folds."""
+    from ..operators.maintenance import (
+        DRIFT_LEN_BUCKET,
+        DRIFT_LEN_CAP,
+    )
+
+    feats = (
+        ("lang", "lang"),
+        ("len_bucket", f"LEAST(n_chars // {DRIFT_LEN_BUCKET}, {DRIFT_LEN_CAP})"),
+    )
+    blocks = []
+    for k in range(_PARITY_DROPS):
+        lo = f"(SELECT (MAX(doc_id) + 1) * {k} // {_PARITY_DROPS} FROM documents)"
+        hi = f"(SELECT (MAX(doc_id) + 1) * {k + 1} // {_PARITY_DROPS} FROM documents)"
+        for name, expr in feats:
+            blocks.append(
+                f"""
+  SELECT {k} AS batch_id, '{name}' AS feature,
+         CAST(MAX(tot_a) AS BIGINT) AS n_a, CAST(MAX(tot_b) AS BIGINT) AS n_b,
+         COUNT(*) AS n_buckets, CAST(SUM(diff) // 2 AS BIGINT) AS tvd_milli,
+         MAX(CASE WHEN rn = 1 THEN bucket END) AS top_bucket
+  FROM (
+    SELECT bucket, tot_a, tot_b, ABS(p_a - p_b) AS diff,
+           row_number() OVER (ORDER BY ABS(p_a - p_b) DESC, bucket) AS rn
+    FROM (
+      SELECT bucket, cnt_a * 1000 // SUM(cnt_a) OVER () AS p_a,
+             cnt_b * 1000 // SUM(cnt_b) OVER () AS p_b,
+             SUM(cnt_a) OVER () AS tot_a, SUM(cnt_b) OVER () AS tot_b
+      FROM (
+        SELECT CAST({expr} AS VARCHAR) AS bucket,
+               COUNT(*) FILTER (WHERE doc_id >= {lo} AND doc_id < {hi}) AS cnt_a,
+               COUNT(*) AS cnt_b
+        FROM documents GROUP BY 1
+      )
+    )
+  )"""
+            )
+    return " UNION ALL ".join(blocks)
+
+
+def _q156_sql() -> str:
+    from ..operators.sketches import HLL_M, _HLL_WBITS, _SHINGLE_ROWS_SQL
+    from ..streaming.curation import (
+        MAX_STOP_RATIO,
+        MIN_LEN_CHARS,
+        MIN_TOKENS,
+        _STOPWORDS,
+        _TOKEN_RE,
+    )
+    from ..operators.curation import TRAIN_UPTO, VALID_UPTO, _sql_bucket
+
+    def lane(name: str, src: str, row_expr: str) -> str:
+        return f"""
+SELECT '{name}' AS lane, COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM({_h60_sql(row_expr)}), 0) % {_CHECKSUM_MOD} AS BIGINT)
+         AS checksum_mod,
+       1 AS replay_ok
+FROM ({src})"""
+
+    stop_re = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+    curation_src = f"""
+  SELECT doc_id, n_tokens, bucket,
+         CASE WHEN bucket < {TRAIN_UPTO} THEN 'train'
+              WHEN bucket < {VALID_UPTO} THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '{stop_re}')) AS stop_cnt,
+           length(text) AS len_chars,
+           {_sql_bucket('doc_id')} AS bucket
+    FROM documents
+  )
+  WHERE len_chars >= {MIN_LEN_CHARS} AND n_tokens >= {MIN_TOKENS}
+    AND CAST(stop_cnt AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)
+        < {MAX_STOP_RATIO}"""
+
+    sketches_src = f"""
+  SELECT h % {HLL_M} AS bucket,
+         MAX(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - length(bin(h // {HLL_M})) END) AS max_rho
+  FROM (SELECT {_h60_sql('gram')} AS h FROM ({_SHINGLE_ROWS_SQL}))
+  GROUP BY 1"""
+
+    sessions_src = f"""
+  SELECT user_id, MIN(ts_ms) AS s_ms, MAX(ts_ms) AS e_ms, COUNT(*) AS n
+  FROM (
+    SELECT user_id, ts_ms,
+           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+                         ROWS UNBOUNDED PRECEDING) AS sid
+    FROM (
+      SELECT user_id, ts_ms,
+             CASE WHEN lag(ts_ms) OVER w IS NULL
+                       OR ts_ms - lag(ts_ms) OVER w > {_SESSION_GAP_MS}
+                  THEN 1 ELSE 0 END AS ns
+      FROM (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+    )
+  )
+  GROUP BY user_id, sid
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY s_ms DESC) > 1"""
+
+    windows_src = f"""
+  SELECT epoch_ms(time_bucket(INTERVAL '{_WINDOW_DURATION}', CAST(ts AS TIMESTAMP)))
+           AS ms,
+         event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2"""
+
+    return (
+        lane(
+            "curation",
+            curation_src,
+            "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)"
+            " || ':' || CAST(bucket AS VARCHAR) || ':' || split",
+        )
+        + " UNION ALL "
+        + lane(
+            "drift",
+            _q156_drift_sql(),
+            "CAST(batch_id AS VARCHAR) || ':' || feature"
+            " || ':' || CAST(n_a AS VARCHAR) || ':' || CAST(n_b AS VARCHAR)"
+            " || ':' || CAST(n_buckets AS VARCHAR)"
+            " || ':' || CAST(tvd_milli AS VARCHAR)"
+            " || ':' || COALESCE(top_bucket, chr(1))",
+        )
+        + " UNION ALL "
+        + lane(
+            "sessions",
+            sessions_src,
+            "CAST(user_id AS VARCHAR) || ':' || CAST(s_ms AS VARCHAR)"
+            " || ':' || CAST(e_ms AS VARCHAR) || ':' || CAST(n AS VARCHAR)",
+        )
+        + " UNION ALL "
+        + lane(
+            "sketches",
+            sketches_src,
+            "CAST(bucket AS VARCHAR) || ':' || CAST(max_rho AS VARCHAR)",
+        )
+        + " UNION ALL "
+        + lane(
+            "windows",
+            windows_src,
+            "CAST(ms AS VARCHAR) || ':' || event_type"
+            " || ':' || CAST(n_events AS VARCHAR) || ':' || CAST(cents AS VARCHAR)",
+        )
+        + " ORDER BY lane"
+    )
+
+
 QUERIES = {
     "q134_shard_manifest_audit": QuerySpec(
         q134_shard_manifest_audit,
@@ -1763,5 +2222,10 @@ QUERIES = {
         q155_partitioned_prune_audit,
         _Q155_SQL,
         "day-partitioned store: pruned slice + one-day backfill, hashed",
+    ),
+    "q156_streaming_parity_audit": QuerySpec(
+        q156_streaming_parity_audit,
+        _q156_sql(),
+        "five streaming lanes == their batch twins, one hashed row each",
     ),
 }

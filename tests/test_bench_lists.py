@@ -27,6 +27,49 @@ def test_anchor_names_are_headline_names():
     assert not stray, stray
 
 
+def test_write_audit_anchor_names_are_write_audit_names():
+    stray = [q for q in bench.WRITE_AUDIT_ANCHOR if q not in bench.WRITE_AUDITS]
+    assert not stray, stray
+
+
+def test_watch_tier_reports_medium_regressions_without_flagging():
+    """The r10-item-4 gap: a genuine ~2x regression on a substantial
+    query must be REPORTED (watch tier) even though it clears the 3x
+    suspect bar — and the tier must stay era-normalized (uniform
+    machine drift moves calibration too, so it never floods the list),
+    disjoint from suspects, and silent on sub-second anchors."""
+    flat_cal, flat_overhead = bench.ANCHOR_CAL_SEC, 0.06
+    flat_py = bench.ANCHOR_CAL_PYTHON_SEC
+    base = dict(bench.ANCHOR)
+
+    # a 2.5x single-query regression on a >=1s-anchor query
+    med = dict(base)
+    med["q124_kmeans_hashed_seed_train"] = base["q124_kmeans_hashed_seed_train"] * 2.5
+    out = bench.ambient_check(med, flat_cal, flat_overhead, flat_py)
+    assert list(out["watch_vs_anchor"]) == ["q124_kmeans_hashed_seed_train"]
+    assert out["suspects_vs_anchor"] == {}  # below the 3x suspect bar
+    assert out["suspect_ambient"] is False
+
+    # past 3x the same query graduates to suspects and LEAVES the watch
+    hot = dict(base)
+    hot["q124_kmeans_hashed_seed_train"] = base["q124_kmeans_hashed_seed_train"] * 4
+    out = bench.ambient_check(hot, flat_cal, flat_overhead, flat_py)
+    assert "q124_kmeans_hashed_seed_train" in out["suspects_vs_anchor"]
+    assert "q124_kmeans_hashed_seed_train" not in out["watch_vs_anchor"]
+
+    # a 2.5x on a sub-second anchor is scheduler jitter, not watched
+    small = dict(base)
+    small["q41_text_quality"] = base["q41_text_quality"] * 2.5
+    out = bench.ambient_check(small, flat_cal, flat_overhead, flat_py)
+    assert out["watch_vs_anchor"] == {}
+
+    # uniform 2.5x slowdown WITH calibration moved 2.5x: machine era,
+    # nothing watched
+    slow = {q: t * 2.5 for q, t in base.items()}
+    out = bench.ambient_check(slow, flat_cal * 2.5, flat_overhead, flat_py)
+    assert out["watch_vs_anchor"] == {}
+
+
 def test_ambient_check_flags_the_r8_signature():
     """The exact r8 contamination shape — several anchored queries far
     past 3x, JVM calibrations flat, Python-lane axis registering the

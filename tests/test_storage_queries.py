@@ -92,6 +92,26 @@ def test_q155_layout_flags_and_backfill(spark):
         assert abs(rows[day].sum_value - float(want)) < 1e-6
 
 
+def test_q156_lanes_and_replay_flags(spark):
+    """The five-lane streaming parity audit (driver-gated q156): every
+    lane produced rows through its real streaming runtime, every
+    measured replay/restart-idempotence flag came back 1, drift logged
+    exactly one report per (batch, feature), and the audit ran on a
+    session CLONE (the caller's shuffle setting is untouched)."""
+    from sms_db_spark.plans.storage_queries import (
+        _PARITY_DROPS,
+        q156_streaming_parity_audit,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    rows = {r.lane: r for r in q156_streaming_parity_audit(spark, SF_DIR).collect()}
+    assert sorted(rows) == ["curation", "drift", "sessions", "sketches", "windows"]
+    assert all(r.replay_ok == 1 for r in rows.values())
+    assert all(r.n_rows > 0 for r in rows.values())
+    assert rows["drift"].n_rows == 2 * _PARITY_DROPS  # one row per (batch, feature)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_scratch_dir_honors_configured_root(spark, tmp_path):
     """With spark.sms_db_spark.scratchRoot set, the scratch dir is a
     child of that root and is deleted on exit (ADVICE r5: driver-local
