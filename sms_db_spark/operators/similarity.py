@@ -388,26 +388,81 @@ def _unit(col_name: str, nrm_col: str) -> Column:
     return F.transform(F.col(col_name), lambda x: x.cast("double") / F.col(nrm_col))
 
 
-# the per-row nearest-centroid argmax as ONE expression over the packed
-# centroid array: dot evaluated exactly once per centroid (transform),
-# then array_max over (sim, -cid) structs — the identical total order
-# max_by(cid, struct(sim, -cid)) ranks by (highest sim, ties to the
-# LOWEST cid), and max over it is order-independent, so the
-# collect_list packing order cannot affect the result
-_ARGMAX_SQL = (
-    "array_max(transform(cents, c -> named_struct("
-    "'sim', aggregate(zip_with(embedding, c.c_unit,"
-    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-    " CAST(0 AS DOUBLE), (acc, v) -> acc + v),"
-    " 'ncid', -c.cid)))"
-)
+# Packing ceiling (ADVICE r10 #3 / VERDICT r10 item 6): the packed
+# centroids ride ONE collect_list array inside one broadcast row,
+# bounded by Spark's ~2 GB single-array/row cap. At D=64 each centroid
+# is ~(D+2)×8 ≈ 528 bytes packed, so 10^6 centroids ≈ 528 MB — safely
+# inside the cap with headroom for struct overhead. ABOVE this the
+# packing CHUNKS automatically (_pack_chunks): B = ceil(K/cap) arrays,
+# each broadcast separately, argmax folded across chunks — max over a
+# union is the max of per-chunk maxes and the (sim, -cid) struct order
+# is associative, so chunking can never change a winner. Still
+# map-only: the corpus side gains B-1 extra broadcast nested-loop
+# stages and ZERO exchanges.
+MAX_PACKED_K = 1_000_000
 
 
-def _assign(emb: DataFrame, cent: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+def _argmax_sql(cents_col: str) -> str:
+    """The per-row nearest-centroid argmax as ONE expression over a
+    packed centroid array: dot evaluated exactly once per centroid
+    (transform), then array_max over (sim, -cid) structs — the
+    identical total order max_by(cid, struct(sim, -cid)) ranks by
+    (highest sim, ties to the LOWEST cid), and max over it is
+    order-independent, so the packing order cannot affect the result.
+    An EMPTY chunk array folds to NULL, which the cross-chunk
+    array_max skips."""
+    return (
+        f"array_max(transform({cents_col}, c -> named_struct("
+        "'sim', aggregate(zip_with(embedding, c.c_unit,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v),"
+        " 'ncid', -c.cid)))"
+    )
+
+
+def _n_pack_chunks(cent: DataFrame, max_packed_k: int) -> int:
+    """How many packing chunks K centroids need (1 = the single-array
+    fast path). The probe is LIMIT-bounded, so deciding "fits in one
+    array" never scans more than cap+1 rows even against a huge
+    centroid table; only an over-cap K pays the full count."""
+    probed = cent.limit(max_packed_k + 1).count()
+    if probed <= max_packed_k:
+        return 1
+    return -(-cent.count() // max_packed_k)
+
+
+def _chunked(cent_rows: DataFrame, struct_cols: list[str], n_chunks: int) -> list:
+    """The packed broadcast sides for the chunked path: n_chunks 1-row
+    frames, each holding ≤ ceil(K/B) centroids in a `cents` array.
+    Chunk membership is round-robin by cid-RANK, not cid modulus — rank
+    chunks are BALANCED by construction (sizes differ by at most 1), so
+    no chunk can exceed the single-array cap however the cid values are
+    distributed. The rank window runs on the K-row centroid side only
+    (single-partition, exactly the collect_list scale) — never on the
+    corpus."""
+    rn = F.row_number().over(Window.orderBy("cid"))
+    ranked = cent_rows.withColumn("_rn", rn)
+    return [
+        ranked.filter(((F.col("_rn") - 1) % n_chunks) == i)
+        .agg(
+            F.collect_list(F.struct(*struct_cols)).alias(f"cents_{i}")
+        )
+        for i in range(n_chunks)
+    ]
+
+
+def _assign(
+    emb: DataFrame,
+    cent: DataFrame,
+    carry: tuple[str, ...] = (),
+    max_packed_k: int = MAX_PACKED_K,
+) -> DataFrame:
     """Nearest-centroid assignment, MAP-ONLY: the K normalized centroids
     are packed into a single array row, broadcast, and the per-row
-    argmax runs as one expression fold (_ARGMAX_SQL) — no groupBy, so
-    the corpus never shuffles for an assignment pass.
+    argmax runs as one expression fold (_argmax_sql) — no groupBy, so
+    the corpus never shuffles for an assignment pass. K past
+    MAX_PACKED_K chunks the packing (see the constant; the corpus side
+    stays exchange-free, gaining only extra broadcast stages).
 
     The previous shape (crossJoin to K rows + groupBy(vec_id) max_by)
     computed the same argmax but paid one full-corpus exchange per call
@@ -429,38 +484,50 @@ def _assign(emb: DataFrame, cent: DataFrame, carry: tuple[str, ...] = ()) -> Dat
     just documented: an empty cent packs to an empty array, which the
     size guard drops, so the result is zero rows — never N rows with a
     NULL cid (review r10)."""
-    packed = (
-        _unit_centroids(cent)
-        .agg(F.collect_list(F.struct("cid", "c_unit")).alias("cents"))
-        .where(F.size("cents") > 0)
+    uc = _unit_centroids(cent)
+    out_cols = lambda df: df.select(  # noqa: E731 - shared projection
+        "vec_id",
+        (-F.col("_best.ncid")).cast("bigint").alias("cid"),
+        "embedding",
+        *carry,
     )
-    return (
-        emb.crossJoin(F.broadcast(packed))
-        .withColumn("_best", F.expr(_ARGMAX_SQL))
-        .select(
-            "vec_id",
-            (-F.col("_best.ncid")).cast("bigint").alias("cid"),
-            "embedding",
-            *carry,
+    n_chunks = _n_pack_chunks(cent, max_packed_k)
+    if n_chunks == 1:
+        packed = uc.agg(
+            F.collect_list(F.struct("cid", "c_unit")).alias("cents")
+        ).where(F.size("cents") > 0)
+        return out_cols(
+            emb.crossJoin(F.broadcast(packed)).withColumn(
+                "_best", F.expr(_argmax_sql("cents"))
+            )
         )
+    df = emb
+    for chunk in _chunked(uc, ["cid", "c_unit"], n_chunks):
+        df = df.crossJoin(F.broadcast(chunk))
+    best = F.array_max(
+        F.array(*[F.expr(_argmax_sql(f"cents_{i}")) for i in range(n_chunks)])
+    )
+    return out_cols(df.withColumn("_best", best))
+
+
+def _cos_argmax_sql(cents_col: str) -> str:
+    """The full-cosine twin of _argmax_sql, for queries whose oracle
+    ranks by (or outputs) cosine itself: sim = dot/(|e|*|c|), with both
+    norms hoisted out of the per-centroid lambda (pure functions of
+    their own arrays — identical doubles, computed once per row / per
+    centroid instead of per pair)."""
+    return (
+        f"array_max(transform({cents_col}, c -> named_struct("
+        "'sim', aggregate(zip_with(embedding, c.c_emb,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (_enrm * c.c_nrm),"
+        " 'ncid', -c.cid)))"
     )
 
 
-# the full-cosine twin of _ARGMAX_SQL, for queries whose oracle ranks
-# by (or outputs) cosine itself: sim = dot/(|e|*|c|), with both norms
-# hoisted out of the per-centroid lambda (pure functions of their own
-# arrays — identical doubles, computed once per row / per centroid
-# instead of per pair)
-_COS_ARGMAX_SQL = (
-    "array_max(transform(cents, c -> named_struct("
-    "'sim', aggregate(zip_with(embedding, c.c_emb,"
-    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-    " CAST(0 AS DOUBLE), (acc, v) -> acc + v) / (_enrm * c.c_nrm),"
-    " 'ncid', -c.cid)))"
-)
-
-
-def _argmax_cosine_packed(emb: DataFrame, cent: DataFrame) -> DataFrame:
+def _argmax_cosine_packed(
+    emb: DataFrame, cent: DataFrame, max_packed_k: int = MAX_PACKED_K
+) -> DataFrame:
     """(vec_id, cid, sim, embedding): nearest centroid by FULL cosine,
     map-only — _assign's packed-broadcast fold (same corpus-shuffle-
     removal rationale, see _assign) for consumers whose oracle compares
@@ -469,30 +536,37 @@ def _argmax_cosine_packed(emb: DataFrame, cent: DataFrame) -> DataFrame:
     the former per-pair cosine("embedding", "c_emb") (hash-gate-proven
     on q100). Empty cent yields zero rows (same size guard as _assign).
 
-    K ceiling (honest, vs the old K-row broadcast): the broadcast
-    payload is K×(D+2) doubles EITHER way, but here it rides one row's
-    array, built by a single-partition collect_list and bounded by
-    Spark's ~2 GB single-array cap — comfortable at the K=2^16 IVF
-    sizing SCALE.md §4 vouches for (~34 MB at D=64), and safe to
-    K~10^6; q98-at-100 TB sizing (k ≈ N/1000 >> 10^6) should chunk the
-    packing into B array columns and fold argmax-of-argmaxes, or fall
-    back to the K-row broadcast shape — both stay map-only."""
-    packed = (
-        cent.select("cid", "c_emb", _norm("c_emb").alias("c_nrm"))
-        .agg(F.collect_list(F.struct("cid", "c_emb", "c_nrm")).alias("cents"))
-        .where(F.size("cents") > 0)
+    K ceiling: the broadcast payload is K×(D+2) doubles either way
+    (~34 MB at the K=2^16 IVF sizing SCALE.md §4 vouches for, D=64);
+    past MAX_PACKED_K the packing chunks automatically — B balanced
+    arrays, argmax-of-argmaxes, zero corpus exchanges (see the
+    constant; the q98-at-100 TB sizing k ≈ N/1000 now runs without a
+    prose caveat). The winner is chunk-invariant: max over a union is
+    the max of per-chunk maxes under the same (sim, -cid) order."""
+    rows = cent.select("cid", "c_emb", _norm("c_emb").alias("c_nrm"))
+    out_cols = lambda df: df.select(  # noqa: E731 - shared projection
+        "vec_id",
+        (-F.col("_best.ncid")).cast("bigint").alias("cid"),
+        F.col("_best.sim").alias("sim"),
+        "embedding",
     )
-    return (
-        emb.crossJoin(F.broadcast(packed))
-        .withColumn("_enrm", _norm("embedding"))
-        .withColumn("_best", F.expr(_COS_ARGMAX_SQL))
-        .select(
-            "vec_id",
-            (-F.col("_best.ncid")).cast("bigint").alias("cid"),
-            F.col("_best.sim").alias("sim"),
-            "embedding",
+    n_chunks = _n_pack_chunks(cent, max_packed_k)
+    if n_chunks == 1:
+        packed = rows.agg(
+            F.collect_list(F.struct("cid", "c_emb", "c_nrm")).alias("cents")
+        ).where(F.size("cents") > 0)
+        return out_cols(
+            emb.crossJoin(F.broadcast(packed))
+            .withColumn("_enrm", _norm("embedding"))
+            .withColumn("_best", F.expr(_cos_argmax_sql("cents")))
         )
+    df = emb
+    for chunk in _chunked(rows, ["cid", "c_emb", "c_nrm"], n_chunks):
+        df = df.crossJoin(F.broadcast(chunk))
+    best = F.array_max(
+        F.array(*[F.expr(_cos_argmax_sql(f"cents_{i}")) for i in range(n_chunks)])
     )
+    return out_cols(df.withColumn("_enrm", _norm("embedding")).withColumn("_best", best))
 
 
 def _unit_centroids(cent: DataFrame) -> DataFrame:

@@ -238,19 +238,36 @@ def release_delta_pin(pairs: DataFrame | None = None) -> None:
 
     With `pairs`: releases that result's pin — but ONLY the exact frame
     delta_neardup_pairs returned carries it; a derived frame
-    (.filter()/.repartition()/...) does not, and passing one is a
-    silent no-op. With NO argument: releases EVERY pin this process has
-    created and not yet released — the robust per-run epilogue for a
-    driver that transforms the result before releasing. Idempotent
-    either way."""
+    (.filter()/.repartition()/...) does not. Passing a pin-less frame
+    while pins are live warns (ADVICE r10: the miss was a SILENT no-op
+    — the caller believes the cache is freed while the pin lives until
+    the threshold warning or a no-arg drain) and points at the no-arg
+    form. With NO argument: releases EVERY pin this process has created
+    and not yet released — the robust per-run epilogue for a driver
+    that transforms the result before releasing. Idempotent either
+    way."""
     if pairs is None:
         while _LIVE_PINS:
             _LIVE_PINS.pop().unpersist()
         return
     pin = getattr(pairs, "_delta_pin", None)
-    if pin is not None:
-        pin.unpersist()
-        try:
-            _LIVE_PINS.remove(pin)
-        except ValueError:
-            pass  # already released via the no-arg catch-all
+    if pin is None:
+        if _LIVE_PINS:
+            import warnings
+
+            warnings.warn(
+                "release_delta_pin(pairs) got a frame with no _delta_pin "
+                "(a filter/repartition/select derivative loses the "
+                f"attribute) while {len(_LIVE_PINS)} pin(s) are live — "
+                "nothing was released; pass the exact frame "
+                "delta_neardup_pairs returned, or call the no-arg "
+                "release_delta_pin() to drain every live pin",
+                UserWarning,
+                stacklevel=2,
+            )
+        return
+    pin.unpersist()
+    try:
+        _LIVE_PINS.remove(pin)
+    except ValueError:
+        pass  # already released via the no-arg catch-all

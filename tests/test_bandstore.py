@@ -50,18 +50,32 @@ def test_delta_pairs_match_batch_union(spark, tmp_path):
     lvl = pin.storageLevel
     assert not (lvl.useMemory or lvl.useDisk)
     assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == got
-    release_delta_pin(pairs.limit(1))  # no pin on a derived frame: no-op
+    # pin-less frame with NO live pins: silently a no-op (nothing to miss)
+    release_delta_pin()  # drain any other tests' leftovers first
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        release_delta_pin(pairs.limit(1))
 
     # the no-arg catch-all (a driver that transformed the result away
     # from the attribute-bearing frame): releases every live pin —
     # including any left by other tests, which is what makes the == []
     # assertion below order-independent by construction
+    import pytest
+
     import sms_db_spark.sinks.bandstore as _bs
 
     pairs2 = delta_neardup_pairs(spark, delta, store)
     pin2 = pairs2._delta_pin
     derived = pairs2.filter(F.col("doc_a") >= 0)  # attribute lost here
     assert not hasattr(derived, "_delta_pin")
+    # ADVICE r10: a derived frame while a pin is LIVE is a caller bug —
+    # it must warn (naming the no-arg remedy) and release nothing
+    with pytest.warns(UserWarning, match="no-arg"):
+        release_delta_pin(derived)
+    lvl = pin2.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # the miss released nothing
     release_delta_pin()
     lvl = pin2.storageLevel
     assert not (lvl.useMemory or lvl.useDisk)

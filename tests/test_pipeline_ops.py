@@ -233,3 +233,54 @@ def test_assignment_folds_empty_centroids_yield_zero_rows(spark):
     )
     assert S._assign(emb, no_cent).count() == 0
     assert S._argmax_cosine_packed(emb, no_cent).count() == 0
+
+
+def test_chunked_packing_matches_single_array_and_stays_map_only(spark):
+    """VERDICT r10 item 6: past MAX_PACKED_K the centroid packing must
+    chunk — and the forced-small-chunk path must (a) produce IDENTICAL
+    rows to the single-array fold (winner chunk-invariance, including
+    the full-cosine sim VALUE bit-for-bit), (b) plan one broadcast
+    nested-loop stage per chunk, and (c) never shuffle the corpus (no
+    vec_id exchange — the whole point of the fold)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    import sms_db_spark.operators.similarity as S
+    from sms_db_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cent = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+
+    def rows(df, *cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    def plan(df) -> str:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("simple")
+        return buf.getvalue()
+
+    # 10 centroids, cap 3 -> 4 balanced chunks
+    single = S._assign(emb, cent)
+    chunked = S._assign(emb, cent, max_packed_k=3)
+    assert rows(chunked, "vec_id", "cid") == rows(single, "vec_id", "cid")
+    p = plan(chunked)
+    assert len(re.findall(r"BroadcastNestedLoopJoin", p)) == 4, p
+    assert not re.findall(r"hashpartitioning\(vec_id", p), p
+
+    # full-cosine twin: the sim VALUE must be bit-identical too
+    single = S._argmax_cosine_packed(emb, cent)
+    chunked = S._argmax_cosine_packed(emb, cent, max_packed_k=3)
+    assert rows(chunked, "vec_id", "cid", "sim") == rows(
+        single, "vec_id", "cid", "sim"
+    )
+    assert not re.findall(r"hashpartitioning\(vec_id", plan(chunked))
+
+    # at the cap boundary (K == cap) the fast single-array path holds:
+    # exactly ONE broadcast stage
+    at_cap = S._assign(emb, cent, max_packed_k=10)
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan(at_cap))) == 1
+    assert rows(at_cap, "vec_id", "cid") == rows(single, "vec_id", "cid")

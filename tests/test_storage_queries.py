@@ -92,6 +92,59 @@ def test_q155_layout_flags_and_backfill(spark):
         assert abs(rows[day].sum_value - float(want)) < 1e-6
 
 
+def test_pruned_listing_count_guards_every_assumption(spark, tmp_path):
+    """The py4j reach behind q155's files_pruned flag must degrade to
+    None + a naming UserWarning on every broken structural assumption
+    (VERDICT r10 item 7), and still measure the real listing on the
+    happy path."""
+    import warnings
+
+    import pytest
+
+    from sms_db_spark.plans.storage_queries import _pruned_listing_count
+
+    df = spark.range(10).selectExpr("id", "id % 3 AS p")
+    df.write.mode("overwrite").partitionBy("p").parquet(str(tmp_path / "t"))
+    scan = spark.read.parquet(str(tmp_path / "t"))
+
+    # happy path: a pruned single-scan plan reports its real listing
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert _pruned_listing_count(scan.filter("p = 1")) == 1
+        assert _pruned_listing_count(scan) == 3
+
+    # two leaves (a union: no exchange, so AQE does not wrap it):
+    # apply(0) would be arbitrary — refused, loudly
+    unioned = scan.union(spark.read.parquet(str(tmp_path / "t")))
+    with pytest.warns(UserWarning, match="expected 1 plan leaf"):
+        assert _pruned_listing_count(unioned) is None
+
+    # an AQE-wrapped plan (a join introduces exchanges): collectLeaves
+    # returns the unexecuted AdaptiveSparkPlanExec itself — the class
+    # check refuses it rather than calling methods it does not have
+    joined = scan.alias("a").join(
+        spark.read.parquet(str(tmp_path / "t")).alias("b"), "id"
+    )
+    with pytest.warns(UserWarning, match="not a FileSourceScan"):
+        assert _pruned_listing_count(joined) is None
+
+    # a non-file leaf (local relation): no selectedPartitions to force
+    local = spark.createDataFrame([(1,)], "x int")
+    with pytest.warns(UserWarning, match="not a FileSourceScan"):
+        assert _pruned_listing_count(local) is None
+
+    # the reach itself exploding (simulated by a frame with no _jdf
+    # queryExecution — a plain object) must warn, not raise
+    class Broken:
+        class _jdf:  # noqa: N801 - shape stand-in
+            @staticmethod
+            def queryExecution():
+                raise RuntimeError("renamed in a future Spark")
+
+    with pytest.warns(UserWarning, match="py4j reach failed"):
+        assert _pruned_listing_count(Broken()) is None
+
+
 def test_q156_lanes_and_replay_flags(spark):
     """The five-lane streaming parity audit (driver-gated q156): every
     lane produced rows through its real streaming runtime, every
