@@ -110,6 +110,7 @@ WRITE_AUDITS = [
     "q154_bucketed_join_audit",
     "q155_partitioned_prune_audit",
     "q156_streaming_parity_audit",
+    "q157_bucketed_antijoin_dedup_audit",
 ]
 
 # Cold-protocol write-audit anchor: BENCH_r10's driver timings — the

@@ -2195,6 +2195,134 @@ FROM ({src})"""
     )
 
 
+# q157 split: store = doc_id % 5 != 0 (80%); delta = the missing fifth
+# (genuinely new) plus every doc_id % 10 == 1 re-delivered from the
+# store (the at-least-once duplicate the anti-join must drop).
+_DEDUP_STORE_MOD = 5
+_REDELIVER_MOD = 10
+
+
+def q157_bucketed_antijoin_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Against-store exact dedup with the store BUCKETED on the content
+    hash, under the hash gate (VERDICT r10 item 8 surfaced it: SCALE.md
+    §2 promises 'against-store dedup (left_anti on hash) ... a bucketed
+    store (§5) makes it exchange-free on the store side', and no query
+    exercised that path — the same promised-but-ungated class q153-q156
+    closed). The canonical store (80% of documents, keyed by the shared
+    md5-prefix content hash) is written bucketed+sorted on `hash`
+    (`write_bucketed`, sinks/bucketed.py:18); the daily delta (the
+    missing 20% plus every %10==1 stored doc RE-DELIVERED as an
+    at-least-once duplicate) left_anti-joins against it on the bucket
+    key. The oracle recomputes the surviving set from raw parquet with
+    the same hash in SQL — a value-hash match proves the bucketed
+    write/read lost no store row (a dropped bucket would let its
+    re-delivered duplicates survive).
+
+    Two laws pinned in-result:
+      - `store_no_exchange`: the anti-join plans as a sort-merge
+        LeftAnti with EXACTLY ONE hash-partitioning Exchange — the
+        DELTA side's; the store's bucketed scan contributes none. At
+        the 10^11-message sizing this is the difference between
+        shuffling ~3 TB of store hashes per daily batch and shuffling
+        only the delta (SCALE.md §2).
+      - `dup_dropped_ok`: no survivor's hash exists in the store
+        (measured as a semi-join count, NOT assumed from anti-join
+        semantics — it re-checks the bucketed read served every
+        bucket).
+
+    Scale note: the store pays its shuffle ONCE at write; every
+    subsequent daily dedup moves only delta bytes. Scratch table is
+    unique-named and dropped."""
+    import re
+
+    from ..operators.sketches import _h60
+    from ..sinks.bucketed import write_bucketed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = _h60(F.col("text"))
+    is_store = F.col("doc_id") % _DEDUP_STORE_MOD != 0
+    redelivered = F.col("doc_id") % _REDELIVER_MOD == 1
+    store_rows = docs.filter(is_store).select("doc_id", h.alias("hash"))
+    # ONE filter, not new-docs UNION re-delivered: the two classes are
+    # disjoint (%10==1 implies %5==1), the row set is identical, and a
+    # union would be split by Catalyst into per-branch anti-joins —
+    # correct, but doubling the delta-side exchanges the plan law counts
+    delta = docs.filter(~is_store | redelivered).select("doc_id", h.alias("hash"))
+    run = uuid.uuid4().hex[:12]
+    t_store = f"doc_store_q157_{run}"
+    with _scratch_dir(spark, "sms_db_spark_antijoin_dedup_audit_") as root:
+        try:
+            write_bucketed(store_rows, t_store, "hash", N_JOIN_BUCKETS, path=root)
+            store = spark.table(t_store)
+            survivors = delta.hint("merge").join(store, "hash", "left_anti")
+            p = _plan_text(survivors)
+            # exactly ONE hash-partitioning Exchange (the delta's), one
+            # sort-merge LeftAnti, and the store scan reads its bucket
+            # layout (`Bucketed: true` — a catalog/conf regression that
+            # silently fell back to a plain scan would re-shuffle the
+            # store and flip this flag)
+            store_no_exchange = int(
+                len(re.findall(r"Exchange hashpartitioning", p)) == 1
+                and "SortMergeJoin" in p
+                and "LeftAnti" in p
+                and "Bucketed: true" in p
+            )
+            dup_dropped_ok = int(
+                survivors.join(store, "hash", "left_semi").count() == 0
+            )
+            rh = _h60(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.col("hash").cast("string")
+                )
+            )
+            out = (
+                survivors.agg(
+                    F.count(F.lit(1)).alias("n_survivors"),
+                    (F.sum(rh.cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD))
+                    .cast("bigint")
+                    .alias("checksum_mod"),
+                    F.min("doc_id").alias("min_id"),
+                    F.max("doc_id").alias("max_id"),
+                )
+                .withColumn("n_delta", F.lit(delta.count()).cast("bigint"))
+                .withColumn(
+                    "store_no_exchange", F.lit(store_no_exchange).cast("int")
+                )
+                .withColumn("dup_dropped_ok", F.lit(dup_dropped_ok).cast("int"))
+            )
+            return _detached(out)  # 1 driver-held row; scratch dies here
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {t_store}")
+
+
+def _q157_sql() -> str:
+    m, r = _DEDUP_STORE_MOD, _REDELIVER_MOD
+    h = _h60_sql("text")
+    return f"""
+WITH store AS (
+  SELECT doc_id, {h} AS hash FROM documents WHERE doc_id % {m} <> 0
+),
+delta AS (
+  -- new docs (%{m}==0) plus re-delivered store docs (%{r}==1): the
+  -- classes are disjoint, so one predicate == the conceptual union
+  SELECT doc_id, {h} AS hash FROM documents
+  WHERE doc_id % {m} = 0 OR doc_id % {r} = 1
+),
+surv AS (
+  SELECT d.doc_id, d.hash FROM delta d
+  WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.hash = d.hash)
+)
+SELECT COUNT(*) AS n_survivors,
+       CAST(SUM({_h60_sql(
+           "CAST(doc_id AS VARCHAR) || ':' || CAST(hash AS VARCHAR)"
+       )}) % {_CHECKSUM_MOD} AS BIGINT) AS checksum_mod,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       (SELECT COUNT(*) FROM delta) AS n_delta,
+       1 AS store_no_exchange, 1 AS dup_dropped_ok
+FROM surv
+"""
+
+
 QUERIES = {
     "q134_shard_manifest_audit": QuerySpec(
         q134_shard_manifest_audit,
@@ -2275,5 +2403,10 @@ QUERIES = {
         q156_streaming_parity_audit,
         _q156_sql(),
         "five streaming lanes == their batch twins, one hashed row each",
+    ),
+    "q157_bucketed_antijoin_dedup_audit": QuerySpec(
+        q157_bucketed_antijoin_dedup_audit,
+        _q157_sql(),
+        "store-side exchange-free anti-join dedup against a bucketed store",
     ),
 }

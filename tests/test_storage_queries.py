@@ -165,6 +165,23 @@ def test_q156_lanes_and_replay_flags(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+def test_q157_flags_are_measured(spark):
+    """The bucketed anti-join dedup audit's laws must be computed from
+    the real plan and the real store read-back, not assumed: one
+    delta-side exchange with a bucketed store scan (store_no_exchange),
+    no survivor hash present in the store (dup_dropped_ok), and the
+    survivor count strictly below the delta count (the re-delivered
+    duplicates actually dropped)."""
+    from sms_db_spark.plans.storage_queries import (
+        q157_bucketed_antijoin_dedup_audit,
+    )
+
+    (r,) = q157_bucketed_antijoin_dedup_audit(spark, SF_DIR).collect()
+    assert r.store_no_exchange == 1
+    assert r.dup_dropped_ok == 1
+    assert 0 < r.n_survivors < r.n_delta
+
+
 def test_scratch_dir_honors_configured_root(spark, tmp_path):
     """With spark.sms_db_spark.scratchRoot set, the scratch dir is a
     child of that root and is deleted on exit (ADVICE r5: driver-local
