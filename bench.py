@@ -122,7 +122,8 @@ WRITE_AUDITS = [
 # adds a partitioned one-row write to cover the dynamic-partition
 # committer q134 actually uses, so a HEALTHY r11 q134 lands far BELOW
 # this anchor (only >2x ratios are reported; shrink is success).
-# q156 is new in r11 and has no anchor yet.
+# q156 and q157 are new in r11 and have no anchor yet — they ride
+# outside the watch tier until this dict is refreshed from BENCH_r11.
 WRITE_AUDIT_ANCHOR_ROUND = 10
 WRITE_AUDIT_ANCHOR = {
     "q134_shard_manifest_audit": 27.694,

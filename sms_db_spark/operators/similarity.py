@@ -307,7 +307,7 @@ def q51_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # coarse assignment: argmax cosine, ties -> smallest cid
-    assigned = _argmax_cosine_packed(emb, cent).select(
+    assigned = _argmax_cosine_packed(emb, cent, k_max_hint=N_CENTROIDS).select(
         "vec_id", F.col("embedding").alias("c_emb"), "cid"
     )
 
@@ -420,35 +420,69 @@ def _argmax_sql(cents_col: str) -> str:
     )
 
 
-def _n_pack_chunks(cent: DataFrame, max_packed_k: int) -> int:
+def _n_pack_chunks(
+    cent: DataFrame, max_packed_k: int, k_max_hint: int | None
+) -> int:
     """How many packing chunks K centroids need (1 = the single-array
-    fast path). The probe is LIMIT-bounded, so deciding "fits in one
-    array" never scans more than cap+1 rows even against a huge
-    centroid table; only an over-cap K pays the full count."""
+    fast path). A caller that statically knows an UPPER BOUND on K
+    passes it as k_max_hint and the decision costs ZERO jobs (an upper
+    bound is sound: chunking is only ever NEEDED above the cap, and
+    every in-repo consumer bounds K by N_CENTROIDS). Unhinted, the
+    probe is LIMIT-bounded, so deciding "fits in one array" never scans
+    more than cap+1 rows even against a huge centroid table; only an
+    over-cap K pays the full count."""
+    if k_max_hint is not None and k_max_hint <= max_packed_k:
+        return 1
     probed = cent.limit(max_packed_k + 1).count()
     if probed <= max_packed_k:
         return 1
     return -(-cent.count() // max_packed_k)
 
 
-def _chunked(cent_rows: DataFrame, struct_cols: list[str], n_chunks: int) -> list:
-    """The packed broadcast sides for the chunked path: n_chunks 1-row
-    frames, each holding ≤ ceil(K/B) centroids in a `cents` array.
-    Chunk membership is round-robin by cid-RANK, not cid modulus — rank
-    chunks are BALANCED by construction (sizes differ by at most 1), so
-    no chunk can exceed the single-array cap however the cid values are
-    distributed. The rank window runs on the K-row centroid side only
-    (single-partition, exactly the collect_list scale) — never on the
-    corpus."""
+def _packed_fold(
+    emb: DataFrame,
+    cent: DataFrame,
+    rows: DataFrame,
+    struct_cols: list[str],
+    argmax_sql,
+    max_packed_k: int,
+    k_max_hint: int | None,
+) -> DataFrame:
+    """THE packed-broadcast argmax fold, shared by _assign and
+    _argmax_cosine_packed (one implementation of the dispatch, the
+    size-guarded single-array fast path, and the chunked
+    argmax-of-argmaxes — the two variants differ only in their packed
+    struct columns, their argmax SQL, and their output projection).
+    Returns the corpus frame with `_best` attached; never shuffles it.
+
+    Chunked path: chunk membership is round-robin by cid-RANK, not cid
+    modulus — rank chunks are BALANCED by construction (sizes differ by
+    at most 1), so no chunk can exceed the single-array cap however the
+    cid values are distributed. The ranked K-row frame is
+    localCheckpointed so the centroid lineage and its single-partition
+    rank window run ONCE, not once per chunk (review r11). An empty
+    chunk's argmax folds to NULL, which the cross-chunk array_max
+    skips."""
+    n_chunks = _n_pack_chunks(cent, max_packed_k, k_max_hint)
+    if n_chunks == 1:
+        packed = rows.agg(
+            F.collect_list(F.struct(*struct_cols)).alias("cents")
+        ).where(F.size("cents") > 0)
+        return emb.crossJoin(F.broadcast(packed)).withColumn(
+            "_best", F.expr(argmax_sql("cents"))
+        )
     rn = F.row_number().over(Window.orderBy("cid"))
-    ranked = cent_rows.withColumn("_rn", rn)
-    return [
-        ranked.filter(((F.col("_rn") - 1) % n_chunks) == i)
-        .agg(
+    ranked = rows.withColumn("_rn", rn).localCheckpoint(eager=True)
+    df = emb
+    for i in range(n_chunks):
+        chunk = ranked.filter(((F.col("_rn") - 1) % n_chunks) == i).agg(
             F.collect_list(F.struct(*struct_cols)).alias(f"cents_{i}")
         )
-        for i in range(n_chunks)
-    ]
+        df = df.crossJoin(F.broadcast(chunk))
+    best = F.array_max(
+        F.array(*[F.expr(argmax_sql(f"cents_{i}")) for i in range(n_chunks)])
+    )
+    return df.withColumn("_best", best)
 
 
 def _assign(
@@ -456,6 +490,7 @@ def _assign(
     cent: DataFrame,
     carry: tuple[str, ...] = (),
     max_packed_k: int = MAX_PACKED_K,
+    k_max_hint: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment, MAP-ONLY: the K normalized centroids
     are packed into a single array row, broadcast, and the per-row
@@ -484,30 +519,21 @@ def _assign(
     just documented: an empty cent packs to an empty array, which the
     size guard drops, so the result is zero rows — never N rows with a
     NULL cid (review r10)."""
-    uc = _unit_centroids(cent)
-    out_cols = lambda df: df.select(  # noqa: E731 - shared projection
+    folded = _packed_fold(
+        emb,
+        cent,
+        _unit_centroids(cent),
+        ["cid", "c_unit"],
+        _argmax_sql,
+        max_packed_k,
+        k_max_hint,
+    )
+    return folded.select(
         "vec_id",
         (-F.col("_best.ncid")).cast("bigint").alias("cid"),
         "embedding",
         *carry,
     )
-    n_chunks = _n_pack_chunks(cent, max_packed_k)
-    if n_chunks == 1:
-        packed = uc.agg(
-            F.collect_list(F.struct("cid", "c_unit")).alias("cents")
-        ).where(F.size("cents") > 0)
-        return out_cols(
-            emb.crossJoin(F.broadcast(packed)).withColumn(
-                "_best", F.expr(_argmax_sql("cents"))
-            )
-        )
-    df = emb
-    for chunk in _chunked(uc, ["cid", "c_unit"], n_chunks):
-        df = df.crossJoin(F.broadcast(chunk))
-    best = F.array_max(
-        F.array(*[F.expr(_argmax_sql(f"cents_{i}")) for i in range(n_chunks)])
-    )
-    return out_cols(df.withColumn("_best", best))
 
 
 def _cos_argmax_sql(cents_col: str) -> str:
@@ -526,7 +552,10 @@ def _cos_argmax_sql(cents_col: str) -> str:
 
 
 def _argmax_cosine_packed(
-    emb: DataFrame, cent: DataFrame, max_packed_k: int = MAX_PACKED_K
+    emb: DataFrame,
+    cent: DataFrame,
+    max_packed_k: int = MAX_PACKED_K,
+    k_max_hint: int | None = None,
 ) -> DataFrame:
     """(vec_id, cid, sim, embedding): nearest centroid by FULL cosine,
     map-only — _assign's packed-broadcast fold (same corpus-shuffle-
@@ -543,30 +572,21 @@ def _argmax_cosine_packed(
     constant; the q98-at-100 TB sizing k ≈ N/1000 now runs without a
     prose caveat). The winner is chunk-invariant: max over a union is
     the max of per-chunk maxes under the same (sim, -cid) order."""
-    rows = cent.select("cid", "c_emb", _norm("c_emb").alias("c_nrm"))
-    out_cols = lambda df: df.select(  # noqa: E731 - shared projection
+    folded = _packed_fold(
+        emb.withColumn("_enrm", _norm("embedding")),
+        cent,
+        cent.select("cid", "c_emb", _norm("c_emb").alias("c_nrm")),
+        ["cid", "c_emb", "c_nrm"],
+        _cos_argmax_sql,
+        max_packed_k,
+        k_max_hint,
+    )
+    return folded.select(
         "vec_id",
         (-F.col("_best.ncid")).cast("bigint").alias("cid"),
         F.col("_best.sim").alias("sim"),
         "embedding",
     )
-    n_chunks = _n_pack_chunks(cent, max_packed_k)
-    if n_chunks == 1:
-        packed = rows.agg(
-            F.collect_list(F.struct("cid", "c_emb", "c_nrm")).alias("cents")
-        ).where(F.size("cents") > 0)
-        return out_cols(
-            emb.crossJoin(F.broadcast(packed))
-            .withColumn("_enrm", _norm("embedding"))
-            .withColumn("_best", F.expr(_cos_argmax_sql("cents")))
-        )
-    df = emb
-    for chunk in _chunked(rows, ["cid", "c_emb", "c_nrm"], n_chunks):
-        df = df.crossJoin(F.broadcast(chunk))
-    best = F.array_max(
-        F.array(*[F.expr(_cos_argmax_sql(f"cents_{i}")) for i in range(n_chunks)])
-    )
-    return out_cols(df.withColumn("_enrm", _norm("embedding")).withColumn("_best", best))
 
 
 def _unit_centroids(cent: DataFrame) -> DataFrame:
@@ -632,10 +652,16 @@ def _lloyd(emb: DataFrame, cent: DataFrame) -> DataFrame:
     and the standard iterative-algorithm lineage cut (same move as the
     q83 star-contraction loop)."""
     cent = cent.localCheckpoint(eager=True)
+    # one cheap count on the pinned K-row table bounds EVERY round's K
+    # (clusters only ever vanish in _update) — so no assignment pass
+    # pays the fits-in-one-array probe job (review r11)
+    k0 = cent.count()
     for _ in range(KMEANS_ITERS):
-        cent = _update(_assign(emb, cent)).localCheckpoint(eager=True)
+        cent = _update(_assign(emb, cent, k_max_hint=k0)).localCheckpoint(
+            eager=True
+        )
     return (
-        _assign(emb, cent)
+        _assign(emb, cent, k_max_hint=k0)
         .select("vec_id", "cid")
         .orderBy("vec_id")
     )
@@ -793,7 +819,7 @@ def q98_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separate groupBy(cid) + broadcast-join formulation measured +26%
     # on the whole query at sf0.1).
     sized = (
-        _assign(emb, cent)
+        _assign(emb, cent, k_max_hint=N_CENTROIDS)
         .withColumn("rnk", F.row_number().over(w))
         .withColumn(
             "cluster_truncated",
@@ -901,7 +927,7 @@ def q100_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    assigned = _argmax_cosine_packed(emb, cent).select(
+    assigned = _argmax_cosine_packed(emb, cent, k_max_hint=N_CENTROIDS).select(
         "vec_id", "cid", F.col("sim").alias("centroid_sim")
     )
     w = Window.partitionBy("cid").orderBy("centroid_sim", "vec_id")
@@ -1070,7 +1096,7 @@ def q121_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    assigned = _argmax_cosine_packed(emb, cent).select(
+    assigned = _argmax_cosine_packed(emb, cent, k_max_hint=N_CENTROIDS).select(
         "vec_id", "embedding", "cid"
     )
     q = emb.filter(F.col("vec_id") < 10).select(
@@ -1460,7 +1486,7 @@ def q133_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (_assign / _unit_centroids): ranking by dot(e, c/|c|) is cosine's
     # order at a third of the arithmetic, and there is exactly ONE
     # implementation of the tie-break to maintain
-    assigned = _assign(emb, cent, carry=("label",))
+    assigned = _assign(emb, cent, carry=("label",), k_max_hint=N_CENTROIDS)
     cent_n = _unit_centroids(cent)
     anchors = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("anchor_id"),

@@ -1927,9 +1927,27 @@ def q156_streaming_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lanes.append(("sketches", n, chk, replay))
 
         # ---- events drops: real corpus + two far-future sentinels ----
+        # Staged rows are restricted to non-NULL (ts, user_id,
+        # event_type) — ONE shared predicate, mirrored verbatim in the
+        # oracle (_EV_NONDEGENERATE): NULL event-time rows are dropped
+        # by the watermark operator while a batch oracle would keep
+        # their group, NULL user_id would group in SQL but be filtered
+        # with the sentinel here, and NULL event_type would NULL out
+        # the != '__flush__' filter — each a silent engine de-sync on
+        # data this audit's parity law shouldn't be defined over
+        # (review r11; the synthetic corpus has no such rows, so the
+        # filter is currently a no-op that pins the contract).
         ev_drop = f"{root}/events"
         ev_cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-        real = events.select(*ev_cols).withColumn("ts_ms", F.unix_millis("ts"))
+        real = (
+            events.filter(
+                F.col("ts").isNotNull()
+                & F.col("user_id").isNotNull()
+                & F.col("event_type").isNotNull()
+            )
+            .select(*ev_cols)
+            .withColumn("ts_ms", F.unix_millis("ts"))
+        )
         real.coalesce(1).write.mode("append").parquet(ev_drop)
 
         def sentinel(event_id: int, extra: str):
@@ -2129,6 +2147,10 @@ FROM ({src})"""
   FROM (SELECT {_h60_sql('gram')} AS h FROM ({_SHINGLE_ROWS_SQL}))
   GROUP BY 1"""
 
+    # the staging predicate, verbatim (see the q156 staging comment)
+    nondegenerate = (
+        "ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL"
+    )
     sessions_src = f"""
   SELECT user_id, MIN(ts_ms) AS s_ms, MAX(ts_ms) AS e_ms, COUNT(*) AS n
   FROM (
@@ -2140,7 +2162,8 @@ FROM ({src})"""
              CASE WHEN lag(ts_ms) OVER w IS NULL
                        OR ts_ms - lag(ts_ms) OVER w > {_SESSION_GAP_MS}
                   THEN 1 ELSE 0 END AS ns
-      FROM (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events)
+      FROM (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+            FROM events WHERE {nondegenerate})
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
     )
   )
@@ -2152,7 +2175,7 @@ FROM ({src})"""
            AS ms,
          event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-  FROM events GROUP BY 1, 2"""
+  FROM events WHERE {nondegenerate} GROUP BY 1, 2"""
 
     return (
         lane(
@@ -2225,10 +2248,13 @@ def q157_bucketed_antijoin_dedup_audit(spark: SparkSession, sf_dir: str) -> Data
         the 10^11-message sizing this is the difference between
         shuffling ~3 TB of store hashes per daily batch and shuffling
         only the delta (SCALE.md §2).
-      - `dup_dropped_ok`: no survivor's hash exists in the store
-        (measured as a semi-join count, NOT assumed from anti-join
-        semantics — it re-checks the bucketed read served every
-        bucket).
+      - `dup_dropped_ok`: no survivor's hash exists in the store —
+        measured as a semi-join against the RAW pre-write frame, not
+        the bucketed table (against the table it would be tautological:
+        a bucketed read that consistently lost a bucket would let its
+        duplicates survive AND miss them in the re-check; the raw-side
+        probe is an independent read path, so a lost bucket flips the
+        flag).
 
     Scale note: the store pays its shuffle ONCE at write; every
     subsequent daily dedup moves only delta bytes. Scratch table is
@@ -2267,8 +2293,10 @@ def q157_bucketed_antijoin_dedup_audit(spark: SparkSession, sf_dir: str) -> Data
                 and "LeftAnti" in p
                 and "Bucketed: true" in p
             )
+            # probe the RAW frame (independent read path), never the
+            # bucketed table the anti-join itself read — see docstring
             dup_dropped_ok = int(
-                survivors.join(store, "hash", "left_semi").count() == 0
+                survivors.join(store_rows, "hash", "left_semi").count() == 0
             )
             rh = _h60(
                 F.concat_ws(
