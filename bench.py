@@ -111,6 +111,7 @@ WRITE_AUDITS = [
     "q155_partitioned_prune_audit",
     "q156_streaming_parity_audit",
     "q157_bucketed_antijoin_dedup_audit",
+    "q158_stream_join_ingest_audit",
 ]
 
 # Cold-protocol write-audit anchor: BENCH_r10's driver timings — the

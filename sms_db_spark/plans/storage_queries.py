@@ -2351,6 +2351,238 @@ FROM surv
 """
 
 
+# q158: the two streaming lanes q156 left to runtime-coverage-elsewhere
+# (streaming/joins.py via q152's stream-stream join runtime,
+# streaming/ingest.py via q146/q149's foreachBatch upsert) get their own
+# MODULE-level gate rows. Events are cut at a fixed date so the join
+# lane's two drops are ts-ordered; the cut only affects batching, never
+# the pair set (proven in the docstring), so the oracle is cut-free.
+_JOIN_DROP_CUT = "2024-01-16"
+
+
+def q158_stream_join_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last two pytest-only streaming modules under the hash gate
+    (q156 gated five lanes; joins and ingest kept pytest rows because
+    their RUNTIME features are exercised by q152/q146/q149 — this row
+    gates the modules themselves, closing the promised-but-ungated
+    class completely). One hashed row per lane:
+
+    - joins (`streaming/joins.py`): `stream_attribution_join` over two
+      ts-ordered drops per side (views = event_type 'view', purchases =
+      'purchase'; cut at _JOIN_DROP_CUT, run-per-drop). The oracle is
+      the batch range join — every (view, same-user purchase within
+      ATTRIBUTION_WINDOW after it) pair exactly once. The emitted set
+      is provably complete under the 2-drop protocol: a view evicted
+      during run 1 has ts < maxA - watermark - window, so its matchable
+      purchases end before maxA — all already in drop A — while drop
+      B's purchases start at the cut ≥ maxA; symmetric-hash state can
+      therefore never lose a cross-drop pair, and inner-join emission
+      never waits on a watermark. `replay_ok` = a third run with no
+      new input emits nothing (file-sink restart idempotence).
+    - ingest (`streaming/ingest.py`): `stream_ingest` (the reference's
+      re-run-per-backup accumulation, README.md:39-43) over THREE
+      drops with deliberate redundancy — A = 60% of staged messages,
+      B = 60% overlapping A by a fifth, C = A re-delivered whole (the
+      'same backup imported twice' case). Final store must hold every
+      staged message exactly once, which the oracle recomputes from
+      the raw events table with the same column derivations (the
+      dedup hash is row-unique by construction, so the surviving row
+      per hash is unambiguous; the hash itself stays OUT of the
+      checksum — no cross-engine hash parity is needed to check the
+      dedup LAW). `replay_ok` here is the stronger law: drop C (full
+      re-delivery) added ZERO rows, measured as count-before ==
+      count-after.
+
+    Scale note: the join buffers only watermark-horizon state per side
+    keyed by user_id; ingest state is one hash per message inside the
+    watermark with the store-side anti-join catching older dups
+    (SCALE.md §6). Only the 2-row lane summary reaches the driver.
+    """
+    from ..streaming.ingest import stream_ingest
+    from ..streaming.joins import stream_attribution_join
+
+    session = clone_tuned_session(spark)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = session
+    nondegenerate = (
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    events = load_table(spark, sf_dir, "events").filter(nondegenerate)
+    lanes: list[tuple[str, int, int, int]] = []
+
+    with _scratch_dir(spark, "sms_db_spark_join_ingest_audit_") as root:
+        # ---- joins lane: 2 ts-ordered drops per side, run per drop ----
+        vdir, pdir = f"{root}/views", f"{root}/purchases"
+        out_j, ckpt_j = f"{root}/attributed", f"{root}/ckpt_join"
+        views = events.filter(F.col("event_type") == "view")
+        purchases = events.filter(F.col("event_type") == "purchase")
+        cut = F.col("ts") < F.lit(_JOIN_DROP_CUT).cast("timestamp")
+
+        def run_join():
+            _drain(
+                stream_attribution_join(spark, vdir, pdir, out_j, ckpt_j),
+                "attribution join",
+            )
+
+        for side_df, side_dir in ((views, vdir), (purchases, pdir)):
+            side_df.filter(cut).coalesce(1).write.mode("append").parquet(side_dir)
+        run_join()
+        for side_df, side_dir in ((views, vdir), (purchases, pdir)):
+            side_df.filter(~cut).coalesce(1).write.mode("append").parquet(side_dir)
+        run_join()
+
+        join_schema = (
+            "view_id bigint, purchase_id bigint, user_id bigint,"
+            " view_ts timestamp, purchase_ts timestamp, amount double"
+        )
+
+        def join_frame():
+            # floor(amount*100): same IEEE double on both engines, so
+            # floor is deterministic — no float-format drift in the hash
+            return (
+                spark.read.schema(join_schema)
+                .parquet(out_j)
+                .select(
+                    "view_id",
+                    "purchase_id",
+                    "user_id",
+                    F.unix_millis("view_ts").alias("v_ms"),
+                    F.unix_millis("purchase_ts").alias("p_ms"),
+                    F.floor(F.col("amount") * 100).cast("bigint").alias("cents"),
+                )
+            )
+
+        join_parts = [
+            F.col(c).cast("string")
+            for c in ("view_id", "purchase_id", "user_id", "v_ms", "p_ms", "cents")
+        ]
+        n, chk = _lane_checksum(join_frame(), join_parts)
+        run_join()  # restart, no new input
+        replay = int(_lane_checksum(join_frame(), join_parts) == (n, chk))
+        lanes.append(("joins", n, chk, replay))
+
+        # ---- ingest lane: staged messages, 3 drops with redundancy ----
+        staged = events.select(
+            F.col("event_id").alias("local_id"),
+            F.unix_millis("ts").alias("timestamp"),
+            F.col("user_id").cast("string").alias("sender_address"),
+            F.col("event_type").alias("sender_name"),
+            (F.col("user_id") % 7).cast("string").alias("recipient_address"),
+            F.lit("store").alias("recipient_name"),
+            (F.col("user_id") % 2 + 1).cast("int").alias("msg_box"),
+            F.lit(1).cast("int").alias("message_type"),
+            F.lit(2).cast("int").alias("source_format"),
+        ).withColumn(
+            # row-unique dedup key (local_id is unique), so re-delivered
+            # rows are byte-identical and the survivor is unambiguous
+            "hash",
+            F.sha2(F.concat_ws("|", F.col("local_id").cast("string")), 256),
+        )
+        drop_i, store_i, ckpt_i = f"{root}/staged", f"{root}/msgstore", f"{root}/ckpt_ing"
+        in_a = F.col("local_id") % 5 < 3  # 60%
+        in_b = F.col("local_id") % 5 >= 2  # 60%, overlaps A at %5==2
+
+        def run_ingest():
+            q = (
+                stream_ingest(spark, drop_i, store_i, ckpt_i)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q, "ingest")
+
+        for batch in (staged.filter(in_a), staged.filter(in_b)):
+            batch.coalesce(1).write.mode("append").parquet(drop_i)
+            run_ingest()
+        n_before_c = spark.read.parquet(store_i).count()
+        staged.filter(in_a).coalesce(1).write.mode("append").parquet(drop_i)
+        run_ingest()  # drop C: the same backup re-delivered whole
+        store = spark.read.parquet(store_i)
+        redelivery_noop = int(store.count() == n_before_c)
+        ing_parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+            for c in (
+                "local_id",
+                "timestamp",
+                "sender_address",
+                "sender_name",
+                "recipient_address",
+                "recipient_name",
+                "msg_box",
+                "message_type",
+                "source_format",
+            )
+        ]
+        n, chk = _lane_checksum(store, ing_parts)
+        lanes.append(("ingest", n, chk, redelivery_noop))
+
+    return spark.createDataFrame(
+        sorted(lanes),
+        "lane string, n_rows bigint, checksum_mod bigint, replay_ok int",
+    ).orderBy("lane")
+
+
+def _q158_sql() -> str:
+    from ..streaming.joins import ATTRIBUTION_WINDOW
+
+    nondegenerate = (
+        "ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL"
+    )
+    joins_src = f"""
+  SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+         v.user_id AS user_id,
+         epoch_ms(CAST(v.ts AS TIMESTAMP)) AS v_ms,
+         epoch_ms(CAST(p.ts AS TIMESTAMP)) AS p_ms,
+         CAST(floor(p.value * 100) AS BIGINT) AS cents
+  FROM (SELECT * FROM events WHERE event_type = 'view' AND {nondegenerate}) v
+  JOIN (SELECT * FROM events WHERE event_type = 'purchase' AND {nondegenerate}) p
+    ON v.user_id = p.user_id
+   AND p.ts >= v.ts
+   AND p.ts <= v.ts + INTERVAL '{ATTRIBUTION_WINDOW}'"""
+
+    ingest_src = f"""
+  SELECT event_id AS local_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+         CAST(user_id AS VARCHAR) AS sender_address,
+         event_type AS sender_name,
+         CAST(user_id % 7 AS VARCHAR) AS recipient_address,
+         'store' AS recipient_name,
+         user_id % 2 + 1 AS msg_box,
+         1 AS message_type, 2 AS source_format
+  FROM events WHERE {nondegenerate}"""
+
+    def lane(name: str, src: str, row_expr: str) -> str:
+        return f"""
+SELECT '{name}' AS lane, COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM({_h60_sql(row_expr)}), 0) % {_CHECKSUM_MOD} AS BIGINT)
+         AS checksum_mod,
+       1 AS replay_ok
+FROM ({src})"""
+
+    return (
+        lane(
+            "ingest",
+            ingest_src,
+            "CAST(local_id AS VARCHAR) || ':' || CAST(ts_ms AS VARCHAR)"
+            " || ':' || sender_address || ':' || sender_name"
+            " || ':' || recipient_address || ':' || recipient_name"
+            " || ':' || CAST(msg_box AS VARCHAR)"
+            " || ':' || CAST(message_type AS VARCHAR)"
+            " || ':' || CAST(source_format AS VARCHAR)",
+        )
+        + " UNION ALL "
+        + lane(
+            "joins",
+            joins_src,
+            "CAST(view_id AS VARCHAR) || ':' || CAST(purchase_id AS VARCHAR)"
+            " || ':' || CAST(user_id AS VARCHAR) || ':' || CAST(v_ms AS VARCHAR)"
+            " || ':' || CAST(p_ms AS VARCHAR) || ':' || CAST(cents AS VARCHAR)",
+        )
+        + " ORDER BY lane"
+    )
+
+
 QUERIES = {
     "q134_shard_manifest_audit": QuerySpec(
         q134_shard_manifest_audit,
@@ -2436,5 +2668,10 @@ QUERIES = {
         q157_bucketed_antijoin_dedup_audit,
         _q157_sql(),
         "store-side exchange-free anti-join dedup against a bucketed store",
+    ),
+    "q158_stream_join_ingest_audit": QuerySpec(
+        q158_stream_join_ingest_audit,
+        _q158_sql(),
+        "stream-stream attribution join + idempotent ingest == batch twins",
     ),
 }

@@ -182,6 +182,19 @@ def test_q157_flags_are_measured(spark):
     assert 0 < r.n_survivors < r.n_delta
 
 
+def test_q158_lanes_and_laws(spark):
+    """The joins+ingest parity audit: both lanes produced rows through
+    their real streaming runtimes and both measured laws came back 1 —
+    the join restart emitted nothing new, and the full re-delivery drop
+    added zero store rows (the reference's same-backup-twice case)."""
+    from sms_db_spark.plans.storage_queries import q158_stream_join_ingest_audit
+
+    rows = {r.lane: r for r in q158_stream_join_ingest_audit(spark, SF_DIR).collect()}
+    assert sorted(rows) == ["ingest", "joins"]
+    assert all(r.replay_ok == 1 for r in rows.values())
+    assert all(r.n_rows > 0 for r in rows.values())
+
+
 def test_scratch_dir_honors_configured_root(spark, tmp_path):
     """With spark.sms_db_spark.scratchRoot set, the scratch dir is a
     child of that root and is deleted on exit (ADVICE r5: driver-local
