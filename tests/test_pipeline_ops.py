@@ -284,3 +284,35 @@ def test_chunked_packing_matches_single_array_and_stays_map_only(spark):
     at_cap = S._assign(emb, cent, max_packed_k=10)
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan(at_cap))) == 1
     assert rows(at_cap, "vec_id", "cid") == rows(single, "vec_id", "cid")
+
+
+def test_chunk_invariance_across_cap_boundary_sweep(spark):
+    """The argmax-of-argmaxes law must hold at EVERY chunking shape,
+    not just the one the forced-small test pins: sweep caps that give
+    B = K (singleton chunks), uneven round-robin groups, the K-1 edge,
+    and the exact-cap boundary — each must reproduce the single-array
+    rows bit-for-bit (full-cosine sim included)."""
+    import sms_db_spark.operators.similarity as S
+    from sms_db_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    cent = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base_assign = rows(S._assign(emb, cent).select("vec_id", "cid"))
+    base_cos = rows(S._argmax_cosine_packed(emb, cent).select("vec_id", "cid", "sim"))
+    for cap in (1, 2, 3, 6, 7):  # B = 7, 4, 3, 2, 1 over K = 7
+        got = rows(S._assign(emb, cent, max_packed_k=cap).select("vec_id", "cid"))
+        assert got == base_assign, f"cap={cap}"
+        got = rows(
+            S._argmax_cosine_packed(emb, cent, max_packed_k=cap).select(
+                "vec_id", "cid", "sim"
+            )
+        )
+        assert got == base_cos, f"cap={cap}"
