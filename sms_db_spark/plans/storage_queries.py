@@ -2419,6 +2419,19 @@ def q158_stream_join_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         views = events.filter(F.col("event_type") == "view")
         purchases = events.filter(F.col("event_type") == "purchase")
         cut = F.col("ts") < F.lit(_JOIN_DROP_CUT).cast("timestamp")
+        # the audit's POINT is cross-drop state retention — if the data
+        # ever stops straddling the cut (a regenerated TESTDATA with a
+        # different date span), one drop is empty and the gate would
+        # keep passing while no longer testing what it claims (review
+        # r11): refuse loudly instead
+        for side_name, side_df in (("views", views), ("purchases", purchases)):
+            for drop_name, pred in (("before-cut", cut), ("after-cut", ~cut)):
+                if side_df.filter(pred).limit(1).count() == 0:
+                    raise ValueError(
+                        f"q158 join lane: no {side_name} rows {drop_name} "
+                        f"({_JOIN_DROP_CUT}) — the two-drop protocol no "
+                        "longer straddles the data; move _JOIN_DROP_CUT"
+                    )
 
         def run_join():
             _drain(
@@ -2456,7 +2469,12 @@ def q158_stream_join_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 
         join_parts = [
             F.col(c).cast("string")
-            for c in ("view_id", "purchase_id", "user_id", "v_ms", "p_ms", "cents")
+            for c in ("view_id", "purchase_id", "user_id", "v_ms", "p_ms")
+        ] + [
+            # amount is the one nullable part the staging filter does
+            # not cover — coalesce BOTH sides (_lane_checksum contract;
+            # the oracle mirrors with COALESCE(..., chr(1)))
+            F.coalesce(F.col("cents").cast("string"), F.lit("\x01"))
         ]
         n, chk = _lane_checksum(join_frame(), join_parts)
         run_join()  # restart, no new input
@@ -2478,7 +2496,7 @@ def q158_stream_join_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             # row-unique dedup key (local_id is unique), so re-delivered
             # rows are byte-identical and the survivor is unambiguous
             "hash",
-            F.sha2(F.concat_ws("|", F.col("local_id").cast("string")), 256),
+            F.sha2(F.col("local_id").cast("string"), 256),
         )
         drop_i, store_i, ckpt_i = f"{root}/staged", f"{root}/msgstore", f"{root}/ckpt_ing"
         in_a = F.col("local_id") % 5 < 3  # 60%
@@ -2577,7 +2595,8 @@ FROM ({src})"""
             joins_src,
             "CAST(view_id AS VARCHAR) || ':' || CAST(purchase_id AS VARCHAR)"
             " || ':' || CAST(user_id AS VARCHAR) || ':' || CAST(v_ms AS VARCHAR)"
-            " || ':' || CAST(p_ms AS VARCHAR) || ':' || CAST(cents AS VARCHAR)",
+            " || ':' || CAST(p_ms AS VARCHAR)"
+            " || ':' || COALESCE(CAST(cents AS VARCHAR), chr(1))",
         )
         + " ORDER BY lane"
     )
