@@ -19,6 +19,8 @@ bucketing plumbing here is the same.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -432,11 +434,62 @@ def _n_pack_chunks(
     more than cap+1 rows even against a huge centroid table; only an
     over-cap K pays the full count."""
     if k_max_hint is not None and k_max_hint <= max_packed_k:
+        if os.environ.get("SMS_DB_SPARK_VALIDATE_K_HINT"):
+            # Opt-in contract check (VERDICT r11 item 7): a hint BELOW
+            # the true K would otherwise surface only as Spark's opaque
+            # array-size error at broadcast time. Costs one
+            # LIMIT-bounded job, so it stays out of the default path —
+            # the zero-job property of a correct hint is load-bearing.
+            probed = cent.limit(k_max_hint + 1).count()
+            if probed > k_max_hint:
+                raise ValueError(
+                    f"k_max_hint={k_max_hint} is not an upper bound: the "
+                    f"centroid frame has more than {k_max_hint} rows "
+                    "(observed via a LIMIT-bounded probe). Pass a true "
+                    "upper bound (e.g. N_CENTROIDS) or omit the hint."
+                )
         return 1
     probed = cent.limit(max_packed_k + 1).count()
     if probed <= max_packed_k:
         return 1
     return -(-cent.count() // max_packed_k)
+
+
+def _balanced_rank_ids(pinned: DataFrame) -> DataFrame:
+    """0-based dense ids `_rn` (a permutation of 0..K-1) over a PINNED
+    (localCheckpointed) frame, with NO global window: per-partition
+    row_number (Window.partitionBy on the physical partition id — every
+    partition ranks in its own task) plus a driver-side cumsum of
+    per-partition counts (one tiny aggregate job, one row per
+    partition). The same two-phase shape as canonical.dense_ids, minus
+    its range-repartition: chunk assignment only needs a BALANCED
+    bijective numbering, not a globally ordered one, and the fold's
+    output is chunk-invariant anyway (argmax over a union == argmax of
+    per-chunk argmaxes). The caller MUST pass a pinned frame — the
+    partition ids must be identical between the counts job and the
+    numbering job, which re-executed lineage does not guarantee."""
+    with_pid = pinned.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    if not counts:
+        return with_pid.withColumn("_rn", F.lit(0)).drop("_pid")
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(counts)]),
+            F.array(*[F.lit(offsets[p]) for p in sorted(counts)]),
+        ),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy("cid")
+    return with_pid.withColumn(
+        "_rn", F.row_number().over(w) - 1 + offset_col
+    ).drop("_pid")
 
 
 def _packed_fold(
@@ -458,11 +511,17 @@ def _packed_fold(
     Chunked path: chunk membership is round-robin by cid-RANK, not cid
     modulus — rank chunks are BALANCED by construction (sizes differ by
     at most 1), so no chunk can exceed the single-array cap however the
-    cid values are distributed. The ranked K-row frame is
-    localCheckpointed so the centroid lineage and its single-partition
-    rank window run ONCE, not once per chunk (review r11). An empty
-    chunk's argmax folds to NULL, which the cross-chunk array_max
-    skips."""
+    cid values are distributed. The rank is the DISTRIBUTED two-phase
+    numbering (_balanced_rank_ids — per-partition window + driver-side
+    offset cumsum, the dense_ids pattern), never a global
+    no-partitionBy window: at the K ≈ 10^8 sizing this path exists for,
+    a single-task rank over ~50 GB of packed centroids would bottleneck
+    or OOM (ADVICE r11 #1). The centroid frame is localCheckpointed
+    BEFORE numbering (stable partition ids between the two phases +
+    centroid lineage runs once) and the ranked frame AFTER (the
+    per-chunk filters re-scan K materialized rows instead of
+    re-shuffling them B times). An empty chunk's argmax folds to NULL,
+    which the cross-chunk array_max skips."""
     n_chunks = _n_pack_chunks(cent, max_packed_k, k_max_hint)
     if n_chunks == 1:
         packed = rows.agg(
@@ -471,11 +530,11 @@ def _packed_fold(
         return emb.crossJoin(F.broadcast(packed)).withColumn(
             "_best", F.expr(argmax_sql("cents"))
         )
-    rn = F.row_number().over(Window.orderBy("cid"))
-    ranked = rows.withColumn("_rn", rn).localCheckpoint(eager=True)
+    pinned = rows.localCheckpoint(eager=True)
+    ranked = _balanced_rank_ids(pinned).localCheckpoint(eager=True)
     df = emb
     for i in range(n_chunks):
-        chunk = ranked.filter(((F.col("_rn") - 1) % n_chunks) == i).agg(
+        chunk = ranked.filter((F.col("_rn") % n_chunks) == i).agg(
             F.collect_list(F.struct(*struct_cols)).alias(f"cents_{i}")
         )
         df = df.crossJoin(F.broadcast(chunk))

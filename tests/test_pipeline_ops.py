@@ -316,3 +316,54 @@ def test_chunk_invariance_across_cap_boundary_sweep(spark):
             )
         )
         assert got == base_cos, f"cap={cap}"
+
+
+def test_balanced_rank_ids_is_distributed_and_bijective(spark):
+    """ADVICE r11 #1: the chunked-packing rank must never be a global
+    no-partitionBy window (single task over ~50 GB at the K ~= 10^8
+    sizing the path exists for). Pin (a) the plan: the numbering window
+    partitions by the physical partition id — no SinglePartition
+    exchange feeds it; (b) the semantics: _rn is a permutation of
+    0..K-1 however the rows are distributed; (c) the debug hint
+    assertion (VERDICT r11 item 7) fires with the contract's name on
+    it."""
+    import io
+    import os
+    import re
+    from contextlib import redirect_stdout
+
+    import pytest
+
+    import sms_db_spark.operators.similarity as S
+
+    cent = (
+        spark.range(0, 101)
+        .select(F.col("id").alias("cid"), F.array(F.lit(1.0)).alias("c_emb"))
+        .repartition(7)  # deliberately scattered, uneven partitions
+        .localCheckpoint(eager=True)
+    )
+    ranked = S._balanced_rank_ids(cent)
+    got = sorted(r["_rn"] for r in ranked.select("_rn").collect())
+    assert got == list(range(101))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ranked.explain("simple")
+    plan = buf.getvalue()
+    assert re.search(r"Window \[row_number", plan), plan
+    assert "SinglePartition" not in plan, plan
+    assert re.search(r"hashpartitioning\(_pid", plan), plan
+
+    # empty frame: zero rows, no crash
+    empty = cent.filter(F.lit(False)).localCheckpoint(eager=True)
+    assert S._balanced_rank_ids(empty).count() == 0
+
+    # hint validation: opt-in, names the violated contract
+    os.environ["SMS_DB_SPARK_VALIDATE_K_HINT"] = "1"
+    try:
+        with pytest.raises(ValueError, match="k_max_hint=10 is not an upper bound"):
+            S._n_pack_chunks(cent, max_packed_k=1000, k_max_hint=10)
+        # a CORRECT hint passes under validation
+        assert S._n_pack_chunks(cent, max_packed_k=1000, k_max_hint=101) == 1
+    finally:
+        del os.environ["SMS_DB_SPARK_VALIDATE_K_HINT"]
