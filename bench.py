@@ -112,36 +112,48 @@ WRITE_AUDITS = [
     "q156_streaming_parity_audit",
     "q157_bucketed_antijoin_dedup_audit",
     "q158_stream_join_ingest_audit",
+    "q159_stream_quality_monitor_audit",
+    "q160_day2_chain_audit",
 ]
 
-# Cold-protocol write-audit anchor: BENCH_r10's driver timings — the
-# first artifact under the one-run/no-warm-up protocol, which VERDICT
-# r10 designates the comparison baseline (r9's warm numbers are
-# incomparable to cold runs by construction). q134's 27.694 includes
-# the ~20s session-global committer/codec init the shared warm failed
-# to absorb in the driver path (VERDICT r10 item 5) — the r11 warm
-# adds a partitioned one-row write to cover the dynamic-partition
-# committer q134 actually uses, so a HEALTHY r11 q134 lands far BELOW
-# this anchor (only >2x ratios are reported; shrink is success).
-# q156 and q157 are new in r11 and have no anchor yet — they ride
-# outside the watch tier until this dict is refreshed from BENCH_r11.
-WRITE_AUDIT_ANCHOR_ROUND = 10
+# Cold-protocol write-audit anchor: BENCH_r11's driver timings
+# (refreshed from r10 per ADVICE r11 #2/#4 — the r10 anchors carried
+# TWO cross-era biases: their run's own calibration was never
+# recorded, so era normalization borrowed the headline anchor's cal
+# from a different run, and r10 was separately diagnosed as
+# ambient-inflated; the r11 driver run is confirmed-clean — ratio
+# 0.989 vs an honestly-chained anchor, all watch/suspect tiers empty,
+# suspect_ambient false — and its calibration IS recorded, so
+# write_watch now normalizes same-run-era). Every audit in
+# WRITE_AUDITS is anchored, including q156/q157/q158 (new in r11,
+# unanchored there): nothing rides outside the watch tier. q134's r10
+# init accident (27.7 s of session-global dynamic-partition committer
+# setup) is gone from this anchor — its 2.477 is a true cold-protocol
+# number under the partitioned warm, so BOTH directions of drift are
+# meaningful again.
+WRITE_AUDIT_ANCHOR_ROUND = 11
+# calibration_sec OF THE RUN these anchors were taken from (ADVICE r11
+# #2: normalizing by a different run's cal carries unquantified bias)
+WRITE_AUDIT_ANCHOR_CAL_SEC = 0.561
 WRITE_AUDIT_ANCHOR = {
-    "q134_shard_manifest_audit": 27.694,
-    "q135_stream_shard_manifest_audit": 16.385,
-    "q139_fold_audit": 14.694,
-    "q142_versioned_store_audit": 4.697,
-    "q143_metricslog_readback": 4.06,
-    "q145_versioned_merge_audit": 5.568,
-    "q146_gated_upsert_audit": 8.444,
-    "q148_sharded_export_audit": 8.105,
-    "q149_stream_gated_upsert_audit": 7.996,
-    "q150_cow_merge_audit": 4.18,
-    "q151_layout_audit": 3.958,
-    "q152_stream_neardup_audit": 13.297,
-    "q153_band_store_audit": 6.08,
-    "q154_bucketed_join_audit": 4.106,
-    "q155_partitioned_prune_audit": 1.798,
+    "q134_shard_manifest_audit": 2.477,
+    "q135_stream_shard_manifest_audit": 3.929,
+    "q139_fold_audit": 6.456,
+    "q142_versioned_store_audit": 1.671,
+    "q143_metricslog_readback": 1.421,
+    "q145_versioned_merge_audit": 1.899,
+    "q146_gated_upsert_audit": 4.333,
+    "q148_sharded_export_audit": 5.595,
+    "q149_stream_gated_upsert_audit": 6.144,
+    "q150_cow_merge_audit": 2.643,
+    "q151_layout_audit": 3.466,
+    "q152_stream_neardup_audit": 14.253,
+    "q153_band_store_audit": 5.436,
+    "q154_bucketed_join_audit": 3.278,
+    "q155_partitioned_prune_audit": 1.579,
+    "q156_streaming_parity_audit": 19.351,
+    "q157_bucketed_antijoin_dedup_audit": 1.258,
+    "q158_stream_join_ingest_audit": 12.452,
 }
 
 BEST_OF = 3
@@ -173,6 +185,30 @@ BEST_OF = 3
 # when several anchored queries blow past 3x while the calibration
 # axes stay flat, the artifact is flagged suspect_ambient rather than
 # read as a plan regression by the 2x rule.
+#
+# ANCHOR REFRESH CRITERION (VERDICT r11 item 5 — the rule lives HERE,
+# not in a round's evidence file). ANCHOR/ANCHOR_CAL_SEC may be
+# refreshed only from a run that satisfies ALL of:
+#   1. TWO consecutive runs agree with the PRIOR anchor within noise
+#      (anchor_total_ratio in [0.9, 1.1], raw or era-normalized —
+#      raw is how both r11 refresh runs qualified; the era-normalized
+#      form rescues a genuinely slower machine, nothing else);
+#   2. both runs' JVM axes are flat (cal within CAL_FLAT_RATIO of the
+#      prior ANCHOR_CAL_SEC, cal_overhead <= 0.25);
+#   3. both runs report EMPTY suspects_vs_anchor AND watch_vs_anchor,
+#      and suspect_ambient false;
+#   4. per-query era-normalized deltas vs the prior anchor are
+#      reported alongside the refresh, with every query past 1.15x
+#      called out BY NAME and explained (a changed-code query may
+#      legitimately move; an unexplained mover blocks the refresh —
+#      ADVICE r11 #3: a self-refreshed anchor can silently absorb a
+#      real single-query regression the watch tier would have caught
+#      next round).
+# The python post-bracket is NOT a criterion: post ~= 1.5-2x pre is
+# harness-systematic in every clean run (r9 driver, r11 x2), so a
+# post/pre bound would never be satisfiable. `python
+# tools/bench_compare.py BENCH_local.json` checks 1-3 mechanically and
+# prints the per-query delta table for 4.
 ANCHOR_ROUND = 11
 ANCHOR_CAL_SEC = 0.485
 ANCHOR = {
@@ -470,16 +506,28 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
     write_audits = run(WRITE_AUDITS, best_of=1, warm=False)
-    # cold-to-cold watch (same era normalization as the headline tier;
-    # reported, never fatal): audits past WATCH_RATIO of their r10
-    # cold-protocol anchor. q134's anchor embeds the r10 init accident,
-    # so for it only SHRINKING is meaningful — see WRITE_AUDIT_ANCHOR.
-    cal_for_era = max(0.5, cal / ANCHOR_CAL_SEC)
+    # Third python bracket (VERDICT r11 item 6 / advisor question 1):
+    # the post-headline bracket is systematically ~1.5-2x the pre in
+    # every clean run, cause unidentified (worker-pool warmth vs JVM
+    # state). The write-audit bucket above is ~100 s of almost entirely
+    # JVM-side work — a natural cool-down for the Python-worker lane at
+    # zero added wall time. If this bracket DECAYS back toward the pre
+    # value, the post elevation is transient worker/GC pressure from
+    # the headline loop's own Arrow traffic; if it PERSISTS, it is
+    # accumulated session/JVM state. Either way the number decomposes
+    # the ramp instead of leaving the anchor choice to judgement.
+    cal_python_cooldown = calibration_python(spark)
+    # cold-to-cold watch (reported, never fatal): audits past
+    # WATCH_RATIO of their r11 cold-protocol anchor, era-normalized by
+    # the ANCHOR RUN'S OWN calibration (ADVICE r11 #2 — normalizing
+    # r10-era anchors by the r11 headline cal carried unquantified
+    # cross-era bias; the r11 refresh records its run's cal).
+    write_era = max(0.5, cal / WRITE_AUDIT_ANCHOR_CAL_SEC)
     write_watch = {
-        q: round(t / (WRITE_AUDIT_ANCHOR[q] * cal_for_era), 2)
+        q: round(t / (WRITE_AUDIT_ANCHOR[q] * write_era), 2)
         for q, t in write_audits.items()
         if q in WRITE_AUDIT_ANCHOR
-        and t > WATCH_RATIO * WRITE_AUDIT_ANCHOR[q] * cal_for_era
+        and t > WATCH_RATIO * WRITE_AUDIT_ANCHOR[q] * write_era
     }
     ambient = ambient_check(
         headline, cal, cal_overhead, max(cal_python, cal_python_post)
@@ -515,6 +563,9 @@ def main() -> None:
         "queries": headline,
         "write_audits": write_audits,
         "write_audit_anchor_round": WRITE_AUDIT_ANCHOR_ROUND,
+        # derived, never hand-listed (ADVICE r11 #4: a prose comment
+        # undersold which audits ride outside the watch tier)
+        "write_unanchored": sorted(set(WRITE_AUDITS) - set(WRITE_AUDIT_ANCHOR)),
         "write_watch_vs_anchor": dict(sorted(write_watch.items())),
         **ambient,
         "value": round(sum(headline.values()), 3),
@@ -523,6 +574,7 @@ def main() -> None:
         "calibration_overhead_sec": cal_overhead,
         "calibration_python_sec": cal_python,
         "calibration_python_post_sec": cal_python_post,
+        "calibration_python_cooldown_sec": cal_python_cooldown,
     }
     line = json.dumps(doc)
     with open(
@@ -546,6 +598,7 @@ def main() -> None:
                 "calibration_overhead_sec": cal_overhead,
                 "calibration_python_sec": cal_python,
                 "calibration_python_post_sec": cal_python_post,
+                "calibration_python_cooldown_sec": cal_python_cooldown,
                 "anchor_total_ratio": ambient["anchor_total_ratio"],
                 "suspect_ambient": ambient["suspect_ambient"],
             },

@@ -2602,6 +2602,406 @@ FROM ({src})"""
     )
 
 
+# q159 staging: three event drops by event_id-range; drop 1 is POISONED
+# (event_type rewritten on a deterministic modulus) so the monitor's
+# accepted-values constraint must fail in EXACTLY that batch — an
+# all-green log would make the audit pass vacuously on a corpus that
+# violates nothing.
+_Q159_DROPS = 3
+_Q159_POISON_MOD = 7
+_Q159_BOGUS = "__bogus__"
+
+
+def q159_stream_quality_monitor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST pytest-only streaming entry point under the hash gate
+    (VERDICT r11 item 3: stream_quality_monitor's constraint
+    expressions are driver-gated via q127 and its gate composition via
+    q146/q149, but the monitor's own per-microbatch delete-then-append
+    log protocol had no driver row): run the REAL monitor
+    (readStream → foreachBatch(append_metrics), availableNow,
+    persistent checkpoint) over three event drops — run-per-drop, the
+    q152/q156-drift discipline, because batch NUMBERING is the log
+    protocol's key — then return the metrics log itself, which the
+    oracle recomputes per (batch, constraint) from the raw events
+    table sliced by the same event_id ranges.
+
+    Drop 1 is poisoned (event_type := __bogus__ on a modulus), so the
+    log must show accepted_values_event_type failing in exactly batch
+    1 and the other (batch, check) cells reflecting the raw corpus
+    (which carries real range/completeness violations at some SFs —
+    the oracle recomputes them rather than assuming green).
+
+    `replay_ok` is measured, not asserted: the LAST batch's report is
+    re-appended (foreachBatch at-least-once redelivery) and the log
+    must be byte-unchanged — the keyed overwrite, not a double-append.
+
+    Scale note: the monitor's state is one 4-row report per batch
+    (bytes/batch, unbounded only in time — it IS a metrics log); the
+    audit holds only the 12-row log on the driver. Drops, log, and
+    checkpoint live in scratch; the per-batch fold is one map-side
+    aggregate over the microbatch (q127's shape).
+
+    Reference parity: sms-db.pl:333-339's import-stats report, run
+    per-batch forever instead of once per import.
+    """
+    from ..streaming.quality import (
+        append_metrics,
+        read_metrics,
+        stream_quality_monitor,
+    )
+
+    session = clone_tuned_session(spark)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = session
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    span = int(events.agg(F.max("event_id")).first()[0]) + 1
+
+    with _scratch_dir(spark, "sms_db_spark_quality_monitor_audit_") as root:
+        drop, log, ckpt = f"{root}/drop", f"{root}/log", f"{root}/ckpt"
+        slices = []
+        for k in range(_Q159_DROPS):
+            lo, hi = k * span // _Q159_DROPS, (k + 1) * span // _Q159_DROPS
+            s = events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+            if k == 1:
+                s = s.withColumn(
+                    "event_type",
+                    F.when(
+                        F.col("event_id") % _Q159_POISON_MOD == 0,
+                        F.lit(_Q159_BOGUS),
+                    ).otherwise(F.col("event_type")),
+                )
+            slices.append(s)
+            s.coalesce(1).write.mode("append").parquet(drop)
+            _drain(stream_quality_monitor(spark, drop, log, ckpt), "quality")
+
+        def log_cells() -> dict:
+            return {
+                (r.batch_id, r.check_name): (r.violations, r.total, r.passed)
+                for r in read_metrics(spark, log).collect()  # 12 rows
+            }
+
+        logged = log_cells()
+        # at-least-once redelivery of the LAST batch: the batch_id-keyed
+        # append must overwrite its own partition, never double-log
+        append_metrics(slices[-1], _Q159_DROPS - 1, log)
+        replay_ok = int(log_cells() == logged)
+        out = [
+            (int(b), c, int(v), int(t), int(p), replay_ok)
+            for (b, c), (v, t, p) in sorted(logged.items())
+        ]
+    return spark.createDataFrame(
+        out,
+        "batch_id int, check_name string, violations bigint, total bigint,"
+        " passed int, replay_ok int",
+    ).orderBy("batch_id", "check_name")
+
+
+def _q159_sql() -> str:
+    """Per-(batch, constraint) metrics recomputed in DuckDB: the same
+    four constraint folds as quality.audit_batch over the same
+    event_id-range slices, with drop 1's event_type poisoned by the
+    same modulus rewrite the Spark side stages."""
+    from ..streaming.quality import ACCEPTED_EVENT_TYPES, VALUE_CAP
+
+    accepted = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in ACCEPTED_EVENT_TYPES
+    )
+    blocks = []
+    for k in range(_Q159_DROPS):
+        lo = f"(SELECT (MAX(event_id) + 1) * {k} // {_Q159_DROPS} FROM events)"
+        hi = f"(SELECT (MAX(event_id) + 1) * {k + 1} // {_Q159_DROPS} FROM events)"
+        et = (
+            f"CASE WHEN event_id % {_Q159_POISON_MOD} = 0"
+            f" THEN '{_Q159_BOGUS}' ELSE event_type END"
+            if k == 1
+            else "event_type"
+        )
+        blocks.append(
+            f"""
+  SELECT {k} AS batch_id, c.check_name,
+         CASE c.check_name
+           WHEN 'accepted_values_event_type' THEN v_accepted
+           WHEN 'completeness_user_id' THEN v_completeness
+           WHEN 'range_value' THEN v_range
+           ELSE v_unique
+         END AS violations,
+         total,
+         CASE WHEN (CASE c.check_name
+                      WHEN 'accepted_values_event_type' THEN v_accepted
+                      WHEN 'completeness_user_id' THEN v_completeness
+                      WHEN 'range_value' THEN v_range
+                      ELSE v_unique
+                    END) = 0 THEN 1 ELSE 0 END AS passed,
+         1 AS replay_ok
+  FROM (
+    SELECT COUNT(*) AS total,
+           CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS v_completeness,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS v_unique,
+           CAST(COALESCE(SUM(CASE WHEN {et} IS NULL
+                                    OR {et} NOT IN ({accepted})
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_accepted,
+           CAST(COALESCE(SUM(CASE WHEN value IS NULL OR value <= 0
+                                    OR value > {VALUE_CAP}
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_range
+    FROM events WHERE event_id >= {lo} AND event_id < {hi}
+  ), (VALUES ('accepted_values_event_type'), ('completeness_user_id'),
+             ('range_value'), ('unique_event_id')) AS c(check_name)"""
+        )
+    return " UNION ALL ".join(blocks) + " ORDER BY batch_id, check_name"
+
+
+# q160 staging: the clean corpus sliced by event_id % 3; slice 1 is
+# poisoned by pushing every value past VALUE_CAP, so the gate must
+# quarantine exactly it and the final state is a pure function of
+# slices 0 and 2.
+_Q160_SLICES = 3
+_Q160_POISON_BUMP = 2000.0
+
+
+def q160_day2_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed day-2 pipeline under the hash gate (VERDICT r11
+    item 4: every stage is individually gated — q146 the gated upsert,
+    q151 compaction+Z-order, q134 shards — but the CHAIN a real
+    operator runs nightly had only a pytest composition): quality gate
+    → gated CDC upsert (slice 1 quarantined) → fragmented landing →
+    compaction → Z-order clustering → training-shard materialization +
+    manifest verify, with the row count AND an order-insensitive
+    content checksum measured at EVERY stage read-back. The oracle
+    recomputes the upsert state once from the raw events table (q126's
+    last-write-wins fold over the two clean slices) and demands the
+    SAME (n, checksum) at all four conservation stages — any stage
+    that loses, duplicates, or mutates a row de-syncs its hash.
+
+    One result row per stage:
+      - gate: the 12-row metrics log itself, hashed; ok pins the
+        verdict protocol (quarantine verdict named range_value, clean
+        batches applied, the quarantined batch's report logged).
+      - upsert: serving-view read-back; ok = store non-empty.
+      - compact: post-compaction read-back; ok = the compactor ran
+        AND the 16-fragment landing shrank below 16 files.
+      - zorder: post-clustering read-back; ok = per-file Z-VALUE
+        ranges are pairwise disjoint within the file budget (the
+        clustering claim on the curve the writer actually ranges on,
+        measured over <= 4 file-range rows).
+      - shards: shard-store read-back minus the _shard column; ok =
+        manifest total_rows matches AND verify_shards passes.
+
+    Scale note: every stage is the production shape — the gate is one
+    map-side fold per batch, the upsert shuffles only user_id keys,
+    compaction/Z-order rewrite data files without a driver round-trip,
+    and the shard writer hashes on the shard key. The driver holds
+    five summary rows plus a <= 4-row file-range frame.
+    """
+    from ..sinks.clustered import write_zordered
+    from ..sinks.compaction import compact, fragmentation_report
+    from ..sinks.shards import verify_shards, write_training_shards
+    from ..streaming.quality import quality_gated_upsert_batch, read_metrics
+    from ..streaming.upsert import read_upsert_store
+
+    session = clone_tuned_session(spark)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = session
+    clean = _clean_events(load_table(spark, sf_dir, "events"))
+
+    def part(k: int) -> DataFrame:
+        s = clean.filter(F.col("event_id") % _Q160_SLICES == k)
+        if k == 1:  # every value pushed past VALUE_CAP -> quarantined
+            s = s.withColumn("value", F.col("value") + F.lit(_Q160_POISON_BUMP))
+        return s
+
+    # (user_id, exact cents, n_changes, epoch ms): the state row's
+    # engine-stable content string — cents via a per-row DECIMAL(18,2)
+    # cast (the q146/q156 precedent: exact and identical across
+    # engines on this corpus), never a raw double in the hash
+    state_parts = [
+        F.col("user_id").cast("string"),
+        (F.col("current_value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .cast("string"),
+        F.col("n_changes").cast("string"),
+        F.coalesce(F.unix_millis("updated_at").cast("string"), F.lit("\x01")),
+    ]
+    rows: list[tuple[str, int, int, int]] = []
+    with _scratch_dir(spark, "sms_db_spark_day2_chain_audit_") as root:
+        log_dir, store_dir = f"{root}/log", f"{root}/store"
+        verdicts = [
+            quality_gated_upsert_batch(part(k), k, log_dir, store_dir)
+            for k in range(_Q160_SLICES)
+        ]
+        log = {
+            (r.batch_id, r.check_name): (r.violations, r.total, r.passed)
+            for r in read_metrics(spark, log_dir).collect()  # 12 rows
+        }
+        n_poisoned = part(1).count()
+        gate_ok = int(
+            [v["applied"] for v in verdicts] == [True, False, True]
+            and verdicts[1]
+            == {
+                "applied": False,
+                "failed_checks": ["range_value"],
+                "total": n_poisoned,
+            }
+            and {b for b, _ in log} == set(range(_Q160_SLICES))
+            and log[(1, "range_value")] == (n_poisoned, n_poisoned, 0)
+            and all(
+                v == 0 and p == 1
+                for (b, c), (v, _t, p) in log.items()
+                if not (b == 1 and c == "range_value")
+            )
+        )
+        gate_parts = [
+            F.col("batch_id").cast("string"),
+            F.col("check_name"),
+            F.col("violations").cast("string"),
+            F.col("total").cast("string"),
+            F.col("passed").cast("string"),
+        ]
+        n, chk = _lane_checksum(read_metrics(spark, log_dir), gate_parts)
+        rows.append(("gate", n, chk, gate_ok))
+
+        snapshot = read_upsert_store(spark, store_dir).localCheckpoint(eager=True)
+        n, chk = _lane_checksum(snapshot, state_parts)
+        rows.append(("upsert", n, chk, int(n > 0)))
+
+        # land the snapshot FRAGMENTED, then compact: content must ride
+        frag = f"{root}/landing"
+        snapshot.repartition(16).write.parquet(frag)
+        report = compact(spark, frag, target_bytes=1 << 30)
+        compact_ok = int(
+            report["compacted"] is True
+            and fragmentation_report(spark, frag, 1 << 30)["n_files"] < 16
+        )
+        n, chk = _lane_checksum(spark.read.parquet(frag), state_parts)
+        rows.append(("compact", n, chk, compact_ok))
+
+        zdir = f"{root}/zorder"
+        write_zordered(spark.read.parquet(frag), zdir, "user_id", "n_changes", n_files=4)
+        zed = spark.read.parquet(zdir)
+        # the clustering claim, measured on the CURVE the writer ranges
+        # on: per-file Z-VALUE intervals are pairwise disjoint (a
+        # single axis is NOT — z-order trades strict one-axis ranges
+        # for bounded rectangles on both). The z-value is recomputed
+        # from the read-back with the writer's own expressions over
+        # identical data, so the bounds agree by construction.
+        from ..sinks.clustered import _interleave, _scale
+
+        zb = zed.agg(
+            F.min("user_id").alias("lo_a"),
+            F.max("user_id").alias("hi_a"),
+            F.min("n_changes").alias("lo_b"),
+            F.max("n_changes").alias("hi_b"),
+        )
+        spans = (
+            zed.select(F.input_file_name().alias("f"), "user_id", "n_changes")
+            .crossJoin(F.broadcast(zb))
+            .withColumn("_xa", F.expr(_scale("user_id", "lo_a", "hi_a")))
+            .withColumn("_xb", F.expr(_scale("n_changes", "lo_b", "hi_b")))
+            .withColumn("_z", _interleave("_xa", "_xb"))
+            .groupBy("f")
+            .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
+            .collect()  # <= 4 rows: one per clustered file
+        )
+        ivs = sorted((r.lo, r.hi) for r in spans)
+        z_ok = int(
+            len(ivs) <= 4
+            and all(ivs[i][1] < ivs[i + 1][0] for i in range(len(ivs) - 1))
+        )
+        n, chk = _lane_checksum(zed, state_parts)
+        rows.append(("zorder", n, chk, z_ok))
+
+        sdir = f"{root}/shards"
+        manifest = write_training_shards(zed, sdir, N_AUDIT_SHARDS, key="user_id")
+        back = spark.read.parquet(sdir).drop("_shard")
+        n, chk = _lane_checksum(back, state_parts)
+        shard_ok = int(
+            manifest["total_rows"] == n and bool(verify_shards(spark, sdir)["ok"])
+        )
+        rows.append(("shards", n, chk, shard_ok))
+
+    return spark.createDataFrame(
+        sorted(rows),
+        "stage string, n_rows bigint, checksum_mod bigint, ok int",
+    ).orderBy("stage")
+
+
+def _q160_sql() -> str:
+    """The chain's end state recomputed ONCE from the raw corpus
+    (q126's last-write-wins fold over the clean slices 0 and 2 —
+    _gated_upsert_sql's CTE shape), demanded at all four conservation
+    stages; the gate row rebuilt from slice counts (clean slices
+    violate nothing BY CONSTRUCTION of _clean_events; the poisoned
+    slice fails range_value on every row)."""
+    from ..streaming.quality import ACCEPTED_EVENT_TYPES, VALUE_CAP
+
+    accepted = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in ACCEPTED_EVENT_TYPES
+    )
+    state_row = (
+        "CAST(user_id AS VARCHAR) || ':' || CAST(cents AS VARCHAR)"
+        " || ':' || CAST(n_changes AS VARCHAR)"
+        " || ':' || COALESCE(CAST(ms AS VARCHAR), chr(1))"
+    )
+    gate_row = (
+        "CAST(batch_id AS VARCHAR) || ':' || check_name"
+        " || ':' || CAST(violations AS VARCHAR)"
+        " || ':' || CAST(total AS VARCHAR) || ':' || CAST(passed AS VARCHAR)"
+    )
+    return f"""
+WITH clean AS (
+  SELECT * FROM events
+  WHERE value > 0 AND value <= {VALUE_CAP} AND user_id IS NOT NULL
+    AND event_type IN ({accepted})
+  QUALIFY COUNT(*) OVER (PARTITION BY event_id) = 1
+), ch AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM clean WHERE event_id % {_Q160_SLICES} <> 1
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM ch
+), state AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         n_changes,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+  FROM ranked WHERE rn = 1 AND op = 'upsert'
+), state_agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(COALESCE(SUM({_h60_sql(state_row)}), 0) % {_CHECKSUM_MOD} AS BIGINT)
+           AS chk
+  FROM state
+), counts AS (
+  SELECT ks.k, COALESCE(c.n, 0) AS n
+  FROM (VALUES (0), (1), (2)) ks(k)
+  LEFT JOIN (
+    SELECT event_id % {_Q160_SLICES} AS k, COUNT(*) AS n FROM clean GROUP BY 1
+  ) c USING (k)
+), gate_cells AS (
+  SELECT k AS batch_id, c.check_name,
+         CASE WHEN k = 1 AND c.check_name = 'range_value' THEN n
+              ELSE 0 END AS violations,
+         n AS total,
+         CASE WHEN k = 1 AND c.check_name = 'range_value' AND n > 0 THEN 0
+              ELSE 1 END AS passed
+  FROM counts, (VALUES ('accepted_values_event_type'), ('completeness_user_id'),
+                       ('range_value'), ('unique_event_id')) AS c(check_name)
+)
+SELECT 'gate' AS stage, COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM({_h60_sql(gate_row)}), 0) % {_CHECKSUM_MOD} AS BIGINT)
+         AS checksum_mod,
+       1 AS ok
+FROM gate_cells
+UNION ALL
+SELECT s.stage, a.n AS n_rows, a.chk AS checksum_mod, 1 AS ok
+FROM state_agg a, (VALUES ('compact'), ('shards'), ('upsert'), ('zorder')) AS s(stage)
+ORDER BY stage
+"""
+
+
 QUERIES = {
     "q134_shard_manifest_audit": QuerySpec(
         q134_shard_manifest_audit,
@@ -2692,5 +3092,15 @@ QUERIES = {
         q158_stream_join_ingest_audit,
         _q158_sql(),
         "stream-stream attribution join + idempotent ingest == batch twins",
+    ),
+    "q159_stream_quality_monitor_audit": QuerySpec(
+        q159_stream_quality_monitor_audit,
+        _q159_sql(),
+        "streaming quality monitor: per-batch log == raw-slice recompute",
+    ),
+    "q160_day2_chain_audit": QuerySpec(
+        q160_day2_chain_audit,
+        _q160_sql(),
+        "composed day-2 chain: gate→upsert→compact→zorder→shards conserved",
     ),
 }

@@ -210,3 +210,50 @@ def test_scratch_dir_honors_configured_root(spark, tmp_path):
         assert os.listdir(root) == []  # cleaned up through the FS API
     finally:
         spark.conf.unset(SCRATCH_ROOT_CONF)
+
+
+def test_q159_log_protocol_and_poison_placement(spark):
+    """The quality-monitor audit (driver-gated q159): 12 log cells (3
+    batches x 4 constraints) through the REAL monitor runtime, the
+    redelivery flag measured 1, the poisoned batch failing
+    accepted_values in EXACTLY batch 1, and uniqueness green everywhere
+    (the corpus has unique event_ids; the poison touches only
+    event_type). Runs on a session clone."""
+    from sms_db_spark.plans.storage_queries import (
+        q159_stream_quality_monitor_audit,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    rows = q159_stream_quality_monitor_audit(spark, SF_DIR).collect()
+    assert len(rows) == 12
+    cells = {(r.batch_id, r.check_name): r for r in rows}
+    assert {b for b, _ in cells} == {0, 1, 2}
+    assert all(r.replay_ok == 1 for r in rows)
+    poisoned = cells[(1, "accepted_values_event_type")]
+    assert poisoned.passed == 0 and poisoned.violations > 0
+    for b in (0, 2):
+        assert cells[(b, "accepted_values_event_type")].passed == 1
+    assert all(
+        cells[(b, "unique_event_id")].passed == 1 for b in (0, 1, 2)
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_q160_chain_conserves_state_and_flags(spark):
+    """The composed day-2 chain audit (driver-gated q160): all five
+    stage flags measured 1, and the four conservation stages carry the
+    IDENTICAL (n_rows, checksum) — the content the upsert produced is
+    what the shard store hands the trainer, bit-for-bit."""
+    from sms_db_spark.plans.storage_queries import q160_day2_chain_audit
+
+    rows = {r.stage: r for r in q160_day2_chain_audit(spark, SF_DIR).collect()}
+    assert sorted(rows) == ["compact", "gate", "shards", "upsert", "zorder"]
+    assert all(r.ok == 1 for r in rows.values()), {
+        s: r.ok for s, r in rows.items()
+    }
+    conserved = {
+        (rows[s].n_rows, rows[s].checksum_mod)
+        for s in ("upsert", "compact", "zorder", "shards")
+    }
+    assert len(conserved) == 1 and rows["upsert"].n_rows > 0
+    assert rows["gate"].n_rows == 12

@@ -5,6 +5,19 @@ plan changes can be separated from query-set changes at a glance.
 Usage: python tools/bench_compare.py OLD.json NEW.json [threshold_ratio]
 Exit code 1 if any shared query regressed by more than the threshold
 (default 1.5x), making it usable as a CI-style guard.
+
+Refresh mode (VERDICT r11 item 5 — the ANCHOR REFRESH CRITERION next
+to bench.py's ANCHOR_ROUND, checked mechanically):
+
+    python tools/bench_compare.py --refresh-check RUN1.json [RUN2.json]
+
+Checks each run against the EMBEDDED anchor: total ratio in [0.9, 1.1],
+JVM axes flat, suspect/watch tiers empty, suspect_ambient false — and
+prints the per-query era-normalized delta table with every query past
+1.15x flagged (those must be explained by name before an anchor
+refresh; ADVICE r11 #3). Exit 0 = a refresh from these runs satisfies
+criteria 1-3 (criterion 4 remains a human call on the flagged names);
+exit 1 = the refresh is blocked.
 """
 
 from __future__ import annotations
@@ -31,7 +44,79 @@ def load(path: str) -> dict:
     return json.loads(m.group(0))
 
 
+def refresh_check(paths: list[str]) -> int:
+    """Mechanical half of the anchor-refresh criterion (bench.py's
+    ANCHOR REFRESH CRITERION block): criteria 1-3 pass/fail per run,
+    plus the criterion-4 delta table (era-normalized per-query ratios
+    vs the embedded anchor, >1.15x flagged for by-name explanation)."""
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import bench  # the embedded anchor is the refresh target
+
+    ok = True
+    if len(paths) < 2:
+        print(
+            "NOTE: criterion 1 needs TWO consecutive runs; "
+            f"got {len(paths)} — treating as a preview, not a pass."
+        )
+        ok = False
+    for path in paths:
+        run = load(path)
+        cal = run["calibration_sec"]
+        era = max(0.5, cal / bench.ANCHOR_CAL_SEC)
+        checks = {
+            # raw OR era-normalized within band: pure cal-normalization
+            # over-corrects scheduler-bound queries (see bench.py's
+            # calibration_overhead docstring), so a run that agrees RAW
+            # — like both r11 refresh runs, 1.023/0.989 — passes; on a
+            # genuinely slower machine the era-normalized form rescues
+            # a raw miss that is pure machine drift.
+            "total ratio in [0.9, 1.1] (raw or era-norm)": (
+                0.9 <= run["anchor_total_ratio"] <= 1.1
+                or 0.9 <= run["anchor_total_ratio"] / era <= 1.1
+            ),
+            "cal flat vs prior anchor era": (
+                cal <= bench.CAL_FLAT_RATIO * bench.ANCHOR_CAL_SEC
+            ),
+            "overhead axis flat (<= 0.25s)": (
+                run["calibration_overhead_sec"] <= 0.25
+            ),
+            "suspect tier empty": not run.get("suspects_vs_anchor"),
+            "watch tier empty": not run.get("watch_vs_anchor"),
+            "suspect_ambient false": not run.get("suspect_ambient"),
+        }
+        print(f"\n{path} (cal {cal}, era {era:.3f}):")
+        for name, passed in checks.items():
+            print(f"  {'PASS' if passed else 'FAIL'}  {name}")
+            ok = ok and passed
+        queries = run.get("queries") or {}
+        movers = sorted(
+            (
+                (q, t / (bench.ANCHOR[q] * era))
+                for q, t in queries.items()
+                if q in bench.ANCHOR and bench.ANCHOR[q] >= 0.2
+            ),
+            key=lambda kv: -kv[1],
+        )
+        flagged = [(q, r) for q, r in movers if r > 1.15]
+        print(f"  criterion 4 — per-query era-normalized vs anchor:")
+        for q, r in movers[:10]:
+            mark = "  <-- EXPLAIN BY NAME" if r > 1.15 else ""
+            print(f"    {q:<34} {r:5.2f}x{mark}")
+        if not flagged:
+            print("    (no query past 1.15x — criterion 4 clean)")
+    print(
+        f"\nrefresh {'PERMITTED (explain any flagged names)' if ok else 'BLOCKED'}"
+    )
+    return 0 if ok else 1
+
+
 def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--refresh-check":
+        return refresh_check(sys.argv[2:])
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
