@@ -124,9 +124,12 @@ WRITE_AUDITS = [
 # ambient-inflated; the r11 driver run is confirmed-clean — ratio
 # 0.989 vs an honestly-chained anchor, all watch/suspect tiers empty,
 # suspect_ambient false — and its calibration IS recorded, so
-# write_watch now normalizes same-run-era). Every audit in
-# WRITE_AUDITS is anchored, including q156/q157/q158 (new in r11,
-# unanchored there): nothing rides outside the watch tier. q134's r10
+# write_watch now normalizes same-run-era). q156/q157/q158 (new in
+# r11, unanchored there) are anchored now; audits newer than the
+# anchor round (q159/q160, new in r12) ride outside the watch tier
+# until the next refresh — the artifact's `write_unanchored` field is
+# the authoritative, runtime-derived list, never this comment
+# (ADVICE r11 #4). q134's r10
 # init accident (27.7 s of session-global dynamic-partition committer
 # setup) is gone from this anchor — its 2.477 is a true cold-protocol
 # number under the partitioned warm, so BOTH directions of drift are

@@ -465,9 +465,15 @@ def _balanced_rank_ids(pinned: DataFrame) -> DataFrame:
     its range-repartition: chunk assignment only needs a BALANCED
     bijective numbering, not a globally ordered one, and the fold's
     output is chunk-invariant anyway (argmax over a union == argmax of
-    per-chunk argmaxes). The caller MUST pass a pinned frame — the
-    partition ids must be identical between the counts job and the
-    numbering job, which re-executed lineage does not guarantee."""
+    per-chunk argmaxes). DELIBERATE TWIN, not a shared core (review
+    r12): dense_ids sits on the importer call path (q60/q63/q64/q69
+    lineage), so extracting a common helper would re-gate eight fresh
+    rows for a pure refactor — if you fix a numbering bug HERE, fix
+    canonical.dense_ids too (and vice versa; its empty-frame branch
+    returns lit(start) where this one early-returns). The caller MUST
+    pass a pinned frame (persisted or checkpointed) — the partition
+    ids must be identical between the counts job and the numbering
+    job, which re-executed lineage does not guarantee."""
     with_pid = pinned.withColumn("_pid", F.spark_partition_id())
     counts = {
         r["_pid"]: r["cnt"]
@@ -516,12 +522,17 @@ def _packed_fold(
     offset cumsum, the dense_ids pattern), never a global
     no-partitionBy window: at the K ≈ 10^8 sizing this path exists for,
     a single-task rank over ~50 GB of packed centroids would bottleneck
-    or OOM (ADVICE r11 #1). The centroid frame is localCheckpointed
-    BEFORE numbering (stable partition ids between the two phases +
-    centroid lineage runs once) and the ranked frame AFTER (the
-    per-chunk filters re-scan K materialized rows instead of
-    re-shuffling them B times). An empty chunk's argmax folds to NULL,
-    which the cross-chunk array_max skips."""
+    or OOM (ADVICE r11 #1). The centroid frame is PERSISTED before
+    numbering (stable partition ids between the two phases + centroid
+    lineage runs once) and the ranked frame localCheckpointed after
+    (the per-chunk filters re-scan K materialized rows instead of
+    re-shuffling them B times); the persist is RELEASED as soon as the
+    ranked checkpoint materializes, so two full copies of the K-row
+    frame never coexist past the numbering (review r12 — at the
+    ~50 GB K ≈ 10^8 sizing a leaked first copy would double executor
+    storage pressure exactly where this path matters). An empty
+    chunk's argmax folds to NULL, which the cross-chunk array_max
+    skips."""
     n_chunks = _n_pack_chunks(cent, max_packed_k, k_max_hint)
     if n_chunks == 1:
         packed = rows.agg(
@@ -530,8 +541,13 @@ def _packed_fold(
         return emb.crossJoin(F.broadcast(packed)).withColumn(
             "_best", F.expr(argmax_sql("cents"))
         )
-    pinned = rows.localCheckpoint(eager=True)
-    ranked = _balanced_rank_ids(pinned).localCheckpoint(eager=True)
+    pinned = rows.persist()
+    try:
+        # the counts job inside _balanced_rank_ids materializes the
+        # persist; the eager checkpoint then owns the ranked copy
+        ranked = _balanced_rank_ids(pinned).localCheckpoint(eager=True)
+    finally:
+        pinned.unpersist()
     df = emb
     for i in range(n_chunks):
         chunk = ranked.filter((F.col("_rn") % n_chunks) == i).agg(

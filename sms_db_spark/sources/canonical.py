@@ -60,6 +60,12 @@ def dense_ids(df: DataFrame, order_cols: list[str], id_col: str = "_id", start: 
     Two-phase, scale-safe: range-repartition on the order → per-partition
     row_number → add per-partition offsets (tiny driver-side cumsum).
     Avoids the classic single-partition global window bottleneck.
+
+    DELIBERATE TWIN: similarity._balanced_rank_ids reuses this two-phase
+    numbering (minus the range-repartition) for packed-centroid chunk
+    assignment — a numbering fix here must be mirrored there (kept
+    separate so a pure refactor doesn't re-gate the importer lineage;
+    review r12).
     """
     n_part = max(df.rdd.getNumPartitions(), 1)
     ordered = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])

@@ -65,9 +65,35 @@ def refresh_check(paths: list[str]) -> int:
         ok = False
     for path in paths:
         run = load(path)
+        # A totals-only artifact (the compact final line the driver's
+        # tail capture keeps, or a truncated "parsed" doc) is missing
+        # the suspect/watch tiers and the per-query map — treating
+        # absent fields as empty tiers would pass the guard vacuously
+        # (review r12: fail CLOSED, name what's missing).
+        required = (
+            "anchor_round",
+            "anchor_total_ratio",
+            "calibration_sec",
+            "calibration_overhead_sec",
+            "suspects_vs_anchor",
+            "watch_vs_anchor",
+            "queries",
+        )
+        missing = [k for k in required if k not in run or run[k] is None]
+        if missing:
+            print(f"\n{path}: FAIL — not a full bench artifact, missing {missing}")
+            ok = False
+            continue
         cal = run["calibration_sec"]
         era = max(0.5, cal / bench.ANCHOR_CAL_SEC)
+        ratio = run["anchor_total_ratio"]
         checks = {
+            # the stored ratio was computed against the anchor embedded
+            # WHEN THE RUN EXECUTED — judging it against a different
+            # anchor generation is meaningless (review r12)
+            f"run's anchor_round == embedded ({bench.ANCHOR_ROUND})": (
+                run["anchor_round"] == bench.ANCHOR_ROUND
+            ),
             # raw OR era-normalized within band: pure cal-normalization
             # over-corrects scheduler-bound queries (see bench.py's
             # calibration_overhead docstring), so a run that agrees RAW
@@ -75,8 +101,7 @@ def refresh_check(paths: list[str]) -> int:
             # genuinely slower machine the era-normalized form rescues
             # a raw miss that is pure machine drift.
             "total ratio in [0.9, 1.1] (raw or era-norm)": (
-                0.9 <= run["anchor_total_ratio"] <= 1.1
-                or 0.9 <= run["anchor_total_ratio"] / era <= 1.1
+                0.9 <= ratio <= 1.1 or 0.9 <= ratio / era <= 1.1
             ),
             "cal flat vs prior anchor era": (
                 cal <= bench.CAL_FLAT_RATIO * bench.ANCHOR_CAL_SEC
@@ -84,8 +109,8 @@ def refresh_check(paths: list[str]) -> int:
             "overhead axis flat (<= 0.25s)": (
                 run["calibration_overhead_sec"] <= 0.25
             ),
-            "suspect tier empty": not run.get("suspects_vs_anchor"),
-            "watch tier empty": not run.get("watch_vs_anchor"),
+            "suspect tier empty": not run["suspects_vs_anchor"],
+            "watch tier empty": not run["watch_vs_anchor"],
             "suspect_ambient false": not run.get("suspect_ambient"),
         }
         print(f"\n{path} (cal {cal}, era {era:.3f}):")
