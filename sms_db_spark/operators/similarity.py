@@ -530,7 +530,14 @@ def _packed_fold(
     ranked checkpoint materializes, so two full copies of the K-row
     frame never coexist past the numbering (review r12 — at the
     ~50 GB K ≈ 10^8 sizing a leaked first copy would double executor
-    storage pressure exactly where this path matters). An empty
+    storage pressure exactly where this path matters). persist is
+    WEAKER than a checkpoint: on block loss Spark recomputes from
+    lineage, and a partition landing in a pid the counts job never
+    saw would make element_at return NULL → a silently dropped
+    centroid (review r12, second pass). So the numbering is VALIDATED
+    after the checkpoint — one aggregate over the K materialized rows
+    pins (no NULL _rn, count == the counts total, max == K-1), and a
+    violation raises loudly instead of mis-assigning. An empty
     chunk's argmax folds to NULL, which the cross-chunk array_max
     skips."""
     n_chunks = _n_pack_chunks(cent, max_packed_k, k_max_hint)
@@ -548,6 +555,31 @@ def _packed_fold(
         ranked = _balanced_rank_ids(pinned).localCheckpoint(eager=True)
     finally:
         pinned.unpersist()
+    # fail-loud bijectivity validation (see docstring): one aggregate
+    # over the K checkpointed rows — a permutation of 0..K-1 has no
+    # NULLs, min 0, max K-1, and K distinct values
+    v = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.col("_rn").isNull().cast("int")), F.lit(0)).alias(
+            "nulls"
+        ),
+        F.min("_rn").alias("mn"),
+        F.max("_rn").alias("mx"),
+        F.count_distinct("_rn").alias("nd"),
+    ).first()
+    if v["n"] > 0 and not (
+        v["nulls"] == 0
+        and v["mn"] == 0
+        and v["mx"] == v["n"] - 1
+        and v["nd"] == v["n"]
+    ):
+        raise RuntimeError(
+            "chunked packing rank is not a 0..K-1 permutation "
+            f"(n={v['n']}, nulls={v['nulls']}, min={v['mn']}, max={v['mx']}, "
+            f"distinct={v['nd']}) — the persisted centroid frame was likely "
+            "recomputed with a different partition layout between the two "
+            "numbering phases; failing instead of silently mis-chunking"
+        )
     df = emb
     for i in range(n_chunks):
         chunk = ranked.filter((F.col("_rn") % n_chunks) == i).agg(

@@ -63,6 +63,12 @@ def refresh_check(paths: list[str]) -> int:
             f"got {len(paths)} — treating as a preview, not a pass."
         )
         ok = False
+    elif len({os.path.realpath(p) for p in paths}) < len(paths):
+        # one clean run passed twice must not masquerade as two
+        # consecutive agreeing runs (review r12, second pass)
+        print("NOTE: criterion 1 got the SAME artifact more than once — "
+              "distinct runs required.")
+        ok = False
     for path in paths:
         run = load(path)
         # A totals-only artifact (the compact final line the driver's
@@ -77,9 +83,13 @@ def refresh_check(paths: list[str]) -> int:
             "calibration_overhead_sec",
             "suspects_vs_anchor",
             "watch_vs_anchor",
+            "suspect_ambient",
             "queries",
         )
-        missing = [k for k in required if k not in run or run[k] is None]
+        # every field must be PRESENT and non-null (suspect_ambient is
+        # a real bool in every genuine artifact; review r12 second
+        # pass — absent-field-passes-vacuously is the bug class)
+        missing = [k for k in required if run.get(k) is None]
         if missing:
             print(f"\n{path}: FAIL — not a full bench artifact, missing {missing}")
             ok = False
@@ -122,13 +132,20 @@ def refresh_check(paths: list[str]) -> int:
             (
                 (q, t / (bench.ANCHOR[q] * era))
                 for q, t in queries.items()
-                if q in bench.ANCHOR and bench.ANCHOR[q] >= 0.2
+                # same substantiality floor as the suspect tier — one
+                # constant, no drift (review r12, second pass)
+                if q in bench.ANCHOR
+                and bench.ANCHOR[q] >= bench.SUSPECT_MIN_ANCHOR_SEC
             ),
             key=lambda kv: -kv[1],
         )
         flagged = [(q, r) for q, r in movers if r > 1.15]
         print(f"  criterion 4 — per-query era-normalized vs anchor:")
-        for q, r in movers[:10]:
+        # EVERY flagged mover prints — truncating the explain-by-name
+        # list is exactly the laundering hole criterion 4 closes
+        # (review r12, second pass); below-bar context caps at 5.
+        shown = flagged + [m for m in movers if m[1] <= 1.15][:5]
+        for q, r in shown:
             mark = "  <-- EXPLAIN BY NAME" if r > 1.15 else ""
             print(f"    {q:<34} {r:5.2f}x{mark}")
         if not flagged:
