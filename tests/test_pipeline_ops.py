@@ -367,3 +367,35 @@ def test_balanced_rank_ids_is_distributed_and_bijective(spark):
         assert S._n_pack_chunks(cent, max_packed_k=1000, k_max_hint=101) == 1
     finally:
         del os.environ["SMS_DB_SPARK_VALIDATE_K_HINT"]
+
+
+def test_zero_vector_centroid_does_not_crash_assignment(spark):
+    """Under Spark 4's default ANSI mode even DOUBLE division by zero
+    throws — one all-zero embedding (a failed encode, routine at real
+    corpus scale) must not crash the packed assignment fold (r12
+    over-cap experiment finding). A zero centroid scores dot 0 against
+    everything and a zero query row scores 0 against every centroid —
+    deterministic, never an exception; non-zero rows keep their exact
+    winners (guard divides by 1 ONLY when the norm is exactly 0)."""
+    import sms_db_spark.operators.similarity as S
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "cid long, c_emb array<float>",
+    )
+    emb = spark.createDataFrame(
+        [(10, [2.0, 0.1]), (11, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.cid for r in S._assign(emb, cent).collect()}
+    # vec 10 is closest to centroid 1 by normalized dot; the zero
+    # query row ties all centroids at 0 -> lowest cid wins
+    assert got == {10: 1, 11: 0}
+
+    got_cos = {
+        r.vec_id: (r.cid, r.sim)
+        for r in S._argmax_cosine_packed(emb, cent).collect()
+    }
+    assert got_cos[10][0] == 1
+    assert got_cos[11] == (0, 0.0)
