@@ -42,15 +42,15 @@ def _norm(a: str) -> Column:
 
 
 def cosine(a: str, b: str) -> Column:
-    # KNOWN zero-vector hazard (r12): under Spark 4's default ANSI
-    # mode this division THROWS if either vector is all-zero (the
-    # packed-fold family is guarded via _safe_nrm; this per-pair form
-    # feeds ~10 oracle-twinned queries whose DuckDB twins would need
-    # the identical guard in lockstep, so the fix is deferred to its
-    # own round rather than rushed — the synthetic corpus contains no
-    # zero embeddings, and a real deployment should pre-filter
-    # failed-encode vectors at ingest anyway).
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Per-pair cosine; zero-vector-safe (r12): under Spark 4's
+    default ANSI mode even DOUBLE division by zero throws, so one
+    all-zero embedding (a failed encode) would crash every consumer.
+    A zero norm divides by 1 instead (_safe_nrm), making cos(0, x) a
+    deterministic 0.0; every NON-zero norm passes through untouched,
+    so scores on real data are bit-identical to the unguarded form.
+    _sql_cos carries the IDENTICAL guard (NULLIF/COALESCE), so the
+    engines agree on zero vectors too — never fix one side alone."""
+    return _dot(a, b) / (_safe_nrm(_norm(a)) * _safe_nrm(_norm(b)))
 
 
 # DuckDB twin of the same sequential fold (1-based list indexing)
@@ -61,8 +61,15 @@ def _sql_dot(a: str, b: str) -> str:
     )
 
 
+def _sql_safe_nrm(x: str) -> str:
+    """DuckDB twin of _safe_nrm: NULLIF maps a zero norm to NULL and
+    COALESCE restores the divide-by-1 — identical doubles for every
+    non-zero norm, cosine 0.0 for the zero vector on both engines."""
+    return f"COALESCE(NULLIF(sqrt({_sql_dot(x, x)}), 0), 1)"
+
+
 def _sql_cos(a: str, b: str) -> str:
-    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+    return f"({_sql_dot(a, b)} / ({_sql_safe_nrm(a)} * {_sql_safe_nrm(b)}))"
 
 
 def q48_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,7 +825,7 @@ def _kmeans_sql(cent0_sql: str) -> str:
     FROM embeddings e CROSS JOIN (
       SELECT cid,
              list_transform(c_emb, x -> CAST(x AS DOUBLE)
-               / sqrt({_sql_dot('c_emb', 'c_emb')})) AS c_unit
+               / {_sql_safe_nrm('c_emb')}) AS c_unit
       FROM {cent}
     ) c
   ) WHERE rn = 1"""
@@ -1003,7 +1010,7 @@ Q98_SQL = f"""
 WITH cent AS (
   SELECT vec_id AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)
-           / sqrt({_sql_dot('embedding', 'embedding')})) AS c_unit
+           / {_sql_safe_nrm('embedding')}) AS c_unit
   FROM embeddings WHERE vec_id < {N_CENTROIDS}
 ),
 assigned AS (
@@ -1019,7 +1026,7 @@ assigned AS (
 ranked AS (
   SELECT cid, vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)
-           / sqrt({_sql_dot('embedding', 'embedding')})) AS unit
+           / {_sql_safe_nrm('embedding')}) AS unit
   FROM (
     SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rnk
     FROM assigned
@@ -1668,7 +1675,7 @@ WITH cent AS (
 centn AS (
   SELECT cid,
          list_transform(c_emb, x -> CAST(x AS DOUBLE)
-           / sqrt({_sql_dot('c_emb', 'c_emb')})) AS c_unit
+           / {_sql_safe_nrm('c_emb')}) AS c_unit
   FROM cent
 ),
 assigned AS (

@@ -399,3 +399,36 @@ def test_zero_vector_centroid_does_not_crash_assignment(spark):
     }
     assert got_cos[10][0] == 1
     assert got_cos[11] == (0, 0.0)
+
+
+def test_cosine_zero_vector_engine_parity(spark):
+    """cosine() and its DuckDB twin _sql_cos must agree ON the zero
+    vector, not just survive it: both guard the norm divisor (divide
+    by 1 when the norm is exactly 0), so cos(0, x) == 0.0 on BOTH
+    engines and non-zero pairs are bit-identical to the unguarded
+    form (r12 — fixing one side alone would silently de-sync the
+    oracle gate on real corpora with failed-encode vectors)."""
+    import duckdb
+
+    import sms_db_spark.operators.similarity as S
+
+    dim = S.DIM
+    z = [0.0] * dim
+    a = [1.0] + [0.0] * (dim - 1)
+    b = [0.6] * dim
+    df = spark.createDataFrame(
+        [(z, a), (z, z), (a, b), (b, b)],
+        "x array<float>, y array<float>",
+    )
+    got = [r.c for r in df.select(S.cosine("x", "y").alias("c")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {S._sql_cos('x', 'y')} FROM (SELECT ?::FLOAT[] AS x, ?::FLOAT[] AS y)",
+            [x, y],
+        ).fetchone()[0]
+        for x, y in [(z, a), (z, z), (a, b), (b, b)]
+    ]
+    assert got == want, (got, want)
+    assert got[0] == 0.0 and got[1] == 0.0  # zero vector scores 0, never raises
+    assert abs(got[3] - 1.0) < 1e-12  # self-cosine still exact
