@@ -340,6 +340,182 @@ FROM documents
 """
 
 
+# ---- image perceptual-hash near-dup (VERDICT r12 item 6) ------------
+#
+# The one training-data dedup lane the registry covered only for text:
+# near-duplicate IMAGES. dHash — the standard difference hash: resample
+# to a (W+1)xH grayscale grid, emit one bit per horizontal gradient
+# (right pixel brighter than left), Hamming distance on the resulting
+# W*H bits. Production swaps `resizer=` for a Pillow/libvips resample
+# exactly like resize_images; the stub keeps every Spark-side shape —
+# one Arrow pass for decode→resize→hash, JVM-side banded pair
+# generation — real and oracle-checked (the fake resample is
+# byte-truncation arithmetic DuckDB can mirror).
+#
+# Pair generation rides q45's band-bucket discipline WHOLESALE
+# (dedup.bucket_cap_filter / bucket_pair_expr — the cap law and slice
+# arithmetic live only there): the 64 bits split into 4 bands of 16;
+# by pigeonhole, any pair within Hamming distance PHASH_BANDS - 1 = 3
+# agrees EXACTLY on at least one band (3 flipped bits can touch at
+# most 3 of the 4 bands), so banding loses nothing below the bucket
+# cap — unlike MinHash LSH this isn't probabilistic recall, it's
+# exact. Hamming verification runs map-side inside the bucket
+# expansion (bit_count over band XORs), so no candidate ever reaches
+# a second shuffle.
+
+DHASH_W, DHASH_H = 9, 8  # 9x8 grid -> 8 gradient bits x 8 rows = 64
+DHASH_BANDS = 4  # 16 bits per band
+# exact-recall bound: <= 3 flipped bits cannot touch all 4 bands
+PHASH_HAMMING_MAX = 3
+# q45's hot-bucket cap rationale verbatim: a degenerate band value
+# (flat/boilerplate images) pairs quadratically; such buckets are
+# dropped and genuinely-near pairs still meet in their other bands
+PHASH_MAX_BUCKET = 64
+
+PHASH_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType(), False)]
+    + [T.StructField(f"b{i}", T.IntegerType(), False) for i in range(DHASH_BANDS)]
+)
+
+
+def dhash_bands_bytes(px: bytes) -> tuple[int, ...]:
+    """dHash over a (DHASH_W x DHASH_H)-byte grayscale grid, packed as
+    DHASH_BANDS 16-bit band values (big-endian within a band: global
+    bit t = row*8 + col, bit k of band b is t = 16b + k at weight
+    2^(15-k)). Pure function of the pixel bytes — unit-testable without
+    Spark, and the DuckDB oracle recomputes the identical arithmetic
+    from the text bytes."""
+    bands = []
+    for b in range(DHASH_BANDS):
+        v = 0
+        for k in range(16):
+            t = 16 * b + k
+            r, c = divmod(t, 8)
+            if px[r * DHASH_W + c + 1] > px[r * DHASH_W + c]:
+                v |= 1 << (15 - k)
+        bands.append(v)
+    return tuple(bands)
+
+
+def image_phash(media: DataFrame, resizer=fake_resize) -> DataFrame:
+    """decode→resize→dHash in ONE Arrow-batched pass (a second
+    mapInPandas stage would pay an extra Arrow round trip for nothing —
+    the production Pillow pipeline is likewise one Python pass per
+    image). Constant task memory; binary payloads never leave the
+    executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            grids = pdf["payload"].map(lambda p: resizer(p, DHASH_W, DHASH_H))
+            bands = [dhash_bands_bytes(g) for g in grids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{
+                        f"b{i}": pd.Series(
+                            [bs[i] for bs in bands], dtype="int32"
+                        )
+                        for i in range(DHASH_BANDS)
+                    },
+                }
+            )
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    hashed: DataFrame,
+    hamming_max: int = PHASH_HAMMING_MAX,
+    max_bucket: int = PHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup image pairs (doc_a < doc_b, Hamming <= hamming_max)
+    from banded dHashes — q45's one-shuffle shape: explode the 4 bands,
+    groupBy (band_id, band_val) collects each bucket's (doc_id, bands)
+    structs, the cap filters the grouped row for free, and pair
+    expansion + Hamming verification both run map-side over the sorted
+    in-bucket array (bounded by max_bucket^2). distinct() collapses
+    pairs that met in several bands."""
+    from .dedup import bucket_cap_filter, bucket_pair_expr
+
+    band_cols = [f"b{i}" for i in range(DHASH_BANDS)]
+    bands = hashed.select(
+        "doc_id",
+        *band_cols,
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_val"),
+    )
+    buckets = bands.groupBy("band_id", "band_val").agg(
+        F.array_sort(F.collect_set(F.struct("doc_id", *band_cols))).alias("docs")
+    )
+    keep = (
+        " + ".join(f"bit_count(x.{b} ^ y.{b})" for b in band_cols)
+        + f" <= {hamming_max}"
+    )
+    return (
+        bucket_cap_filter(buckets, max_bucket)
+        .select(F.explode(bucket_pair_expr(".doc_id", keep_expr=keep)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def q161_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup end-to-end: fabricated binary media column →
+    one Arrow pass (resize stub + dHash) → banded Hamming pairs."""
+    from ..tables import load_table_parallel
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    pairs = phash_neardup_pairs(image_phash(to_media_frame(docs)))
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def _q161_band_exprs() -> str:
+    """The oracle's band columns: identical arithmetic to
+    dhash_bands_bytes over the same 72 resized bytes (fake_resize =
+    truncate/zero-pad; the corpus is all-ASCII so UTF-8 byte i ==
+    ascii(char i), the q55 oracle's standing assumption)."""
+    cols = []
+    for b in range(DHASH_BANDS):
+        cols.append(
+            f"CAST(list_sum(list_transform(range({16 * b}, {16 * b + 16}), t -> "
+            f"CASE WHEN p[((t//8)*{DHASH_W} + (t%8)) + 2] > "
+            f"p[((t//8)*{DHASH_W} + (t%8)) + 1] "
+            f"THEN (1 << (15 - (t % 16))) ELSE 0 END)) AS BIGINT) AS b{b}"
+        )
+    return ", ".join(cols)
+
+
+Q161_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(1, {DHASH_W * DHASH_H + 1}), i ->
+           CASE WHEN i <= length(text)
+                THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 0 END) AS p
+  FROM documents
+),
+h AS (SELECT doc_id, {{bands}} FROM px),
+bands AS (
+  SELECT doc_id, 0 AS band_id, b0 AS band_val, b0, b1, b2, b3 FROM h
+  UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM h
+  UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM h
+  UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM h
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  JOIN (SELECT band_id, band_val, count(*) AS n
+        FROM bands GROUP BY band_id, band_val) k
+    ON k.band_id = a.band_id AND k.band_val = a.band_val
+   AND k.n <= {PHASH_MAX_BUCKET}
+  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      <= {PHASH_HAMMING_MAX}
+)
+SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+""".replace("{bands}", _q161_band_exprs())
+
+
 QUERIES = {
     "q55_multimodal_features": QuerySpec(
         q55_multimodal_features, Q55_SQL, "binary-column mapInPandas plumbing"
@@ -349,5 +525,10 @@ QUERIES = {
     ),
     "q75_multimodal_real_decode": QuerySpec(
         q75_multimodal_real_decode, Q75_SQL, "real BMP/PNG header decode via mapInPandas"
+    ),
+    "q161_image_phash_neardup": QuerySpec(
+        q161_image_phash_neardup,
+        Q161_SQL,
+        "image perceptual-hash near-dup (dHash + Hamming-banded pairs)",
     ),
 }

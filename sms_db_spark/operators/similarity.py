@@ -24,6 +24,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numbering import partition_offset_ids
 from ..plans import QuerySpec
 from ..tables import load_table, load_table_parallel
 
@@ -64,7 +65,10 @@ def _sql_dot(a: str, b: str) -> str:
 def _sql_safe_nrm(x: str) -> str:
     """DuckDB twin of _safe_nrm: NULLIF maps a zero norm to NULL and
     COALESCE restores the divide-by-1 — identical doubles for every
-    non-zero norm, cosine 0.0 for the zero vector on both engines."""
+    non-zero norm, cosine 0.0 for the zero vector on both engines.
+    A NULL norm (NULL embedding) also COALESCEs to divisor 1, matching
+    _safe_nrm's otherwise(1.0) branch: the score stays NULL via the
+    NULL dot product on both engines (ADVICE r12 #4)."""
     return f"COALESCE(NULLIF(sqrt({_sql_dot(x, x)}), 0), 1)"
 
 
@@ -410,7 +414,15 @@ def _safe_nrm(nrm: Column) -> Column:
     zero vector killed _assign under a vanilla ANSI session). Every
     NON-zero norm passes through untouched, so scores on real data
     are bit-identical to the unguarded division — the oracle hashes
-    cannot move."""
+    cannot move.
+
+    A NULL norm (NULL embedding) ALSO lands in the otherwise(1.0)
+    branch — `nrm != 0.0` is NULL, which when() treats as false — so
+    the divisor is 1 and the score stays NULL via the NULL dot
+    product. The DuckDB twin (_sql_safe_nrm's COALESCE(NULLIF(·,0),1))
+    maps NULL → 1 identically; this NULL-in/NULL-out agreement is part
+    of the cross-engine contract, not an accident — keep both branches
+    in lockstep if either changes (ADVICE r12 #4)."""
     return F.when(nrm != 0.0, nrm).otherwise(F.lit(1.0))
 
 
@@ -464,21 +476,25 @@ def _n_pack_chunks(
     probe is LIMIT-bounded, so deciding "fits in one array" never scans
     more than cap+1 rows even against a huge centroid table; only an
     over-cap K pays the full count."""
+    if k_max_hint is not None and os.environ.get("SMS_DB_SPARK_VALIDATE_K_HINT"):
+        # Opt-in contract check (VERDICT r11 item 7): a hint BELOW the
+        # true K would otherwise surface only as Spark's opaque
+        # array-size error at broadcast time. Checked for EVERY hint,
+        # not just under-cap ones (ADVICE r12 #5) — an over-cap hint
+        # that isn't a true upper bound is harmless cost-wise (it only
+        # routes to the probe), but the validator's advertised contract
+        # is "every hint is an upper bound". Costs one LIMIT-bounded
+        # job, so it stays out of the default path — the zero-job
+        # property of a correct hint is load-bearing.
+        probed = cent.limit(k_max_hint + 1).count()
+        if probed > k_max_hint:
+            raise ValueError(
+                f"k_max_hint={k_max_hint} is not an upper bound: the "
+                f"centroid frame has more than {k_max_hint} rows "
+                "(observed via a LIMIT-bounded probe). Pass a true "
+                "upper bound (e.g. N_CENTROIDS) or omit the hint."
+            )
     if k_max_hint is not None and k_max_hint <= max_packed_k:
-        if os.environ.get("SMS_DB_SPARK_VALIDATE_K_HINT"):
-            # Opt-in contract check (VERDICT r11 item 7): a hint BELOW
-            # the true K would otherwise surface only as Spark's opaque
-            # array-size error at broadcast time. Costs one
-            # LIMIT-bounded job, so it stays out of the default path —
-            # the zero-job property of a correct hint is load-bearing.
-            probed = cent.limit(k_max_hint + 1).count()
-            if probed > k_max_hint:
-                raise ValueError(
-                    f"k_max_hint={k_max_hint} is not an upper bound: the "
-                    f"centroid frame has more than {k_max_hint} rows "
-                    "(observed via a LIMIT-bounded probe). Pass a true "
-                    "upper bound (e.g. N_CENTROIDS) or omit the hint."
-                )
         return 1
     probed = cent.limit(max_packed_k + 1).count()
     if probed <= max_packed_k:
@@ -488,45 +504,21 @@ def _n_pack_chunks(
 
 def _balanced_rank_ids(pinned: DataFrame) -> DataFrame:
     """0-based dense ids `_rn` (a permutation of 0..K-1) over a PINNED
-    (localCheckpointed) frame, with NO global window: per-partition
-    row_number (Window.partitionBy on the physical partition id — every
-    partition ranks in its own task) plus a driver-side cumsum of
-    per-partition counts (one tiny aggregate job, one row per
-    partition). The same two-phase shape as canonical.dense_ids, minus
-    its range-repartition: chunk assignment only needs a BALANCED
-    bijective numbering, not a globally ordered one, and the fold's
-    output is chunk-invariant anyway (argmax over a union == argmax of
-    per-chunk argmaxes). DELIBERATE TWIN, not a shared core (review
-    r12): dense_ids sits on the importer call path (q60/q63/q64/q69
-    lineage), so extracting a common helper would re-gate eight fresh
-    rows for a pure refactor — if you fix a numbering bug HERE, fix
-    canonical.dense_ids too (and vice versa; its empty-frame branch
-    returns lit(start) where this one early-returns). The caller MUST
-    pass a pinned frame (persisted or checkpointed) — the partition
-    ids must be identical between the counts job and the numbering
-    job, which re-executed lineage does not guarantee."""
-    with_pid = pinned.withColumn("_pid", F.spark_partition_id())
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    if not counts:
-        return with_pid.withColumn("_rn", F.lit(0)).drop("_pid")
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_col = F.element_at(
-        F.map_from_arrays(
-            F.array(*[F.lit(p) for p in sorted(counts)]),
-            F.array(*[F.lit(offsets[p]) for p in sorted(counts)]),
-        ),
-        F.col("_pid"),
-    )
-    w = Window.partitionBy("_pid").orderBy("cid")
-    return with_pid.withColumn(
-        "_rn", F.row_number().over(w) - 1 + offset_col
-    ).drop("_pid")
+    (persisted or localCheckpointed) frame — the shared two-phase
+    partition-offset numbering (functions/numbering.py; extracted from
+    the r12 deliberate twin with canonical.dense_ids, VERDICT r12
+    item 4), WITHOUT dense_ids' range-repartition: chunk assignment
+    only needs a BALANCED bijective numbering, not a globally ordered
+    one, and the fold's output is chunk-invariant anyway (argmax over
+    a union == argmax of per-chunk argmaxes). The caller MUST pass a
+    pinned frame — the partition ids must be identical between the
+    kernel's counts job and its numbering job, which re-executed
+    lineage does not guarantee. strict=False (ADVICE r12 #1): if the
+    pin is violated anyway, try_element_at turns the orphan pid's ids
+    into NULLs, and _packed_fold's post-checkpoint bijectivity
+    aggregate raises its explanatory error instead of Spark's opaque
+    mid-job MAP_KEY_DOES_NOT_EXIST."""
+    return partition_offset_ids(pinned, ["cid"], "_rn", start=0, strict=False)
 
 
 def _packed_fold(

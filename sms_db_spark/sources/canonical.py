@@ -23,10 +23,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import message_hash, part_bytes
+from ..functions.numbering import partition_offset_ids
 from ..schemas import MESSAGE_HASH_FIELDS
 
 
@@ -55,41 +56,23 @@ def with_message_hash(staged_messages: DataFrame, staged_parts: DataFrame) -> Da
 
 
 def dense_ids(df: DataFrame, order_cols: list[str], id_col: str = "_id", start: int = 1) -> DataFrame:
-    """Assign dense sequential ids 1..N in the total order of order_cols.
+    """Assign dense sequential ids start..start+N-1 in the total order
+    of order_cols (W2, the AUTOINCREMENT shape of sms-db.pl:49).
 
-    Two-phase, scale-safe: range-repartition on the order → per-partition
-    row_number → add per-partition offsets (tiny driver-side cumsum).
-    Avoids the classic single-partition global window bottleneck.
-
-    DELIBERATE TWIN: similarity._balanced_rank_ids reuses this two-phase
-    numbering (minus the range-repartition) for packed-centroid chunk
-    assignment — a numbering fix here must be mirrored there (kept
-    separate so a pure refactor doesn't re-gate the importer lineage;
-    review r12).
+    Range-repartition on the order (deterministic on re-run, which is
+    what makes the kernel's two-action contract hold over unpinned
+    lineage), then the shared two-phase partition-offset numbering —
+    per-partition row_number + driver-side cumsum of per-partition
+    counts, no global single-partition window (functions/numbering.py;
+    extracted from the r12 deliberate twin with
+    similarity._balanced_rank_ids, VERDICT r12 item 4). strict=True:
+    this path has no downstream bijectivity validation, so a
+    broken-contract pid should throw Spark's ANSI map-key error rather
+    than silently yield NULL ids.
     """
     n_part = max(df.rdd.getNumPartitions(), 1)
     ordered = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
-    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, acc = {}, start
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_col = F.element_at(
-        F.map_from_arrays(
-            F.array(*[F.lit(p) for p in sorted(counts)]),
-            F.array(*[F.lit(offsets[p]) for p in sorted(counts)]),
-        ),
-        F.col("_pid"),
-    ) if counts else F.lit(start)
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
-        with_pid.withColumn(id_col, F.row_number().over(w) - 1 + offset_col)
-        .drop("_pid")
-    )
+    return partition_offset_ids(ordered, order_cols, id_col, start=start, strict=True)
 
 
 @dataclass

@@ -32,6 +32,51 @@ def test_write_audit_anchor_names_are_write_audit_names():
     assert not stray, stray
 
 
+def test_heavy_audit_rotation_partitions_and_resolves(monkeypatch):
+    """The r13 half-per-round rotation (VERDICT r12 item 2): the two
+    parity subsets must partition the rotating set (so alternating
+    parities time every heavy audit within 2 rounds), every name must
+    be a real WRITE_AUDITS entry, active+skipped must reconstruct the
+    full bucket in order, and the ALL-audits override must defeat the
+    rotation (anchor-refresh runs need the full bucket)."""
+    monkeypatch.delenv("SMS_DB_SPARK_BENCH_ALL_AUDITS", raising=False)
+    rotating = {q for qs in bench.HEAVY_AUDIT_ROTATION.values() for q in qs}
+    assert rotating <= set(bench.WRITE_AUDITS)
+    assert set(bench.HEAVY_AUDIT_ROTATION) == {0, 1}
+    assert not (
+        set(bench.HEAVY_AUDIT_ROTATION[0]) & set(bench.HEAVY_AUDIT_ROTATION[1])
+    )
+    assert (
+        set(bench.HEAVY_AUDIT_ROTATION[0]) | set(bench.HEAVY_AUDIT_ROTATION[1])
+        == rotating
+    )
+
+    for parity in (0, 1):
+        monkeypatch.setattr(bench, "_build_round", lambda p=parity: p)
+        active, skipped = bench.rotated_write_audits()
+        assert set(active) | set(skipped) == set(bench.WRITE_AUDITS)
+        assert not set(active) & set(skipped)
+        assert set(skipped) == rotating - set(bench.HEAVY_AUDIT_ROTATION[parity])
+        # order preserved so bucket timings stay position-comparable
+        assert active == [q for q in bench.WRITE_AUDITS if q in set(active)]
+
+    # unknown round (no evidence.json): fail toward completeness
+    monkeypatch.setattr(bench, "_build_round", lambda: None)
+    assert bench.rotated_write_audits() == (list(bench.WRITE_AUDITS), [])
+
+    # explicit override: full bucket regardless of parity
+    monkeypatch.setattr(bench, "_build_round", lambda: 1)
+    monkeypatch.setenv("SMS_DB_SPARK_BENCH_ALL_AUDITS", "1")
+    assert bench.rotated_write_audits() == (list(bench.WRITE_AUDITS), [])
+
+
+def test_build_round_reads_evidence_artifacts():
+    """evidence.json is regenerated at round start, so its newest
+    CORRECTNESS artifact + 1 IS the current build round."""
+    rnd = bench._build_round()
+    assert rnd is not None and rnd >= 13
+
+
 def test_watch_tier_reports_medium_regressions_without_flagging():
     """The r10-item-4 gap: a genuine ~2x regression on a substantial
     query must be REPORTED (watch tier) even though it clears the 3x

@@ -124,3 +124,66 @@ def test_decode_image_jpeg_fill_bytes_and_standalone_markers():
     # EOI before any SOF -> clean "no SOF" error, not a garbage length read
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8" + b"\xff\xd9")
+
+
+def test_dhash_bands_bytes_bit_positions():
+    """Golden bit-packing checks for the pure dHash kernel: the oracle
+    recomputes this exact arithmetic in SQL, so the packing order
+    (global bit t = row*8 + col, big-endian within each 16-bit band)
+    must be pinned by value, not by round-trip."""
+    from sms_db_spark.operators.multimodal import dhash_bands_bytes
+
+    assert dhash_bands_bytes(bytes(72)) == (0, 0, 0, 0)  # flat: no gradients
+    assert dhash_bands_bytes(bytes(range(72))) == (0xFFFF,) * 4  # ascending
+    # one bright pixel at index 1: only bit t=0 (px[1] > px[0]) fires,
+    # the band-0 MSB
+    px = bytearray(72); px[1] = 1
+    assert dhash_bands_bytes(bytes(px)) == (0x8000, 0, 0, 0)
+    # one bright pixel at index 64 (row 7, col 1): fires only t=56
+    # (px[64] > px[63]), band 3 bit k=8 -> weight 2^7
+    px = bytearray(72); px[64] = 1
+    assert dhash_bands_bytes(bytes(px)) == (0, 0, 0, 0x80)
+
+
+def test_phash_neardup_pairs_band_meet_and_cap(spark):
+    """Banded pair semantics: a Hamming-1 pair meets in its 3 equal
+    bands and is emitted ONCE; a shared-band pair past the Hamming max
+    is a candidate but rejected map-side; disjoint hashes never meet;
+    and the q45 bucket cap drops an oversize bucket's pairs."""
+    from sms_db_spark.operators.multimodal import phash_neardup_pairs
+
+    hashed = spark.createDataFrame(
+        [
+            (0, 1, 2, 3, 4),
+            (1, 1, 2, 3, 5),          # Hamming 1 vs doc 0 (band 3: 4^5)
+            (2, 100, 200, 300, 400),  # no band shared with anyone
+            (3, 1, 999, 998, 997),    # meets 0/1 in band 0, Hamming >> 3
+        ],
+        "doc_id long, b0 int, b1 int, b2 int, b3 int",
+    )
+    got = {(r.doc_a, r.doc_b) for r in phash_neardup_pairs(hashed).collect()}
+    assert got == {(0, 1)}
+
+    trip = spark.createDataFrame(
+        [(i, 7, 7, 7, 7) for i in range(3)],
+        "doc_id long, b0 int, b1 int, b2 int, b3 int",
+    )
+    assert phash_neardup_pairs(trip).count() == 3  # all 3 pairs, dedup'd
+    assert phash_neardup_pairs(trip, max_bucket=2).count() == 0  # capped
+
+
+def test_image_phash_matches_pure_kernel(spark):
+    """The Arrow pass must agree with the pure-python kernel over the
+    same fake-resized bytes (resize contract: truncate/zero-pad)."""
+    from sms_db_spark.operators.multimodal import dhash_bands_bytes, image_phash
+
+    docs = spark.createDataFrame(
+        [(0, "The quick brown fox jumps over the lazy dog, twice over."),
+         (1, "xy")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+            for r in image_phash(to_media_frame(docs)).collect()}
+    for doc_id, text in [(0, "The quick brown fox jumps over the lazy dog, twice over."), (1, "xy")]:
+        expect = dhash_bands_bytes(fake_resize(text.encode(), 9, 8))
+        assert rows[doc_id] == expect, doc_id

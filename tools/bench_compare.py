@@ -113,8 +113,14 @@ def refresh_check(paths: list[str]) -> int:
             "total ratio in [0.9, 1.1] (raw or era-norm)": (
                 0.9 <= ratio <= 1.1 or 0.9 <= ratio / era <= 1.1
             ),
-            "cal flat vs prior anchor era": (
-                cal <= bench.CAL_FLAT_RATIO * bench.ANCHOR_CAL_SEC
+            # BOTH directions (ADVICE r12 #3): a drastically FASTER
+            # calibration (machine/JVM change) invalidates
+            # era-normalized comparability just as a slower one does —
+            # "within CAL_FLAT_RATIO" means a band, not a ceiling.
+            "cal flat vs prior anchor era (both directions)": (
+                bench.ANCHOR_CAL_SEC / bench.CAL_FLAT_RATIO
+                <= cal
+                <= bench.CAL_FLAT_RATIO * bench.ANCHOR_CAL_SEC
             ),
             "overhead axis flat (<= 0.25s)": (
                 run["calibration_overhead_sec"] <= 0.25
