@@ -151,9 +151,17 @@ HEAVY_AUDIT_ROTATION = {
 
 def _build_round() -> int | None:
     """Current build round = newest CORRECTNESS_r{N} artifact + 1,
-    read from evidence.json's generated_from list (regenerating
-    evidence.json is the documented first task of every round, so the
-    artifact list is current by the time bench runs)."""
+    read from evidence.json's generated_from list — deliberately NOT
+    the CORRECTNESS files on disk: the round-N driver drops
+    CORRECTNESS_rN.json near round end, while evidence.json is
+    regenerated exactly once per round (the documented round-start
+    chore, tripwire-tested), so every bench run inside one round —
+    builder A/B runs and the driver's end-of-round run alike —
+    computes the SAME round number and the rotation parity cannot
+    flip mid-round (review r13). TypeError is in the catch set so a
+    structurally malformed artifact (generated_from null / non-string
+    entries) degrades to the ALL-audits fallback like a missing file,
+    instead of crashing the run before anything is timed."""
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence.json")
@@ -162,9 +170,9 @@ def _build_round() -> int | None:
         return 1 + max(
             int(m.group(1))
             for a in arts
-            if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", a))
+            if isinstance(a, str) and (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", a))
         )
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
         return None
 
 
