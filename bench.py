@@ -28,7 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sms_db_spark.session import get_spark  # noqa: E402
+from sms_db_spark.session import env_flag, get_spark  # noqa: E402
 from sms_db_spark.plans import registry  # noqa: E402
 
 # representative spread: scans+filters, the flagship join, big 1:N join,
@@ -177,10 +177,17 @@ def _build_round() -> int | None:
 
 
 def rotated_write_audits() -> tuple[list[str], list[str]]:
-    """(audits to time this round, audits rotated out this round)."""
+    """(audits to time this round, audits rotated out this round).
+
+    The ≤2-rounds-stale guarantee holds only while the build round
+    ADVANCES between committed artifacts (it can stall if a round ships
+    no CORRECTNESS artifact or skips the evidence regeneration chore) —
+    which is why the artifact records `bench_build_round`: a repeated
+    round number across consecutive BENCH_r*.json files is visible, not
+    silent (review r13)."""
     rotating = {q for qs in HEAVY_AUDIT_ROTATION.values() for q in qs}
     rnd = _build_round()
-    if os.environ.get("SMS_DB_SPARK_BENCH_ALL_AUDITS") or rnd is None:
+    if env_flag("SMS_DB_SPARK_BENCH_ALL_AUDITS") or rnd is None:
         return list(WRITE_AUDITS), []
     active = set(HEAVY_AUDIT_ROTATION[rnd % 2])
     skipped = rotating - active
@@ -647,8 +654,10 @@ def main() -> None:
         "write_unanchored": sorted(set(audits_this_round) - set(WRITE_AUDIT_ANCHOR)),
         # heavy audits skipped by this round's rotation parity — their
         # latest timed numbers live in the PREVIOUS round's artifact
-        # (each is at most 2 rounds stale by construction)
+        # (at most 2 rounds stale while the round counter advances;
+        # bench_build_round makes a stalled counter visible)
         "write_audits_rotated_out": audits_rotated_out,
+        "bench_build_round": _build_round(),
         "write_watch_vs_anchor": dict(sorted(write_watch.items())),
         **ambient,
         "value": round(sum(headline.values()), 3),
@@ -677,6 +686,13 @@ def main() -> None:
                 "sf": sf,
                 "value": doc["value"],
                 "write_audits_total": doc["write_audits_total"],
+                # the write total spans a rotation-varying bucket: a
+                # reader of ONLY this surviving compact line must see
+                # how many heavy audits were rotated out (and the
+                # parity source) before reading a total swing as a
+                # regression (review r13)
+                "write_rotated_out_n": len(audits_rotated_out),
+                "bench_build_round": doc["bench_build_round"],
                 "calibration_sec": cal,
                 "calibration_overhead_sec": cal_overhead,
                 "calibration_python_sec": cal_python,

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numbering import partition_offset_ids
 from ..plans import QuerySpec
+from ..session import env_flag as _env_flag
 from ..tables import load_table, load_table_parallel
 
 DIM = 64
@@ -476,16 +477,18 @@ def _n_pack_chunks(
     probe is LIMIT-bounded, so deciding "fits in one array" never scans
     more than cap+1 rows even against a huge centroid table; only an
     over-cap K pays the full count."""
-    if k_max_hint is not None and os.environ.get("SMS_DB_SPARK_VALIDATE_K_HINT"):
+    if k_max_hint is not None and _env_flag("SMS_DB_SPARK_VALIDATE_K_HINT"):
         # Opt-in contract check (VERDICT r11 item 7): a hint BELOW the
         # true K would otherwise surface only as Spark's opaque
         # array-size error at broadcast time. Checked for EVERY hint,
-        # not just under-cap ones (ADVICE r12 #5) — an over-cap hint
-        # that isn't a true upper bound is harmless cost-wise (it only
-        # routes to the probe), but the validator's advertised contract
-        # is "every hint is an upper bound". Costs one LIMIT-bounded
-        # job, so it stays out of the default path — the zero-job
-        # property of a correct hint is load-bearing.
+        # not just under-cap ones (ADVICE r12 #5) — the validator's
+        # advertised contract is "every hint is an upper bound". The
+        # probe's LIMIT is the hint, so an over-cap hint on a big frame
+        # pays a near-full scan — acceptable in a debug mode, but only
+        # ONCE (review r13): a passing probe returns the EXACT K
+        # (probed <= hint means the limit never truncated), so both
+        # the fits-in-one-array decision and the chunk count reuse it
+        # instead of re-probing/re-counting the frame up to twice more.
         probed = cent.limit(k_max_hint + 1).count()
         if probed > k_max_hint:
             raise ValueError(
@@ -494,6 +497,7 @@ def _n_pack_chunks(
                 "(observed via a LIMIT-bounded probe). Pass a true "
                 "upper bound (e.g. N_CENTROIDS) or omit the hint."
             )
+        return 1 if probed <= max_packed_k else -(-probed // max_packed_k)
     if k_max_hint is not None and k_max_hint <= max_packed_k:
         return 1
     probed = cent.limit(max_packed_k + 1).count()

@@ -13,6 +13,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+def env_flag(name: str) -> bool:
+    """Boolean env switch: unset, empty, '0', and 'false' (any case)
+    are OFF; anything else is ON. A wrapper exporting FLAG=0 must not
+    silently ENABLE the flag (review r13 — the raw-truthiness check
+    read '0' as on)."""
+    return os.environ.get(name, "").strip().lower() not in ("", "0", "false")
+
+
 def get_spark(
     app_name: str = "sms-db-spark",
     master: str | None = None,

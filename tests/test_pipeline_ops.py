@@ -365,6 +365,17 @@ def test_balanced_rank_ids_is_distributed_and_bijective(spark):
             S._n_pack_chunks(cent, max_packed_k=1000, k_max_hint=10)
         # a CORRECT hint passes under validation
         assert S._n_pack_chunks(cent, max_packed_k=1000, k_max_hint=101) == 1
+        # over-cap hints are contract-checked too (ADVICE r12 #5): a
+        # bad over-cap bound raises; a good one returns the chunk
+        # count computed from the REUSED probe (ceil(101/40) = 3,
+        # review r13 — no second probe or count job)
+        with pytest.raises(ValueError, match="k_max_hint=10 is not an upper bound"):
+            S._n_pack_chunks(cent, max_packed_k=5, k_max_hint=10)
+        assert S._n_pack_chunks(cent, max_packed_k=40, k_max_hint=200) == 3
+        # env-flag semantics: '0' means OFF — the bad hint routes to
+        # the unvalidated probe path instead of raising
+        os.environ["SMS_DB_SPARK_VALIDATE_K_HINT"] = "0"
+        assert S._n_pack_chunks(cent, max_packed_k=1000, k_max_hint=10) == 1
     finally:
         del os.environ["SMS_DB_SPARK_VALIDATE_K_HINT"]
 
