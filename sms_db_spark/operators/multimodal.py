@@ -423,18 +423,20 @@ def image_phash(media: DataFrame, resizer=fake_resize) -> DataFrame:
     return media.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
-def phash_neardup_pairs(
+def hamming_banded_pairs(
     hashed: DataFrame,
     hamming_max: int = PHASH_HAMMING_MAX,
     max_bucket: int = PHASH_MAX_BUCKET,
 ) -> DataFrame:
-    """Near-dup image pairs (doc_a < doc_b, Hamming <= hamming_max)
-    from banded dHashes — q45's one-shuffle shape: explode the 4 bands,
-    groupBy (band_id, band_val) collects each bucket's (doc_id, bands)
-    structs, the cap filters the grouped row for free, and pair
-    expansion + Hamming verification both run map-side over the sorted
-    in-bucket array (bounded by max_bucket^2). distinct() collapses
-    pairs that met in several bands."""
+    """Near-dup pairs (doc_a < doc_b, Hamming <= hamming_max) from any
+    banded 64-bit fingerprint (doc_id, b0..b3) — shared by the image
+    dHash (q161) and audio energy-fingerprint (q162) lanes. q45's
+    one-shuffle shape: explode the 4 bands, groupBy (band_id,
+    band_val) collects each bucket's (doc_id, bands) structs, the cap
+    filters the grouped row for free, and pair expansion + Hamming
+    verification both run map-side over the sorted in-bucket array
+    (bounded by max_bucket^2). distinct() collapses pairs that met in
+    several bands."""
     from .dedup import bucket_cap_filter, bucket_pair_expr
 
     band_cols = [f"b{i}" for i in range(DHASH_BANDS)]
@@ -464,7 +466,7 @@ def q161_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load_table_parallel
 
     docs = load_table_parallel(spark, sf_dir, "documents")
-    pairs = phash_neardup_pairs(image_phash(to_media_frame(docs)))
+    pairs = hamming_banded_pairs(image_phash(to_media_frame(docs)))
     return pairs.orderBy("doc_a", "doc_b")
 
 
@@ -516,6 +518,184 @@ SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
 """.replace("{bands}", _q161_band_exprs())
 
 
+# ---- audio fingerprint near-dup (r13, sibling of q161) --------------
+#
+# The audio arm of multimodal dedup: a simplified
+# acoustic-fingerprint (the chromaprint/landmark family reduced to its
+# core move — frame the signal, one bit per consecutive-frame energy
+# gradient, Hamming distance on the bit string). The WAV containers
+# are REAL and built DISTRIBUTED (constant canonical header — fixing
+# the data size makes every RIFF length field a literal — plus text
+# bytes as 8-bit PCM samples), and decode_audio — the actual RIFF
+# parser, no fake — gates every payload inside the Arrow pass: a
+# malformed container raises, it cannot silently fingerprint garbage.
+# Pair generation reuses hamming_banded_pairs verbatim; the oracle
+# recomputes frame energies and band packing from the same text-byte
+# arithmetic. Production swaps the byte-sum "energy" for a real
+# spectral frame over decoded PCM — the batch shape, the banding, and
+# the pair kernel are unchanged by that substitution.
+
+AUDIO_FRAME_SIZE = 4
+AUDIO_FRAMES = 65  # 64 energy-gradient bits
+AUDIO_DATA_BYTES = AUDIO_FRAME_SIZE * AUDIO_FRAMES  # 260
+AUDIO_SAMPLE_RATE = 8000
+
+
+def _wav_header(data_len: int) -> bytes:
+    """Canonical 44-byte PCM WAV header (mono, 8-bit, 8 kHz) — the
+    exact layout decode_audio parses (RIFF/WAVE magic, fmt chunk at
+    the fixed offsets, data chunk header)."""
+    return (
+        b"RIFF" + (36 + data_len).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + AUDIO_SAMPLE_RATE.to_bytes(4, "little")
+        + AUDIO_SAMPLE_RATE.to_bytes(4, "little")  # byte rate (mono, 8-bit)
+        + (1).to_bytes(2, "little")  # block align
+        + (8).to_bytes(2, "little")  # bits per sample
+        + b"data" + data_len.to_bytes(4, "little")
+    )
+
+
+def to_audio_frame(docs: DataFrame) -> DataFrame:
+    """REAL WAV containers built distributed, JVM-side: constant header
+    (all length fields are literals because the data size is fixed) ++
+    the first AUDIO_DATA_BYTES text bytes as 8-bit PCM samples,
+    zero-padded — "silence" past the end of short documents."""
+    header = F.unhex(F.lit(_wav_header(AUDIO_DATA_BYTES).hex().upper()))
+    samples = F.expr(f"rpad(encode(text, 'UTF-8'), {AUDIO_DATA_BYTES}, x'00')")
+    return docs.select(
+        "doc_id",
+        F.concat(header, samples).alias("payload"),
+        F.lit("audio/wav").alias("media_type"),
+    )
+
+
+def energy_bands_bytes(samples: bytes) -> tuple[int, ...]:
+    """Energy-gradient fingerprint over AUDIO_FRAMES frames of
+    AUDIO_FRAME_SIZE 8-bit samples: frame energy = byte sum, global
+    bit t fires when energy[t+1] > energy[t], packed big-endian into
+    DHASH_BANDS 16-bit bands (same packing law as dhash_bands_bytes —
+    bit k of band b is t = 16b + k at weight 2^(15-k)). Pure function;
+    the DuckDB oracle recomputes it from the text bytes."""
+    e = [
+        sum(samples[f * AUDIO_FRAME_SIZE : (f + 1) * AUDIO_FRAME_SIZE])
+        for f in range(AUDIO_FRAMES)
+    ]
+    bands = []
+    for b in range(DHASH_BANDS):
+        v = 0
+        for k in range(16):
+            t = 16 * b + k
+            if e[t + 1] > e[t]:
+                v |= 1 << (15 - k)
+        bands.append(v)
+    return tuple(bands)
+
+
+_WAV_EXPECT = {
+    "channels": 1,
+    "sample_rate": AUDIO_SAMPLE_RATE,
+    "bits_per_sample": 8,
+}
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """decode→fingerprint in ONE Arrow pass. decode_audio — the real
+    RIFF header parser — gates every payload: an unrecognized or
+    unexpected container raises instead of fingerprinting garbage
+    (the production contract when a corrupt blob reaches the lane)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                meta = decode_audio(p)
+                if meta != _WAV_EXPECT:
+                    raise ValueError(f"unexpected WAV layout: {meta}")
+                out.append(energy_bands_bytes(p[44:]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{
+                        f"b{i}": pd.Series(
+                            [bs[i] for bs in out], dtype="int32"
+                        )
+                        for i in range(DHASH_BANDS)
+                    },
+                }
+            )
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def q162_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup end-to-end: distributed real-WAV construction →
+    one Arrow pass (real header parse + energy fingerprint) → the
+    shared Hamming-banded pair kernel. At sf0.01 the hot-bucket cap
+    genuinely engages (a ~150-doc "silence" band bucket from short
+    documents is dropped — the degenerate-bucket case the cap law
+    exists for, mirrored by the oracle's bucket-count filter)."""
+    from ..tables import load_table_parallel
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    pairs = hamming_banded_pairs(audio_fingerprint(to_audio_frame(docs)))
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def _q162_band_exprs() -> str:
+    """Oracle band columns over the frame-energy list `e` (1-based):
+    identical arithmetic to energy_bands_bytes."""
+    cols = []
+    for b in range(DHASH_BANDS):
+        cols.append(
+            f"CAST(list_sum(list_transform(range({16 * b}, {16 * b + 16}), t -> "
+            f"CASE WHEN e[t + 2] > e[t + 1] "
+            f"THEN (1 << (15 - (t % 16))) ELSE 0 END)) AS BIGINT) AS b{b}"
+        )
+    return ", ".join(cols)
+
+
+Q162_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(1, {AUDIO_DATA_BYTES + 1}), i ->
+           CASE WHEN i <= length(text)
+                THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 0 END) AS p
+  FROM documents
+),
+en AS (
+  SELECT doc_id,
+         list_transform(range(0, {AUDIO_FRAMES}), f ->
+           p[{AUDIO_FRAME_SIZE}*f+1] + p[{AUDIO_FRAME_SIZE}*f+2]
+           + p[{AUDIO_FRAME_SIZE}*f+3] + p[{AUDIO_FRAME_SIZE}*f+4]) AS e
+  FROM px
+),
+h AS (SELECT doc_id, {{bands}} FROM en),
+bands AS (
+  SELECT doc_id, 0 AS band_id, b0 AS band_val, b0, b1, b2, b3 FROM h
+  UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM h
+  UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM h
+  UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM h
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  JOIN (SELECT band_id, band_val, count(*) AS n
+        FROM bands GROUP BY band_id, band_val) k
+    ON k.band_id = a.band_id AND k.band_val = a.band_val
+   AND k.n <= {PHASH_MAX_BUCKET}
+  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      <= {PHASH_HAMMING_MAX}
+)
+SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+""".replace("{bands}", _q162_band_exprs())
+
+
 QUERIES = {
     "q55_multimodal_features": QuerySpec(
         q55_multimodal_features, Q55_SQL, "binary-column mapInPandas plumbing"
@@ -530,5 +710,10 @@ QUERIES = {
         q161_image_phash_neardup,
         Q161_SQL,
         "image perceptual-hash near-dup (dHash + Hamming-banded pairs)",
+    ),
+    "q162_audio_fingerprint_neardup": QuerySpec(
+        q162_audio_fingerprint_neardup,
+        Q162_SQL,
+        "audio energy-fingerprint near-dup (real WAV parse + banded Hamming)",
     ),
 }

@@ -145,12 +145,12 @@ def test_dhash_bands_bytes_bit_positions():
     assert dhash_bands_bytes(bytes(px)) == (0, 0, 0, 0x80)
 
 
-def test_phash_neardup_pairs_band_meet_and_cap(spark):
+def test_hamming_banded_pairs_band_meet_and_cap(spark):
     """Banded pair semantics: a Hamming-1 pair meets in its 3 equal
     bands and is emitted ONCE; a shared-band pair past the Hamming max
     is a candidate but rejected map-side; disjoint hashes never meet;
     and the q45 bucket cap drops an oversize bucket's pairs."""
-    from sms_db_spark.operators.multimodal import phash_neardup_pairs
+    from sms_db_spark.operators.multimodal import hamming_banded_pairs
 
     hashed = spark.createDataFrame(
         [
@@ -161,15 +161,15 @@ def test_phash_neardup_pairs_band_meet_and_cap(spark):
         ],
         "doc_id long, b0 int, b1 int, b2 int, b3 int",
     )
-    got = {(r.doc_a, r.doc_b) for r in phash_neardup_pairs(hashed).collect()}
+    got = {(r.doc_a, r.doc_b) for r in hamming_banded_pairs(hashed).collect()}
     assert got == {(0, 1)}
 
     trip = spark.createDataFrame(
         [(i, 7, 7, 7, 7) for i in range(3)],
         "doc_id long, b0 int, b1 int, b2 int, b3 int",
     )
-    assert phash_neardup_pairs(trip).count() == 3  # all 3 pairs, dedup'd
-    assert phash_neardup_pairs(trip, max_bucket=2).count() == 0  # capped
+    assert hamming_banded_pairs(trip).count() == 3  # all 3 pairs, dedup'd
+    assert hamming_banded_pairs(trip, max_bucket=2).count() == 0  # capped
 
 
 def test_image_phash_matches_pure_kernel(spark):
@@ -187,3 +187,53 @@ def test_image_phash_matches_pure_kernel(spark):
     for doc_id, text in [(0, "The quick brown fox jumps over the lazy dog, twice over."), (1, "xy")]:
         expect = dhash_bands_bytes(fake_resize(text.encode(), 9, 8))
         assert rows[doc_id] == expect, doc_id
+
+
+def test_energy_bands_bytes_bit_positions():
+    """Golden checks for the audio fingerprint kernel (same packing
+    law as dHash: bit t = 16b + k at weight 2^(15-k))."""
+    from sms_db_spark.operators.multimodal import (
+        AUDIO_DATA_BYTES,
+        energy_bands_bytes,
+    )
+
+    assert energy_bands_bytes(bytes(AUDIO_DATA_BYTES)) == (0, 0, 0, 0)
+    # strictly rising energies: every gradient bit fires
+    rising = b"".join(bytes([i] * 4) for i in range(65))
+    assert energy_bands_bytes(rising) == (0xFFFF,) * 4
+    # one loud frame 1 (samples 4..7): bit t=0 (e1 > e0) fires only
+    px = bytearray(AUDIO_DATA_BYTES)
+    px[4:8] = b"\x10\x10\x10\x10"
+    assert energy_bands_bytes(bytes(px)) == (0x8000, 0, 0, 0)
+
+
+def test_audio_frame_is_real_wav_and_fingerprint_matches_kernel(spark):
+    """to_audio_frame emits REAL canonical WAV bytes (decode_audio — the
+    actual parser — recovers the advertised layout) and the Arrow pass
+    agrees with the pure kernel over the padded sample bytes."""
+    from sms_db_spark.operators.multimodal import (
+        AUDIO_DATA_BYTES,
+        AUDIO_SAMPLE_RATE,
+        audio_fingerprint,
+        decode_audio,
+        energy_bands_bytes,
+        to_audio_frame,
+    )
+
+    texts = [(0, "Pack my box with five dozen liquor jugs." * 3), (1, "hi")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    media = to_audio_frame(docs)
+    payloads = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    for doc_id, text in texts:
+        p = payloads[doc_id]
+        assert decode_audio(p) == {
+            "channels": 1,
+            "sample_rate": AUDIO_SAMPLE_RATE,
+            "bits_per_sample": 8,
+        }
+        raw = text.encode()[:AUDIO_DATA_BYTES]
+        assert p[44:] == raw + b"\x00" * (AUDIO_DATA_BYTES - len(raw))
+    rows = {r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+            for r in audio_fingerprint(media).collect()}
+    for doc_id, _ in texts:
+        assert rows[doc_id] == energy_bands_bytes(payloads[doc_id][44:]), doc_id
