@@ -747,3 +747,20 @@ def test_tuned_and_clone_share_parity_confs(spark):
     bare = clone_tuned_session(spark.newSession())
     for k, v in TUNED_PARITY_CONFS.items():
         assert bare.conf.get(k) == v
+
+
+def test_q161_q162_banded_pairs_one_bucket_shuffle(spark):
+    """The multimodal near-dup lanes (r13): candidate generation is
+    q45's one-shuffle bucket shape — fingerprint map-side (the one
+    legitimate Arrow surface), ONE hash shuffle into (band_id,
+    band_val) buckets, pair expansion + Hamming verify map-side over
+    the grouped array. No join operator of any kind should appear
+    (the pair source is the in-bucket array, never a self-join), and
+    the only other shuffles are the output distinct + the final
+    presentation sort: <= 3 total."""
+    for name in ("q161_image_phash_neardup", "q162_audio_fingerprint_neardup"):
+        p = plan(spark, name, mode="simple")
+        assert "CartesianProduct" not in p, (name, p)
+        assert "Join" not in p, (name, p)  # no self-join pair path
+        assert "MapInPandas" in p or "ArrowEvalPython" in p, (name, p)
+        assert n_exchanges(p) <= 3, (name, p)
