@@ -88,6 +88,14 @@ HEADLINE = [
     "q141_epoch_shuffle",
     "q144_planned_join",
     "q147_salted_planned_join",
+    # r13 multimodal near-dup lanes (read-only, so headline not write
+    # bucket). Unanchored until the next anchor refresh — they appear
+    # in `queries` but not in ANCHOR, so `value` includes them while
+    # anchor_total_ratio (the comparable trend number) does not; the
+    # r13 evidence records their standalone cost so the value jump is
+    # attributable.
+    "q161_image_phash_neardup",
+    "q162_audio_fingerprint_neardup",
 ]
 
 # Write-audit queries run real store writers (shards, versioned commits,
