@@ -560,9 +560,10 @@ def _wav_header(data_len: int) -> bytes:
 
 def to_audio_frame(docs: DataFrame) -> DataFrame:
     """REAL WAV containers built distributed, JVM-side: constant header
-    (all length fields are literals because the data size is fixed) ++
-    the first AUDIO_DATA_BYTES text bytes as 8-bit PCM samples,
-    zero-padded — "silence" past the end of short documents."""
+    (all length fields are literals because the data size is fixed)
+    concatenated with the first AUDIO_DATA_BYTES text bytes as 8-bit
+    PCM samples, zero-padded — "silence" past the end of short
+    documents."""
     header = F.unhex(F.lit(_wav_header(AUDIO_DATA_BYTES).hex().upper()))
     samples = F.expr(f"rpad(encode(text, 'UTF-8'), {AUDIO_DATA_BYTES}, x'00')")
     return docs.select(
