@@ -378,36 +378,47 @@ PHASH_SCHEMA = T.StructType(
 )
 
 
-def dhash_bands_bytes(px: bytes) -> tuple[int, ...]:
-    """dHash over a (DHASH_W x DHASH_H)-byte grayscale grid, packed as
-    DHASH_BANDS 16-bit band values (big-endian within a band: global
-    bit t = row*8 + col, bit k of band b is t = 16b + k at weight
-    2^(15-k)). Pure function of the pixel bytes — unit-testable without
-    Spark, and the DuckDB oracle recomputes the identical arithmetic
-    from the text bytes."""
+def _pack_bands(bits: list[bool]) -> tuple[int, ...]:
+    """64 bits → DHASH_BANDS 16-bit band values, big-endian within a
+    band (bit k of band b is global bit t = 16b + k at weight
+    2^(15-k)). THE one packing law both fingerprint kernels and both
+    DuckDB oracles implement — shared so the image/audio lanes can
+    never drift on bit order (review r13)."""
     bands = []
     for b in range(DHASH_BANDS):
         v = 0
         for k in range(16):
-            t = 16 * b + k
-            r, c = divmod(t, 8)
-            if px[r * DHASH_W + c + 1] > px[r * DHASH_W + c]:
+            if bits[16 * b + k]:
                 v |= 1 << (15 - k)
         bands.append(v)
     return tuple(bands)
 
 
-def image_phash(media: DataFrame, resizer=fake_resize) -> DataFrame:
-    """decode→resize→dHash in ONE Arrow-batched pass (a second
-    mapInPandas stage would pay an extra Arrow round trip for nothing —
-    the production Pillow pipeline is likewise one Python pass per
-    image). Constant task memory; binary payloads never leave the
-    executors."""
+def dhash_bands_bytes(px: bytes) -> tuple[int, ...]:
+    """dHash over a (DHASH_W x DHASH_H)-byte grayscale grid: global bit
+    t = row*8 + col fires when the right pixel is brighter than the
+    left; packed by _pack_bands. Pure function of the pixel bytes —
+    unit-testable without Spark, and the DuckDB oracle recomputes the
+    identical arithmetic from the text bytes."""
+    return _pack_bands(
+        [
+            px[(t // 8) * DHASH_W + (t % 8) + 1] > px[(t // 8) * DHASH_W + (t % 8)]
+            for t in range(DHASH_BANDS * 16)
+        ]
+    )
+
+
+def _fingerprint_frame(media: DataFrame, kernel) -> DataFrame:
+    """ONE Arrow-batched pass turning payload bytes into banded
+    fingerprints (doc_id, b0..b3) via a payload→bands callable — the
+    shared mapInPandas body of the image and audio lanes (a second
+    Arrow stage per lane would pay a round trip for nothing; the
+    production Pillow/PCM pipelines are likewise one Python pass per
+    blob). Constant task memory; payloads never leave the executors."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            grids = pdf["payload"].map(lambda p: resizer(p, DHASH_W, DHASH_H))
-            bands = [dhash_bands_bytes(g) for g in grids]
+            bands = [kernel(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -421,6 +432,13 @@ def image_phash(media: DataFrame, resizer=fake_resize) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def image_phash(media: DataFrame, resizer=fake_resize) -> DataFrame:
+    """decode→resize→dHash in one Arrow pass (see _fingerprint_frame)."""
+    return _fingerprint_frame(
+        media, lambda p: dhash_bands_bytes(resizer(p, DHASH_W, DHASH_H))
+    )
 
 
 def hamming_banded_pairs(
@@ -486,15 +504,14 @@ def _q161_band_exprs() -> str:
     return ", ".join(cols)
 
 
-Q161_SQL = f"""
-WITH px AS (
-  SELECT doc_id,
-         list_transform(range(1, {DHASH_W * DHASH_H + 1}), i ->
-           CASE WHEN i <= length(text)
-                THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 0 END) AS p
-  FROM documents
-),
-h AS (SELECT doc_id, {{bands}} FROM px),
+def _banded_pairs_sql(h_ctes: str) -> str:
+    """Shared oracle tail for the banded-Hamming lanes (q161/q162):
+    the 4-way band explode, the bucket-cap join, and the map-side
+    Hamming filter as ONE SQL block, parameterized only by the CTEs
+    that produce `h (doc_id, b0..b3)` — so the two oracles can never
+    drift on the cap law or the Hamming threshold, mirroring how both
+    Spark lanes share hamming_banded_pairs (review r13)."""
+    return f"""{h_ctes},
 bands AS (
   SELECT doc_id, 0 AS band_id, b0 AS band_val, b0, b1, b2, b3 FROM h
   UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM h
@@ -515,7 +532,19 @@ pairs AS (
       <= {PHASH_HAMMING_MAX}
 )
 SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
-""".replace("{bands}", _q161_band_exprs())
+"""
+
+
+Q161_SQL = _banded_pairs_sql(
+    f"""WITH px AS (
+  SELECT doc_id,
+         list_transform(range(1, {DHASH_W * DHASH_H + 1}), i ->
+           CASE WHEN i <= length(text)
+                THEN ascii(substr(text, CAST(i AS INTEGER), 1)) ELSE 0 END) AS p
+  FROM documents
+),
+h AS (SELECT doc_id, {_q161_band_exprs()} FROM px)"""
+)
 
 
 # ---- audio fingerprint near-dup (r13, sibling of q161) --------------
@@ -576,23 +605,14 @@ def to_audio_frame(docs: DataFrame) -> DataFrame:
 def energy_bands_bytes(samples: bytes) -> tuple[int, ...]:
     """Energy-gradient fingerprint over AUDIO_FRAMES frames of
     AUDIO_FRAME_SIZE 8-bit samples: frame energy = byte sum, global
-    bit t fires when energy[t+1] > energy[t], packed big-endian into
-    DHASH_BANDS 16-bit bands (same packing law as dhash_bands_bytes —
-    bit k of band b is t = 16b + k at weight 2^(15-k)). Pure function;
-    the DuckDB oracle recomputes it from the text bytes."""
+    bit t fires when energy[t+1] > energy[t]; packed by _pack_bands
+    (the same law as dHash). Pure function; the DuckDB oracle
+    recomputes it from the text bytes."""
     e = [
         sum(samples[f * AUDIO_FRAME_SIZE : (f + 1) * AUDIO_FRAME_SIZE])
         for f in range(AUDIO_FRAMES)
     ]
-    bands = []
-    for b in range(DHASH_BANDS):
-        v = 0
-        for k in range(16):
-            t = 16 * b + k
-            if e[t + 1] > e[t]:
-                v |= 1 << (15 - k)
-        bands.append(v)
-    return tuple(bands)
+    return _pack_bands([e[t + 1] > e[t] for t in range(DHASH_BANDS * 16)])
 
 
 _WAV_EXPECT = {
@@ -602,33 +622,34 @@ _WAV_EXPECT = {
 }
 
 
+def _audio_kernel(p: bytes) -> tuple[int, ...]:
+    """Payload→bands kernel for the audio lane: decode_audio — the real
+    RIFF header parser — gates every payload, and the data chunk is
+    length-validated before fingerprinting: a TRUNCATED container
+    (intact header, missing samples) would otherwise fingerprint as
+    silence and emit false near-dup pairs with genuinely short
+    documents (review r13 — the header checks alone did not honor the
+    'raises instead of fingerprinting garbage' contract)."""
+    meta = decode_audio(p)
+    if meta != _WAV_EXPECT:
+        raise ValueError(f"unexpected WAV layout: {meta}")
+    data_len = int.from_bytes(p[40:44], "little")
+    if (
+        p[36:40] != b"data"
+        or data_len != AUDIO_DATA_BYTES
+        or len(p) < 44 + data_len
+    ):
+        raise ValueError(
+            f"truncated or non-canonical WAV data chunk: "
+            f"declared {data_len} bytes, payload carries {len(p) - 44}"
+        )
+    return energy_bands_bytes(p[44 : 44 + AUDIO_DATA_BYTES])
+
+
 def audio_fingerprint(media: DataFrame) -> DataFrame:
-    """decode→fingerprint in ONE Arrow pass. decode_audio — the real
-    RIFF header parser — gates every payload: an unrecognized or
-    unexpected container raises instead of fingerprinting garbage
-    (the production contract when a corrupt blob reaches the lane)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for p in pdf["payload"]:
-                meta = decode_audio(p)
-                if meta != _WAV_EXPECT:
-                    raise ValueError(f"unexpected WAV layout: {meta}")
-                out.append(energy_bands_bytes(p[44:]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    **{
-                        f"b{i}": pd.Series(
-                            [bs[i] for bs in out], dtype="int32"
-                        )
-                        for i in range(DHASH_BANDS)
-                    },
-                }
-            )
-
-    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+    """decode→fingerprint in one Arrow pass (see _fingerprint_frame);
+    _audio_kernel fail-louds on malformed or truncated containers."""
+    return _fingerprint_frame(media, _audio_kernel)
 
 
 def q162_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,8 +679,8 @@ def _q162_band_exprs() -> str:
     return ", ".join(cols)
 
 
-Q162_SQL = f"""
-WITH px AS (
+Q162_SQL = _banded_pairs_sql(
+    f"""WITH px AS (
   SELECT doc_id,
          list_transform(range(1, {AUDIO_DATA_BYTES + 1}), i ->
            CASE WHEN i <= length(text)
@@ -673,28 +694,8 @@ en AS (
            + p[{AUDIO_FRAME_SIZE}*f+3] + p[{AUDIO_FRAME_SIZE}*f+4]) AS e
   FROM px
 ),
-h AS (SELECT doc_id, {{bands}} FROM en),
-bands AS (
-  SELECT doc_id, 0 AS band_id, b0 AS band_val, b0, b1, b2, b3 FROM h
-  UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM h
-  UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM h
-  UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM h
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b
-    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-  JOIN (SELECT band_id, band_val, count(*) AS n
-        FROM bands GROUP BY band_id, band_val) k
-    ON k.band_id = a.band_id AND k.band_val = a.band_val
-   AND k.n <= {PHASH_MAX_BUCKET}
-  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
-      <= {PHASH_HAMMING_MAX}
+h AS (SELECT doc_id, {_q162_band_exprs()} FROM en)"""
 )
-SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
-""".replace("{bands}", _q162_band_exprs())
 
 
 QUERIES = {

@@ -237,3 +237,26 @@ def test_audio_frame_is_real_wav_and_fingerprint_matches_kernel(spark):
             for r in audio_fingerprint(media).collect()}
     for doc_id, _ in texts:
         assert rows[doc_id] == energy_bands_bytes(payloads[doc_id][44:]), doc_id
+
+
+def test_audio_kernel_rejects_truncated_containers():
+    """A truncated WAV (intact 44-byte header region, missing samples)
+    must RAISE, not fingerprint as silence — the silent-silence path
+    would emit false near-dup pairs with genuinely short documents
+    (review r13)."""
+    from sms_db_spark.operators.multimodal import (
+        AUDIO_DATA_BYTES,
+        _audio_kernel,
+        _wav_header,
+    )
+
+    full = _wav_header(AUDIO_DATA_BYTES) + b"x" * AUDIO_DATA_BYTES
+    assert len(_audio_kernel(full)) == 4  # intact container fingerprints
+    with pytest.raises(ValueError, match="truncated or non-canonical"):
+        _audio_kernel(full[:100])  # header survives, samples gone
+    with pytest.raises(ValueError, match="truncated or non-canonical"):
+        _audio_kernel(full[:-1])  # one byte short
+    # a declared data size that isn't the lane's fixed grid is refused
+    odd = _wav_header(AUDIO_DATA_BYTES - 4) + b"x" * (AUDIO_DATA_BYTES - 4)
+    with pytest.raises(ValueError, match="truncated or non-canonical"):
+        _audio_kernel(odd)
