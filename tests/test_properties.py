@@ -282,3 +282,63 @@ def test_versioned_store_invariants_under_any_op_sequence(spark, tmp_path_factor
                 assert fs.exists(
                     jvm.org.apache.hadoop.fs.Path(f"{store}/_versions/{n}")
                 ), f"lineage names missing dir {n}"
+
+
+# ------------------------------------------- partition_offset_ids (r13)
+
+_cids = st.sets(
+    st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=50
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(cids=_cids, n_part=st.integers(min_value=1, max_value=7))
+def test_balanced_rank_ids_is_a_permutation_on_any_pinned_layout(
+    spark, cids, n_part
+):
+    """The strict=False arm of the shared numbering kernel
+    (functions/numbering.py, extracted r13): over ANY pinned
+    partitioning, `_rn` must be a permutation of 0..K-1 — the property
+    _packed_fold's bijectivity validation assumes the kernel provides
+    whenever the caller honors the pin contract."""
+    from sms_db_spark.operators.similarity import _balanced_rank_ids
+
+    pinned = (
+        spark.createDataFrame([(c,) for c in cids], "cid long")
+        .repartition(n_part)
+        .localCheckpoint(eager=True)
+    )
+    out = _balanced_rank_ids(pinned).collect()
+    assert sorted(r._rn for r in out) == list(range(len(cids)))
+    assert {r.cid for r in out} == set(cids)  # nothing dropped or invented
+
+
+# ------------------------------------- banded-Hamming exact recall (r13)
+
+_bands4 = st.tuples(*([st.integers(min_value=0, max_value=0xFFFF)] * 4))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    base=_bands4,
+    flip_bits=st.sets(st.integers(min_value=0, max_value=63), max_size=3),
+)
+def test_banded_hamming_recall_is_exact_below_threshold(spark, base, flip_bits):
+    """The pigeonhole law the q161/q162 lanes rely on: ANY pair within
+    Hamming distance 3 of each other (4 bands x 16 bits) must be
+    emitted — banding is exact recall below PHASH_BANDS - 1 flips, not
+    probabilistic — and the map-side verify must never emit a pair
+    past the threshold (third row at distance >= 16)."""
+    from sms_db_spark.operators.multimodal import hamming_banded_pairs
+
+    other = list(base)
+    for t in flip_bits:
+        other[t // 16] ^= 1 << (15 - t % 16)
+    far = [v ^ 0xFFFF for v in base]  # distance 64 - d(base, other ...) >= 16
+    hashed = spark.createDataFrame(
+        [(0, *base), (1, *other), (2, *far)],
+        "doc_id long, b0 int, b1 int, b2 int, b3 int",
+    )
+    got = {(r.doc_a, r.doc_b) for r in hamming_banded_pairs(hashed).collect()}
+    assert (0, 1) in got  # exact recall below the threshold
+    assert (0, 2) not in got and (1, 2) not in got  # verify filter holds
