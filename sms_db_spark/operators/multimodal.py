@@ -448,23 +448,65 @@ def hamming_banded_pairs(
 ) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b, Hamming <= hamming_max) from any
     banded 64-bit fingerprint (doc_id, b0..b3) — shared by the image
-    dHash (q161) and audio energy-fingerprint (q162) lanes. q45's
-    one-shuffle shape: explode the 4 bands, groupBy (band_id,
-    band_val) collects each bucket's (doc_id, bands) structs, the cap
-    filters the grouped row for free, and pair expansion + Hamming
-    verification both run map-side over the sorted in-bucket array
-    (bounded by max_bucket^2). distinct() collapses pairs that met in
-    several bands."""
+    dHash (q161) and audio energy-fingerprint (q162) lanes: explode
+    the 4 bands, group into (band_id, band_val) buckets, pair
+    expansion + Hamming verification map-side over the sorted
+    in-bucket array (bounded by max_bucket^2). distinct() collapses
+    pairs that met in several bands.
+
+    PRE-capped, not just post-capped (r13 scale hardening): these
+    fingerprint spaces have NATURAL degenerate attractors — the
+    all-zero dHash of blank images, the silence fingerprint of short
+    audio (measured: ~30% of the sf0.01 corpus in ONE silence bucket)
+    — and a collect_set that materializes such a bucket BEFORE the
+    cap filter would hold the whole bucket's structs in one reducer
+    task (at 10^11 docs, terabytes in one task). So bucket membership
+    is counted FIRST (map-side partial counts — tiny whatever the
+    skew), only 2..max_bucket buckets keep their rows, and collect_set
+    never sees an over-cap bucket. Both aggregations and the join
+    shuffle on the same (band_id, band_val) keys, so AQE/exchange
+    reuse keeps the extra pass cheap; the dedup.bucket_cap_filter
+    post-filter stays as the belt-and-braces assertion of the same
+    law. Output is IDENTICAL to the post-cap-only shape (the oracle's
+    bucket-count law is unchanged); only the memory profile moves.
+    q45's MinHash path still post-caps — its band hashes are md5 over
+    minhash signatures, so a degenerate value requires genuinely
+    identical signatures (boilerplate that exact dedup collapses
+    upstream), a weaker attractor than all-zero fingerprints; aligning
+    it on this shape is flagged for the next round (SCALE.md) since
+    its shared helper would re-gate an eight-query family this
+    round's slot budget cannot absorb.
+
+    The fingerprint frame is PINNED (eager localCheckpoint) before the
+    two consumers: the counts pass and the bucket pass would otherwise
+    each re-execute the lineage — DOUBLING the Arrow fingerprint pass,
+    the lane's dominant cost (observed in the plan: two MapInPandas
+    branches). The pinned frame is tiny per row (doc_id + 4 ints ≈
+    40 B — ~4 TB at 10^11 docs, spread across executor storage with
+    disk spill), while the pass it saves decodes every payload."""
     from .dedup import bucket_cap_filter, bucket_pair_expr
 
+    hashed = hashed.localCheckpoint(eager=True)
     band_cols = [f"b{i}" for i in range(DHASH_BANDS)]
     bands = hashed.select(
         "doc_id",
         *band_cols,
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_val"),
     )
-    buckets = bands.groupBy("band_id", "band_val").agg(
-        F.array_sort(F.collect_set(F.struct("doc_id", *band_cols))).alias("docs")
+    eligible = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket))
+        .select("band_id", "band_val")
+    )
+    buckets = (
+        bands.join(eligible, ["band_id", "band_val"])
+        .groupBy("band_id", "band_val")
+        .agg(
+            F.array_sort(F.collect_set(F.struct("doc_id", *band_cols))).alias(
+                "docs"
+            )
+        )
     )
     keep = (
         " + ".join(f"bit_count(x.{b} ^ y.{b})" for b in band_cols)

@@ -749,18 +749,24 @@ def test_tuned_and_clone_share_parity_confs(spark):
         assert bare.conf.get(k) == v
 
 
-def test_q161_q162_banded_pairs_one_bucket_shuffle(spark):
-    """The multimodal near-dup lanes (r13): candidate generation is
-    q45's one-shuffle bucket shape — fingerprint map-side (the one
-    legitimate Arrow surface), ONE hash shuffle into (band_id,
-    band_val) buckets, pair expansion + Hamming verify map-side over
-    the grouped array. No join operator of any kind should appear
-    (the pair source is the in-bucket array, never a self-join), and
-    the only other shuffles are the output distinct + the final
-    presentation sort: <= 3 total."""
+def test_q161_q162_banded_pairs_precapped_map_side(spark):
+    """The multimodal near-dup lanes (r13): pair GENERATION stays
+    map-side over the grouped in-bucket array (Generate explode over
+    the transform/slice expansion — never a pair self-join, never a
+    theta-join), bucket membership is PRE-capped by a counts aggregate
+    joined back as an equi-join (broadcast locally; AQE picks the
+    shuffled form when the survivor list is large), and the
+    fingerprint Arrow pass runs ONCE: the frame is pinned before its
+    two consumers, so the executed plan reads the checkpointed RDD
+    and contains NO MapInPandas re-execution. Shuffles: counts agg +
+    bucket agg + distinct + presentation sort (plus at most one for a
+    non-broadcast membership join): <= 5."""
     for name in ("q161_image_phash_neardup", "q162_audio_fingerprint_neardup"):
         p = plan(spark, name, mode="simple")
         assert "CartesianProduct" not in p, (name, p)
-        assert "Join" not in p, (name, p)  # no self-join pair path
-        assert "MapInPandas" in p or "ArrowEvalPython" in p, (name, p)
-        assert n_exchanges(p) <= 3, (name, p)
+        assert "BroadcastNestedLoopJoin" not in p, (name, p)
+        assert "Generate explode" in p, (name, p)  # map-side pair expansion
+        # the pinned fingerprint frame: plan reads the checkpoint, the
+        # Arrow pass is not re-executed per branch
+        assert "MapInPandas" not in p, (name, p)
+        assert n_exchanges(p) <= 5, (name, p)
