@@ -342,3 +342,31 @@ def test_banded_hamming_recall_is_exact_below_threshold(spark, base, flip_bits):
     got = {(r.doc_a, r.doc_b) for r in hamming_banded_pairs(hashed).collect()}
     assert (0, 1) in got  # exact recall below the threshold
     assert (0, 2) not in got and (1, 2) not in got  # verify filter holds
+
+
+# --------------------------------------------- audio kernel contract (r13)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    cut=st.integers(min_value=36, max_value=303),
+    body=st.binary(min_size=260, max_size=260),
+)
+def test_audio_kernel_raises_on_every_truncation_point(cut, body):
+    """No truncation point of a canonical 304-byte WAV may silently
+    fingerprint (the review-r13 contract): every cut below the full
+    container raises — ValueError from the layout/length checks —
+    while the intact container always fingerprints to 4 bands. Pure
+    python, no Spark session."""
+    import pytest as _pytest
+
+    from sms_db_spark.operators.multimodal import (
+        AUDIO_DATA_BYTES,
+        _audio_kernel,
+        _wav_header,
+    )
+
+    full = _wav_header(AUDIO_DATA_BYTES) + body
+    assert len(_audio_kernel(full)) == 4
+    with _pytest.raises(ValueError):
+        _audio_kernel(full[:cut])
