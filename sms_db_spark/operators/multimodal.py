@@ -369,7 +369,11 @@ DHASH_BANDS = 4  # 16 bits per band
 PHASH_HAMMING_MAX = 3
 # q45's hot-bucket cap rationale verbatim: a degenerate band value
 # (flat/boilerplate images) pairs quadratically; such buckets are
-# dropped and genuinely-near pairs still meet in their other bands
+# dropped. A genuinely-near pair usually still meets in another band,
+# but a pair whose ONLY agreeing band is the dropped hot one is lost
+# entirely (ADVICE r13 #3) — Spark and the oracle apply the identical
+# cap law, so parity holds; the sacrifice is the cap's price, same as
+# q45's MinHash path.
 PHASH_MAX_BUCKET = 64
 
 PHASH_SCHEMA = T.StructType(

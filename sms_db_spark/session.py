@@ -14,11 +14,14 @@ from pyspark.sql import SparkSession
 
 
 def env_flag(name: str) -> bool:
-    """Boolean env switch: unset, empty, '0', and 'false' (any case)
-    are OFF; anything else is ON. A wrapper exporting FLAG=0 must not
-    silently ENABLE the flag (review r13 — the raw-truthiness check
-    read '0' as on)."""
-    return os.environ.get(name, "").strip().lower() not in ("", "0", "false")
+    """Boolean env switch: unset, empty, '0', 'false', 'no', and
+    'off' (any case) are OFF; anything else is ON. A wrapper exporting
+    FLAG=0 (or FLAG=off) must not silently ENABLE the flag (review
+    r13 — the raw-truthiness check read '0' as on; ADVICE r13 added
+    the no/off spellings)."""
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "no", "off",
+    )
 
 
 def get_spark(

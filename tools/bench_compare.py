@@ -128,6 +128,13 @@ def refresh_check(paths: list[str]) -> int:
             "suspect tier empty": not run["suspects_vs_anchor"],
             "watch tier empty": not run["watch_vs_anchor"],
             "suspect_ambient false": not run.get("suspect_ambient"),
+            # a qualifying refresh run must have timed the FULL write
+            # bucket — a run that forgot SMS_DB_SPARK_BENCH_ALL_AUDITS=1
+            # carries a rotation-reduced bucket and must not anchor
+            # (ADVICE r13 #4)
+            "full write bucket (nothing rotated out)": not run.get(
+                "write_audits_rotated_out"
+            ),
         }
         print(f"\n{path} (cal {cal}, era {era:.3f}):")
         for name, passed in checks.items():
