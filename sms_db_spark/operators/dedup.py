@@ -198,16 +198,51 @@ def lsh_candidate_pairs(bands: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> D
     """Candidate pairs (doc_a < doc_b) from banded signatures, hot-bucket
     capped.
 
-    Shape: ONE shuffle — groupBy (band_id, band_hash) collects each
-    bucket's doc list; the size cap is a free filter on the grouped row;
-    pair expansion is map-side over the sorted in-bucket array (bounded by
-    max_bucket², so no within-bucket quadratic blow-up can reach the
-    shuffle). This replaces the earlier band self-join: same output below
-    the cap, but the join could not bound within-bucket fan-out and
-    re-shuffled the signature table twice.
+    PRE-capped (r14, the r13 hamming_banded_pairs template —
+    multimodal.py): bucket membership is counted FIRST (a map-side
+    partial-combinable aggregate — tiny whatever the skew), only
+    2..max_bucket buckets keep their rows through an equi-join on the
+    same (band_id, band_hash) keys, and collect_set never materializes
+    an over-cap bucket. The earlier shape collected every bucket's doc
+    list BEFORE the cap filter, so one degenerate band value —
+    boilerplate-heavy web text whose MinHash signatures coincide —
+    would hold the whole bucket's array in a single reducer task (at
+    10^11 docs, terabytes in one task). Output is IDENTICAL to the
+    post-cap-only shape (the cap law is unchanged — the oracle's
+    bucket-count join proves it); only the memory profile moves.
+    PRECONDITION (every caller holds it, same as the fingerprint
+    lanes): `bands` has exactly one row per (doc_id, band_id) — all
+    callers posexplode a per-doc band array — so count(1) equals
+    size(collect_set(doc_id)) and the row count IS the cap law.
+    bucket_cap_filter stays as the belt-and-braces assertion of the
+    same law on the grouped row.
+
+    The bands frame is PINNED (eager localCheckpoint) before the two
+    consumers: the counts pass and the bucket pass would otherwise
+    each re-execute the banding lineage — for the MinHash callers that
+    is the full signature computation, the lane's dominant cost (the
+    exact re-execution r13 observed as duplicate MapInPandas branches
+    in the fingerprint lanes). A band row is doc_id + band_id + a
+    32-char hash ≈ 50 B × NUM_BANDS per doc — at 10^11 docs ~40 TB
+    spread across executor storage with disk spill, versus re-running
+    MinHash over the corpus text twice.
+
+    Pair expansion stays map-side over the sorted in-bucket array
+    (bounded by max_bucket², so no within-bucket quadratic blow-up can
+    reach a second shuffle); all three aggregations/joins shuffle on
+    the same keys, so AQE/exchange reuse keeps the extra pass cheap.
     """
-    buckets = bands.groupBy("band_id", "band_hash").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("docs")
+    bands = bands.localCheckpoint(eager=True)
+    eligible = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket))
+        .select("band_id", "band_hash")
+    )
+    buckets = (
+        bands.join(eligible, ["band_id", "band_hash"])
+        .groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
     )
     return (
         bucket_cap_filter(buckets, max_bucket)

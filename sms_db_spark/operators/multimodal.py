@@ -473,13 +473,8 @@ def hamming_banded_pairs(
     post-filter stays as the belt-and-braces assertion of the same
     law. Output is IDENTICAL to the post-cap-only shape (the oracle's
     bucket-count law is unchanged); only the memory profile moves.
-    q45's MinHash path still post-caps — its band hashes are md5 over
-    minhash signatures, so a degenerate value requires genuinely
-    identical signatures (boilerplate that exact dedup collapses
-    upstream), a weaker attractor than all-zero fingerprints; aligning
-    it on this shape is flagged for the next round (SCALE.md) since
-    its shared helper would re-gate an eight-query family this
-    round's slot budget cannot absorb.
+    q45's MinHash path adopted this exact shape in r14
+    (dedup.lsh_candidate_pairs) — the whole dedup family now pre-caps.
 
     The fingerprint frame is PINNED (eager localCheckpoint) before the
     two consumers: the counts pass and the bucket pass would otherwise

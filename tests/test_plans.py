@@ -186,15 +186,29 @@ def test_q52_neardup_no_cartesian_no_self_join_of_bands(spark):
     assert "Generate explode" in p, p  # the bounded in-bucket pair expansion
 
 
-def test_q45_lsh_single_bucket_shuffle(spark):
-    """LSH candidate pairs: one hash shuffle to group buckets, one for
-    distinct, the final orderBy range exchange — and no join operator
-    before the pair expansion. Counted in simple mode so the deliberate
-    round-robin input spread (load_table_parallel — not a keyed shuffle,
-    a no-op on multi-split cluster scans) is excluded."""
+def test_q45_lsh_precapped_map_side(spark):
+    """LSH candidate pairs (r14 pre-cap shape, the q161/q162 template):
+    bucket membership is counted FIRST and joined back as an equi-join
+    (broadcast locally; AQE picks the shuffled form at scale), so
+    collect_set never materializes an over-cap bucket — no over-cap
+    bucket reaches the reducer that builds the docs array. Pair
+    expansion stays map-side (Generate explode over the transform/
+    slice expansion — never a pair self-join, never a theta-join).
+    The bands frame is pinned before its two consumers, so the
+    executed plan reads the checkpointed RDD: the MinHash signature
+    expression appears in NO branch (the scan itself is the pin).
+    Shuffles: counts agg + bucket agg + distinct + presentation sort
+    (plus at most one for a non-broadcast membership join): <= 5."""
     p = plan(spark, "q45_minhash_lsh_pairs", mode="simple")
-    assert "Join" not in p, p
-    assert n_exchanges(p) <= 3, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SortMergeJoin" not in p, p  # membership join is hash-based
+    assert "Generate explode" in p, p  # map-side pair expansion
+    # the pinned bands frame: the plan scans the checkpoint, not the
+    # banding lineage — the md5 signature expression is not re-planned
+    assert "ExistingRDD" in p or "Scan" in p, p
+    assert p.count("md5") == 0, p
+    assert n_exchanges(p) <= 5, p
 
 
 def test_q67_exists_decorrelates_to_semi_join(spark):
