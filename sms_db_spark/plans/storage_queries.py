@@ -3008,6 +3008,238 @@ ORDER BY stage
 """
 
 
+# ------------------------------------------------------------------ q163
+# S5 under the driver gate: the last pytest-only write surface. The
+# reference's store IS a sqlite file its users query with the sqlite3
+# CLI (README.md:103-105; schema sms-db.pl:47-58, PRAGMA user_version=2
+# at :50); q163 proves the whole write+readback protocol end-to-end the
+# way q134 does for shards.
+
+_STORE_SENTINEL = 1_500_000_000_000  # epoch-millis base, README.md:117
+
+
+def _store_frames_from_docs(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic canonical store derived from the documents corpus —
+    every field a pure function of (doc_id, source, text) so the DuckDB
+    oracle can recompute the audit from the raw table. The derivation
+    deliberately exercises the round-trip hazards: NULL columns
+    (recipient_name on doc_id%3==0 — sqlite NULL vs empty string), the
+    parts.data polymorphism (every message carries a text/plain part;
+    doc_id%5==0 additionally a binary attachment, sms-db.pl:54-55 /
+    P8's two-lane model), and the hash INT UNIQUE column's text
+    affinity (64-hex sha256, unique via the doc_id prefix)."""
+    text_c = F.coalesce(F.col("text"), F.lit(""))
+    messages = docs.select(
+        (F.col("doc_id") + 1).alias("_id"),
+        (F.lit(_STORE_SENTINEL) + F.col("doc_id") * 1000).cast("long").alias("timestamp"),
+        F.concat(F.lit("+1"), F.lpad((F.col("doc_id") % 1000).cast("string"), 4, "0")).alias("sender_address"),
+        F.col("source").alias("sender_name"),
+        F.lit("+15550001111").alias("recipient_address"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("contact-"), (F.col("doc_id") % 7).cast("string")))
+        .alias("recipient_name"),
+        ((F.col("doc_id") % 2) + 1).cast("int").alias("msg_box"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(2)).otherwise(F.lit(1)).cast("int").alias("message_type"),
+        (F.col("doc_id") % 3).cast("int").alias("source_format"),
+        F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":"), text_c), 256).alias("hash"),
+    )
+    text_parts = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("_id"),
+        (F.col("doc_id") + 1).alias("message_id"),
+        F.lit(None).cast("binary").alias("data"),
+        text_c.alias("text"),
+        F.lit("text/plain").alias("content_type"),
+        F.lit(None).cast("string").alias("filename"),
+    )
+    bin_parts = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") * 2 + 2).alias("_id"),
+        (F.col("doc_id") + 1).alias("message_id"),
+        F.encode(text_c, "UTF-8").alias("data"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.concat(F.lit("att_"), F.col("doc_id").cast("string"), F.lit(".bin")).alias("filename"),
+    )
+    return messages, text_parts.unionByName(bin_parts)
+
+
+def q163_sqlite_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 end-to-end: derive a canonical store from the corpus, write it
+    through the real sink (sinks/sqlite_sink.write_store_sqlite — the
+    single-writer sqlite path, S5's documented deviation), read it back
+    with read_store_sqlite, and hash-gate per-msg_box counts/checksums
+    recomputed FROM THE READ-BACK frames against the oracle's recompute
+    from the raw documents table. A value-hash match proves the DDL,
+    the insert lanes, the parts.data polymorphism, NULL round-trips,
+    and the two-lane read inversion all agree end-to-end.
+
+    Pinned in-result rather than asserted: `user_version` is the
+    PRAGMA readout of the written file (the oracle demands 2,
+    sms-db.pl:50) and `cli_ok` is a querying.md-shaped join run
+    through the sqlite3 engine itself — the store must stay
+    CLI-queryable, the reference's headline contract (README.md:105) —
+    compared against the read-back frames' own join count.
+
+    Scale note: the upstream frame derivation is distributed; the file
+    write is the documented inherently-serial lane (one single-writer
+    db file). The audit output is 2 bounded rows."""
+    import sqlite3
+
+    from ..sinks.sqlite_sink import read_store_sqlite, write_store_sqlite
+
+    docs = load_table(spark, sf_dir, "documents")
+    messages, parts = _store_frames_from_docs(docs)
+    tmp = tempfile.mkdtemp(prefix="sms_db_spark_sqlite_audit_")
+    try:
+        db = f"{tmp}/store.db"
+        write_store_sqlite(messages, parts, db)
+        r_msgs, r_parts = read_store_sqlite(spark, db)
+        con = sqlite3.connect(db)
+        try:
+            user_version = con.execute("PRAGMA user_version").fetchone()[0]
+            # the reference's documented query shape (querying.md:35-39)
+            cli_joined = con.execute(
+                "SELECT count(*) FROM messages"
+                " JOIN parts ON parts.message_id = messages._id"
+            ).fetchone()[0]
+        finally:
+            con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    frame_joined = r_msgs.join(
+        r_parts, r_msgs["_id"] == r_parts["message_id"]
+    ).count()
+    from ..operators.sketches import _h60
+
+    null0 = F.lit("\x00")
+    msg_h = _h60(
+        F.concat_ws(
+            "\x01",
+            F.col("_id").cast("string"),
+            F.col("timestamp").cast("string"),
+            "sender_address",
+            "sender_name",
+            "recipient_address",
+            F.coalesce(F.col("recipient_name"), null0),
+            F.col("msg_box").cast("string"),
+            F.col("message_type").cast("string"),
+            F.col("source_format").cast("string"),
+            "hash",
+        )
+    )
+    part_h = _h60(
+        F.concat_ws(
+            "\x01",
+            F.col("_id").cast("string"),
+            F.col("message_id").cast("string"),
+            F.coalesce(F.col("text"), null0),
+            F.coalesce(F.md5(F.col("data")), null0),
+            "content_type",
+            F.coalesce(F.col("filename"), null0),
+        )
+    )
+    msg_agg = (
+        r_msgs.withColumn("mh", msg_h)
+        .groupBy("msg_box")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            (F.sum(F.col("mh").cast("decimal(38,0)")) % _CHECKSUM_MOD)
+            .cast("bigint")
+            .alias("msg_checksum_mod"),
+        )
+    )
+    part_agg = (
+        r_parts.withColumn("ph", part_h)
+        .join(
+            r_msgs.select(F.col("_id").alias("message_id"), "msg_box"),
+            "message_id",
+        )
+        .groupBy("msg_box")
+        .agg(
+            F.sum(F.when(F.col("text").isNotNull(), 1).otherwise(0)).alias("n_text_parts"),
+            F.sum(F.when(F.col("data").isNotNull(), 1).otherwise(0)).alias("n_bin_parts"),
+            (F.sum(F.col("ph").cast("decimal(38,0)")) % _CHECKSUM_MOD)
+            .cast("bigint")
+            .alias("part_checksum_mod"),
+        )
+    )
+    return _detached(
+        msg_agg.join(part_agg, "msg_box")
+        .withColumn("user_version", F.lit(int(user_version)))
+        .withColumn(
+            "cli_ok", F.lit(1 if cli_joined == frame_joined else 0)
+        )
+        .orderBy("msg_box")
+    )
+
+
+def _q163_oracle() -> str:
+    """DuckDB recompute of q163's audit straight from documents: the
+    same field derivations, the same _h60 row hashes over the SAME
+    post-readback surfaces (text parts hash their text lane + a NULL
+    data lane; binary parts the reverse, with md5 over the UTF-8 bytes
+    — the corpus is ASCII, the q55 oracles' standing assumption).
+    user_version/cli_ok are the law's constants (q135's `1 AS disk_ok`
+    pattern): the Spark side reads them from the real file."""
+    text_c = "coalesce(text, '')"
+    msg_row = (
+        "concat_ws(chr(1), CAST(doc_id + 1 AS VARCHAR), "
+        f"CAST({_STORE_SENTINEL} + doc_id * 1000 AS VARCHAR), "
+        "'+1' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0'), "
+        "source, '+15550001111', "
+        "CASE WHEN doc_id % 3 = 0 THEN chr(0) ELSE 'contact-' || CAST(doc_id % 7 AS VARCHAR) END, "
+        "CAST(doc_id % 2 + 1 AS VARCHAR), "
+        "CASE WHEN doc_id % 5 = 0 THEN '2' ELSE '1' END, "
+        "CAST(doc_id % 3 AS VARCHAR), "
+        f"sha256(CAST(doc_id AS VARCHAR) || ':' || {text_c}))"
+    )
+    text_part_row = (
+        "concat_ws(chr(1), CAST(doc_id * 2 + 1 AS VARCHAR), "
+        f"CAST(doc_id + 1 AS VARCHAR), {text_c}, chr(0), "
+        "'text/plain', chr(0))"
+    )
+    bin_part_row = (
+        "concat_ws(chr(1), CAST(doc_id * 2 + 2 AS VARCHAR), "
+        f"CAST(doc_id + 1 AS VARCHAR), chr(0), md5({text_c}), "
+        "'application/octet-stream', "
+        "'att_' || CAST(doc_id AS VARCHAR) || '.bin')"
+    )
+    return f"""
+WITH msgs AS (
+  SELECT CAST(doc_id % 2 + 1 AS INT) AS msg_box,
+         {_h60_sql(msg_row)} AS mh
+  FROM documents
+),
+parts AS (
+  SELECT CAST(doc_id % 2 + 1 AS INT) AS msg_box, 1 AS is_text, 0 AS is_bin,
+         {_h60_sql(text_part_row)} AS ph
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id % 2 + 1 AS INT) AS msg_box, 0 AS is_text, 1 AS is_bin,
+         {_h60_sql(bin_part_row)} AS ph
+  FROM documents WHERE doc_id % 5 = 0
+),
+m AS (
+  SELECT msg_box, COUNT(*) AS n_msgs,
+         CAST(SUM(mh) % {_CHECKSUM_MOD} AS BIGINT) AS msg_checksum_mod
+  FROM msgs GROUP BY msg_box
+),
+p AS (
+  SELECT msg_box, CAST(SUM(is_text) AS BIGINT) AS n_text_parts,
+         CAST(SUM(is_bin) AS BIGINT) AS n_bin_parts,
+         CAST(SUM(ph) % {_CHECKSUM_MOD} AS BIGINT) AS part_checksum_mod
+  FROM parts GROUP BY msg_box
+)
+SELECT m.msg_box, m.n_msgs, m.msg_checksum_mod,
+       p.n_text_parts, p.n_bin_parts, p.part_checksum_mod,
+       2 AS user_version, 1 AS cli_ok
+FROM m JOIN p USING (msg_box)
+ORDER BY msg_box
+"""
+
+
+Q163_SQL = _q163_oracle()
+
+
 QUERIES = {
     "q134_shard_manifest_audit": QuerySpec(
         q134_shard_manifest_audit,
@@ -3108,5 +3340,10 @@ QUERIES = {
         q160_day2_chain_audit,
         _q160_sql(),
         "composed day-2 chain: gate→upsert→compact→zorder→shards conserved",
+    ),
+    "q163_sqlite_store_audit": QuerySpec(
+        q163_sqlite_store_audit,
+        Q163_SQL,
+        "S5 sqlite store write+readback round-trip == raw recompute",
     ),
 }
