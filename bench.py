@@ -96,6 +96,7 @@ HEADLINE = [
     # attributable.
     "q161_image_phash_neardup",
     "q162_audio_fingerprint_neardup",
+    "q164_video_frame_neardup",
 ]
 
 # Write-audit queries run real store writers (shards, versioned commits,

@@ -545,13 +545,17 @@ def _q161_band_exprs() -> str:
     return ", ".join(cols)
 
 
-def _banded_pairs_sql(h_ctes: str) -> str:
-    """Shared oracle tail for the banded-Hamming lanes (q161/q162):
+_PAIRS_TAIL_DEFAULT = "SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b"
+
+
+def _banded_pairs_sql(h_ctes: str, tail: str = _PAIRS_TAIL_DEFAULT) -> str:
+    """Shared oracle tail for the banded-Hamming lanes (q161/q162/q164):
     the 4-way band explode, the bucket-cap join, and the map-side
     Hamming filter as ONE SQL block, parameterized only by the CTEs
-    that produce `h (doc_id, b0..b3)` — so the two oracles can never
-    drift on the cap law or the Hamming threshold, mirroring how both
-    Spark lanes share hamming_banded_pairs (review r13)."""
+    that produce `h (doc_id, b0..b3)` and an optional final SELECT over
+    `pairs` (q164's doc-level frame vote) — so the oracles can never
+    drift on the cap law or the Hamming threshold, mirroring how all
+    three Spark lanes share hamming_banded_pairs (review r13)."""
     return f"""{h_ctes},
 bands AS (
   SELECT doc_id, 0 AS band_id, b0 AS band_val, b0, b1, b2, b3 FROM h
@@ -572,7 +576,7 @@ pairs AS (
       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
       <= {PHASH_HAMMING_MAX}
 )
-SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+{tail}
 """
 
 
@@ -739,6 +743,131 @@ h AS (SELECT doc_id, {_q162_band_exprs()} FROM en)"""
 )
 
 
+# ---- video frame-sequence near-dup (r14, closes the modality) ------
+#
+# The video arm of multimodal dedup, built ENTIRELY from existing
+# kernels (VERDICT r13 item 7): sample_frames (q56's 1:N Arrow pass)
+# slices the fabricated video payload into frames; each frame gets the
+# q161 dHash via the SAME image_phash kernel (fake_resize
+# truncate/zero-pads a frame to the 9x8 grid — production swaps in a
+# real keyframe decode + resample, nothing downstream changes); frame
+# ids pack doc_id and frame_idx into one bigint so
+# hamming_banded_pairs runs VERBATIM (pre-cap discipline for free);
+# and a doc-level vote keeps pairs with >= VIDEO_MATCH_MIN_FRAMES
+# near-dup frame pairs — the standard sampled-frame voting shape for
+# video near-dup at corpus scale (per-frame fingerprints, bucketed
+# frame join, bounded vote aggregation; never a per-video all-frames
+# comparison).
+
+# fid = doc_id << 22 | frame_idx: shift-packing stays exact bigint
+# arithmetic at any scale (10^11 docs -> 37 bits + 22 < 63; a
+# float-division decode would lose precision past 2^53). 2^22 frames
+# bounds payloads at ~64 MB given FRAME_SIZE=16 — beyond that a real
+# pipeline samples keyframes, not every 4th slice.
+VIDEO_FID_SHIFT = 22
+VIDEO_MATCH_MIN_FRAMES = 2
+
+
+def to_video_frame(docs: DataFrame) -> DataFrame:
+    """Fabricate a binary video column from document text (same
+    text-bytes-as-payload convention as to_media_frame/to_audio_frame)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("video/fake").alias("media_type"),
+    )
+
+
+def video_frame_neardup(
+    frames: DataFrame, min_frames: int = VIDEO_MATCH_MIN_FRAMES
+) -> DataFrame:
+    """Doc-level near-dup pairs from sampled frames: per-frame dHash →
+    banded Hamming frame pairs (the shared pre-capped kernel) →
+    same-doc pairs dropped → vote. Input is FRAMES_SCHEMA (doc_id,
+    frame_idx, frame_text)."""
+    fid_media = frames.select(
+        (
+            F.shiftleft(F.col("doc_id"), VIDEO_FID_SHIFT) + F.col("frame_idx")
+        ).alias("doc_id"),
+        F.encode(F.col("frame_text"), "UTF-8").alias("payload"),
+    )
+    frame_pairs = hamming_banded_pairs(image_phash(fid_media))
+    va = F.expr(f"doc_a DIV {1 << VIDEO_FID_SHIFT}")
+    vb = F.expr(f"doc_b DIV {1 << VIDEO_FID_SHIFT}")
+    return (
+        frame_pairs.select(va.alias("va"), vb.alias("vb"))
+        # frame-pair order (doc_a < doc_b on fids) implies va <= vb,
+        # so dropping the same-doc diagonal leaves va < vb: already
+        # the canonical pair orientation, no least/greatest needed
+        .filter(F.col("va") != F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.count(F.lit(1)).alias("n_frame_matches"))
+        .filter(F.col("n_frame_matches") >= min_frames)
+        .select(
+            F.col("va").alias("doc_a"),
+            F.col("vb").alias("doc_b"),
+            "n_frame_matches",
+        )
+    )
+
+
+def q164_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup end-to-end: fabricated video payload → q56 frame
+    sampling → per-frame dHash → banded-Hamming frame pairs →
+    >= VIDEO_MATCH_MIN_FRAMES doc vote."""
+    from ..tables import load_table_parallel
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    frames = sample_frames(to_video_frame(docs))
+    return video_frame_neardup(frames).orderBy("doc_a", "doc_b")
+
+
+def _q164_sql() -> str:
+    """DuckDB recompute: the q56 frame slicing (frame i covers text
+    bytes [16i+1, 16i+16], i stepping by FRAME_STRIDE), the q161 band
+    arithmetic over the zero-padded frame (beyond-length chars read 0,
+    exactly fake_resize's pad), the shared banded-pairs tail with the
+    fid packing, then the same vote."""
+    fid = f"(doc_id * {1 << VIDEO_FID_SHIFT} + i)"
+    vote_tail = f"""
+SELECT CAST(doc_a // {1 << VIDEO_FID_SHIFT} AS BIGINT) AS va,
+       CAST(doc_b // {1 << VIDEO_FID_SHIFT} AS BIGINT) AS vb,
+       COUNT(*) AS n_frame_matches
+FROM pairs
+WHERE doc_a // {1 << VIDEO_FID_SHIFT} <> doc_b // {1 << VIDEO_FID_SHIFT}
+GROUP BY va, vb
+HAVING COUNT(*) >= {VIDEO_MATCH_MIN_FRAMES}
+ORDER BY va, vb
+"""
+    # outer aliasing: the driver compares by column NAME
+    vote_tail = (
+        "SELECT va AS doc_a, vb AS doc_b, n_frame_matches FROM ("
+        + vote_tail
+        + ") ORDER BY doc_a, doc_b"
+    )
+    h_ctes = f"""WITH fr AS (
+  SELECT {fid} AS fid,
+         substr(text, CAST(i*{FRAME_SIZE}+1 AS INTEGER), {FRAME_SIZE}) AS ft
+  FROM (SELECT doc_id, text,
+               unnest(range(0,
+                 CAST((length(text)+{FRAME_SIZE - 1})//{FRAME_SIZE} AS BIGINT),
+                 {FRAME_STRIDE})) AS i
+        FROM documents)
+),
+px AS (
+  SELECT fid AS doc_id,
+         list_transform(range(1, {DHASH_W * DHASH_H + 1}), j ->
+           CASE WHEN j <= length(ft)
+                THEN ascii(substr(ft, CAST(j AS INTEGER), 1)) ELSE 0 END) AS p
+  FROM fr
+),
+h AS (SELECT doc_id, {_q161_band_exprs()} FROM px)"""
+    return _banded_pairs_sql(h_ctes, vote_tail)
+
+
+Q164_SQL = _q164_sql()
+
+
 QUERIES = {
     "q55_multimodal_features": QuerySpec(
         q55_multimodal_features, Q55_SQL, "binary-column mapInPandas plumbing"
@@ -758,5 +887,10 @@ QUERIES = {
         q162_audio_fingerprint_neardup,
         Q162_SQL,
         "audio energy-fingerprint near-dup (real WAV parse + banded Hamming)",
+    ),
+    "q164_video_frame_neardup": QuerySpec(
+        q164_video_frame_neardup,
+        Q164_SQL,
+        "video frame-sequence near-dup (frame dHash + banded Hamming + vote)",
     ),
 }

@@ -784,3 +784,20 @@ def test_q161_q162_banded_pairs_precapped_map_side(spark):
         # Arrow pass is not re-executed per branch
         assert "MapInPandas" not in p, (name, p)
         assert n_exchanges(p) <= 5, (name, p)
+
+
+def test_q164_video_neardup_precapped_map_side(spark):
+    """The video lane (r14) rides the same pre-capped kernel over
+    frame-level fids: the pinned fingerprint frame subsumes BOTH Arrow
+    passes (q56 frame sampling + the per-frame dHash), so the executed
+    plan reads the checkpointed RDD and contains NO MapInPandas; pair
+    generation stays map-side; the doc-level vote adds one bounded
+    aggregate over the (already distinct) frame pairs. Shuffles:
+    counts agg + bucket agg + distinct + vote agg + presentation sort
+    (plus at most one for a non-broadcast membership join): <= 7."""
+    p = plan(spark, "q164_video_frame_neardup", mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Generate explode" in p, p
+    assert "MapInPandas" not in p, p
+    assert n_exchanges(p) <= 7, p
