@@ -260,3 +260,65 @@ def test_audio_kernel_rejects_truncated_containers():
     odd = _wav_header(AUDIO_DATA_BYTES - 4) + b"x" * (AUDIO_DATA_BYTES - 4)
     with pytest.raises(ValueError, match="truncated or non-canonical"):
         _audio_kernel(odd)
+
+
+def test_video_frame_neardup_vote_law(spark):
+    """Doc-level vote semantics over hand-built frames: identical
+    frames across two docs count per-frame-pair; same-doc frame pairs
+    are dropped; a single matching frame misses the >=2 vote; the fid
+    packing round-trips doc ids exactly. dHash is GRADIENT-based
+    (value-blind), so the frame patterns must differ in gradient SIGNS
+    — asserted via the pure kernel before the Spark law is tested."""
+    from sms_db_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        dhash_bands_bytes,
+        fake_resize,
+        video_frame_neardup,
+    )
+
+    fa = "ABCDEFGHIJKLMNOP"  # ascending gradients
+    fb = "AZAZAZAZAZAZAZAZ"  # alternating gradients
+    fz = "ZAZAZAZAZAZAZAZA"  # opposite-phase alternating
+    fc = "PONMLKJIHGFEDCBA"  # descending gradients
+    fp = {
+        s: dhash_bands_bytes(fake_resize(s.encode(), DHASH_W, DHASH_H))
+        for s in (fa, fb, fz, fc)
+    }
+
+    def hd(x, y):
+        return sum(bin(a ^ b).count("1") for a, b in zip(x, y))
+
+    # distinct patterns must be beyond the Hamming<=3 pair threshold,
+    # or the vote expectations below would be testing the wrong law
+    for x, y in (
+        (fa, fb), (fa, fz), (fa, fc), (fb, fz), (fb, fc), (fz, fc)
+    ):
+        assert hd(fp[x], fp[y]) > 3, (x, y)
+
+    # docs 7 and 9 share 3 matching frame pairs (two fa-fa cross pairs
+    # since doc 9 carries fa twice, plus fb-fb); doc 11 shares only
+    # doc 7's fc frame (ONE pair — misses the >=2 vote); doc 13 is
+    # disjoint. Within doc 9, frames 0 and 8 are identical — the
+    # same-doc pair must not surface.
+    frames = spark.createDataFrame(
+        [
+            (7, 0, fa), (7, 4, fb), (7, 8, fc),
+            (9, 0, fa), (9, 4, fb), (9, 8, fa),
+            (11, 0, fc),
+            (13, 0, fz),
+        ],
+        "doc_id long, frame_idx long, frame_text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.n_frame_matches)
+        for r in video_frame_neardup(frames).collect()
+    }
+    assert got == {(7, 9, 3)}
+    # with the vote floor at 1, the single-frame matches surface too
+    got1 = {
+        (r.doc_a, r.doc_b)
+        for r in video_frame_neardup(frames, min_frames=1).collect()
+    }
+    assert got1 == {(7, 9), (7, 11)}  # no diagonal, no 9-11, no 13
+    assert all(a < b for a, b in got1)  # canonical orientation
