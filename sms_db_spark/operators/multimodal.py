@@ -130,13 +130,15 @@ def fake_decode_image(payload: bytes) -> dict:
     }
 
 
-def to_media_frame(docs: DataFrame) -> DataFrame:
+def to_media_frame(docs: DataFrame, media_type: str = "image/fake") -> DataFrame:
     """Fabricate a binary media column from document text (the container
-    has no real image fixtures; payload bytes are the UTF-8 text)."""
+    has no real image fixtures; payload bytes are the UTF-8 text). One
+    payload-fabrication convention for every modality — the video lane
+    reuses this with its own media_type rather than re-stating it."""
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.lit("image/fake").alias("media_type"),
+        F.lit(media_type).alias("media_type"),
     )
 
 
@@ -769,13 +771,9 @@ VIDEO_MATCH_MIN_FRAMES = 2
 
 
 def to_video_frame(docs: DataFrame) -> DataFrame:
-    """Fabricate a binary video column from document text (same
-    text-bytes-as-payload convention as to_media_frame/to_audio_frame)."""
-    return docs.select(
-        "doc_id",
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.lit("video/fake").alias("media_type"),
-    )
+    """Fabricate a binary video column from document text — the shared
+    to_media_frame convention with the video media_type."""
+    return to_media_frame(docs, media_type="video/fake")
 
 
 def video_frame_neardup(
@@ -785,10 +783,28 @@ def video_frame_neardup(
     banded Hamming frame pairs (the shared pre-capped kernel) →
     same-doc pairs dropped → vote. Input is FRAMES_SCHEMA (doc_id,
     frame_idx, frame_text)."""
+    # The documented packing bound, ENFORCED: a frame_idx at or past
+    # 2^22 would bleed into the next doc's fid space and silently
+    # attribute frame pairs to the wrong document — fail the job
+    # loudly instead (a production keyframe decoder that emits more
+    # frames must re-shift, not corrupt). assert_true is embedded in
+    # the fid expression (coalesce of its NULL result) so column
+    # pruning cannot drop the check; it costs one fused comparison
+    # per row, no extra pass.
+    fid_guard = F.assert_true(
+        F.col("frame_idx") < F.lit(1 << VIDEO_FID_SHIFT),
+        F.concat(
+            F.lit(f"frame_idx overflows the {VIDEO_FID_SHIFT}-bit fid packing: "),
+            F.col("frame_idx").cast("string"),
+        ),
+    )
+    fid = (
+        F.shiftleft(F.col("doc_id"), VIDEO_FID_SHIFT)
+        + F.col("frame_idx")
+        + F.coalesce(fid_guard.cast("long"), F.lit(0))
+    )
     fid_media = frames.select(
-        (
-            F.shiftleft(F.col("doc_id"), VIDEO_FID_SHIFT) + F.col("frame_idx")
-        ).alias("doc_id"),
+        fid.alias("doc_id"),
         F.encode(F.col("frame_text"), "UTF-8").alias("payload"),
     )
     frame_pairs = hamming_banded_pairs(image_phash(fid_media))
@@ -837,7 +853,6 @@ FROM pairs
 WHERE doc_a // {1 << VIDEO_FID_SHIFT} <> doc_b // {1 << VIDEO_FID_SHIFT}
 GROUP BY va, vb
 HAVING COUNT(*) >= {VIDEO_MATCH_MIN_FRAMES}
-ORDER BY va, vb
 """
     # outer aliasing: the driver compares by column NAME
     vote_tail = (

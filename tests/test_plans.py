@@ -206,7 +206,7 @@ def test_q45_lsh_precapped_map_side(spark):
     assert "Generate explode" in p, p  # map-side pair expansion
     # the pinned bands frame: the plan scans the checkpoint, not the
     # banding lineage — the md5 signature expression is not re-planned
-    assert "ExistingRDD" in p or "Scan" in p, p
+    assert "ExistingRDD" in p, p
     assert p.count("md5") == 0, p
     assert n_exchanges(p) <= 5, p
 
