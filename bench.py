@@ -88,12 +88,8 @@ HEADLINE = [
     "q141_epoch_shuffle",
     "q144_planned_join",
     "q147_salted_planned_join",
-    # r13 multimodal near-dup lanes (read-only, so headline not write
-    # bucket). Unanchored until the next anchor refresh — they appear
-    # in `queries` but not in ANCHOR, so `value` includes them while
-    # anchor_total_ratio (the comparable trend number) does not; the
-    # r13 evidence records their standalone cost so the value jump is
-    # attributable.
+    # multimodal near-dup lanes (read-only, so headline not write
+    # bucket); anchored since the r14 refresh.
     "q161_image_phash_neardup",
     "q162_audio_fingerprint_neardup",
     "q164_video_frame_neardup",
@@ -203,47 +199,50 @@ def rotated_write_audits() -> tuple[list[str], list[str]]:
     skipped = rotating - active
     return [q for q in WRITE_AUDITS if q not in skipped], sorted(skipped)
 
-# Cold-protocol write-audit anchor: BENCH_r11's driver timings
-# (refreshed from r10 per ADVICE r11 #2/#4 — the r10 anchors carried
-# TWO cross-era biases: their run's own calibration was never
-# recorded, so era normalization borrowed the headline anchor's cal
-# from a different run, and r10 was separately diagnosed as
-# ambient-inflated; the r11 driver run is confirmed-clean — ratio
-# 0.989 vs an honestly-chained anchor, all watch/suspect tiers empty,
-# suspect_ambient false — and its calibration IS recorded, so
-# write_watch now normalizes same-run-era). q156/q157/q158 (new in
-# r11, unanchored there) are anchored now; audits newer than the
-# anchor round (q159/q160, new in r12) ride outside the watch tier
-# until the next refresh — the artifact's `write_unanchored` field is
-# the authoritative, runtime-derived list, never this comment
-# (ADVICE r11 #4). q134's r10
-# init accident (27.7 s of session-global dynamic-partition committer
-# setup) is gone from this anchor — its 2.477 is a true cold-protocol
-# number under the partitioned warm, so BOTH directions of drift are
-# meaningful again.
-WRITE_AUDIT_ANCHOR_ROUND = 11
+# Cold-protocol write-audit anchor: the r14 refresh run (same run as
+# ANCHOR — full bucket, SMS_DB_SPARK_BENCH_ALL_AUDITS=1, nothing
+# rotated out, its own io probe recorded as ANCHOR_CAL_IO_SEC, so
+# write_watch normalizes same-run on BOTH axes for the first time).
+# q159/q160/q163 (unanchored since their r12/r14 introduction) are
+# anchored now; the artifact's `write_unanchored` field stays the
+# authoritative runtime-derived list, never this comment (ADVICE r11
+# #4). ONE known-noisy entry: q134 is the bucket's first audit and its
+# single cold run spans ~5-10.5 s across clean windows (7.997 in the
+# anchor run; 10.5 in the same-HEAD confirmation run whose tiers were
+# otherwise all empty). The toy-schema shard warm (below) removes the
+# shards-writer init in an ISOLATED session (4.9 s -> 3.4 s measured)
+# but not the post-headline-loop residue (JIT/code-cache/GC state the
+# 55-query loop leaves behind), which dominates q134's in-bench first
+# number. The watch tier's 2x slack is the noise budget for exactly
+# this; a real q134 regression still has to clear ~16 s era-normalized
+# to flag, which its protocol (a sub-2 s warm cost) leaves plenty of
+# room under.
+WRITE_AUDIT_ANCHOR_ROUND = 14
 # calibration_sec OF THE RUN these anchors were taken from (ADVICE r11
 # #2: normalizing by a different run's cal carries unquantified bias)
-WRITE_AUDIT_ANCHOR_CAL_SEC = 0.561
+WRITE_AUDIT_ANCHOR_CAL_SEC = 0.57
 WRITE_AUDIT_ANCHOR = {
-    "q134_shard_manifest_audit": 2.477,
-    "q135_stream_shard_manifest_audit": 3.929,
-    "q139_fold_audit": 6.456,
-    "q142_versioned_store_audit": 1.671,
-    "q143_metricslog_readback": 1.421,
-    "q145_versioned_merge_audit": 1.899,
-    "q146_gated_upsert_audit": 4.333,
-    "q148_sharded_export_audit": 5.595,
-    "q149_stream_gated_upsert_audit": 6.144,
-    "q150_cow_merge_audit": 2.643,
-    "q151_layout_audit": 3.466,
-    "q152_stream_neardup_audit": 14.253,
-    "q153_band_store_audit": 5.436,
-    "q154_bucketed_join_audit": 3.278,
-    "q155_partitioned_prune_audit": 1.579,
-    "q156_streaming_parity_audit": 19.351,
-    "q157_bucketed_antijoin_dedup_audit": 1.258,
-    "q158_stream_join_ingest_audit": 12.452,
+    "q134_shard_manifest_audit": 7.997,
+    "q135_stream_shard_manifest_audit": 4.666,
+    "q139_fold_audit": 6.678,
+    "q142_versioned_store_audit": 2.227,
+    "q143_metricslog_readback": 1.882,
+    "q145_versioned_merge_audit": 2.737,
+    "q146_gated_upsert_audit": 7.131,
+    "q148_sharded_export_audit": 6.735,
+    "q149_stream_gated_upsert_audit": 7.028,
+    "q150_cow_merge_audit": 2.982,
+    "q151_layout_audit": 5.988,
+    "q152_stream_neardup_audit": 13.796,
+    "q153_band_store_audit": 5.688,
+    "q154_bucketed_join_audit": 4.029,
+    "q155_partitioned_prune_audit": 1.68,
+    "q156_streaming_parity_audit": 21.939,
+    "q157_bucketed_antijoin_dedup_audit": 1.367,
+    "q158_stream_join_ingest_audit": 14.213,
+    "q159_stream_quality_monitor_audit": 4.158,
+    "q160_day2_chain_audit": 6.851,
+    "q163_sqlite_store_audit": 3.122,
 }
 
 BEST_OF = 3
@@ -311,35 +310,49 @@ BEST_OF = 3
 # post/pre bound would never be satisfiable. `python
 # tools/bench_compare.py BENCH_local.json` checks 1-3 mechanically and
 # prints the per-query delta table for 4.
-ANCHOR_ROUND = 11
-ANCHOR_CAL_SEC = 0.485
+# r14 refresh (criterion above, VERDICT r13 item 6): three full-bucket
+# candidate runs, all three passing criteria 1-3 vs the r11 anchor;
+# the ANCHOR run is the middle one (cal 0.57, raw total ratio 1.005,
+# criterion 4 CLEAN — zero movers past 1.15x, including the round's
+# changed LSH pre-cap family: q83 1.05x, q97 0.97x, q73 1.04x). The
+# flanking runs flagged DISJOINT mover sets (run 1: q83/q97/q73/q99/
+# q69 at 1.16-1.59x; run 3: q06/q147/q97/q74/q123/q144 at 1.15-1.29x)
+# that do not reproduce in each other or the anchor run — ambient
+# window drift, the exact signature the >=1s mover floor was built to
+# stop absorbing silently (both flanks are explained here BY NAME as
+# non-reproducing). q161/q162/q164 (unanchored since their r13/r14
+# introduction) are folded in.
+ANCHOR_ROUND = 14
+ANCHOR_CAL_SEC = 0.57
 ANCHOR = {
-    "q01_eq_filter_sort": 0.308, "q06_join_meta_data": 1.154,
-    "q07_flagship_join_like": 0.557, "q20_dedup_exact": 0.275,
-    "q22_first_per_group": 0.781, "q23_agg_rollup": 1.091,
-    "q26_three_way_join": 0.525, "q30_window_agg": 0.347,
-    "q41_text_quality": 0.229, "q44_minhash_signatures": 0.356,
-    "q45_minhash_lsh_pairs": 0.824, "q46_simhash": 0.271,
-    "q48_ann_bruteforce_topk": 0.486, "q49_ann_lsh_topk": 0.507,
-    "q51_ann_ivf_topk": 0.888, "q53_clean_pipeline": 0.87,
-    "q55_multimodal_features": 0.34, "q57_tfidf_topk": 0.762,
-    "q69_import_scale": 1.299, "q33_asof_join": 0.698,
-    "q73_lsh_jaccard_verified": 1.532, "q74_embedding_neardup_lsh": 1.366,
-    "q75_multimodal_real_decode": 0.267, "q76_filtered_ann_lsh": 0.741,
-    "q79_sequence_packing": 0.221, "q81_contamination": 1.199,
-    "q88_dup_ngram_coverage": 0.745, "q90_hashed_classifier": 0.84,
-    "q83_dedup_clusters_star": 2.054, "q92_domain_gate": 0.415,
-    "q94_bpe_pair_counts": 0.552, "q97_cluster_representatives": 2.444,
-    "q98_semantic_dedup": 2.955, "q99_dsir_importance": 1.015,
-    "q100_centroid_outliers": 0.593, "q101_length_percentiles": 0.52,
-    "q102_hll_registers": 1.181, "q104_count_min": 1.275,
-    "q111_reconcile_full_outer": 0.643, "q114_heavy_hitters": 1.923,
-    "q123_ann_serving": 1.657, "q124_kmeans_hashed_seed_train": 4.033,
-    "q125_delta_dedup": 0.686, "q126_scd_upsert": 0.483,
-    "q128_sq8_ann_recall": 0.662, "q132_dup_spans": 1.21,
-    "q133_hard_negatives": 0.814, "q138_jl_projection_recall": 1.058,
-    "q140_snapshot_diff": 0.378, "q141_epoch_shuffle": 1.148,
-    "q144_planned_join": 1.815, "q147_salted_planned_join": 1.186,
+    "q01_eq_filter_sort": 0.387, "q06_join_meta_data": 1.182,
+    "q07_flagship_join_like": 0.559, "q20_dedup_exact": 0.28,
+    "q22_first_per_group": 0.781, "q23_agg_rollup": 1.179,
+    "q26_three_way_join": 0.517, "q30_window_agg": 0.35,
+    "q41_text_quality": 0.258, "q44_minhash_signatures": 0.367,
+    "q45_minhash_lsh_pairs": 0.969, "q46_simhash": 0.257,
+    "q48_ann_bruteforce_topk": 0.435, "q49_ann_lsh_topk": 0.488,
+    "q51_ann_ivf_topk": 0.829, "q53_clean_pipeline": 0.793,
+    "q55_multimodal_features": 0.279, "q57_tfidf_topk": 0.687,
+    "q69_import_scale": 1.233, "q33_asof_join": 0.738,
+    "q73_lsh_jaccard_verified": 1.719, "q74_embedding_neardup_lsh": 1.621,
+    "q75_multimodal_real_decode": 0.276, "q76_filtered_ann_lsh": 0.772,
+    "q79_sequence_packing": 0.235, "q81_contamination": 1.178,
+    "q88_dup_ngram_coverage": 0.789, "q90_hashed_classifier": 0.757,
+    "q83_dedup_clusters_star": 2.524, "q92_domain_gate": 0.383,
+    "q94_bpe_pair_counts": 0.464, "q97_cluster_representatives": 2.781,
+    "q98_semantic_dedup": 1.612, "q99_dsir_importance": 0.846,
+    "q100_centroid_outliers": 0.493, "q101_length_percentiles": 0.371,
+    "q102_hll_registers": 1.146, "q104_count_min": 1.322,
+    "q111_reconcile_full_outer": 0.714, "q114_heavy_hitters": 1.964,
+    "q123_ann_serving": 1.844, "q124_kmeans_hashed_seed_train": 4.435,
+    "q125_delta_dedup": 0.82, "q126_scd_upsert": 0.447,
+    "q128_sq8_ann_recall": 0.581, "q132_dup_spans": 1.12,
+    "q133_hard_negatives": 0.806, "q138_jl_projection_recall": 0.848,
+    "q140_snapshot_diff": 0.386, "q141_epoch_shuffle": 1.104,
+    "q144_planned_join": 2.123, "q147_salted_planned_join": 1.382,
+    "q161_image_phash_neardup": 1.453, "q162_audio_fingerprint_neardup": 1.366,
+    "q164_video_frame_neardup": 3.221,
 }
 # a query must exceed this multiple of its anchor to count as a suspect
 SUSPECT_RATIO = 3.0
@@ -372,7 +385,10 @@ CAL_FLAT_RATIO = 1.5
 # tight equality. The job is pinned, so any future drift of this
 # number is ENVIRONMENT (ambient load, dependency/runtime change),
 # never a repo plan change.
-ANCHOR_CAL_PYTHON_SEC = 1.202
+# r14 refresh: the anchor run's post bracket (1.307; its pre was
+# 0.779 — same ~1.7x harness-systematic post elevation as every clean
+# run before it).
+ANCHOR_CAL_PYTHON_SEC = 1.307
 
 # IO-lane axis anchor (VERDICT r13 item 5): the r13 driver window
 # flagged ALL 14 timed write audits at 2.1-5.7x vs anchor while
@@ -392,11 +408,10 @@ ANCHOR_CAL_PYTHON_SEC = 1.202
 # CPU axis; the watch tier's 2x slack absorbs the spread. The probe
 # job is pinned, so drift of this number is ENVIRONMENT, never a plan
 # change.
-# Anchored against r11 audit numbers whose run predates the probe —
-# the r11 run's io era is ASSUMED 1.0 (its write bucket measured
-# 0.9-1.1x on the r13 builder machine, so the assumption is within the
-# watch tier's 2x slack); the next anchor refresh records its own.
-ANCHOR_CAL_IO_SEC = 0.92
+# r14 refresh: the anchor run's OWN io probe (0.761) — the write
+# anchors below and this axis now come from the same run, retiring the
+# assumed-1.0 era the r11-era anchors carried for one round.
+ANCHOR_CAL_IO_SEC = 0.761
 
 
 def calibration(spark) -> float:
@@ -669,6 +684,28 @@ def main() -> None:
             .write.mode("overwrite")
             .partitionBy("p")
             .parquet(os.path.join(warm_dir, "wp"))
+        )
+        # One untimed TOY-SCHEMA shard write (r14): the one-row warms
+        # above still left ~3 s of session-global init in whichever
+        # audit ran first (measured on q134: 4.9 s first / 1.8 s
+        # second in a warmed session — the residue is the shards
+        # writer path itself: multi-directory dynamic commit, the
+        # manifest's atomic text write, and the decimal-checksum
+        # codegen patterns, none of which a bare one-row parquet write
+        # compiles). 100 rows of a 2-column toy schema pay that init
+        # in ~3 s without compiling ANY audit's exact plan — the
+        # audit-as-warm objection below stands: each audit still pays
+        # its own plan/codegen inside its timed run; only the shared
+        # session-global residue moves out of the first number.
+        from sms_db_spark.sinks.shards import write_training_shards
+
+        write_training_shards(
+            spark.range(100).selectExpr(
+                "id AS doc_id", "CAST(id AS STRING) AS text"
+            ),
+            os.path.join(warm_dir, "mini"),
+            2,
+            key="doc_id",
         )
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
