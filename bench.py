@@ -93,6 +93,11 @@ HEADLINE = [
     "q161_image_phash_neardup",
     "q162_audio_fingerprint_neardup",
     "q164_video_frame_neardup",
+    # Gopher repetition rules (new post-refresh in r14): unanchored
+    # until the next refresh — in `queries` (so `value` includes it)
+    # but not in ANCHOR (so anchor_total_ratio, the comparable trend
+    # number, does not); the r14 evidence records its standalone cost.
+    "q165_gopher_repetition",
 ]
 
 # Write-audit queries run real store writers (shards, versioned commits,

@@ -312,7 +312,12 @@ def q82_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization. The max-multiplicity scan is O(distinct·len) per doc —
     right for short/medium documents; for book-length inputs the same
     statistic is an explode + groupBy(doc_id, token) + max, which trades
-    one shuffle for linear per-doc work.
+    one shuffle for linear per-doc work. The CHARACTER-MASS rules from
+    the same paper (top-2-gram / duplicated-5-gram char fractions) live
+    in textstats.gopher_repetition (q165), which is built in exactly
+    that deferred explode shape — the two are complementary rule sets,
+    not twins: this one is count-ratio over unigrams/bigrams per-row,
+    that one is char-mass over 2/5-grams via the shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
     tokens = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " "), " ")

@@ -257,9 +257,150 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+# Gopher/MassiveText-style repetition rules (Rae et al. 2021, table A1
+# — the published thresholds: top-2-gram character fraction 0.20,
+# duplicated-5-gram character fraction 0.15). The paper's COUNT-ratio
+# rules (type-token ratio, top-token share, dup-bigram fraction) are
+# q82_repetition_stats (curation.py) as per-row array expressions;
+# these are the complementary CHARACTER-MASS rules, built in the
+# explode + groupBy shape q82's docstring defers long documents to.
+# Documented deviation
+# from the paper's character accounting: the paper de-overlaps
+# duplicated n-gram character positions; this law counts OCCURRENCE
+# MASS (count × gram string length, inner spaces included), which both
+# engines compute identically with no positional bookkeeping — the
+# threshold semantics (flag repetitive boilerplate) are unchanged and
+# the law is exactly stated here.
+REP_TOP2_MAX = 0.20
+REP_DUP5_MAX = 0.15
+
+
+def _gram_structs(n: int) -> str:
+    """SQL expr: array<struct<n,gram>> of the row's word n-grams (empty
+    when the doc has fewer than n words — sequence() would otherwise
+    DESCEND on a negative stop and fabricate grams)."""
+    return f"""CASE WHEN size(_ws) >= {n} THEN
+        transform(sequence(0, size(_ws) - {n}),
+                  i -> struct({n} AS n, concat_ws(' ', slice(_ws, i + 1, {n})) AS gram))
+      ELSE array() END"""
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """Repetition quality rules over word n-grams: per doc, the char
+    mass of the most frequent 2-gram and the char mass of duplicated
+    (count >= 2) 5-grams, each as a fraction of the doc's characters,
+    with the Gopher-threshold pass flag. Input needs (doc_id, text).
+
+    Scale shape: ONE explode of both gram arrays (tagged by n) → one
+    partial-aggregable (doc_id, n, gram) count → one per-doc
+    conditional agg → broadcast-free left join back to the doc row (a
+    doc shorter than the gram can emit zero grams and must still
+    appear, mass 0). Gram keys are (doc_id, n, gram): cardinality is
+    bounded by corpus word count, skew is bounded by the longest
+    single document — nothing corpus-global lands on one key, so the
+    shape holds at 10^11 docs. Per-doc work is linear in doc length
+    (never the O(words²) within-row-HOF alternative, which dies on
+    long documents)."""
+    grams = (
+        docs.select(
+            "doc_id", F.split(F.trim(F.col("text")), " +").alias("_ws")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"concat({_gram_structs(2)}, {_gram_structs(5)})")
+            ).alias("g"),
+        )
+        .select("doc_id", "g.n", "g.gram")
+    )
+    per_doc = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("n") == 2, F.col("cnt") * F.length("gram"))
+            ).alias("top2_mass"),
+            F.sum(
+                F.when(
+                    (F.col("n") == 5) & (F.col("cnt") >= 2),
+                    F.col("cnt") * F.length("gram"),
+                )
+            ).alias("dup5_mass"),
+        )
+    )
+    out = (
+        docs.select("doc_id", F.length("text").alias("len_chars"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "len_chars",
+            (
+                F.coalesce(F.col("top2_mass"), F.lit(0)).cast("double")
+                / F.col("len_chars").cast("double")
+            ).alias("top2gram_char_frac"),
+            (
+                F.coalesce(F.col("dup5_mass"), F.lit(0)).cast("double")
+                / F.col("len_chars").cast("double")
+            ).alias("dup5gram_char_frac"),
+        )
+    )
+    return out.withColumn(
+        "passes_repetition",
+        (F.col("top2gram_char_frac") < REP_TOP2_MAX)
+        & (F.col("dup5gram_char_frac") < REP_DUP5_MAX),
+    )
+
+
+def q165_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gopher_repetition over the documents table (the gate row)."""
+    return gopher_repetition(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+Q165_SQL = f"""
+WITH w AS (
+  SELECT doc_id, length(text) AS len_chars,
+         regexp_split_to_array(trim(text), ' +') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, 2 AS n,
+         array_to_string(ws[i + 1 : i + 2], ' ') AS gram
+  FROM w, unnest(range(0, greatest(len(ws) - 1, 0))) t(i)
+  UNION ALL
+  SELECT doc_id, 5 AS n,
+         array_to_string(ws[i + 1 : i + 5], ' ') AS gram
+  FROM w, unnest(range(0, greatest(len(ws) - 4, 0))) t(i)
+),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram),
+pd AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN cnt * length(gram) END) AS top2_mass,
+         sum(CASE WHEN n = 5 AND cnt >= 2 THEN cnt * length(gram) END) AS dup5_mass
+  FROM c GROUP BY doc_id
+)
+SELECT w.doc_id, w.len_chars,
+       CAST(coalesce(pd.top2_mass, 0) AS DOUBLE) / CAST(w.len_chars AS DOUBLE)
+           AS top2gram_char_frac,
+       CAST(coalesce(pd.dup5_mass, 0) AS DOUBLE) / CAST(w.len_chars AS DOUBLE)
+           AS dup5gram_char_frac,
+       (CAST(coalesce(pd.top2_mass, 0) AS DOUBLE) / CAST(w.len_chars AS DOUBLE)
+            < {REP_TOP2_MAX}
+        AND CAST(coalesce(pd.dup5_mass, 0) AS DOUBLE) / CAST(w.len_chars AS DOUBLE)
+            < {REP_DUP5_MAX}) AS passes_repetition
+FROM w LEFT JOIN pd ON w.doc_id = pd.doc_id
+ORDER BY w.doc_id
+"""
+
+
 QUERIES = {
     "q40_text_tokens": QuerySpec(q40_text_tokens, Q40_SQL, "token counting"),
     "q41_text_quality": QuerySpec(q41_text_quality, Q41_SQL, "quality scoring"),
+    "q165_gopher_repetition": QuerySpec(
+        q165_gopher_repetition,
+        Q165_SQL,
+        "Gopher-style n-gram repetition rules (top-2-gram / dup-5-gram char mass)",
+    ),
     "q42_text_langid": QuerySpec(q42_text_langid, Q42_SQL, "language-ID heuristic"),
     "q43_text_fingerprint": QuerySpec(q43_text_fingerprint, Q43_SQL, "doc fingerprinting"),
     "q95_freq_spectrum": QuerySpec(

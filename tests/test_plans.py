@@ -137,6 +137,24 @@ def test_q41_text_quality_no_python_udf(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+def test_q165_repetition_partial_agg_and_pruned_scan(spark):
+    """Gopher repetition rules: the gram pipeline is one Generate
+    explode feeding PARTIAL-aggregated counts (map-side combine at
+    both the (doc,n,gram) and per-doc levels — the shape that holds
+    when one hot document's grams land on a single key), the scan is
+    pruned to (doc_id, text), the doc row survives via a left join,
+    and nothing leaves the JVM. Shuffles: gram count + per-doc agg +
+    the presentation sort = 3 (the parallelize repartitions are
+    round-robin, not counted)."""
+    p = plan(spark, "q165_gopher_repetition", mode="simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "Generate explode" in p, p
+    assert "partial_count" in p and "partial_max" in p, p
+    assert "LeftOuter" in p, p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p, p
+    assert n_exchanges(p) <= 3, p
+
+
 def test_compat_surface_has_no_python_udfs(spark):
     """Every q01-q36 compat query plans without any Python eval node."""
     for name in sorted(registry()):

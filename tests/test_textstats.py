@@ -1,0 +1,80 @@
+"""Pin the Gopher-repetition law (textstats.gopher_repetition) against
+hand-computed masses — the driver gate exercises it on random word soup
+where the dup-5-gram branch is identically zero, so the duplicated-gram
+arithmetic and the short-doc edges are pinned HERE."""
+
+import pytest
+
+from sms_db_spark.operators.textstats import (
+    REP_DUP5_MAX,
+    REP_TOP2_MAX,
+    gopher_repetition,
+)
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r.asDict() for r in gopher_repetition(df).collect()}
+
+
+def test_duplicated_5gram_mass_hand_computed(spark):
+    # words a..e twice: the 5-gram "a b c d e" occurs at i=0 and i=5
+    # (count 2, len 9 -> mass 18); every 2-gram except "e a" occurs
+    # twice (top mass 2*3=6); text length 19.
+    out = _run(spark, [(1, "a b c d e a b c d e")])
+    r = out[1]
+    assert r["len_chars"] == 19
+    assert r["top2gram_char_frac"] == pytest.approx(6 / 19)
+    assert r["dup5gram_char_frac"] == pytest.approx(18 / 19)
+    assert r["passes_repetition"] is False  # dup5 0.947 >= 0.15
+
+
+def test_single_occurrence_top2_and_no_5grams(spark):
+    # 3 words: two distinct 2-grams, each count 1 -> top mass is one
+    # occurrence (3 chars) over 5 chars = 0.6; no 5-grams at all.
+    out = _run(spark, [(1, "x y z")])
+    r = out[1]
+    assert r["top2gram_char_frac"] == pytest.approx(3 / 5)
+    assert r["dup5gram_char_frac"] == 0.0
+    assert r["passes_repetition"] is False  # top2 0.6 >= 0.20
+
+
+def test_clean_doc_passes(spark):
+    # 20 distinct 3-char words: max 2-gram mass is 7 chars over 79,
+    # well under both thresholds.
+    words = [f"w{i:02d}" for i in range(20)]
+    text = " ".join(words)
+    out = _run(spark, [(1, text)])
+    r = out[1]
+    assert r["len_chars"] == 79
+    assert r["top2gram_char_frac"] == pytest.approx(7 / 79)
+    assert r["dup5gram_char_frac"] == 0.0
+    assert r["passes_repetition"] is True
+
+
+def test_short_docs_survive_the_left_join(spark):
+    # fewer words than the gram: zero grams, zero mass, still a row
+    # (and the sequence() guard must not DESCEND and fabricate grams
+    # from a negative stop)
+    out = _run(spark, [(1, "solo"), (2, "two words")])
+    assert out[1]["top2gram_char_frac"] == 0.0
+    assert out[1]["dup5gram_char_frac"] == 0.0
+    assert out[1]["passes_repetition"] is True
+    # 2 words: exactly one 2-gram ("two words", 9 chars over 9) -> 1.0
+    assert out[2]["top2gram_char_frac"] == pytest.approx(1.0)
+    assert out[2]["passes_repetition"] is False
+
+
+def test_thresholds_are_strict_less_than(spark):
+    # a doc engineered to sit exactly AT the top2 threshold must fail
+    # (Gopher's rule is "remove if >= threshold"): 2-gram mass 3 over
+    # exactly 15 chars = 0.20.
+    #   text "ab cd ef gh ij" is 14 chars; use "abc de fg hi j" ->
+    #   grams: "abc de"(6) ... top mass 6; need 6/len == 0.2 -> len 30.
+    words = ["abc", "de", "fg", "hi", "jk", "lm", "no", "pq", "rs", "tu"]
+    text = " ".join(words)  # 9 two-grams, max len "abc de" = 6
+    assert len(text) == 30
+    out = _run(spark, [(1, text)])
+    assert out[1]["top2gram_char_frac"] == pytest.approx(0.2)
+    assert out[1]["passes_repetition"] is False
+    assert REP_TOP2_MAX == 0.20 and REP_DUP5_MAX == 0.15
