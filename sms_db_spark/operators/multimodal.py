@@ -768,6 +768,19 @@ h AS (SELECT doc_id, {_q162_band_exprs()} FROM en)"""
 # pipeline samples keyframes, not every 4th slice.
 VIDEO_FID_SHIFT = 22
 VIDEO_MATCH_MIN_FRAMES = 2
+# Video frames are sampled at the FULL dHash grid size (9x8 = 72
+# bytes), not q56's 16-byte demo frames: a 16-byte frame zero-pads
+# pixel indices 18..71, making bands 1-3 identically zero for EVERY
+# frame — three universal attractor buckets (cap-dropped at any real
+# scale) and a band 0 that only pairs on EXACT equality, so the
+# advertised Hamming<=3 tolerance never engages (review r14). At 72
+# bytes every band is informative and the q161 pigeonhole guarantee
+# (any Hamming<=3 pair agrees exactly on >=1 of 4 bands) actually
+# holds. Stride 1: a video's frames are its content — sampling every
+# frame of the fabricated payload keeps sub-200-char docs above the
+# >=2-frame vote floor.
+VIDEO_FRAME_SIZE = DHASH_W * DHASH_H
+VIDEO_FRAME_STRIDE = 1
 
 
 def to_video_frame(docs: DataFrame) -> DataFrame:
@@ -828,22 +841,26 @@ def video_frame_neardup(
 
 
 def q164_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video near-dup end-to-end: fabricated video payload → q56 frame
-    sampling → per-frame dHash → banded-Hamming frame pairs →
+    """Video near-dup end-to-end: fabricated video payload → frame
+    sampling at the full dHash grid size (VIDEO_FRAME_SIZE — see that
+    constant for why q56's demo frame size cannot carry this lane) →
+    per-frame dHash → banded-Hamming frame pairs →
     >= VIDEO_MATCH_MIN_FRAMES doc vote."""
     from ..tables import load_table_parallel
 
     docs = load_table_parallel(spark, sf_dir, "documents")
-    frames = sample_frames(to_video_frame(docs))
+    frames = sample_frames(
+        to_video_frame(docs), VIDEO_FRAME_SIZE, VIDEO_FRAME_STRIDE
+    )
     return video_frame_neardup(frames).orderBy("doc_a", "doc_b")
 
 
 def _q164_sql() -> str:
-    """DuckDB recompute: the q56 frame slicing (frame i covers text
-    bytes [16i+1, 16i+16], i stepping by FRAME_STRIDE), the q161 band
+    """DuckDB recompute: the frame slicing (frame i covers text bytes
+    [72i+1, 72i+72], i stepping by VIDEO_FRAME_STRIDE), the q161 band
     arithmetic over the zero-padded frame (beyond-length chars read 0,
-    exactly fake_resize's pad), the shared banded-pairs tail with the
-    fid packing, then the same vote."""
+    exactly fake_resize's pad — only a doc's LAST frame pads now),
+    the shared banded-pairs tail with the fid packing, then the vote."""
     fid = f"(doc_id * {1 << VIDEO_FID_SHIFT} + i)"
     vote_tail = f"""
 SELECT CAST(doc_a // {1 << VIDEO_FID_SHIFT} AS BIGINT) AS va,
@@ -862,11 +879,11 @@ HAVING COUNT(*) >= {VIDEO_MATCH_MIN_FRAMES}
     )
     h_ctes = f"""WITH fr AS (
   SELECT {fid} AS fid,
-         substr(text, CAST(i*{FRAME_SIZE}+1 AS INTEGER), {FRAME_SIZE}) AS ft
+         substr(text, CAST(i*{VIDEO_FRAME_SIZE}+1 AS INTEGER), {VIDEO_FRAME_SIZE}) AS ft
   FROM (SELECT doc_id, text,
                unnest(range(0,
-                 CAST((length(text)+{FRAME_SIZE - 1})//{FRAME_SIZE} AS BIGINT),
-                 {FRAME_STRIDE})) AS i
+                 CAST((length(text)+{VIDEO_FRAME_SIZE - 1})//{VIDEO_FRAME_SIZE} AS BIGINT),
+                 {VIDEO_FRAME_STRIDE})) AS i
         FROM documents)
 ),
 px AS (

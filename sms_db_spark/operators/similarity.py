@@ -2014,6 +2014,26 @@ def _pq_update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _pq_pack_lut(lut_rows: DataFrame) -> DataFrame:
+    """(query_id, lut): the per-query (m, cid, wi) rows packed into one
+    DENSE PQ_M x PQ_CODES flat array indexed lut[m*PQ_CODES + cid + 1].
+    Built by KEY through a map, never by sort position: Lloyd can drop
+    an empty code from the codebook (_pq_update aggregates only
+    present cids), and a position-packed array would then shift every
+    later entry — ADC reads of cids past the gap would return the
+    WRONG code's weight (review r14). A dropped (m, cid) slot holds 0;
+    it is unreachable anyway (the encoder assigns codes from the SAME
+    codebook, so no vector carries a dropped cid)."""
+    return lut_rows.groupBy("query_id").agg(
+        F.expr(
+            f"transform(sequence(0, {PQ_M * PQ_CODES - 1}), i -> "
+            f"coalesce(element_at(map_from_entries("
+            f"collect_list(struct(CAST(m * {PQ_CODES} + cid AS BIGINT) AS k,"
+            f" wi AS v))), CAST(i AS BIGINT)), CAST(0 AS BIGINT)))"
+        ).alias("lut")
+    )
+
+
 def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ train -> encode -> ADC-score -> recall@k vs exact cosine.
 
@@ -2079,16 +2099,9 @@ def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(_dot("s", "c") * PQ_LUT_SCALE).cast("bigint").alias("wi"),
         )
     )
-    q_lut = (
-        lut_rows.groupBy("query_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(m, cid, wi))), p -> p.wi)"
-            ).alias("lut")
-        )
-        .join(nv.withColumnRenamed("n", "qn"), F.col("query_id") == F.col("vec_id"))
-        .drop("vec_id")
-    )
+    q_lut = _pq_pack_lut(lut_rows).join(
+        nv.withColumnRenamed("n", "qn"), F.col("query_id") == F.col("vec_id")
+    ).drop("vec_id")
     scored = (
         F.broadcast(q_lut)
         .crossJoin(enc.withColumnRenamed("vec_id", "neighbor_id"))

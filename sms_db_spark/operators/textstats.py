@@ -313,13 +313,30 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "g.n", "g.gram")
     )
+    # The paper's rule is the char mass of the MOST FREQUENT 2-gram —
+    # not the gram maximizing mass (a longer-but-rarer gram must not
+    # win; review r14). The argmax is one packed-integer max — key =
+    # cnt * 2^32 + mass, decoded by modulus — so both engines pick the
+    # identical winner with no struct-max semantics in play. Tiebreak:
+    # equal-count grams resolve to the larger mass (the conservative
+    # reading for a >= threshold gate). Bounds for the pack: mass <
+    # 2^32 (docs under ~2 GiB of text) and cnt < 2^31; a corpus of
+    # larger single documents needs a wider pack, not a new law.
+    _PACK = 1 << 32
     per_doc = (
         grams.groupBy("doc_id", "n", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")
         .agg(
-            F.max(
-                F.when(F.col("n") == 2, F.col("cnt") * F.length("gram"))
+            (
+                F.max(
+                    F.when(
+                        F.col("n") == 2,
+                        F.col("cnt") * F.lit(_PACK)
+                        + F.col("cnt") * F.length("gram"),
+                    )
+                )
+                % F.lit(_PACK)
             ).alias("top2_mass"),
             F.sum(
                 F.when(
@@ -375,7 +392,9 @@ g AS (
 c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram),
 pd AS (
   SELECT doc_id,
-         max(CASE WHEN n = 2 THEN cnt * length(gram) END) AS top2_mass,
+         max(CASE WHEN n = 2
+                  THEN cnt * {1 << 32} + cnt * length(gram) END) % {1 << 32}
+             AS top2_mass,
          sum(CASE WHEN n = 5 AND cnt >= 2 THEN cnt * length(gram) END) AS dup5_mass
   FROM c GROUP BY doc_id
 )

@@ -322,3 +322,47 @@ def test_video_frame_neardup_vote_law(spark):
     }
     assert got1 == {(7, 9), (7, 11)}  # no diagonal, no 9-11, no 13
     assert all(a < b for a, b in got1)  # canonical orientation
+
+
+def test_video_neardup_hamming_tolerance_engages(spark):
+    """Two docs whose frames differ by ONE gradient bit must pair —
+    the review-r14 scenario: at q56's 16-byte demo frame size, bands
+    1-3 were identically zero for every frame (universal cap-dropped
+    attractor buckets), so only EXACT band-0 matches ever paired and
+    the advertised Hamming<=3 tolerance never engaged. At the video
+    lane's full-grid VIDEO_FRAME_SIZE, a near-identical frame agrees
+    on >=1 informative band (pigeonhole) and the vote fires."""
+    from sms_db_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        VIDEO_FRAME_SIZE,
+        dhash_bands_bytes,
+        fake_resize,
+        video_frame_neardup,
+    )
+
+    assert VIDEO_FRAME_SIZE == DHASH_W * DHASH_H  # the geometry law
+    fa = "".join(chr(65 + (i % 26)) for i in range(VIDEO_FRAME_SIZE))
+    # one mid-frame adjacent swap: a near-dup frame, NOT an exact one
+    fb = fa[:40] + fa[41] + fa[40] + fa[42:]
+    fother = fa[::-1]
+    ha, hb = (
+        dhash_bands_bytes(fake_resize(s.encode(), DHASH_W, DHASH_H))
+        for s in (fa, fb)
+    )
+    hd = sum(bin(x ^ y).count("1") for x, y in zip(ha, hb))
+    assert 1 <= hd <= 3 and ha != hb  # genuinely near, genuinely not exact
+
+    frames = spark.createDataFrame(
+        [
+            (1, 0, fa), (1, 1, fother),
+            (2, 0, fb), (2, 1, fother),
+        ],
+        "doc_id long, frame_idx long, frame_text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.n_frame_matches)
+        for r in video_frame_neardup(frames).collect()
+    }
+    # fa~fb (Hamming<=3) plus the exact fother pair -> 2 votes
+    assert got == {(1, 2, 2)}

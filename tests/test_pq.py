@@ -75,3 +75,26 @@ def test_pq_lut_scale_quantizes_identically_to_oracle_floor():
     # pin the constant so a drive-by "round for accuracy" change on
     # one side cannot slip past the unit suite
     assert PQ_LUT_SCALE == KMEANS_SCALE == 1_000_000
+
+
+def test_pq_lut_stays_dense_under_code_dropout(spark):
+    # Lloyd can drop an empty code from the codebook; the packed LUT
+    # must keep a DENSE PQ_M x PQ_CODES grid (0 at the hole) or every
+    # entry after the gap shifts and ADC reads the wrong code's weight
+    from sms_db_spark.operators.similarity import PQ_CODES, _pq_pack_lut
+
+    rows = [
+        (0, m, cid, (m * PQ_CODES + cid) * 10)
+        for m in range(PQ_M)
+        for cid in range(PQ_CODES)
+        if not (m == 1 and cid == 3)  # the dropped code
+    ]
+    lut_rows = spark.createDataFrame(
+        rows, "query_id long, m int, cid long, wi long"
+    )
+    [r] = _pq_pack_lut(lut_rows).collect()
+    assert len(r.lut) == PQ_M * PQ_CODES
+    for m in range(PQ_M):
+        for cid in range(PQ_CODES):
+            want = 0 if (m == 1 and cid == 3) else (m * PQ_CODES + cid) * 10
+            assert r.lut[m * PQ_CODES + cid] == want, (m, cid)

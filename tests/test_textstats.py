@@ -78,3 +78,22 @@ def test_thresholds_are_strict_less_than(spark):
     assert out[1]["top2gram_char_frac"] == pytest.approx(0.2)
     assert out[1]["passes_repetition"] is False
     assert REP_TOP2_MAX == 0.20 and REP_DUP5_MAX == 0.15
+
+
+def test_top2_is_most_frequent_not_max_mass(spark):
+    # the review-r14 law distinction: "aa bb" occurs 3x (mass 15);
+    # "longword01 longword02" occurs 2x (mass 42 > 15). The paper's
+    # rule scores the MOST FREQUENT gram's mass — a longer-but-rarer
+    # gram must not win.
+    text = "aa bb aa bb aa bb longword01 longword02 longword01 longword02"
+    out = _run(spark, [(1, text)])
+    r = out[1]
+    assert r["top2gram_char_frac"] == pytest.approx(15 / len(text))
+
+
+def test_top2_count_ties_resolve_to_larger_mass(spark):
+    # equal counts: the larger mass wins (conservative for the gate)
+    text = "aa bb cc longword01 longword02"
+    # every 2-gram occurs once; the largest is "longword01 longword02"
+    out = _run(spark, [(1, text)])
+    assert out[1]["top2gram_char_frac"] == pytest.approx(21 / len(text))
