@@ -764,8 +764,10 @@ h AS (SELECT doc_id, {_q162_band_exprs()} FROM en)"""
 # fid = doc_id << 22 | frame_idx: shift-packing stays exact bigint
 # arithmetic at any scale (10^11 docs -> 37 bits + 22 < 63; a
 # float-division decode would lose precision past 2^53). 2^22 frames
-# bounds payloads at ~64 MB given FRAME_SIZE=16 — beyond that a real
-# pipeline samples keyframes, not every 4th slice.
+# bounds payloads at ~302 MB given VIDEO_FRAME_SIZE=72 at stride 1 —
+# beyond that a real pipeline samples keyframes, not every slice; the
+# bound is ENFORCED in the fid expression (assert_true), never
+# silently exceeded.
 VIDEO_FID_SHIFT = 22
 VIDEO_MATCH_MIN_FRAMES = 2
 # Video frames are sampled at the FULL dHash grid size (9x8 = 72

@@ -848,12 +848,14 @@ def _q86_sql() -> str:
 # ------------------------------------------------------------------ q124
 
 
-def _hashed_seed(emb: DataFrame) -> DataFrame:
-    """Deterministic hashed-sample seed centroids: the N_CENTROIDS vectors
-    with the smallest md5(vec_id) — a reproducible stand-in for uniform
+def _hashed_seed(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
+    """Deterministic hashed-sample seed centroids: the k vectors with
+    the smallest md5(vec_id) — a reproducible stand-in for uniform
     random seeding, with none of the first-K-ids locality bias. cid is
-    the rank in hash order (0..K-1), so the seed is a pure function of
-    the id set in any engine and under any partitioning."""
+    the rank in hash order (0..k-1), so the seed is a pure function of
+    the id set in any engine and under any partitioning. THE one home
+    of this law: the IVF trainers (q124 family, default k) and the PQ
+    codebook trainer (q166, k=PQ_CODES) both draw from here."""
     seeds = (
         emb.select(
             F.md5(F.col("vec_id").cast("string")).alias("hk"), "vec_id", "embedding"
@@ -861,7 +863,7 @@ def _hashed_seed(emb: DataFrame) -> DataFrame:
         # orderBy+limit compiles to TakeOrderedAndProject: per-partition
         # top-K then a K-row driver merge — never a global sort
         .orderBy("hk", "vec_id")
-        .limit(N_CENTROIDS)
+        .limit(k)
     )
     w = Window.orderBy("hk", "vec_id")  # K rows — single-partition window is fine
     return seeds.withColumn("rn", F.row_number().over(w)).select(
@@ -1497,15 +1499,7 @@ def q128_sq8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the exact baseline adds no second corpus scan.
     """
     emb = load_table_parallel(spark, sf_dir, "embeddings")
-    nv = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, u -> CAST(u AS DOUBLE) / "
-            "sqrt(aggregate(zip_with(embedding, embedding,"
-            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, w) -> acc + w)))"
-        ).alias("n"),
-    ).withColumn(
+    nv = _normalized_corpus(emb).withColumn(
         "q", F.expr(f"transform(n, x -> CAST(floor(x * {SQ_SCALE}.0D) AS BIGINT))")
     )
     qq = nv.filter(F.col("vec_id") < SQ_NQ).select(
@@ -1565,8 +1559,7 @@ Q128_SQL = f"""
 WITH nv AS (
   SELECT vec_id,
          list_transform(range(1, {DIM + 1}), i -> CAST(embedding[i] AS DOUBLE) /
-           sqrt(list_sum(list_transform(range(1, {DIM + 1}),
-                j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))))) AS n
+           {_sql_safe_nrm('embedding')}) AS n
   FROM embeddings
 ), qv AS (
   SELECT vec_id, n, list_transform(n, x -> CAST(floor(x * {SQ_SCALE}.0) AS BIGINT)) AS q
@@ -1922,18 +1915,25 @@ PQ_TOPK = 10
 PQ_LUT_SCALE = KMEANS_SCALE
 
 
-def _pq_nv(emb: DataFrame) -> DataFrame:
-    """(vec_id, n): L2-normalized corpus, q128's exact expression (so
-    |n| = 1 and the full-vector inner product IS the cosine)."""
-    return emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, u -> CAST(u AS DOUBLE) / "
-            "sqrt(aggregate(zip_with(embedding, embedding,"
-            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, w) -> acc + w)))"
-        ).alias("n"),
+def _normalized_corpus(emb: DataFrame) -> DataFrame:
+    """(vec_id, n): L2-normalized corpus, zero-vector-SAFE — the norm
+    divisor routes through _safe_nrm, so one all-zero (failed-encode)
+    embedding maps to the all-zero direction instead of throwing
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode (review r14: the
+    quantization lanes copied an unguarded division; the r12 incident
+    in _safe_nrm's docstring is exactly this crash). Non-zero vectors
+    divide by their true norm, bit-identical to the unguarded form.
+    Shared by the SQ8 (q128) and PQ (q166) lanes; the oracles' nv CTEs
+    carry _sql_safe_nrm in lockstep."""
+    return emb.withColumn("_nrm", _norm("embedding")).select(
+        "vec_id", _unit("embedding", "_nrm").alias("n")
     )
+
+
+def _pq_nv(emb: DataFrame) -> DataFrame:
+    """(vec_id, n): the shared zero-safe normalization (so |n| = 1 and
+    the full-vector inner product IS the cosine)."""
+    return _normalized_corpus(emb)
 
 
 def _pq_subvecs(nv: DataFrame) -> DataFrame:
@@ -2057,20 +2057,20 @@ def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = _pq_nv(emb)
     sub = _pq_subvecs(nv)
 
-    seeds = (
-        nv.select(
-            F.md5(F.col("vec_id").cast("string")).alias("hk"), "vec_id"
-        )
-        .orderBy("hk", "vec_id")
-        .limit(PQ_CODES)
-    )
-    w = Window.orderBy("hk", "vec_id")  # PQ_CODES rows — single partition fine
-    seed_ids = seeds.withColumn("rn", F.row_number().over(w)).select(
-        "vec_id", (F.col("rn") - 1).cast("bigint").alias("cid")
-    )
+    # seeds come from THE seeding law (_hashed_seed, k=PQ_CODES —
+    # review r14: no second copy of the md5-rank rule); the PQ_CODES
+    # raw seed vectors are normalized by the shared guard and sliced
+    # into per-subspace code rows, keyed by the seed's hash-rank cid
     cb = (
-        sub.join(F.broadcast(seed_ids), "vec_id")
-        .select("m", "cid", F.col("s").alias("c"))
+        _pq_subvecs(
+            _normalized_corpus(
+                _hashed_seed(emb, k=PQ_CODES).select(
+                    F.col("cid").alias("vec_id"),
+                    F.col("c_emb").alias("embedding"),
+                )
+            )
+        )
+        .select("m", F.col("vec_id").alias("cid"), F.col("s").alias("c"))
         .localCheckpoint(eager=True)
     )
     for _ in range(PQ_ITERS):
@@ -2099,8 +2099,12 @@ def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(_dot("s", "c") * PQ_LUT_SCALE).cast("bigint").alias("wi"),
         )
     )
+    # the qn attach is bounded to the PQ_NQ query rows like lut_rows —
+    # joining the unfiltered corpus here would re-scan and re-normalize
+    # every embedding to keep 10 rows (review r14)
     q_lut = _pq_pack_lut(lut_rows).join(
-        nv.withColumnRenamed("n", "qn"), F.col("query_id") == F.col("vec_id")
+        nv.filter(F.col("vec_id") < PQ_NQ).withColumnRenamed("n", "qn"),
+        F.col("query_id") == F.col("vec_id"),
     ).drop("vec_id")
     scored = (
         F.broadcast(q_lut)
@@ -2178,8 +2182,7 @@ def _pq_sql() -> str:
 WITH nv AS (
   SELECT vec_id,
          list_transform(embedding, u -> CAST(u AS DOUBLE) /
-           sqrt(list_sum(list_transform(range(1, {DIM + 1}),
-                j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))))) AS n
+           {_sql_safe_nrm('embedding')}) AS n
   FROM embeddings
 ),
 sub AS (

@@ -98,3 +98,20 @@ def test_pq_lut_stays_dense_under_code_dropout(spark):
         for cid in range(PQ_CODES):
             want = 0 if (m == 1 and cid == 3) else (m * PQ_CODES + cid) * 10
             assert r.lut[m * PQ_CODES + cid] == want, (m, cid)
+
+
+def test_normalized_corpus_survives_zero_vector(spark):
+    # the review-r14 crash path: one all-zero (failed-encode) embedding
+    # under Spark 4's default ANSI mode threw DIVIDE_BY_ZERO in the
+    # unguarded normalization; the shared _normalized_corpus routes the
+    # divisor through _safe_nrm, mapping the zero vector to the zero
+    # direction instead
+    from sms_db_spark.operators.similarity import _normalized_corpus
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * DIM), (1, [1.0] + [0.0] * (DIM - 1))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.n for r in _normalized_corpus(emb).collect()}
+    assert got[0] == [0.0] * DIM  # zero direction, not a crash
+    assert got[1][0] == 1.0 and got[1][1:] == [0.0] * (DIM - 1)
