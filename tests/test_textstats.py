@@ -97,3 +97,49 @@ def test_top2_count_ties_resolve_to_larger_mass(spark):
     # every 2-gram occurs once; the largest is "longword01 longword02"
     out = _run(spark, [(1, text)])
     assert out[1]["top2gram_char_frac"] == pytest.approx(21 / len(text))
+
+
+def test_repetition_matches_pure_python_reference_on_random_docs(spark):
+    """Seeded randomized cross-check: 40 random word-soup docs
+    (including empty-ish and heavy-repeat shapes) against an
+    independent pure-Python recompute of the char-mass law — the
+    third engine alongside the Spark/DuckDB gate pair."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(1414)
+    vocab = ["a", "bb", "ccc", "dddd", "w%d" % 5, "xy", "zq"]
+    docs = []
+    for i in range(40):
+        n = rng.choice([1, 2, 4, 5, 7, 12, 30])
+        words = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.4 and n >= 6:  # plant a repeated block
+            block = words[:3]
+            words = block + words[3 : n - 3] + block
+        docs.append((i, " ".join(words)))
+
+    def ref(text):
+        ws = text.split(" ")
+        out = {}
+        for gram_n in (2, 5):
+            grams = [
+                " ".join(ws[i : i + gram_n])
+                for i in range(len(ws) - gram_n + 1)
+            ]
+            out[gram_n] = Counter(grams)
+        c2, c5 = out[2], out[5]
+        top2 = 0
+        if c2:
+            best_cnt = max(c2.values())
+            top2 = max(
+                cnt * len(g) for g, cnt in c2.items() if cnt == best_cnt
+            )
+        dup5 = sum(cnt * len(g) for g, cnt in c5.items() if cnt >= 2)
+        return top2 / len(text), dup5 / len(text)
+
+    got = _run(spark, docs)
+    for i, text in docs:
+        want_top2, want_dup5 = ref(text)
+        r = got[i]
+        assert r["top2gram_char_frac"] == pytest.approx(want_top2), (i, text)
+        assert r["dup5gram_char_frac"] == pytest.approx(want_dup5), (i, text)
