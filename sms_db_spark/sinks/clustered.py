@@ -77,6 +77,79 @@ def write_zordered(
     )
 
 
+def write_zordered_cells(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int
+) -> None:
+    """Z-order layout with CELL-ALIGNED files: one file per non-empty
+    equal-width Morton cell, written as `_zcell=K/` partition dirs.
+
+    Why this exists beside write_zordered (r14 finding, SCALE.md): the
+    range-partitioned writer cuts the curve EQUI-DEPTH, so file
+    boundaries land wherever data mass is — the audited "10%-of-domain
+    window reads ≤ half the files" bound then holds only statistically,
+    and a 5000-row corpus was enough to breach it (9/16 on the doc_id
+    axis). This writer's bound is ARITHMETIC: cells are equal-WIDTH in
+    each scaled axis, with log2(n_files) split evenly across the two
+    axes (col_b gets the extra bit, matching _interleave's bit order),
+    so each axis has s strata of width 1/s of the domain; a window of
+    width ≤ 1/s - 1 cell units spans at most 2 adjacent strata, hence
+    at most 2·(n_files/s) files — n_files/2 for the square n_files=16
+    case, at ANY corpus size and ANY distribution.
+
+    The trade is file-size balance: a file's size is its cell's mass
+    (corner cells run light, empty cells produce no file) — the
+    standard cell-aligned-vs-equi-depth choice; at real scale n_files
+    is thousands and cells are fine. Readers drop the `_zcell`
+    partition column (read_zordered_cells) so row content and any
+    downstream row-hash are untouched.
+
+    Physical shape: one bounds agg (broadcast back, no driver
+    literal), map-side cell id, one hash exchange on the cell id (a
+    cell's rows land in one task, so files == non-empty cells even
+    when cells share a task), `_z`-sorted within each file for
+    row-group-level stats."""
+    bits_total = (n_files - 1).bit_length()
+    if 1 << bits_total != n_files:
+        raise ValueError(f"n_files must be a power of two, got {n_files}")
+    bits_a = bits_total // 2
+    bits_b = bits_total - bits_a
+    bounds = df.agg(
+        F.min(col_a).alias("lo_a"),
+        F.max(col_a).alias("hi_a"),
+        F.min(col_b).alias("lo_b"),
+        F.max(col_b).alias("hi_b"),
+    )
+    cell = F.expr(
+        # top bits_a of the scaled a-rank interleaved under the top
+        # bits_b of b — the cell id IS the top bits of the Morton value,
+        # so cell order equals curve order
+        f"shiftleft(shiftright(_xb, {Z_BITS - bits_b}), {bits_a}) "
+        f"+ shiftright(_xa, {Z_BITS - bits_a})"
+    )
+    z = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_xa", F.expr(_scale(col_a, "lo_a", "hi_a")))
+        .withColumn("_xb", F.expr(_scale(col_b, "lo_b", "hi_b")))
+        .withColumn("_z", _interleave("_xa", "_xb"))
+        .withColumn("_zcell", cell.cast("int"))
+    )
+    (
+        z.repartition(n_files, "_zcell")
+        .sortWithinPartitions("_zcell", "_z")
+        .drop("_z", "_xa", "_xb", "lo_a", "lo_b", "hi_a", "hi_b")
+        .write.mode("overwrite")
+        .partitionBy("_zcell")
+        .parquet(path)
+    )
+
+
+def read_zordered_cells(spark, path: str) -> DataFrame:
+    """Read a write_zordered_cells store with the cell column dropped —
+    row content identical to the input frame (downstream row-hashes,
+    shard checksums, and exports see no layout artifact)."""
+    return spark.read.parquet(path).drop("_zcell")
+
+
 def _ranges_from_metadata(md, name: str, cols: list[str]) -> dict:
     """THE footer-metadata → per-column (min, max) extraction, shared by
     both range readers so a stats-handling fix can never apply to one

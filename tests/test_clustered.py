@@ -85,3 +85,51 @@ def test_range_readers_conservative_on_unusable_stats(spark, tmp_path):
         # k prunes normally; v's stats-less file overlaps ANY window
         assert files_overlapping(ranges, "k", 0, 10) == 1
         assert files_overlapping(ranges, "v", 500, 600) == 1
+
+
+def test_cell_aligned_zorder_bound_is_structural(spark, tmp_path):
+    """The r14 finding's fix candidate: write_zordered_cells must hold
+    the ≤ n_files/2 window bound for EVERY aligned 10% window on BOTH
+    axes at the exact scale that broke the equi-depth writer (sf0.1's
+    5000 docs, where write_zordered measured 9/16 on doc_id) — and
+    preserve content exactly with the cell column dropped."""
+    from sms_db_spark.sinks.clustered import (
+        file_column_ranges_fs,
+        read_zordered_cells,
+        write_zordered_cells,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    zpath = str(tmp_path / "zcells")
+    write_zordered_cells(docs, zpath, "doc_id", "n_chars", N_FILES)
+
+    back = read_zordered_cells(spark, zpath)
+    assert "_zcell" not in back.columns
+    assert back.exceptAll(docs).unionAll(docs.exceptAll(back)).count() == 0
+
+    ranges = file_column_ranges_fs(spark, zpath, ["doc_id", "n_chars"])
+    assert len(ranges) == N_FILES  # all 16 cells populated on this corpus
+
+    stats = {
+        c: docs.agg(F.min(c), F.max(c)).collect()[0]
+        for c in ("doc_id", "n_chars")
+    }
+    for c in ("doc_id", "n_chars"):
+        lo, hi = stats[c]
+        span = hi - lo
+        for tenth in range(9):  # every aligned 10% window, both axes
+            wlo = lo + span * tenth // 10
+            whi = lo + span * (tenth + 1) // 10
+            n = files_overlapping(ranges, c, wlo, whi)
+            assert n <= N_FILES // 2, (c, tenth, n)
+
+
+def test_cell_aligned_zorder_rejects_non_power_of_two(spark, tmp_path):
+    from sms_db_spark.sinks.clustered import write_zordered_cells
+    import pytest as _pytest
+
+    docs = load_table(spark, SF_DIR, "lineitem").select("l_partkey", "l_suppkey")
+    with _pytest.raises(ValueError):
+        write_zordered_cells(docs, str(tmp_path / "x"), "l_partkey", "l_suppkey", 12)
