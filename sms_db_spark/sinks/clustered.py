@@ -120,9 +120,12 @@ def write_zordered_cells(
         F.max(col_b).alias("hi_b"),
     )
     cell = F.expr(
-        # top bits_a of the scaled a-rank interleaved under the top
-        # bits_b of b — the cell id IS the top bits of the Morton value,
-        # so cell order equals curve order
+        # the cell fixes the same bit SET as the Morton prefix (top
+        # bits_b of b, top bits_a of a), just concatenated instead of
+        # interleaved — a label permutation of the curve's prefix
+        # cells, so each cell is still ONE contiguous z-range and
+        # per-file z-intervals stay pairwise disjoint (the q160-style
+        # clustering check holds under this writer too)
         f"shiftleft(shiftright(_xb, {Z_BITS - bits_b}), {bits_a}) "
         f"+ shiftright(_xa, {Z_BITS - bits_a})"
     )

@@ -133,3 +133,42 @@ def test_cell_aligned_zorder_rejects_non_power_of_two(spark, tmp_path):
     docs = load_table(spark, SF_DIR, "lineitem").select("l_partkey", "l_suppkey")
     with _pytest.raises(ValueError):
         write_zordered_cells(docs, str(tmp_path / "x"), "l_partkey", "l_suppkey", 12)
+
+
+def test_cell_files_cover_disjoint_z_ranges(spark, tmp_path):
+    """The q160-style clustering check must hold under the cell writer:
+    each file's recomputed z-values form an interval disjoint from
+    every other file's (the cell label permutes the Morton prefix's
+    bits, but the fixed bit SET is the same, so a cell is one
+    contiguous z-range)."""
+    from sms_db_spark.sinks.clustered import (
+        _interleave,
+        _scale,
+        write_zordered_cells,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "zc4")
+    write_zordered_cells(li, zpath, "l_partkey", "l_suppkey", 4)
+    zed = spark.read.parquet(zpath).drop("_zcell")
+    zb = zed.agg(
+        F.min("l_partkey").alias("lo_a"),
+        F.max("l_partkey").alias("hi_a"),
+        F.min("l_suppkey").alias("lo_b"),
+        F.max("l_suppkey").alias("hi_b"),
+    )
+    spans = (
+        spark.read.parquet(zpath)
+        .crossJoin(F.broadcast(zb))
+        .withColumn("_xa", F.expr(_scale("l_partkey", "lo_a", "hi_a")))
+        .withColumn("_xb", F.expr(_scale("l_suppkey", "lo_b", "hi_b")))
+        .withColumn("_zv", _interleave("_xa", "_xb"))
+        .groupBy("_zcell")
+        .agg(F.min("_zv").alias("lo"), F.max("_zv").alias("hi"))
+        .collect()
+    )
+    ivs = sorted((r.lo, r.hi) for r in spans)
+    assert len(ivs) <= 4
+    assert all(ivs[i][1] <= ivs[i + 1][0] for i in range(len(ivs) - 1)), ivs
