@@ -804,8 +804,11 @@ def video_frame_neardup(
     # loudly instead (a production keyframe decoder that emits more
     # frames must re-shift, not corrupt). assert_true is embedded in
     # the fid expression (coalesce of its NULL result) so column
-    # pruning cannot drop the check; it costs one fused comparison
-    # per row, no extra pass.
+    # pruning cannot drop the check, and it is the LEFT-most operand:
+    # interpreted Add.eval short-circuits to NULL without evaluating
+    # the right child when the left is NULL (review r14, the cell
+    # writer's identical guard), so a right-appended guard can be
+    # skipped for NULL inputs. Costs one fused comparison per row.
     fid_guard = F.assert_true(
         F.col("frame_idx") < F.lit(1 << VIDEO_FID_SHIFT),
         F.concat(
@@ -814,9 +817,9 @@ def video_frame_neardup(
         ),
     )
     fid = (
-        F.shiftleft(F.col("doc_id"), VIDEO_FID_SHIFT)
+        F.coalesce(fid_guard.cast("long"), F.lit(0))
+        + F.shiftleft(F.col("doc_id"), VIDEO_FID_SHIFT)
         + F.col("frame_idx")
-        + F.coalesce(fid_guard.cast("long"), F.lit(0))
     )
     fid_media = frames.select(
         fid.alias("doc_id"),

@@ -107,7 +107,23 @@ def write_zordered_cells(
     literal), map-side cell id, one hash exchange on the cell id (a
     cell's rows land in one task, so files == non-empty cells even
     when cells share a task), `_z`-sorted within each file for
-    row-group-level stats."""
+    row-group-level stats.
+
+    NULLs in either clustering column are REJECTED (assert_true folded
+    into the cell expression — no extra pass): a NULL cell would write
+    a __HIVE_DEFAULT_PARTITION__ file whose OTHER axis spans the whole
+    domain, silently breaking both the files==cells accounting and the
+    window bound. Cluster on non-null columns, or coalesce a sentinel
+    upstream where NULL is a real category.
+
+    STAGED, not yet wired (r14): the two gated audits (q151/q160)
+    still run write_zordered — rewiring them re-gates both and the
+    r14 changed-set budget was full; the r15 rewire swaps them to
+    this writer (and read_zordered_cells) and decides whether the
+    equi-depth writer retires or stays as the balanced-file-size
+    option, folding the shared _z construction into one helper at
+    that point (duplicating it today would itself re-gate q151/q160
+    through write_zordered's body)."""
     bits_total = (n_files - 1).bit_length()
     if 1 << bits_total != n_files:
         raise ValueError(f"n_files must be a power of two, got {n_files}")
@@ -125,8 +141,17 @@ def write_zordered_cells(
         # interleaved — a label permutation of the curve's prefix
         # cells, so each cell is still ONE contiguous z-range and
         # per-file z-intervals stay pairwise disjoint (the q160-style
-        # clustering check holds under this writer too)
-        f"shiftleft(shiftright(_xb, {Z_BITS - bits_b}), {bits_a}) "
+        # clustering check holds under this writer too). The coalesced
+        # assert_true rejects NULL clustering keys loudly (see
+        # docstring); it is the LEFT-most operand deliberately —
+        # interpreted Add.eval short-circuits to NULL without touching
+        # the right child when the left is NULL, so a guard appended
+        # on the right would be skipped for exactly the rows it exists
+        # to catch.
+        f"coalesce(CAST(assert_true({col_a} IS NOT NULL AND {col_b} IS NOT NULL, "
+        f"'write_zordered_cells: NULL in clustering column ({col_a}, {col_b})') "
+        f"AS BIGINT), CAST(0 AS BIGINT)) "
+        f"+ shiftleft(shiftright(_xb, {Z_BITS - bits_b}), {bits_a}) "
         f"+ shiftright(_xa, {Z_BITS - bits_a})"
     )
     z = (

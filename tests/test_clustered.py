@@ -112,6 +112,14 @@ def test_cell_aligned_zorder_bound_is_structural(spark, tmp_path):
     ranges = file_column_ranges_fs(spark, zpath, ["doc_id", "n_chars"])
     assert len(ranges) == N_FILES  # all 16 cells populated on this corpus
 
+    # the structural premise the bound formula rests on: an even bit
+    # split (4 strata per axis at N_FILES=16), so a 10% window spans
+    # <= 2 strata and the bound is 2 * (N_FILES / strata)
+    assert N_FILES == 16
+    strata = 4
+    bound = 2 * (N_FILES // strata)
+    assert bound == N_FILES // 2
+
     stats = {
         c: docs.agg(F.min(c), F.max(c)).collect()[0]
         for c in ("doc_id", "n_chars")
@@ -119,11 +127,11 @@ def test_cell_aligned_zorder_bound_is_structural(spark, tmp_path):
     for c in ("doc_id", "n_chars"):
         lo, hi = stats[c]
         span = hi - lo
-        for tenth in range(9):  # every aligned 10% window, both axes
+        for tenth in range(10):  # EVERY aligned 10% window, both axes
             wlo = lo + span * tenth // 10
             whi = lo + span * (tenth + 1) // 10
             n = files_overlapping(ranges, c, wlo, whi)
-            assert n <= N_FILES // 2, (c, tenth, n)
+            assert n <= bound, (c, tenth, n)
 
 
 def test_cell_aligned_zorder_rejects_non_power_of_two(spark, tmp_path):
@@ -171,4 +179,22 @@ def test_cell_files_cover_disjoint_z_ranges(spark, tmp_path):
     )
     ivs = sorted((r.lo, r.hi) for r in spans)
     assert len(ivs) <= 4
-    assert all(ivs[i][1] <= ivs[i + 1][0] for i in range(len(ivs) - 1)), ivs
+    # STRICT <, unlike q160's <= over the equi-depth writer: there a
+    # duplicate z-value can legitimately straddle a range-partition
+    # cut; here a z-value belongs to exactly one cell, so any shared
+    # endpoint would mean a shift off-by-one leaked a boundary value
+    # into the neighboring cell
+    assert all(ivs[i][1] < ivs[i + 1][0] for i in range(len(ivs) - 1)), ivs
+
+
+def test_cell_writer_rejects_null_clustering_keys(spark, tmp_path):
+    # a NULL key would write a __HIVE_DEFAULT_PARTITION__ file whose
+    # other axis spans the whole domain — the writer must fail loudly
+    from sms_db_spark.sinks.clustered import write_zordered_cells
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "a long, b int"
+    )
+    with _pytest.raises(Exception, match="NULL in clustering column"):
+        write_zordered_cells(df, str(tmp_path / "n"), "a", "b", 4)
