@@ -1011,28 +1011,36 @@ def q151_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r8 item 4 — the last two batch sinks with only pytest
     rows): fragment the documents corpus into a 32-file store, compact
     it to 4 target-sized files (sinks/compaction.py:98), Z-order the
-    result into 16 files on (doc_id, n_chars) (sinks/clustered.py:75),
+    result into a ≤16-file CELL-ALIGNED store on (doc_id, n_chars)
+    (sinks/clustered.py write_zordered_cells — the r15 rewire, VERDICT
+    r14 item 1: the equi-depth writer's prune bound broke at sf0.1),
     then read the final store back and return its row count and
     content checksum — which the oracle recomputes from the raw
     corpus, so a hash match proves BOTH rewrites moved the layout
     without touching a row. The layout guarantees themselves are
     pinned as in-result flags: `frag_flagged` (the report demanded the
     compaction), `compact_ok` (exactly 4 files, report converged to
-    not-fragmented), `z_files_ok` (16 data files), and
-    `prune_id_ok`/`prune_chars_ok` (a 10%-of-domain window on EITHER
-    axis overlaps ≤ 8 of 16 files by parquet footer min/max — the
-    test_clustered 16-vs-≤8 assertion as gate-checked columns).
+    not-fragmented), `z_files_ok` (the cell writer's files==cells
+    contract: one data file per non-empty Morton cell, within the
+    16-cell budget), and `prune_id_ok`/`prune_chars_ok` (a
+    10%-of-domain window on EITHER axis overlaps ≤ 8 of 16 files by
+    parquet footer min/max). Under the cell writer the prune bound is
+    ARITHMETIC — a 4×4 equal-width grid puts any ≤25%-wide window in
+    at most 2 strata of 4 files — so it holds at ANY corpus size and
+    distribution, not just the gate scale (the equi-depth writer
+    measured 9/16 on this same audit at 5000 rows).
 
     Scale note: both rewrites are the real distributed writers (one
-    scan+write each, one range shuffle for the Z layout); the driver
-    holds the fragmentation reports, the 16-entry footer-range list,
-    and the 1-row aggregate.
+    scan+write each, one hash exchange on the cell id for the Z
+    layout); the driver holds the fragmentation reports, the
+    ≤16-entry footer-range list, and the 1-row aggregate.
     """
     from ..operators.sketches import _h60
     from ..sinks.clustered import (
         file_column_ranges_fs,
         files_overlapping,
-        write_zordered,
+        read_zordered_cells,
+        write_zordered_cells,
     )
     from ..sinks.compaction import compact, fragmentation_report
 
@@ -1056,12 +1064,16 @@ def q151_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_ok = int(
             res["compacted"] and res["n_files_final"] == _LAYOUT_COMPACT_FILES
         )
-        write_zordered(
+        write_zordered_cells(
             spark.read.parquet(store), zstore, "doc_id", "n_chars", _LAYOUT_Z_FILES
         )
         ranges = file_column_ranges_fs(spark, zstore, ["doc_id", "n_chars"])
-        z_files_ok = int(len(ranges) == _LAYOUT_Z_FILES)
-        zdf = spark.read.parquet(zstore)
+        # files==cells: exactly one data file per non-empty Morton cell
+        # (corner cells may be empty under skew — that is the bound's
+        # trade, not a defect), never more than the cell budget
+        n_cells = spark.read.parquet(zstore).select("_zcell").distinct().count()
+        z_files_ok = int(0 < len(ranges) == n_cells <= _LAYOUT_Z_FILES)
+        zdf = read_zordered_cells(spark, zstore)
         bounds = zdf.agg(
             F.min("doc_id"), F.max("doc_id"), F.min("n_chars"), F.max("n_chars")
         ).first()
@@ -2794,7 +2806,7 @@ def q160_day2_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the shard writer hashes on the shard key. The driver holds
     five summary rows plus a <= 4-row file-range frame.
     """
-    from ..sinks.clustered import write_zordered
+    from ..sinks.clustered import read_zordered_cells, write_zordered_cells
     from ..sinks.compaction import compact, fragmentation_report
     from ..sinks.shards import verify_shards, write_training_shards
     from ..streaming.quality import quality_gated_upsert_batch, read_metrics
@@ -2877,39 +2889,37 @@ def q160_day2_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(("compact", n, chk, compact_ok))
 
         zdir = f"{root}/zorder"
-        write_zordered(spark.read.parquet(frag), zdir, "user_id", "n_changes", n_files=4)
-        zed = spark.read.parquet(zdir)
-        # the clustering claim, measured on the CURVE the writer ranges
+        write_zordered_cells(
+            spark.read.parquet(frag), zdir, "user_id", "n_changes", n_files=4
+        )
+        zed = read_zordered_cells(spark, zdir)
+        # the clustering claim, measured on the CURVE the writer cells
         # on: per-file Z-VALUE intervals are pairwise disjoint (a
         # single axis is NOT — z-order trades strict one-axis ranges
         # for bounded rectangles on both). The z-value is recomputed
-        # from the read-back with the writer's own expressions over
+        # from the read-back with the writer's own _zframe over
         # identical data, so the bounds agree by construction.
-        from ..sinks.clustered import _interleave, _scale
+        from ..sinks.clustered import _zframe
 
-        zb = zed.agg(
-            F.min("user_id").alias("lo_a"),
-            F.max("user_id").alias("hi_a"),
-            F.min("n_changes").alias("lo_b"),
-            F.max("n_changes").alias("hi_b"),
-        )
         spans = (
-            zed.select(F.input_file_name().alias("f"), "user_id", "n_changes")
-            .crossJoin(F.broadcast(zb))
-            .withColumn("_xa", F.expr(_scale("user_id", "lo_a", "hi_a")))
-            .withColumn("_xb", F.expr(_scale("n_changes", "lo_b", "hi_b")))
-            .withColumn("_z", _interleave("_xa", "_xb"))
+            _zframe(
+                zed.select(
+                    F.input_file_name().alias("f"), "user_id", "n_changes"
+                ),
+                "user_id",
+                "n_changes",
+            )
             .groupBy("f")
             .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
             .collect()  # <= 4 rows: one per clustered file
         )
         ivs = sorted((r.lo, r.hi) for r in spans)
-        # <= not <: repartitionByRange can land DUPLICATE z-values on
-        # both sides of a file boundary (equal keys straddle), which is
-        # still perfect clustering — demanding strictly disjoint
-        # intervals would flip ok to 0 on such a corpus and desync
-        # against the oracle's hardcoded ok=1 (ADVICE r12 #2). Interior
-        # overlap (hi strictly past the next file's lo) still fails.
+        # <= not < even under the cell writer: distinct z-values in
+        # ADJACENT cells can share a boundary only if a z-value leaked
+        # across cells, which files==cells forbids — but equal (lo, hi)
+        # endpoints BETWEEN files cannot occur at all here, so the <=
+        # form stays correct and keeps the check writer-agnostic
+        # (ADVICE r12 #2 documented why equi-depth needed <=).
         z_ok = int(
             len(ivs) <= 4
             and all(ivs[i][1] <= ivs[i + 1][0] for i in range(len(ivs) - 1))

@@ -48,30 +48,50 @@ def _interleave(xa: str, xb: str) -> Column:
     )
 
 
-def write_zordered(
-    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int
-) -> None:
-    """Rewrite df into n_files parquet files clustered on the Z-curve of
-    (col_a, col_b). Row content is unchanged; only co-location differs.
-    """
+# every column _zframe adds; writers drop exactly this set so row
+# content is untouched by the layout machinery
+_Z_HELPER_COLS = ("_z", "_xa", "_xb", "lo_a", "lo_b", "hi_a", "hi_b")
+
+
+def _zframe(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """THE z-value construction, shared by both writers and the audits
+    that recompute per-file z-spans (q160): df plus the _Z_HELPER_COLS
+    — scaled ranks _xa/_xb, Morton value _z, and the bounds literals.
+    One tiny agg broadcast back as a one-row BroadcastNestedLoopJoin:
+    no driver literal collect, no second scan of df."""
     bounds = df.agg(
         F.min(col_a).alias("lo_a"),
         F.max(col_a).alias("hi_a"),
         F.min(col_b).alias("lo_b"),
         F.max(col_b).alias("hi_b"),
     )
-    # one-row bounds frame joined back: stays a BroadcastNestedLoopJoin of
-    # a single row — no literal collect on the driver, no second scan of df
-    z = (
+    return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn("_xa", F.expr(_scale(col_a, "lo_a", "hi_a")))
         .withColumn("_xb", F.expr(_scale(col_b, "lo_b", "hi_b")))
         .withColumn("_z", _interleave("_xa", "_xb"))
     )
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int
+) -> None:
+    """Rewrite df into n_files parquet files clustered on the Z-curve of
+    (col_a, col_b). Row content is unchanged; only co-location differs.
+
+    EQUI-DEPTH variant — kept as the balanced-file-size option: the
+    range shuffle cuts the curve by data mass, so every file is the
+    same size, but file boundaries need not align with Morton cells
+    and the "window reads ≤ half the files" bound is only statistical
+    (it broke at sf0.1 — r14 finding, SCALE.md). Audits that gate the
+    prune bound use write_zordered_cells, whose bound is arithmetic;
+    use this writer when downstream cares about uniform file sizes
+    more than a guaranteed prune fraction."""
     (
-        z.repartitionByRange(n_files, "_z")
+        _zframe(df, col_a, col_b)
+        .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z", "_xa", "_xb", "lo_a", "lo_b", "hi_a", "hi_b")
+        .drop(*_Z_HELPER_COLS)
         .write.mode("overwrite")
         .parquet(path)
     )
@@ -116,25 +136,14 @@ def write_zordered_cells(
     window bound. Cluster on non-null columns, or coalesce a sentinel
     upstream where NULL is a real category.
 
-    STAGED, not yet wired (r14): the two gated audits (q151/q160)
-    still run write_zordered — rewiring them re-gates both and the
-    r14 changed-set budget was full; the r15 rewire swaps them to
-    this writer (and read_zordered_cells) and decides whether the
-    equi-depth writer retires or stays as the balanced-file-size
-    option, folding the shared _z construction into one helper at
-    that point (duplicating it today would itself re-gate q151/q160
-    through write_zordered's body)."""
+    Wired (r15): q151's layout audit and q160's zorder hop run THIS
+    writer (VERDICT r14 item 1); write_zordered stays as the
+    balanced-file-size option, both on the shared _zframe helper."""
     bits_total = (n_files - 1).bit_length()
     if 1 << bits_total != n_files:
         raise ValueError(f"n_files must be a power of two, got {n_files}")
     bits_a = bits_total // 2
     bits_b = bits_total - bits_a
-    bounds = df.agg(
-        F.min(col_a).alias("lo_a"),
-        F.max(col_a).alias("hi_a"),
-        F.min(col_b).alias("lo_b"),
-        F.max(col_b).alias("hi_b"),
-    )
     cell = F.expr(
         # the cell fixes the same bit SET as the Morton prefix (top
         # bits_b of b, top bits_a of a), just concatenated instead of
@@ -154,17 +163,12 @@ def write_zordered_cells(
         f"+ shiftleft(shiftright(_xb, {Z_BITS - bits_b}), {bits_a}) "
         f"+ shiftright(_xa, {Z_BITS - bits_a})"
     )
-    z = (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn("_xa", F.expr(_scale(col_a, "lo_a", "hi_a")))
-        .withColumn("_xb", F.expr(_scale(col_b, "lo_b", "hi_b")))
-        .withColumn("_z", _interleave("_xa", "_xb"))
-        .withColumn("_zcell", cell.cast("int"))
-    )
     (
-        z.repartition(n_files, "_zcell")
+        _zframe(df, col_a, col_b)
+        .withColumn("_zcell", cell.cast("int"))
+        .repartition(n_files, "_zcell")
         .sortWithinPartitions("_zcell", "_z")
-        .drop("_z", "_xa", "_xb", "lo_a", "lo_b", "hi_a", "hi_b")
+        .drop(*_Z_HELPER_COLS)
         .write.mode("overwrite")
         .partitionBy("_zcell")
         .parquet(path)
