@@ -257,22 +257,24 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
-# Gopher/MassiveText-style repetition rules (Rae et al. 2021, table A1
-# — the published thresholds: top-2-gram character fraction 0.20,
-# duplicated-5-gram character fraction 0.15). The paper's COUNT-ratio
-# rules (type-token ratio, top-token share, dup-bigram fraction) are
-# q82_repetition_stats (curation.py) as per-row array expressions;
-# these are the complementary CHARACTER-MASS rules, built in the
-# explode + groupBy shape q82's docstring defers long documents to.
-# Documented deviation
-# from the paper's character accounting: the paper de-overlaps
-# duplicated n-gram character positions; this law counts OCCURRENCE
-# MASS (count × gram string length, inner spaces included), which both
-# engines compute identically with no positional bookkeeping — the
-# threshold semantics (flag repetitive boilerplate) are unchanged and
-# the law is exactly stated here.
-REP_TOP2_MAX = 0.20
-REP_DUP5_MAX = 0.15
+# Gopher/MassiveText-style repetition rules (Rae et al. 2021, table
+# A1). The paper's COUNT-ratio rules (type-token ratio, top-token
+# share, dup-bigram fraction) are q82_repetition_stats (curation.py)
+# as per-row array expressions; these are the complementary
+# CHARACTER-MASS rules, built in the explode + groupBy shape q82's
+# docstring defers long documents to. Documented deviation from the
+# paper's character accounting: the paper de-overlaps duplicated
+# n-gram character positions; this law counts OCCURRENCE MASS (count
+# × gram string length, inner spaces included), which both engines
+# compute identically with no positional bookkeeping. Because
+# overlaps double-count, the mass fraction can exceed the paper's
+# de-overlapped fraction (even exceed 1.0), so these gate values are
+# THIS LAW'S OWN calibration over the occurrence-mass statistic —
+# numerically borrowed from the paper's 0.20/0.15 but deliberately
+# NOT presented as the published constants (they gate a stricter
+# statistic; ADVICE r14). Recalibrate here, not in the paper's name.
+REP_TOP2_MASS_MAX = 0.20
+REP_DUP5_MASS_MAX = 0.15
 
 
 def _gram_structs(n: int) -> str:
@@ -321,8 +323,22 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     # equal-count grams resolve to the larger mass (the conservative
     # reading for a >= threshold gate). Bounds for the pack: mass <
     # 2^32 (docs under ~2 GiB of text) and cnt < 2^31; a corpus of
-    # larger single documents needs a wider pack, not a new law.
+    # larger single documents needs a wider pack, not a new law — and
+    # the bound is ENFORCED, not just documented (ADVICE r14): the
+    # coalesced assert_true below fails the job loudly on a breach
+    # instead of silently corrupting the argmax winner/decode. Same
+    # coalesce-LEFTMOST pattern as q164's fid guard and the cell
+    # writer's NULL guard: interpreted Add.eval short-circuits to NULL
+    # without evaluating the right child when the left is NULL, so a
+    # right-appended guard would be skipped exactly when it matters.
     _PACK = 1 << 32
+    _pack_guard = F.expr(
+        f"coalesce(CAST(assert_true(cnt < {1 << 31} "
+        f"AND cnt * length(gram) < {_PACK}, "
+        "'gopher_repetition: 2-gram pack bound breached (cnt or char "
+        "mass too large for the 2^32 pack — widen _PACK)') AS BIGINT), "
+        "CAST(0 AS BIGINT))"
+    )
     per_doc = (
         grams.groupBy("doc_id", "n", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -332,7 +348,8 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
                 F.max(
                     F.when(
                         F.col("n") == 2,
-                        F.col("cnt") * F.lit(_PACK)
+                        _pack_guard
+                        + F.col("cnt") * F.lit(_PACK)
                         + F.col("cnt") * F.length("gram"),
                     )
                 )
@@ -346,26 +363,31 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
             ).alias("dup5_mass"),
         )
     )
+    # divisor through greatest(len_chars, 1) — the zero-safe guard
+    # (ADVICE r14, the q128 _safe_nrm class): an empty document has
+    # zero grams so both masses are 0 and the fractions are exactly
+    # 0.0; without the guard ANSI double division by zero throws on
+    # the Spark side while DuckDB yields NaN — one empty doc would
+    # crash the job. Mirrored in Q165_SQL so both engines agree.
+    div = F.greatest(F.col("len_chars"), F.lit(1)).cast("double")
     out = (
         docs.select("doc_id", F.length("text").alias("len_chars"))
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "len_chars",
-            (
-                F.coalesce(F.col("top2_mass"), F.lit(0)).cast("double")
-                / F.col("len_chars").cast("double")
-            ).alias("top2gram_char_frac"),
-            (
-                F.coalesce(F.col("dup5_mass"), F.lit(0)).cast("double")
-                / F.col("len_chars").cast("double")
-            ).alias("dup5gram_char_frac"),
+            (F.coalesce(F.col("top2_mass"), F.lit(0)).cast("double") / div).alias(
+                "top2gram_char_frac"
+            ),
+            (F.coalesce(F.col("dup5_mass"), F.lit(0)).cast("double") / div).alias(
+                "dup5gram_char_frac"
+            ),
         )
     )
     return out.withColumn(
         "passes_repetition",
-        (F.col("top2gram_char_frac") < REP_TOP2_MAX)
-        & (F.col("dup5gram_char_frac") < REP_DUP5_MAX),
+        (F.col("top2gram_char_frac") < REP_TOP2_MASS_MAX)
+        & (F.col("dup5gram_char_frac") < REP_DUP5_MASS_MAX),
     )
 
 
@@ -399,14 +421,15 @@ pd AS (
   FROM c GROUP BY doc_id
 )
 SELECT w.doc_id, w.len_chars,
-       CAST(coalesce(pd.top2_mass, 0) AS DOUBLE) / CAST(w.len_chars AS DOUBLE)
-           AS top2gram_char_frac,
-       CAST(coalesce(pd.dup5_mass, 0) AS DOUBLE) / CAST(w.len_chars AS DOUBLE)
-           AS dup5gram_char_frac,
-       (CAST(coalesce(pd.top2_mass, 0) AS DOUBLE) / CAST(w.len_chars AS DOUBLE)
-            < {REP_TOP2_MAX}
-        AND CAST(coalesce(pd.dup5_mass, 0) AS DOUBLE) / CAST(w.len_chars AS DOUBLE)
-            < {REP_DUP5_MAX}) AS passes_repetition
+       CAST(coalesce(pd.top2_mass, 0) AS DOUBLE)
+           / CAST(greatest(w.len_chars, 1) AS DOUBLE) AS top2gram_char_frac,
+       CAST(coalesce(pd.dup5_mass, 0) AS DOUBLE)
+           / CAST(greatest(w.len_chars, 1) AS DOUBLE) AS dup5gram_char_frac,
+       (CAST(coalesce(pd.top2_mass, 0) AS DOUBLE)
+            / CAST(greatest(w.len_chars, 1) AS DOUBLE) < {REP_TOP2_MASS_MAX}
+        AND CAST(coalesce(pd.dup5_mass, 0) AS DOUBLE)
+            / CAST(greatest(w.len_chars, 1) AS DOUBLE) < {REP_DUP5_MASS_MAX})
+           AS passes_repetition
 FROM w LEFT JOIN pd ON w.doc_id = pd.doc_id
 ORDER BY w.doc_id
 """

@@ -370,3 +370,82 @@ def test_audio_kernel_raises_on_every_truncation_point(cut, body):
     assert len(_audio_kernel(full)) == 4
     with _pytest.raises(ValueError):
         _audio_kernel(full[:cut])
+
+
+def test_lsh_precap_matches_postcap_law_on_planted_band_attractor(spark):
+    """The r14 pre-cap rewrite's equivalence proof, pinned in CI
+    (VERDICT r14 item 5 — tools/ab_precap_lsh.py ran the 2M-doc A/B
+    once, out-of-band; this keeps the property alive under future
+    edits, at seconds scale). A synthetic bands frame plants the
+    degenerate shape the cap exists for — ONE band bucket holding 30%
+    of the corpus (byte-identical signatures: boilerplate) — plus
+    every boundary the cap law has: size 2 (pairs), size == cap
+    (pairs), size == cap + 1 (no pairs), singletons (no pairs), and
+    attractor members that ALSO share a small bucket in another band
+    (they must still pair through it). Asserts:
+      (a) the pair set is BIT-IDENTICAL to the post-cap law (an
+          independent Python recompute: all (i<j) pairs of every
+          2..cap bucket, distinct);
+      (b) the executed plan never lets an over-cap bucket reach
+          collect_set — the membership count-filter join sits BELOW
+          the collect_set aggregate in the optimized plan (the plan
+          shape test_q45_lsh_precapped_map_side pins on the real
+          lane, re-asserted here on the synthetic frame so the law is
+          tested where the values are)."""
+    from itertools import combinations
+
+    from sms_db_spark.operators.dedup import lsh_candidate_pairs
+
+    cap = 8
+    rows: list[tuple[int, int, str]] = []  # (doc_id, band_id, band_hash)
+    n_docs = 100
+    # band 0: docs 0..29 byte-identical (the 30% attractor, size 30 > cap);
+    # everyone else singleton
+    for d in range(n_docs):
+        rows.append((d, 0, "ATTRACTOR" if d < 30 else f"s0-{d}"))
+    # band 1: boundary buckets — size 2, size cap, size cap+1; two of the
+    # attractor docs (3, 4) share a small bucket here and MUST still pair
+    for d in range(n_docs):
+        if d in (3, 4):
+            h = "small-rescue"
+        elif 10 <= d < 10 + cap:
+            h = "exactly-cap"
+        elif 40 <= d < 40 + cap + 1:
+            h = "over-by-one"
+        else:
+            h = f"s1-{d}"
+        rows.append((d, 1, h))
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band_id int, band_hash string"
+    )
+
+    got = lsh_candidate_pairs(bands, max_bucket=cap)
+
+    # (b) on the frame under test: collect_set's child subtree contains
+    # the membership join (tree prints top-down, so the aggregate line
+    # precedes the join line feeding it)
+    p = got._jdf.queryExecution().optimizedPlan().toString()
+    assert p.count("collect_set") == 1, p
+    assert 0 <= p.index("collect_set") < p.rindex("Join"), p
+
+    # (a) independent post-cap-law recompute
+    buckets: dict[tuple[int, str], set[int]] = {}
+    for d, b, h in rows:
+        buckets.setdefault((b, h), set()).add(d)
+    want = set()
+    for members in buckets.values():
+        if 2 <= len(members) <= cap:
+            want |= set(combinations(sorted(members), 2))
+    assert (3, 4) in want  # the rescue path is actually exercised
+    # the attractor bucket itself contributes nothing: every pair among
+    # its members comes from a band-1 bucket — (3,4) via small-rescue,
+    # 10..17 via exactly-cap; docs 0..9 other than (3,4) never pair
+    assert not any(a < 10 and b < 10 and (a, b) != (3, 4) for a, b in want)
+    assert all(
+        (a, b) == (3, 4) or (10 <= a < 18 and 10 <= b < 18)
+        for a, b in want
+        if a < 30 and b < 30
+    )
+
+    have = {(r.doc_a, r.doc_b) for r in got.collect()}
+    assert have == want

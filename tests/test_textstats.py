@@ -6,8 +6,8 @@ arithmetic and the short-doc edges are pinned HERE."""
 import pytest
 
 from sms_db_spark.operators.textstats import (
-    REP_DUP5_MAX,
-    REP_TOP2_MAX,
+    REP_DUP5_MASS_MAX,
+    REP_TOP2_MASS_MAX,
     gopher_repetition,
 )
 
@@ -65,6 +65,20 @@ def test_short_docs_survive_the_left_join(spark):
     assert out[2]["passes_repetition"] is False
 
 
+def test_empty_and_whitespace_docs_do_not_divide_by_zero(spark):
+    # ADVICE r14 (medium): length('') = 0 — under ANSI mode an
+    # unguarded double division threw DIVIDE_BY_ZERO, so ONE empty
+    # document crashed the whole job. The greatest(len, 1) guard must
+    # yield exactly 0.0 fractions and a passing flag instead.
+    out = _run(spark, [(1, ""), (2, "   "), (3, "ok doc here")])
+    for d in (1, 2):
+        r = out[d]
+        assert r["top2gram_char_frac"] == 0.0
+        assert r["dup5gram_char_frac"] == 0.0
+        assert r["passes_repetition"] is True
+    assert out[3]["len_chars"] == 11
+
+
 def test_thresholds_are_strict_less_than(spark):
     # a doc engineered to sit exactly AT the top2 threshold must fail
     # (Gopher's rule is "remove if >= threshold"): 2-gram mass 3 over
@@ -77,7 +91,7 @@ def test_thresholds_are_strict_less_than(spark):
     out = _run(spark, [(1, text)])
     assert out[1]["top2gram_char_frac"] == pytest.approx(0.2)
     assert out[1]["passes_repetition"] is False
-    assert REP_TOP2_MAX == 0.20 and REP_DUP5_MAX == 0.15
+    assert REP_TOP2_MASS_MAX == 0.20 and REP_DUP5_MASS_MAX == 0.15
 
 
 def test_top2_is_most_frequent_not_max_mass(spark):
