@@ -691,33 +691,45 @@ def main() -> None:
             .partitionBy("p")
             .parquet(os.path.join(warm_dir, "wp"))
         )
-        # One untimed TOY-SCHEMA shard write (r14): the one-row warms
-        # above still left ~3 s of session-global init in whichever
-        # audit ran first (measured on q134: 4.9 s first / 1.8 s
-        # second in a warmed session — the residue is the shards
-        # writer path itself: multi-directory dynamic commit, the
-        # manifest's atomic text write, and the decimal-checksum
-        # codegen patterns, none of which a bare one-row parquet write
-        # compiles). 100 rows of a 2-column toy schema pay that init
-        # in ~3 s without compiling ANY audit's exact plan — the
-        # audit-as-warm objection below stands: each audit still pays
-        # its own plan/codegen inside its timed run; only the shared
-        # session-global residue moves out of the first number.
+        # IO axis probe (VERDICT r13 item 5) — after the committer
+        # warm-ups, before any timed audit. Deliberately BEFORE the
+        # shard warm below (r15 reorder, VERDICT r14 item 6): the
+        # probe's ~100 MB write+read on a session clone is itself JVM
+        # churn, and r14 ran it BETWEEN the shard warm and the first
+        # timed audit — q134 then opened the bucket with the probe's
+        # GC/code-cache residue on top of the headline loop's, and its
+        # in-bench number spread ~5-10.5 s across clean windows. The
+        # shards-path warm must be the LAST write before the first
+        # timed audit.
+        cal_io = calibration_io(spark)
+        # Untimed TOY-SCHEMA shard writes (r14; doubled + moved last
+        # r15): the one-row warms above still left ~3 s of
+        # session-global init in whichever audit ran first (measured
+        # on q134: 4.9 s first / 1.8 s second in a warmed session —
+        # the residue is the shards writer path itself:
+        # multi-directory dynamic commit, the manifest's atomic text
+        # write, and the decimal-checksum codegen patterns, none of
+        # which a bare one-row parquet write compiles). 100 rows of a
+        # 2-column toy schema pay that init in ~3 s without compiling
+        # ANY audit's exact plan — the audit-as-warm objection below
+        # stands: each audit still pays its own plan/codegen inside
+        # its timed run; only the shared session-global residue moves
+        # out of the first number. Two passes: the first compiles, the
+        # second runs the path with everything resident — what the
+        # first timed audit then sees.
         from sms_db_spark.sinks.shards import write_training_shards
 
-        write_training_shards(
-            spark.range(100).selectExpr(
-                "id AS doc_id", "CAST(id AS STRING) AS text"
-            ),
-            os.path.join(warm_dir, "mini"),
-            2,
-            key="doc_id",
-        )
+        for i in range(2):
+            write_training_shards(
+                spark.range(100).selectExpr(
+                    "id AS doc_id", "CAST(id AS STRING) AS text"
+                ),
+                os.path.join(warm_dir, f"mini{i}"),
+                2,
+                key="doc_id",
+            )
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
-    # IO axis probe at bucket start (VERDICT r13 item 5) — after the
-    # committer warm-ups, before any timed audit
-    cal_io = calibration_io(spark)
     audits_this_round, audits_rotated_out = rotated_write_audits()
     write_audits = run(audits_this_round, best_of=1, warm=False)
     # Third python bracket (VERDICT r11 item 6 / advisor question 1):

@@ -2034,6 +2034,82 @@ def _pq_pack_lut(lut_rows: DataFrame) -> DataFrame:
     )
 
 
+def _pq_train(emb: DataFrame, sub: DataFrame) -> DataFrame:
+    """THE PQ codebook training pass, shared by q166 and the IVF-PQ
+    serving lane (q167): hashed-sample seeds (q124's law — the
+    PQ_CODES vectors with the smallest md5(vec_id), cid = hash-order
+    rank, a pure function of the id set), then PQ_ITERS Lloyd rounds
+    over the subspace-exploded corpus. Returns the (m, cid, c)
+    codebook, localCheckpointed each round (K x PQ_M rows — the q86
+    lineage cut). One keyed pass trains all PQ_M codebooks."""
+    cb = (
+        _pq_subvecs(
+            _normalized_corpus(
+                _hashed_seed(emb, k=PQ_CODES).select(
+                    F.col("cid").alias("vec_id"),
+                    F.col("c_emb").alias("embedding"),
+                )
+            )
+        )
+        .select("m", F.col("vec_id").alias("cid"), F.col("s").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(PQ_ITERS):
+        cb = _pq_update(_pq_assign(sub, cb)).localCheckpoint(eager=True)
+    return cb
+
+
+def _pq_encode(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, codes): every vector collapsed to PQ_M small ints
+    ordered by m — the 64-bit serving representation (64x compression;
+    floats never consulted again on the ADC path)."""
+    return (
+        _pq_assign(sub, cb)
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)"
+            ).alias("codes")
+        )
+    )
+
+
+def _pq_query_luts(nv: DataFrame, cb: DataFrame) -> DataFrame:
+    """(query_id, lut, qn): per-query packed ADC lookup table — PQ_M x
+    PQ_CODES subspace dots floored to 1e-6 ints (PQ_LUT_SCALE) —
+    plus the query's unit vector for the exact-cosine audit side. The
+    query attach stays bounded to the PQ_NQ rows (review r14: joining
+    the unfiltered corpus re-scanned every embedding to keep 10)."""
+    lut_rows = (
+        _pq_subvecs(nv.filter(F.col("vec_id") < PQ_NQ))
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "cid",
+            F.floor(_dot("s", "c") * PQ_LUT_SCALE).cast("bigint").alias("wi"),
+        )
+    )
+    return (
+        _pq_pack_lut(lut_rows)
+        .join(
+            nv.filter(F.col("vec_id") < PQ_NQ).withColumnRenamed("n", "qn"),
+            F.col("query_id") == F.col("vec_id"),
+        )
+        .drop("vec_id")
+    )
+
+
+# the ADC score: PQ_M integer table lookups summed, codes indexing the
+# key-packed LUT (cid gaps hold 0 and are unreachable — see
+# _pq_pack_lut)
+_ADC_EXPR = (
+    f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS BIGINT),"
+    f" (acc, m) -> acc + element_at(lut,"
+    f" CAST(m * {PQ_CODES} + element_at(codes, m + 1) + 1 AS INT)))"
+)
+
+
 def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ train -> encode -> ADC-score -> recall@k vs exact cosine.
 
@@ -2056,56 +2132,11 @@ def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_parallel(spark, sf_dir, "embeddings")
     nv = _pq_nv(emb)
     sub = _pq_subvecs(nv)
-
-    # seeds come from THE seeding law (_hashed_seed, k=PQ_CODES —
-    # review r14: no second copy of the md5-rank rule); the PQ_CODES
-    # raw seed vectors are normalized by the shared guard and sliced
-    # into per-subspace code rows, keyed by the seed's hash-rank cid
-    cb = (
-        _pq_subvecs(
-            _normalized_corpus(
-                _hashed_seed(emb, k=PQ_CODES).select(
-                    F.col("cid").alias("vec_id"),
-                    F.col("c_emb").alias("embedding"),
-                )
-            )
-        )
-        .select("m", F.col("vec_id").alias("cid"), F.col("s").alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(PQ_ITERS):
-        cb = _pq_update(_pq_assign(sub, cb)).localCheckpoint(eager=True)
-    codes = _pq_assign(sub, cb).select("vec_id", "m", "cid")
-
+    cb = _pq_train(emb, sub)
     # encode: PQ_M codes per vector, ordered by m; carry n for the
     # exact-cosine side of the audit
-    enc = (
-        codes.groupBy("vec_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)"
-            ).alias("codes")
-        )
-        .join(nv, "vec_id")
-    )
-    # per-query LUT: w[m][cid] = floor(dot(q_m, c[m][cid]) * scale)
-    lut_rows = (
-        _pq_subvecs(nv.filter(F.col("vec_id") < PQ_NQ))
-        .join(F.broadcast(cb), "m")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "m",
-            "cid",
-            F.floor(_dot("s", "c") * PQ_LUT_SCALE).cast("bigint").alias("wi"),
-        )
-    )
-    # the qn attach is bounded to the PQ_NQ query rows like lut_rows —
-    # joining the unfiltered corpus here would re-scan and re-normalize
-    # every embedding to keep 10 rows (review r14)
-    q_lut = _pq_pack_lut(lut_rows).join(
-        nv.filter(F.col("vec_id") < PQ_NQ).withColumnRenamed("n", "qn"),
-        F.col("query_id") == F.col("vec_id"),
-    ).drop("vec_id")
+    enc = _pq_encode(sub, cb).join(nv, "vec_id")
+    q_lut = _pq_query_luts(nv, cb)
     scored = (
         F.broadcast(q_lut)
         .crossJoin(enc.withColumnRenamed("vec_id", "neighbor_id"))
@@ -2113,11 +2144,7 @@ def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.expr(
-                f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS BIGINT),"
-                f" (acc, m) -> acc + element_at(lut,"
-                f" CAST(m * {PQ_CODES} + element_at(codes, m + 1) + 1 AS INT)))"
-            ).alias("adc_score"),
+            F.expr(_ADC_EXPR).alias("adc_score"),
             F.expr(
                 "aggregate(zip_with(qn, n, (x, y) -> x * y),"
                 " CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
@@ -2150,11 +2177,15 @@ def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sql() -> str:
-    """DuckDB twin: same seeds, same unrolled Lloyd rounds at subspace
-    granularity, same floored-int LUT, same two-window audit. The ADC
-    sum is SUM over the m-join — order-independent because the
-    contributions are integers (see PQ_LUT_SCALE)."""
+def _pq_train_ctes() -> str:
+    """THE PQ training/encoding/LUT CTE block (no WITH keyword),
+    shared by the q166 and q167 oracles in lockstep with the Spark
+    side's _pq_train/_pq_encode/_pq_query_luts: nv (zero-safe
+    normalized corpus), sub (subspace explode), seed -> cb0 -> PQ_ITERS
+    unrolled assign/update rounds -> af (final per-subspace codes) and
+    `lut` (per-query floored-int subspace dots against the final
+    codebook cb{PQ_ITERS})."""
+    assert PQ_ITERS == 2  # the unrolled a1/cb1/a2/cb2 chain below
     sdot = (
         lambda a, b: f"list_sum(list_transform(range(1, {PQ_DSUB + 1}),"
         f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
@@ -2178,8 +2209,7 @@ def _pq_sql() -> str:
         + ", ".join(mean(d) for d in range(PQ_DSUB))
         + f") AS c FROM {assigned} GROUP BY m, cid"
     )
-    return f"""
-WITH nv AS (
+    return f"""nv AS (
   SELECT vec_id,
          list_transform(embedding, u -> CAST(u AS DOUBLE) /
            {_sql_safe_nrm('embedding')}) AS n
@@ -2207,7 +2237,16 @@ lut AS (
          CAST(floor({sdot('q.s', 'cb.c')} * {PQ_LUT_SCALE}) AS BIGINT) AS wi
   FROM (SELECT * FROM sub WHERE vec_id < {PQ_NQ}) q
   JOIN cb2 cb ON cb.m = q.m
-),
+)"""
+
+
+def _pq_sql() -> str:
+    """DuckDB twin: same seeds, same unrolled Lloyd rounds at subspace
+    granularity, same floored-int LUT, same two-window audit. The ADC
+    sum is SUM over the m-join — order-independent because the
+    contributions are integers (see PQ_LUT_SCALE)."""
+    return f"""
+WITH {_pq_train_ctes()},
 scored AS (
   SELECT l.query_id, af.vec_id AS neighbor_id,
          SUM(l.wi) AS adc_score
@@ -2234,8 +2273,307 @@ FROM ranked GROUP BY query_id ORDER BY query_id
 """
 
 
+# ------------------------------------------------------------------ q167
+
+# the serving guardrail (q123's discipline: a config only "serves"
+# with its measured recall attached): mean recall@PQ_TOPK of the
+# composed IVF->ADC->re-rank path vs exact cosine over the FULL
+# corpus — coarse routing misses, ADC ranking error, and the re-rank
+# window all land in this one number. Measured on this corpus:
+# ADC-as-is 0.49/0.47 (sf0.001/sf0.01 — NOT servable, the exact
+# situation q166's audit exists to catch) vs re-ranked 0.84/0.85 (the
+# re-rank recovers most of the IVF-probe ceiling); the target sits
+# below the re-ranked number with margin because the gate
+# hash pins the flag's VALUE, not just the law.
+IVFPQ_RECALL_TARGET = 0.7
+# ADC top-R window handed to the full-precision re-rank: floats are
+# fetched for only R candidates per query (the standard
+# codes-in-RAM / floats-cold serving trade)
+IVFPQ_RERANK_R = 3 * PQ_TOPK
+
+
+def q167_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving: the memory-bounded layout a 100 TB vector store
+    actually serves from (VERDICT r14 item 4) — IVF coarse routing
+    (q123's crossJoin-free probe path) over PQ codes (q166) with ADC
+    scoring inside the probed cells, plus the in-query recall audit vs
+    exact cosine that q121/q123 made the family's discipline.
+
+    Index build: every vector gets (cid, codes) — its IVF list from
+    the map-only packed-broadcast cosine argmax (_argmax_cosine_packed,
+    zero corpus shuffles) and its PQ_M-byte code word from the shared
+    PQ training pass (_pq_train/_pq_encode). That pair is the entire
+    serving state: ~(8 + PQ_M) bytes a vector instead of 8*DIM — codes
+    stay in RAM, float vectors stay cold and are never consulted on
+    the serving path.
+
+    Serving: each query picks its N_PROBE nearest centroid lists (a
+    K-row broadcast fold), precomputes its PQ_M x PQ_CODES integer
+    LUT (_pq_query_luts), and candidates come from an EQUI-join of
+    the broadcast (probes x lut) frame against the code table on cid —
+    scanning ~N_PROBE/K of the corpus per query, never a crossJoin —
+    scored as PQ_M integer lookups summed (_ADC_EXPR). The ADC top
+    IVFPQ_RERANK_R then get the STANDARD full-precision re-rank:
+    float vectors are fetched for only those NQ x R rows (broadcast
+    into one hash probe of the corpus — codes in RAM, floats cold)
+    and the final top-PQ_TOPK ranks by exact unit-dot. Measured here,
+    the re-rank is what makes the config servable: ADC-as-is mean
+    recall 0.47-0.49 vs re-ranked (see IVFPQ_RECALL_TARGET) — both
+    numbers are in the result (recall_adc vs recall_at_k), so the
+    audit SHOWS the trade instead of asserting it.
+
+    Audit: exact cosine top-PQ_TOPK over the FULL corpus (the bounded
+    PQ_NQ-query broadcast baseline, q48's documented shape — at real
+    scale this runs on a query sample), overlap counted per query for
+    BOTH answer sets, plus mean_recall (re-ranked) and the
+    meets_target verdict vs IVFPQ_RECALL_TARGET. recall/mean are
+    single divisions of exact integer counts, bit-identical across
+    engines."""
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    nv = _pq_nv(emb)
+    sub = _pq_subvecs(nv)
+    cb = _pq_train(emb, sub)
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    # the serving index: (neighbor_id, cid, codes) — built in one pass
+    # over the corpus (map-only list assignment + the encode agg)
+    index = (
+        _argmax_cosine_packed(emb, cent, k_max_hint=N_CENTROIDS)
+        .select("vec_id", "cid")
+        .join(_pq_encode(sub, cb), "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cid").alias("list_id"),
+            "codes",
+        )
+    )
+    q = emb.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("q_sim").desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "cid", cosine("q_emb", "c_emb").alias("q_sim"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("query_id", F.col("cid").alias("list_id"))
+    )
+    q_lut = _pq_query_luts(nv, cb)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    # the ADC pass over the probed cells, ranked once; the top-PQ_TOPK
+    # prefix is the serve-as-is answer, the top-RERANK_R prefix feeds
+    # the full-precision re-rank
+    adc_ranked = (
+        F.broadcast(probes.join(q_lut.drop("qn"), "query_id"))
+        .join(index, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", F.expr(_ADC_EXPR).alias("adc_score")
+        )
+        .withColumn("rank_adc", F.row_number().over(w_adc))
+        .filter(F.col("rank_adc") <= IVFPQ_RERANK_R)
+        .localCheckpoint(eager=True)  # feeds both answer sets, one pass
+    )
+    served_adc = adc_ranked.filter(F.col("rank_adc") <= PQ_TOPK).select(
+        F.col("query_id").alias("bqid"), F.col("neighbor_id").alias("bid")
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_score").desc(), F.col("neighbor_id")
+    )
+    _unit_dot = F.expr(
+        "aggregate(zip_with(qn, n, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+    )
+    # re-rank: floats fetched for ONLY the NQ x RERANK_R candidate
+    # rows (broadcast them into the corpus scan — codes-in-RAM,
+    # floats-cold), exact unit-dot, fresh top-PQ_TOPK
+    served = (
+        F.broadcast(
+            adc_ranked.join(q_lut.select("query_id", "qn"), "query_id")
+        )
+        .join(nv.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select("query_id", "neighbor_id", _unit_dot.alias("cos_score"))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(F.col("query_id").alias("aqid"), F.col("neighbor_id").alias("aid"))
+    )
+    exact = (
+        F.broadcast(q_lut.select("query_id", "qn"))
+        .crossJoin(nv.withColumnRenamed("vec_id", "neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _unit_dot.alias("cos_score"))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(
+        served,
+        (exact.query_id == served.aqid) & (exact.neighbor_id == served.aid),
+        "left_semi",
+    )
+    hits_adc = exact.join(
+        served_adc,
+        (exact.query_id == served_adc.bqid)
+        & (exact.neighbor_id == served_adc.bid),
+        "left_semi",
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .join(
+            hits_adc.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_hits_adc")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("n_hits_adc", F.lit(0)).alias("n_hits_adc"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        "n_hits_adc",
+        (F.col("n_hits").cast("double") / F.lit(float(PQ_TOPK))).alias(
+            "recall_at_k"
+        ),
+        (F.col("n_hits_adc").cast("double") / F.lit(float(PQ_TOPK))).alias(
+            "recall_adc"
+        ),
+        (
+            F.sum("n_hits").over(w_all).cast("double")
+            / (F.count(F.lit(1)).over(w_all) * PQ_TOPK).cast("double")
+        ).alias("mean_recall"),
+        (
+            F.sum("n_hits").over(w_all).cast("double")
+            / (F.count(F.lit(1)).over(w_all) * PQ_TOPK).cast("double")
+            >= IVFPQ_RECALL_TARGET
+        ).alias("meets_target"),
+    ).orderBy("query_id")
+
+
+def _q167_sql() -> str:
+    """DuckDB twin: the shared PQ training block (_pq_train_ctes, in
+    lockstep with the Spark helpers) + q121's probe/assign CTEs + the
+    ADC serving join + the full-corpus exact baseline."""
+    return f"""
+WITH {_pq_train_ctes()},
+cent AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {PQ_NQ}),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_cos('q.q_emb', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {N_PROBE}
+),
+adc AS (
+  SELECT p.query_id, af.vec_id AS neighbor_id, SUM(l.wi) AS adc_score
+  FROM probes p
+  JOIN assigned a ON a.cid = p.cid
+  JOIN af ON af.vec_id = a.vec_id
+  JOIN lut l ON l.query_id = p.query_id AND l.m = af.m AND l.cid = af.cid
+  WHERE p.query_id <> a.vec_id
+  GROUP BY p.query_id, af.vec_id
+),
+adc_ranked AS (
+  SELECT query_id, neighbor_id, rank_adc FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_score DESC, neighbor_id) AS rank_adc
+    FROM adc
+  ) WHERE rank_adc <= {IVFPQ_RERANK_R}
+),
+served AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT ar.query_id, ar.neighbor_id,
+           row_number() OVER (PARTITION BY ar.query_id
+             ORDER BY list_sum(list_transform(range(1, {DIM + 1}),
+               i -> qn.n[i] * cn.n[i])) DESC, ar.neighbor_id) AS rank
+    FROM adc_ranked ar
+    JOIN nv qn ON qn.vec_id = ar.query_id
+    JOIN nv cn ON cn.vec_id = ar.neighbor_id
+  ) WHERE rank <= {PQ_TOPK}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qn.vec_id AS query_id, cn.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qn.vec_id
+             ORDER BY list_sum(list_transform(range(1, {DIM + 1}),
+               i -> qn.n[i] * cn.n[i])) DESC, cn.vec_id) AS rank
+    FROM nv qn JOIN nv cn ON qn.vec_id <> cn.vec_id
+    WHERE qn.vec_id < {PQ_NQ}
+  ) WHERE rank <= {PQ_TOPK}
+),
+per_q AS (
+  SELECT x.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+         COALESCE(hb.n_hits_adc, 0) AS n_hits_adc
+  FROM (SELECT DISTINCT query_id FROM exact) x
+  LEFT JOIN (
+    SELECT e.query_id, COUNT(*) AS n_hits
+    FROM exact e JOIN served s
+      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+    GROUP BY e.query_id
+  ) h ON x.query_id = h.query_id
+  LEFT JOIN (
+    SELECT e.query_id, COUNT(*) AS n_hits_adc
+    FROM exact e JOIN adc_ranked s
+      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+         AND s.rank_adc <= {PQ_TOPK}
+    GROUP BY e.query_id
+  ) hb ON x.query_id = hb.query_id
+)
+SELECT query_id, n_hits, n_hits_adc,
+       CAST(n_hits AS DOUBLE) / {float(PQ_TOPK)} AS recall_at_k,
+       CAST(n_hits_adc AS DOUBLE) / {float(PQ_TOPK)} AS recall_adc,
+       CAST(SUM(n_hits) OVER () AS DOUBLE)
+           / CAST(COUNT(*) OVER () * {PQ_TOPK} AS DOUBLE) AS mean_recall,
+       (CAST(SUM(n_hits) OVER () AS DOUBLE)
+           / CAST(COUNT(*) OVER () * {PQ_TOPK} AS DOUBLE)
+           >= {IVFPQ_RECALL_TARGET}) AS meets_target
+FROM per_q ORDER BY query_id
+"""
+
+
 QUERIES = {
     "q48_ann_bruteforce_topk": QuerySpec(q48_ann_bruteforce_topk, Q48_SQL, "exact cosine top-k"),
+    "q167_ivfpq_serving": QuerySpec(
+        q167_ivfpq_serving,
+        _q167_sql(),
+        "IVF-PQ serving: coarse probe routing over ADC-scored PQ codes "
+        "with in-query recall audit vs exact cosine",
+    ),
     "q133_hard_negatives": QuerySpec(
         q133_hard_negatives,
         Q133_SQL,
