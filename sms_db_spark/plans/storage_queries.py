@@ -1070,8 +1070,14 @@ def q151_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranges = file_column_ranges_fs(spark, zstore, ["doc_id", "n_chars"])
         # files==cells: exactly one data file per non-empty Morton cell
         # (corner cells may be empty under skew — that is the bound's
-        # trade, not a defect), never more than the cell budget
-        n_cells = spark.read.parquet(zstore).select("_zcell").distinct().count()
+        # trade, not a defect), never more than the cell budget. Cells
+        # are counted from the `_zcell=K/` partition dirs in the FS
+        # listing — driver-side, zero Spark jobs, no second store scan
+        from ..sinks.compaction import _data_files
+
+        n_cells = len(
+            {f.rsplit("/", 2)[-2] for f, _ in _data_files(spark, zstore)}
+        )
         z_files_ok = int(0 < len(ranges) == n_cells <= _LAYOUT_Z_FILES)
         zdf = read_zordered_cells(spark, zstore)
         bounds = zdf.agg(
