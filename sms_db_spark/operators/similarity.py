@@ -1936,20 +1936,22 @@ def _pq_nv(emb: DataFrame) -> DataFrame:
     return _normalized_corpus(emb)
 
 
-def _pq_subvecs(nv: DataFrame) -> DataFrame:
-    """(vec_id, m, s): one row per subspace — the reshape that lets ONE
-    keyed pass train all PQ_M codebooks (centroids keyed (m, cid)),
-    instead of PQ_M separate corpus scans. Same bytes as the full
-    corpus, map-side slice, no shuffle."""
+def _pq_subvecs(nv: DataFrame, keys: tuple[str, ...] = ("vec_id",)) -> DataFrame:
+    """(*keys, m, s): one row per subspace of the `n` column — the
+    reshape that lets ONE keyed pass train all PQ_M codebooks
+    (centroids keyed (m, cid)), instead of PQ_M separate corpus scans.
+    Same bytes as the full corpus, map-side slice, no shuffle. keys
+    defaults to the corpus shape; the residual lane (q168) slices
+    per-(query, probed-cell) residuals with a composite key."""
     return nv.select(
-        "vec_id",
+        *keys,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {PQ_M - 1}), m -> "
                 f"struct(m AS m, slice(n, m * {PQ_DSUB} + 1, {PQ_DSUB}) AS s))"
             )
         ).alias("g"),
-    ).select("vec_id", F.col("g.m").alias("m"), F.col("g.s").alias("s"))
+    ).select(*keys, F.col("g.m").alias("m"), F.col("g.s").alias("s"))
 
 
 def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
@@ -2024,7 +2026,14 @@ def _pq_pack_lut(lut_rows: DataFrame) -> DataFrame:
     WRONG code's weight (review r14). A dropped (m, cid) slot holds 0;
     it is unreachable anyway (the encoder assigns codes from the SAME
     codebook, so no vector carries a dropped cid)."""
-    return lut_rows.groupBy("query_id").agg(
+    return _pq_pack_lut_by(lut_rows, ("query_id",))
+
+
+def _pq_pack_lut_by(lut_rows: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """_pq_pack_lut's key-packed dense-array law under an arbitrary
+    grouping key (the residual lane packs one LUT per (query, probed
+    cell)) — ONE implementation of the by-key-not-by-position rule."""
+    return lut_rows.groupBy(*keys).agg(
         F.expr(
             f"transform(sequence(0, {PQ_M * PQ_CODES - 1}), i -> "
             f"coalesce(element_at(map_from_entries("
@@ -2054,6 +2063,14 @@ def _pq_train(emb: DataFrame, sub: DataFrame) -> DataFrame:
         .select("m", F.col("vec_id").alias("cid"), F.col("s").alias("c"))
         .localCheckpoint(eager=True)
     )
+    return _pq_lloyd(sub, cb)
+
+
+def _pq_lloyd(sub: DataFrame, cb0: DataFrame) -> DataFrame:
+    """PQ_ITERS assign→update rounds from an already-checkpointed
+    seed codebook — the Lloyd loop shared by the raw-vector trainer
+    (_pq_train) and the residual trainer (q168)."""
+    cb = cb0
     for _ in range(PQ_ITERS):
         cb = _pq_update(_pq_assign(sub, cb)).localCheckpoint(eager=True)
     return cb
@@ -2177,6 +2194,46 @@ def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_pq_sdot(a: str, b: str) -> str:
+    """Subspace (PQ_DSUB-wide) double dot — the SQL twin of _dot over
+    sliced subvectors, shared by every PQ oracle fragment."""
+    return (
+        f"list_sum(list_transform(range(1, {PQ_DSUB + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_pq_assign(sub: str, cb: str) -> str:
+    """One PQ assignment pass as SQL (the _pq_assign law: L2 argmin via
+    the dot-minus-half-self-norm identity, ties to the smaller cid)
+    over arbitrary sub/codebook CTE names — shared by the raw-vector
+    (q166/q167) and residual (q168) oracle fragments."""
+    return f"""
+  SELECT vec_id, m, s, cid FROM (
+    SELECT {sub}.vec_id, {sub}.m, {sub}.s, cb.cid,
+           row_number() OVER (
+             PARTITION BY {sub}.vec_id, {sub}.m
+             ORDER BY {_sql_pq_sdot(f'{sub}.s', 'cb.c')} - {_sql_pq_sdot('cb.c', 'cb.c')} / 2 DESC,
+                      cb.cid
+           ) AS rn
+    FROM {sub} JOIN {cb} cb ON cb.m = {sub}.m
+  ) WHERE rn = 1"""
+
+
+def _sql_pq_update(assigned: str) -> str:
+    """One PQ update pass as SQL (the _pq_update law: 1e-6-floored
+    int64 component sums, engine-order-invariant means)."""
+    mean = (
+        lambda d: f"CAST(SUM(CAST(floor(s[{d + 1}] * {KMEANS_SCALE}) AS BIGINT)) AS BIGINT)"
+        f" / CAST(COUNT(*) AS DOUBLE) / {float(KMEANS_SCALE)}"
+    )
+    return (
+        "SELECT m, cid, list_value("
+        + ", ".join(mean(d) for d in range(PQ_DSUB))
+        + f") AS c FROM {assigned} GROUP BY m, cid"
+    )
+
+
 def _pq_train_ctes() -> str:
     """THE PQ training/encoding/LUT CTE block (no WITH keyword),
     shared by the q166 and q167 oracles in lockstep with the Spark
@@ -2186,29 +2243,9 @@ def _pq_train_ctes() -> str:
     `lut` (per-query floored-int subspace dots against the final
     codebook cb{PQ_ITERS})."""
     assert PQ_ITERS == 2  # the unrolled a1/cb1/a2/cb2 chain below
-    sdot = (
-        lambda a, b: f"list_sum(list_transform(range(1, {PQ_DSUB + 1}),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    )
-    mean = (
-        lambda d: f"CAST(SUM(CAST(floor(s[{d + 1}] * {KMEANS_SCALE}) AS BIGINT)) AS BIGINT)"
-        f" / CAST(COUNT(*) AS DOUBLE) / {float(KMEANS_SCALE)}"
-    )
-    assign = lambda cb: f"""
-  SELECT vec_id, m, s, cid FROM (
-    SELECT sub.vec_id, sub.m, sub.s, cb.cid,
-           row_number() OVER (
-             PARTITION BY sub.vec_id, sub.m
-             ORDER BY {sdot('sub.s', 'cb.c')} - {sdot('cb.c', 'cb.c')} / 2 DESC,
-                      cb.cid
-           ) AS rn
-    FROM sub JOIN {cb} cb ON cb.m = sub.m
-  ) WHERE rn = 1"""
-    update = (
-        lambda assigned: "SELECT m, cid, list_value("
-        + ", ".join(mean(d) for d in range(PQ_DSUB))
-        + f") AS c FROM {assigned} GROUP BY m, cid"
-    )
+    sdot = _sql_pq_sdot
+    assign = lambda cb: _sql_pq_assign("sub", cb)
+    update = _sql_pq_update
     return f"""nv AS (
   SELECT vec_id,
          list_transform(embedding, u -> CAST(u AS DOUBLE) /
@@ -2566,6 +2603,418 @@ FROM per_q ORDER BY query_id
 """
 
 
+# ------------------------------------------------------------------ q168
+
+
+def q168_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the canonical IVF-PQ layout
+    (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011, §IV: quantize r = x − q_coarse(x), not x):
+    the PQ codebooks describe the residual distribution INSIDE a
+    coarse cell, which is tighter than the global distribution, so
+    the same 64-bit budget buys finer quantization. q167 is this
+    repo's flat-ADC serving lane; this lane completes the family with
+    the residual variant and measures what residuals buy ON THIS
+    CORPUS in the same audit shape, so the two rows are directly
+    comparable (recall_adc here vs q167's).
+
+    Build: every vector gets (cid, codes) where codes now encode
+    n − unit(c_cid). One extra broadcast join (the K unit centroids)
+    on the training/encode path; assignment/training/encoding reuse
+    the exact q166 kernels over the residual frame (_pq_lloyd /
+    _pq_assign / _pq_update / _pq_encode — same laws, different
+    input). Seeds: the SAME hashed-sample id law; the 16 seed vectors
+    are coarse-assigned (a 16x16 broadcast fold) and their residuals
+    form cb0, which is exactly the corpus residual rows of the seed
+    ids — the SQL twin builds cb0 by that id join.
+
+    Serving: scoring decomposes as qn·x̂ = qn·c_unit + Σ_m qn_m·r̂_m,
+    so each (query, probed cell) carries ONE integer constant
+    (floor-scaled qn·c_unit) plus a per-cell LUT over the residual
+    codebook (q_m here is the query's residual wrt THAT cell —
+    per-cell LUTs are the price of residual encoding, N_PROBE LUTs
+    per query instead of one). Candidates still come from the
+    broadcast equi-join on the list id; a neighbor lives in exactly
+    one list, so each pair scores once. ADC top-R gets the same
+    full-precision re-rank as q167 (floats for NQ x R rows only); the
+    result reports BOTH answer sets vs exact full-corpus cosine and
+    gates the re-ranked mean on IVFPQ_RECALL_TARGET."""
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    nv = _pq_nv(emb)
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    cu = _unit_centroids(cent)  # (cid, c_unit), zero-safe
+    assigned = _argmax_cosine_packed(emb, cent, k_max_hint=N_CENTROIDS).select(
+        "vec_id", "cid"
+    )
+    residual = F.expr("zip_with(n, c_unit, (x, y) -> x - y)")
+    # PINNED (eager localCheckpoint): every Lloyd pass, the encoder,
+    # and the index build consume this frame — without the pin each
+    # _pq_assign scan re-executes the packed coarse-assignment fold
+    # plus the normalization join (measured 115 s vs 12 s at sf0.001;
+    # the lsh_candidate_pairs bands-pin lesson applied to residuals)
+    res = (
+        nv.join(assigned, "vec_id")
+        .join(F.broadcast(cu), "cid")
+        .select("vec_id", "cid", residual.alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    rsub = _pq_subvecs(res.select("vec_id", "n"))
+    # seed residuals: the hashed-seed law gives (rank cid, raw seed
+    # vector); coarse-assign those 16 vectors (broadcast fold over 16
+    # rows) and take unit(seed) - c_unit — identical rows to the
+    # corpus residuals of the seed ids, which is how the oracle joins
+    seed = _hashed_seed(emb, k=PQ_CODES)
+    seed_cc = _argmax_cosine_packed(
+        seed.select(
+            F.col("cid").alias("vec_id"), F.col("c_emb").alias("embedding")
+        ),
+        cent,
+        k_max_hint=N_CENTROIDS,
+    ).select(F.col("vec_id").alias("scid"), "cid", "embedding")
+    seed_res = (
+        _normalized_corpus(
+            seed_cc.select(F.col("scid").alias("vec_id"), "embedding")
+        )
+        .join(
+            seed_cc.select(F.col("scid").alias("vec_id"), "cid"), "vec_id"
+        )
+        .join(F.broadcast(cu), "cid")
+        .select("vec_id", residual.alias("n"))
+    )
+    rcb0 = (
+        _pq_subvecs(seed_res)
+        .select("m", F.col("vec_id").alias("cid"), F.col("s").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    rcb = _pq_lloyd(rsub, rcb0)
+    index = (
+        res.select("vec_id", "cid")
+        .join(_pq_encode(rsub, rcb), "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cid").alias("list_id"),
+            "codes",
+        )
+    )
+    nv_q = nv.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("n").alias("qn")
+    )
+    q = emb.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("q_sim").desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "cid", cosine("q_emb", "c_emb").alias("q_sim"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("query_id", F.col("cid").alias("list_id"))
+    )
+    # per-(query, probed cell): residual query subvectors + the
+    # integer constant term qn . c_unit
+    qcell = (
+        probes.join(nv_q, "query_id")
+        .join(
+            F.broadcast(cu.withColumnRenamed("cid", "list_id")), "list_id"
+        )
+        .select(
+            "query_id",
+            "list_id",
+            F.expr("zip_with(qn, c_unit, (x, y) -> x - y)").alias("n"),
+            F.floor(
+                F.expr(
+                    "aggregate(zip_with(qn, c_unit, (x, y) -> x * y),"
+                    " CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+                )
+                * PQ_LUT_SCALE
+            )
+            .cast("bigint")
+            .alias("cconst"),
+        )
+    )
+    rlut_rows = (
+        _pq_subvecs(qcell, keys=("query_id", "list_id"))
+        .join(F.broadcast(rcb), "m")
+        .select(
+            "query_id",
+            "list_id",
+            "m",
+            "cid",
+            F.floor(_dot("s", "c") * PQ_LUT_SCALE).cast("bigint").alias("wi"),
+        )
+    )
+    q_lut = _pq_pack_lut_by(rlut_rows, ("query_id", "list_id")).join(
+        qcell.select("query_id", "list_id", "cconst"), ["query_id", "list_id"]
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    adc_ranked = (
+        F.broadcast(q_lut)
+        .join(index, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("cconst") + F.expr(_ADC_EXPR)).alias("adc_score"),
+        )
+        .withColumn("rank_adc", F.row_number().over(w_adc))
+        .filter(F.col("rank_adc") <= IVFPQ_RERANK_R)
+        .localCheckpoint(eager=True)
+    )
+    served_adc = adc_ranked.filter(F.col("rank_adc") <= PQ_TOPK).select(
+        F.col("query_id").alias("bqid"), F.col("neighbor_id").alias("bid")
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_score").desc(), F.col("neighbor_id")
+    )
+    _unit_dot = F.expr(
+        "aggregate(zip_with(qn, n, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+    )
+    served = (
+        F.broadcast(adc_ranked.join(nv_q, "query_id"))
+        .join(nv.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select("query_id", "neighbor_id", _unit_dot.alias("cos_score"))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(F.col("query_id").alias("aqid"), F.col("neighbor_id").alias("aid"))
+    )
+    exact = (
+        F.broadcast(nv_q)
+        .crossJoin(nv.withColumnRenamed("vec_id", "neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _unit_dot.alias("cos_score"))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(
+        served,
+        (exact.query_id == served.aqid) & (exact.neighbor_id == served.aid),
+        "left_semi",
+    )
+    hits_adc = exact.join(
+        served_adc,
+        (exact.query_id == served_adc.bqid)
+        & (exact.neighbor_id == served_adc.bid),
+        "left_semi",
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .join(
+            hits_adc.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_hits_adc")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("n_hits_adc", F.lit(0)).alias("n_hits_adc"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        "n_hits_adc",
+        (F.col("n_hits").cast("double") / F.lit(float(PQ_TOPK))).alias(
+            "recall_at_k"
+        ),
+        (F.col("n_hits_adc").cast("double") / F.lit(float(PQ_TOPK))).alias(
+            "recall_adc"
+        ),
+        (
+            F.sum("n_hits").over(w_all).cast("double")
+            / (F.count(F.lit(1)).over(w_all) * PQ_TOPK).cast("double")
+        ).alias("mean_recall"),
+        (
+            F.sum("n_hits").over(w_all).cast("double")
+            / (F.count(F.lit(1)).over(w_all) * PQ_TOPK).cast("double")
+            >= IVFPQ_RECALL_TARGET
+        ).alias("meets_target"),
+    ).orderBy("query_id")
+
+
+def _q168_sql() -> str:
+    """DuckDB twin of the residual lane: shared nv shape, q167's
+    cent/assigned/probes CTEs, residual sub rows, cb0 from the corpus
+    residuals of the hashed-seed ids (equals the Spark side's
+    seed-residual construction row-for-row), the shared
+    _sql_pq_assign/_sql_pq_update Lloyd rounds, per-(query, cell)
+    LUTs + integer constant, ADC + re-rank + exact baseline."""
+    assert PQ_ITERS == 2
+    sdot = _sql_pq_sdot
+    full_dot = lambda a, b: (
+        f"list_sum(list_transform(range(1, {DIM + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH nv AS (
+  SELECT vec_id,
+         list_transform(embedding, u -> CAST(u AS DOUBLE) /
+           {_sql_safe_nrm('embedding')}) AS n
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+cu AS (
+  SELECT cid,
+         list_transform(c_emb, u -> CAST(u AS DOUBLE) /
+           {_sql_safe_nrm('c_emb')}) AS c_unit
+  FROM cent
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+res AS (
+  SELECT nv.vec_id, a.cid,
+         list_transform(range(1, {DIM + 1}),
+                        i -> nv.n[i] - cu.c_unit[i]) AS n
+  FROM nv JOIN assigned a ON a.vec_id = nv.vec_id
+  JOIN cu ON cu.cid = a.cid
+),
+rsub AS (
+  SELECT vec_id, m, n[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS s
+  FROM res, unnest(range(0, {PQ_M})) t(m)
+),
+seed AS (
+  SELECT vec_id, rn - 1 AS cid FROM (
+    SELECT vec_id, row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM nv
+  ) WHERE rn <= {PQ_CODES}
+),
+rcb0 AS (
+  SELECT rsub.m, seed.cid, rsub.s AS c
+  FROM seed JOIN rsub ON rsub.vec_id = seed.vec_id
+),
+ra1 AS ({_sql_pq_assign('rsub', 'rcb0')}),
+rcb1 AS ({_sql_pq_update('ra1')}),
+ra2 AS ({_sql_pq_assign('rsub', 'rcb1')}),
+rcb2 AS ({_sql_pq_update('ra2')}),
+raf AS ({_sql_pq_assign('rsub', 'rcb2')}),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {PQ_NQ}),
+probes AS (
+  SELECT query_id, cid AS list_id FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_cos('q.q_emb', 'c.c_emb')} DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {N_PROBE}
+),
+qcell AS (
+  SELECT p.query_id, p.list_id,
+         list_transform(range(1, {DIM + 1}),
+                        i -> qn.n[i] - cu.c_unit[i]) AS rq,
+         CAST(floor({full_dot('qn.n', 'cu.c_unit')} * {PQ_LUT_SCALE}) AS BIGINT)
+             AS cconst
+  FROM probes p
+  JOIN nv qn ON qn.vec_id = p.query_id
+  JOIN cu ON cu.cid = p.list_id
+),
+rlut AS (
+  SELECT t.query_id, t.list_id, cb.m, cb.cid,
+         CAST(floor({sdot('t.s', 'cb.c')} * {PQ_LUT_SCALE}) AS BIGINT) AS wi
+  FROM (
+    SELECT query_id, list_id, m,
+           rq[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS s
+    FROM qcell, unnest(range(0, {PQ_M})) t(m)
+  ) t
+  JOIN rcb2 cb ON cb.m = t.m
+),
+adc AS (
+  SELECT qc.query_id, raf.vec_id AS neighbor_id,
+         MIN(qc.cconst) + SUM(l.wi) AS adc_score
+  FROM qcell qc
+  JOIN assigned a ON a.cid = qc.list_id
+  JOIN raf ON raf.vec_id = a.vec_id
+  JOIN rlut l ON l.query_id = qc.query_id AND l.list_id = qc.list_id
+                  AND l.m = raf.m AND l.cid = raf.cid
+  WHERE qc.query_id <> a.vec_id
+  GROUP BY qc.query_id, raf.vec_id
+),
+adc_ranked AS (
+  SELECT query_id, neighbor_id, rank_adc FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_score DESC, neighbor_id) AS rank_adc
+    FROM adc
+  ) WHERE rank_adc <= {IVFPQ_RERANK_R}
+),
+served AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT ar.query_id, ar.neighbor_id,
+           row_number() OVER (PARTITION BY ar.query_id
+             ORDER BY {full_dot('qn.n', 'cn.n')} DESC, ar.neighbor_id) AS rank
+    FROM adc_ranked ar
+    JOIN nv qn ON qn.vec_id = ar.query_id
+    JOIN nv cn ON cn.vec_id = ar.neighbor_id
+  ) WHERE rank <= {PQ_TOPK}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qn.vec_id AS query_id, cn.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qn.vec_id
+             ORDER BY {full_dot('qn.n', 'cn.n')} DESC, cn.vec_id) AS rank
+    FROM nv qn JOIN nv cn ON qn.vec_id <> cn.vec_id
+    WHERE qn.vec_id < {PQ_NQ}
+  ) WHERE rank <= {PQ_TOPK}
+),
+per_q AS (
+  SELECT x.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+         COALESCE(hb.n_hits_adc, 0) AS n_hits_adc
+  FROM (SELECT DISTINCT query_id FROM exact) x
+  LEFT JOIN (
+    SELECT e.query_id, COUNT(*) AS n_hits
+    FROM exact e JOIN served s
+      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+    GROUP BY e.query_id
+  ) h ON x.query_id = h.query_id
+  LEFT JOIN (
+    SELECT e.query_id, COUNT(*) AS n_hits_adc
+    FROM exact e JOIN adc_ranked s
+      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+         AND s.rank_adc <= {PQ_TOPK}
+    GROUP BY e.query_id
+  ) hb ON x.query_id = hb.query_id
+)
+SELECT query_id, n_hits, n_hits_adc,
+       CAST(n_hits AS DOUBLE) / {float(PQ_TOPK)} AS recall_at_k,
+       CAST(n_hits_adc AS DOUBLE) / {float(PQ_TOPK)} AS recall_adc,
+       CAST(SUM(n_hits) OVER () AS DOUBLE)
+           / CAST(COUNT(*) OVER () * {PQ_TOPK} AS DOUBLE) AS mean_recall,
+       (CAST(SUM(n_hits) OVER () AS DOUBLE)
+           / CAST(COUNT(*) OVER () * {PQ_TOPK} AS DOUBLE)
+           >= {IVFPQ_RECALL_TARGET}) AS meets_target
+FROM per_q ORDER BY query_id
+"""
+
+
 QUERIES = {
     "q48_ann_bruteforce_topk": QuerySpec(q48_ann_bruteforce_topk, Q48_SQL, "exact cosine top-k"),
     "q167_ivfpq_serving": QuerySpec(
@@ -2573,6 +3022,13 @@ QUERIES = {
         _q167_sql(),
         "IVF-PQ serving: coarse probe routing over ADC-scored PQ codes "
         "with in-query recall audit vs exact cosine",
+    ),
+    "q168_ivfadc_residual": QuerySpec(
+        q168_ivfadc_residual,
+        _q168_sql(),
+        "IVFADC residual encoding (Jegou et al. 2011): PQ over "
+        "coarse-cell residuals, per-cell integer LUTs + constant term, "
+        "same re-rank + recall audit shape as q167",
     ),
     "q133_hard_negatives": QuerySpec(
         q133_hard_negatives,

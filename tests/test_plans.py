@@ -864,3 +864,33 @@ def test_q167_ivfpq_serving_broadcast_probes_no_cartesian(spark):
     assert all(r.meets_target for r in rows)
     assert rows[0].mean_recall >= IVFPQ_RECALL_TARGET
     assert sum(r.n_hits for r in rows) > sum(r.n_hits_adc for r in rows)
+
+
+def test_q168_ivfadc_residual_pinned_and_equijoined(spark):
+    """The residual IVFADC lane: same physical discipline as q167 —
+    candidate selection broadcast-hash-equi-joined on the list id,
+    nested loops only for the documented bounded folds (probing,
+    seed assignment, exact baseline), the residual corpus frame
+    PINNED (ExistingRDD — without it every Lloyd pass re-executed
+    the coarse-assignment fold: measured 115 s vs 19 s at sf0.001).
+    Value law: the per-query constant + LUT decomposition must
+    reproduce the serve-the-family story — re-ranked recall clears
+    the shared target while residual ADC-as-is is WORSE than flat
+    ADC on this isotropic corpus (the comparison the lane exists to
+    measure; Jegou et al.'s gains assume clustered data)."""
+    df = registry()["q168_ivfadc_residual"].fn(spark, SF_DIR)
+    p = _explain_str(df, "simple")
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 3, p
+    assert "BroadcastHashJoin" in p, p
+    assert "ExistingRDD" in p, p
+    rows = df.collect()
+    from sms_db_spark.operators.similarity import (
+        IVFPQ_RECALL_TARGET,
+        PQ_NQ,
+    )
+
+    assert len(rows) == PQ_NQ
+    assert all(r.meets_target for r in rows)
+    assert rows[0].mean_recall >= IVFPQ_RECALL_TARGET
+    assert sum(r.n_hits for r in rows) > sum(r.n_hits_adc for r in rows)
