@@ -99,8 +99,10 @@ HEADLINE = [
     # r14 evidence records their standalone cost.
     "q165_gopher_repetition",
     "q166_pq_adc_recall",
-    # new in r15 (IVF-PQ serving), same unanchored-until-refresh rule
+    # new in r15 (IVF-PQ serving + IVFADC residual), same
+    # unanchored-until-refresh rule
     "q167_ivfpq_serving",
+    "q168_ivfadc_residual",
 ]
 
 # Write-audit queries run real store writers (shards, versioned commits,

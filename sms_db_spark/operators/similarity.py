@@ -2328,6 +2328,117 @@ IVFPQ_RECALL_TARGET = 0.7
 # codes-in-RAM / floats-cold serving trade)
 IVFPQ_RERANK_R = 3 * PQ_TOPK
 
+# the full-vector unit dot used by the re-rank and exact-baseline
+# stages (qn/n are _normalized_corpus outputs, so the dot IS cosine).
+# A SQL string, not a prebuilt Column: F.expr at module level would
+# demand an active SparkContext at import time.
+_UNIT_DOT_SQL = (
+    "aggregate(zip_with(qn, n, (x, y) -> x * y),"
+    " CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+)
+
+
+def _ivf_probes(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """(query_id, list_id): each query's N_PROBE nearest coarse cells
+    by full cosine — a K-row broadcast fold + a per-query window.
+    Shared by the flat (q167) and residual (q168) serving lanes."""
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("q_sim").desc(), F.col("cid")
+    )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "cid", cosine("q_emb", "c_emb").alias("q_sim"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("query_id", F.col("cid").alias("list_id"))
+    )
+
+
+def _serving_audit(
+    adc_ranked: DataFrame, nv: DataFrame, nv_q: DataFrame
+) -> DataFrame:
+    """THE dual-recall serving audit, shared by q167/q168 so the two
+    lanes stay directly comparable by construction: given the ADC
+    top-IVFPQ_RERANK_R candidate window (query_id, neighbor_id,
+    rank_adc — pinned by the caller), re-rank it by exact unit-dot
+    (floats fetched for only NQ x R rows), compare BOTH answer sets
+    against the exact full-corpus top-PQ_TOPK (the bounded broadcast
+    baseline), and emit per-query n_hits/n_hits_adc/recalls plus the
+    mean_recall/meets_target verdict vs IVFPQ_RECALL_TARGET."""
+    served_adc = adc_ranked.filter(F.col("rank_adc") <= PQ_TOPK).select(
+        F.col("query_id").alias("bqid"), F.col("neighbor_id").alias("bid")
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_score").desc(), F.col("neighbor_id")
+    )
+    served = (
+        F.broadcast(adc_ranked.join(nv_q, "query_id"))
+        .join(nv.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select("query_id", "neighbor_id", F.expr(_UNIT_DOT_SQL).alias("cos_score"))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(F.col("query_id").alias("aqid"), F.col("neighbor_id").alias("aid"))
+    )
+    exact = (
+        F.broadcast(nv_q)
+        .crossJoin(nv.withColumnRenamed("vec_id", "neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.expr(_UNIT_DOT_SQL).alias("cos_score"))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(
+        served,
+        (exact.query_id == served.aqid) & (exact.neighbor_id == served.aid),
+        "left_semi",
+    )
+    hits_adc = exact.join(
+        served_adc,
+        (exact.query_id == served_adc.bqid)
+        & (exact.neighbor_id == served_adc.bid),
+        "left_semi",
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .join(
+            hits_adc.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_hits_adc")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("n_hits_adc", F.lit(0)).alias("n_hits_adc"),
+        )
+    )
+    w_all = Window.partitionBy()
+    mean = (
+        F.sum("n_hits").over(w_all).cast("double")
+        / (F.count(F.lit(1)).over(w_all) * PQ_TOPK).cast("double")
+    )
+    return per_q.select(
+        "query_id",
+        "n_hits",
+        "n_hits_adc",
+        (F.col("n_hits").cast("double") / F.lit(float(PQ_TOPK))).alias(
+            "recall_at_k"
+        ),
+        (F.col("n_hits_adc").cast("double") / F.lit(float(PQ_TOPK))).alias(
+            "recall_adc"
+        ),
+        mean.alias("mean_recall"),
+        (mean >= IVFPQ_RECALL_TARGET).alias("meets_target"),
+    ).orderBy("query_id")
+
 
 def q167_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ serving: the memory-bounded layout a 100 TB vector store
@@ -2388,16 +2499,7 @@ def q167_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < PQ_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("q_sim").desc(), F.col("cid")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("query_id", "cid", cosine("q_emb", "c_emb").alias("q_sim"))
-        .withColumn("pr", F.row_number().over(w_probe))
-        .filter(F.col("pr") <= N_PROBE)
-        .select("query_id", F.col("cid").alias("list_id"))
-    )
+    probes = _ivf_probes(q, cent)
     q_lut = _pq_query_luts(nv, cb)
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id")
@@ -2416,97 +2518,71 @@ def q167_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_adc") <= IVFPQ_RERANK_R)
         .localCheckpoint(eager=True)  # feeds both answer sets, one pass
     )
-    served_adc = adc_ranked.filter(F.col("rank_adc") <= PQ_TOPK).select(
-        F.col("query_id").alias("bqid"), F.col("neighbor_id").alias("bid")
+    return _serving_audit(
+        adc_ranked, nv, q_lut.select("query_id", "qn")
     )
-    w_cos = Window.partitionBy("query_id").orderBy(
-        F.col("cos_score").desc(), F.col("neighbor_id")
-    )
-    _unit_dot = F.expr(
-        "aggregate(zip_with(qn, n, (x, y) -> x * y),"
-        " CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
-    )
-    # re-rank: floats fetched for ONLY the NQ x RERANK_R candidate
-    # rows (broadcast them into the corpus scan — codes-in-RAM,
-    # floats-cold), exact unit-dot, fresh top-PQ_TOPK
-    served = (
-        F.broadcast(
-            adc_ranked.join(q_lut.select("query_id", "qn"), "query_id")
-        )
-        .join(nv.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-        .select("query_id", "neighbor_id", _unit_dot.alias("cos_score"))
-        .withColumn("rank", F.row_number().over(w_cos))
-        .filter(F.col("rank") <= PQ_TOPK)
-        .select(F.col("query_id").alias("aqid"), F.col("neighbor_id").alias("aid"))
-    )
-    exact = (
-        F.broadcast(q_lut.select("query_id", "qn"))
-        .crossJoin(nv.withColumnRenamed("vec_id", "neighbor_id"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", _unit_dot.alias("cos_score"))
-        .withColumn("rank", F.row_number().over(w_cos))
-        .filter(F.col("rank") <= PQ_TOPK)
-        .select("query_id", "neighbor_id")
-    )
-    hits = exact.join(
-        served,
-        (exact.query_id == served.aqid) & (exact.neighbor_id == served.aid),
-        "left_semi",
-    )
-    hits_adc = exact.join(
-        served_adc,
-        (exact.query_id == served_adc.bqid)
-        & (exact.neighbor_id == served_adc.bid),
-        "left_semi",
-    )
-    per_q = (
-        exact.select("query_id")
-        .distinct()
-        .join(
-            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
-            "query_id",
-            "left",
-        )
-        .join(
-            hits_adc.groupBy("query_id").agg(
-                F.count(F.lit(1)).alias("n_hits_adc")
-            ),
-            "query_id",
-            "left",
-        )
-        .select(
-            "query_id",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.coalesce("n_hits_adc", F.lit(0)).alias("n_hits_adc"),
-        )
-    )
-    w_all = Window.partitionBy()
-    return per_q.select(
-        "query_id",
-        "n_hits",
-        "n_hits_adc",
-        (F.col("n_hits").cast("double") / F.lit(float(PQ_TOPK))).alias(
-            "recall_at_k"
-        ),
-        (F.col("n_hits_adc").cast("double") / F.lit(float(PQ_TOPK))).alias(
-            "recall_adc"
-        ),
-        (
-            F.sum("n_hits").over(w_all).cast("double")
-            / (F.count(F.lit(1)).over(w_all) * PQ_TOPK).cast("double")
-        ).alias("mean_recall"),
-        (
-            F.sum("n_hits").over(w_all).cast("double")
-            / (F.count(F.lit(1)).over(w_all) * PQ_TOPK).cast("double")
-            >= IVFPQ_RECALL_TARGET
-        ).alias("meets_target"),
-    ).orderBy("query_id")
+
+
+def _sql_serving_audit_tail() -> str:
+    """served/exact/per_q CTEs + the final SELECT — the SQL twin of
+    _serving_audit, appended by both PQ serving oracles after a WITH
+    chain that has already defined `nv` (vec_id, n) and `adc_ranked`
+    (query_id, neighbor_id, rank_adc <= IVFPQ_RERANK_R). ONE
+    implementation so the two lanes' audit shapes cannot drift."""
+    return f"""
+served AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT ar.query_id, ar.neighbor_id,
+           row_number() OVER (PARTITION BY ar.query_id
+             ORDER BY {_sql_dot('qn.n', 'cn.n')} DESC, ar.neighbor_id) AS rank
+    FROM adc_ranked ar
+    JOIN nv qn ON qn.vec_id = ar.query_id
+    JOIN nv cn ON cn.vec_id = ar.neighbor_id
+  ) WHERE rank <= {PQ_TOPK}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qn.vec_id AS query_id, cn.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qn.vec_id
+             ORDER BY {_sql_dot('qn.n', 'cn.n')} DESC, cn.vec_id) AS rank
+    FROM nv qn JOIN nv cn ON qn.vec_id <> cn.vec_id
+    WHERE qn.vec_id < {PQ_NQ}
+  ) WHERE rank <= {PQ_TOPK}
+),
+per_q AS (
+  SELECT x.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+         COALESCE(hb.n_hits_adc, 0) AS n_hits_adc
+  FROM (SELECT DISTINCT query_id FROM exact) x
+  LEFT JOIN (
+    SELECT e.query_id, COUNT(*) AS n_hits
+    FROM exact e JOIN served s
+      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+    GROUP BY e.query_id
+  ) h ON x.query_id = h.query_id
+  LEFT JOIN (
+    SELECT e.query_id, COUNT(*) AS n_hits_adc
+    FROM exact e JOIN adc_ranked s
+      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+         AND s.rank_adc <= {PQ_TOPK}
+    GROUP BY e.query_id
+  ) hb ON x.query_id = hb.query_id
+)
+SELECT query_id, n_hits, n_hits_adc,
+       CAST(n_hits AS DOUBLE) / {float(PQ_TOPK)} AS recall_at_k,
+       CAST(n_hits_adc AS DOUBLE) / {float(PQ_TOPK)} AS recall_adc,
+       CAST(SUM(n_hits) OVER () AS DOUBLE)
+           / CAST(COUNT(*) OVER () * {PQ_TOPK} AS DOUBLE) AS mean_recall,
+       (CAST(SUM(n_hits) OVER () AS DOUBLE)
+           / CAST(COUNT(*) OVER () * {PQ_TOPK} AS DOUBLE)
+           >= {IVFPQ_RECALL_TARGET}) AS meets_target
+FROM per_q ORDER BY query_id
+"""
 
 
 def _q167_sql() -> str:
     """DuckDB twin: the shared PQ training block (_pq_train_ctes, in
     lockstep with the Spark helpers) + q121's probe/assign CTEs + the
-    ADC serving join + the full-corpus exact baseline."""
+    ADC serving join + the shared serving-audit tail."""
     return f"""
 WITH {_pq_train_ctes()},
 cent AS (
@@ -2552,55 +2628,7 @@ adc_ranked AS (
     FROM adc
   ) WHERE rank_adc <= {IVFPQ_RERANK_R}
 ),
-served AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT ar.query_id, ar.neighbor_id,
-           row_number() OVER (PARTITION BY ar.query_id
-             ORDER BY list_sum(list_transform(range(1, {DIM + 1}),
-               i -> qn.n[i] * cn.n[i])) DESC, ar.neighbor_id) AS rank
-    FROM adc_ranked ar
-    JOIN nv qn ON qn.vec_id = ar.query_id
-    JOIN nv cn ON cn.vec_id = ar.neighbor_id
-  ) WHERE rank <= {PQ_TOPK}
-),
-exact AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT qn.vec_id AS query_id, cn.vec_id AS neighbor_id,
-           row_number() OVER (PARTITION BY qn.vec_id
-             ORDER BY list_sum(list_transform(range(1, {DIM + 1}),
-               i -> qn.n[i] * cn.n[i])) DESC, cn.vec_id) AS rank
-    FROM nv qn JOIN nv cn ON qn.vec_id <> cn.vec_id
-    WHERE qn.vec_id < {PQ_NQ}
-  ) WHERE rank <= {PQ_TOPK}
-),
-per_q AS (
-  SELECT x.query_id, COALESCE(h.n_hits, 0) AS n_hits,
-         COALESCE(hb.n_hits_adc, 0) AS n_hits_adc
-  FROM (SELECT DISTINCT query_id FROM exact) x
-  LEFT JOIN (
-    SELECT e.query_id, COUNT(*) AS n_hits
-    FROM exact e JOIN served s
-      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
-    GROUP BY e.query_id
-  ) h ON x.query_id = h.query_id
-  LEFT JOIN (
-    SELECT e.query_id, COUNT(*) AS n_hits_adc
-    FROM exact e JOIN adc_ranked s
-      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
-         AND s.rank_adc <= {PQ_TOPK}
-    GROUP BY e.query_id
-  ) hb ON x.query_id = hb.query_id
-)
-SELECT query_id, n_hits, n_hits_adc,
-       CAST(n_hits AS DOUBLE) / {float(PQ_TOPK)} AS recall_at_k,
-       CAST(n_hits_adc AS DOUBLE) / {float(PQ_TOPK)} AS recall_adc,
-       CAST(SUM(n_hits) OVER () AS DOUBLE)
-           / CAST(COUNT(*) OVER () * {PQ_TOPK} AS DOUBLE) AS mean_recall,
-       (CAST(SUM(n_hits) OVER () AS DOUBLE)
-           / CAST(COUNT(*) OVER () * {PQ_TOPK} AS DOUBLE)
-           >= {IVFPQ_RECALL_TARGET}) AS meets_target
-FROM per_q ORDER BY query_id
-"""
+{_sql_serving_audit_tail()}"""
 
 
 # ------------------------------------------------------------------ q168
@@ -2628,17 +2656,20 @@ def q168_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     form cb0, which is exactly the corpus residual rows of the seed
     ids — the SQL twin builds cb0 by that id join.
 
-    Serving: scoring decomposes as qn·x̂ = qn·c_unit + Σ_m qn_m·r̂_m,
-    so each (query, probed cell) carries ONE integer constant
-    (floor-scaled qn·c_unit) plus a per-cell LUT over the residual
-    codebook (q_m here is the query's residual wrt THAT cell —
-    per-cell LUTs are the price of residual encoding, N_PROBE LUTs
-    per query instead of one). Candidates still come from the
-    broadcast equi-join on the list id; a neighbor lives in exactly
-    one list, so each pair scores once. ADC top-R gets the same
-    full-precision re-rank as q167 (floats for NQ x R rows only); the
-    result reports BOTH answer sets vs exact full-corpus cosine and
-    gates the re-ranked mean on IVFPQ_RECALL_TARGET."""
+    Serving — the paper's ADC, verbatim: the query is mapped into
+    each probed cell's residual space (rq = qn − c_unit) and the
+    distance estimate is d̂(q, x)² = Σ_m |rq_m − r̂_m|² — PQ_M lookups
+    in a per-(query, cell) table of floor-scaled subspace squared
+    distances, ranked ASCENDING. |rq − r̂|² approximates |qn − x̂|²
+    with x̂ = c_unit + r̂, so scores compare directly across probed
+    cells, and on unit queries L2 order is cosine order. Per-cell
+    LUTs are the price of residual encoding (N_PROBE tables per query
+    instead of q167's one). Candidates still come from the broadcast
+    equi-join on the list id; a neighbor lives in exactly one list,
+    so each pair scores once. ADC top-R gets the same full-precision
+    re-rank as q167 (floats for NQ x R rows only); the result reports
+    BOTH answer sets vs exact full-corpus cosine and gates the
+    re-ranked mean on IVFPQ_RECALL_TARGET."""
     emb = load_table_parallel(spark, sf_dir, "embeddings")
     nv = _pq_nv(emb)
     cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
@@ -2652,8 +2683,9 @@ def q168_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PINNED (eager localCheckpoint): every Lloyd pass, the encoder,
     # and the index build consume this frame — without the pin each
     # _pq_assign scan re-executes the packed coarse-assignment fold
-    # plus the normalization join (measured 115 s vs 12 s at sf0.001;
-    # the lsh_candidate_pairs bands-pin lesson applied to residuals)
+    # plus the normalization join (pre-pin the sf0.001 selfcheck ran
+    # 115 s; post-pin the Spark side alone runs ~19 s — the
+    # lsh_candidate_pairs bands-pin lesson applied to residuals)
     res = (
         nv.join(assigned, "vec_id")
         .join(F.broadcast(cu), "cid")
@@ -2704,18 +2736,9 @@ def q168_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < PQ_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("q_sim").desc(), F.col("cid")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("query_id", "cid", cosine("q_emb", "c_emb").alias("q_sim"))
-        .withColumn("pr", F.row_number().over(w_probe))
-        .filter(F.col("pr") <= N_PROBE)
-        .select("query_id", F.col("cid").alias("list_id"))
-    )
-    # per-(query, probed cell): residual query subvectors + the
-    # integer constant term qn . c_unit
+    probes = _ivf_probes(q, cent)
+    # per-(query, probed cell): the RESIDUAL query rq = qn - c_unit —
+    # the paper's ADC operates entirely in residual space
     qcell = (
         probes.join(nv_q, "query_id")
         .join(
@@ -2725,16 +2748,16 @@ def q168_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "list_id",
             F.expr("zip_with(qn, c_unit, (x, y) -> x - y)").alias("n"),
-            F.floor(
-                F.expr(
-                    "aggregate(zip_with(qn, c_unit, (x, y) -> x * y),"
-                    " CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
-                )
-                * PQ_LUT_SCALE
-            )
-            .cast("bigint")
-            .alias("cconst"),
         )
+    )
+    # LUT entry = the paper's subspace distance table: floor-scaled
+    # |rq_m - r̂_code|^2 (review r15 — the first draft dotted rq with
+    # r̂, which is NEITHER the L2 law nor the inner-product law and
+    # zeroed every LUT in a query's own cell since the audited
+    # queries double as centroids on this corpus)
+    sqdist = F.expr(
+        "aggregate(zip_with(s, c, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     rlut_rows = (
         _pq_subvecs(qcell, keys=("query_id", "list_id"))
@@ -2744,108 +2767,28 @@ def q168_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "list_id",
             "m",
             "cid",
-            F.floor(_dot("s", "c") * PQ_LUT_SCALE).cast("bigint").alias("wi"),
+            F.floor(sqdist * PQ_LUT_SCALE).cast("bigint").alias("wi"),
         )
     )
-    q_lut = _pq_pack_lut_by(rlut_rows, ("query_id", "list_id")).join(
-        qcell.select("query_id", "list_id", "cconst"), ["query_id", "list_id"]
-    )
+    q_lut = _pq_pack_lut_by(rlut_rows, ("query_id", "list_id"))
+    # ascending: the ADC statistic is an approximate squared DISTANCE
+    # |rq - r̂|^2 ≈ |qn - x̂|^2, directly comparable across probed
+    # cells (on unit queries L2 order == cosine order)
     w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col("neighbor_id")
+        F.col("adc_dist").asc(), F.col("neighbor_id")
     )
     adc_ranked = (
         F.broadcast(q_lut)
         .join(index, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id",
-            "neighbor_id",
-            (F.col("cconst") + F.expr(_ADC_EXPR)).alias("adc_score"),
+            "query_id", "neighbor_id", F.expr(_ADC_EXPR).alias("adc_dist")
         )
         .withColumn("rank_adc", F.row_number().over(w_adc))
         .filter(F.col("rank_adc") <= IVFPQ_RERANK_R)
         .localCheckpoint(eager=True)
     )
-    served_adc = adc_ranked.filter(F.col("rank_adc") <= PQ_TOPK).select(
-        F.col("query_id").alias("bqid"), F.col("neighbor_id").alias("bid")
-    )
-    w_cos = Window.partitionBy("query_id").orderBy(
-        F.col("cos_score").desc(), F.col("neighbor_id")
-    )
-    _unit_dot = F.expr(
-        "aggregate(zip_with(qn, n, (x, y) -> x * y),"
-        " CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
-    )
-    served = (
-        F.broadcast(adc_ranked.join(nv_q, "query_id"))
-        .join(nv.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-        .select("query_id", "neighbor_id", _unit_dot.alias("cos_score"))
-        .withColumn("rank", F.row_number().over(w_cos))
-        .filter(F.col("rank") <= PQ_TOPK)
-        .select(F.col("query_id").alias("aqid"), F.col("neighbor_id").alias("aid"))
-    )
-    exact = (
-        F.broadcast(nv_q)
-        .crossJoin(nv.withColumnRenamed("vec_id", "neighbor_id"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", _unit_dot.alias("cos_score"))
-        .withColumn("rank", F.row_number().over(w_cos))
-        .filter(F.col("rank") <= PQ_TOPK)
-        .select("query_id", "neighbor_id")
-    )
-    hits = exact.join(
-        served,
-        (exact.query_id == served.aqid) & (exact.neighbor_id == served.aid),
-        "left_semi",
-    )
-    hits_adc = exact.join(
-        served_adc,
-        (exact.query_id == served_adc.bqid)
-        & (exact.neighbor_id == served_adc.bid),
-        "left_semi",
-    )
-    per_q = (
-        exact.select("query_id")
-        .distinct()
-        .join(
-            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
-            "query_id",
-            "left",
-        )
-        .join(
-            hits_adc.groupBy("query_id").agg(
-                F.count(F.lit(1)).alias("n_hits_adc")
-            ),
-            "query_id",
-            "left",
-        )
-        .select(
-            "query_id",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.coalesce("n_hits_adc", F.lit(0)).alias("n_hits_adc"),
-        )
-    )
-    w_all = Window.partitionBy()
-    return per_q.select(
-        "query_id",
-        "n_hits",
-        "n_hits_adc",
-        (F.col("n_hits").cast("double") / F.lit(float(PQ_TOPK))).alias(
-            "recall_at_k"
-        ),
-        (F.col("n_hits_adc").cast("double") / F.lit(float(PQ_TOPK))).alias(
-            "recall_adc"
-        ),
-        (
-            F.sum("n_hits").over(w_all).cast("double")
-            / (F.count(F.lit(1)).over(w_all) * PQ_TOPK).cast("double")
-        ).alias("mean_recall"),
-        (
-            F.sum("n_hits").over(w_all).cast("double")
-            / (F.count(F.lit(1)).over(w_all) * PQ_TOPK).cast("double")
-            >= IVFPQ_RECALL_TARGET
-        ).alias("meets_target"),
-    ).orderBy("query_id")
+    return _serving_audit(adc_ranked, nv, nv_q)
 
 
 def _q168_sql() -> str:
@@ -2854,13 +2797,19 @@ def _q168_sql() -> str:
     residuals of the hashed-seed ids (equals the Spark side's
     seed-residual construction row-for-row), the shared
     _sql_pq_assign/_sql_pq_update Lloyd rounds, per-(query, cell)
-    LUTs + integer constant, ADC + re-rank + exact baseline."""
+    squared-distance LUTs (the paper's ADC tables, ranked ASC), and
+    the shared serving-audit tail."""
     assert PQ_ITERS == 2
-    sdot = _sql_pq_sdot
-    full_dot = lambda a, b: (
-        f"list_sum(list_transform(range(1, {DIM + 1}),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    )
+
+    # subspace squared distance — the SQL twin of the Spark side's
+    # sqdist fold, element order identical so the floored ints agree
+    def ssqd(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {PQ_DSUB + 1}),"
+            f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+            f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+        )
+
     return f"""
 WITH nv AS (
   SELECT vec_id,
@@ -2930,16 +2879,14 @@ probes AS (
 qcell AS (
   SELECT p.query_id, p.list_id,
          list_transform(range(1, {DIM + 1}),
-                        i -> qn.n[i] - cu.c_unit[i]) AS rq,
-         CAST(floor({full_dot('qn.n', 'cu.c_unit')} * {PQ_LUT_SCALE}) AS BIGINT)
-             AS cconst
+                        i -> qn.n[i] - cu.c_unit[i]) AS rq
   FROM probes p
   JOIN nv qn ON qn.vec_id = p.query_id
   JOIN cu ON cu.cid = p.list_id
 ),
 rlut AS (
   SELECT t.query_id, t.list_id, cb.m, cb.cid,
-         CAST(floor({sdot('t.s', 'cb.c')} * {PQ_LUT_SCALE}) AS BIGINT) AS wi
+         CAST(floor({ssqd('t.s', 'cb.c')} * {PQ_LUT_SCALE}) AS BIGINT) AS wi
   FROM (
     SELECT query_id, list_id, m,
            rq[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS s
@@ -2949,7 +2896,7 @@ rlut AS (
 ),
 adc AS (
   SELECT qc.query_id, raf.vec_id AS neighbor_id,
-         MIN(qc.cconst) + SUM(l.wi) AS adc_score
+         SUM(l.wi) AS adc_dist
   FROM qcell qc
   JOIN assigned a ON a.cid = qc.list_id
   JOIN raf ON raf.vec_id = a.vec_id
@@ -2962,57 +2909,11 @@ adc_ranked AS (
   SELECT query_id, neighbor_id, rank_adc FROM (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY adc_score DESC, neighbor_id) AS rank_adc
+                              ORDER BY adc_dist ASC, neighbor_id) AS rank_adc
     FROM adc
   ) WHERE rank_adc <= {IVFPQ_RERANK_R}
 ),
-served AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT ar.query_id, ar.neighbor_id,
-           row_number() OVER (PARTITION BY ar.query_id
-             ORDER BY {full_dot('qn.n', 'cn.n')} DESC, ar.neighbor_id) AS rank
-    FROM adc_ranked ar
-    JOIN nv qn ON qn.vec_id = ar.query_id
-    JOIN nv cn ON cn.vec_id = ar.neighbor_id
-  ) WHERE rank <= {PQ_TOPK}
-),
-exact AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT qn.vec_id AS query_id, cn.vec_id AS neighbor_id,
-           row_number() OVER (PARTITION BY qn.vec_id
-             ORDER BY {full_dot('qn.n', 'cn.n')} DESC, cn.vec_id) AS rank
-    FROM nv qn JOIN nv cn ON qn.vec_id <> cn.vec_id
-    WHERE qn.vec_id < {PQ_NQ}
-  ) WHERE rank <= {PQ_TOPK}
-),
-per_q AS (
-  SELECT x.query_id, COALESCE(h.n_hits, 0) AS n_hits,
-         COALESCE(hb.n_hits_adc, 0) AS n_hits_adc
-  FROM (SELECT DISTINCT query_id FROM exact) x
-  LEFT JOIN (
-    SELECT e.query_id, COUNT(*) AS n_hits
-    FROM exact e JOIN served s
-      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
-    GROUP BY e.query_id
-  ) h ON x.query_id = h.query_id
-  LEFT JOIN (
-    SELECT e.query_id, COUNT(*) AS n_hits_adc
-    FROM exact e JOIN adc_ranked s
-      ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
-         AND s.rank_adc <= {PQ_TOPK}
-    GROUP BY e.query_id
-  ) hb ON x.query_id = hb.query_id
-)
-SELECT query_id, n_hits, n_hits_adc,
-       CAST(n_hits AS DOUBLE) / {float(PQ_TOPK)} AS recall_at_k,
-       CAST(n_hits_adc AS DOUBLE) / {float(PQ_TOPK)} AS recall_adc,
-       CAST(SUM(n_hits) OVER () AS DOUBLE)
-           / CAST(COUNT(*) OVER () * {PQ_TOPK} AS DOUBLE) AS mean_recall,
-       (CAST(SUM(n_hits) OVER () AS DOUBLE)
-           / CAST(COUNT(*) OVER () * {PQ_TOPK} AS DOUBLE)
-           >= {IVFPQ_RECALL_TARGET}) AS meets_target
-FROM per_q ORDER BY query_id
-"""
+{_sql_serving_audit_tail()}"""
 
 
 QUERIES = {

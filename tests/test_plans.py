@@ -872,12 +872,13 @@ def test_q168_ivfadc_residual_pinned_and_equijoined(spark):
     nested loops only for the documented bounded folds (probing,
     seed assignment, exact baseline), the residual corpus frame
     PINNED (ExistingRDD — without it every Lloyd pass re-executed
-    the coarse-assignment fold: measured 115 s vs 19 s at sf0.001).
-    Value law: the per-query constant + LUT decomposition must
-    reproduce the serve-the-family story — re-ranked recall clears
-    the shared target while residual ADC-as-is is WORSE than flat
-    ADC on this isotropic corpus (the comparison the lane exists to
-    measure; Jegou et al.'s gains assume clustered data)."""
+    the coarse-assignment fold: sf0.001 selfcheck 115 s pre-pin vs
+    ~19 s Spark-side post-pin). Value law: the paper's
+    squared-distance ADC must reproduce the serve-the-family story —
+    re-ranked recall clears the shared target and strictly beats
+    ADC-as-is (residual ADC measures ~parity with q167's flat ADC on
+    this isotropic corpus; Jegou et al.'s gains assume clustered
+    data, and the lane measures rather than assumes them)."""
     df = registry()["q168_ivfadc_residual"].fn(spark, SF_DIR)
     p = _explain_str(df, "simple")
     assert "CartesianProduct" not in p, p
