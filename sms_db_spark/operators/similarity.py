@@ -848,14 +848,21 @@ def _q86_sql() -> str:
 # ------------------------------------------------------------------ q124
 
 
-def _hashed_seed(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
+def _hashed_seed(
+    emb: DataFrame, k: int = N_CENTROIDS, with_vec_id: bool = False
+) -> DataFrame:
     """Deterministic hashed-sample seed centroids: the k vectors with
     the smallest md5(vec_id) — a reproducible stand-in for uniform
     random seeding, with none of the first-K-ids locality bias. cid is
     the rank in hash order (0..k-1), so the seed is a pure function of
     the id set in any engine and under any partitioning. THE one home
     of this law: the IVF trainers (q124 family, default k) and the PQ
-    codebook trainer (q166, k=PQ_CODES) both draw from here."""
+    codebook trainers (q166 raw / q168 residual, k=PQ_CODES) all draw
+    from here. with_vec_id additionally exposes the seed's source
+    vec_id — the residual lane keys its cb0 by joining the seed ids
+    against the already-built corpus residual rows (the SQL twin's
+    exact shape), instead of reconstructing the seed residuals through
+    a second normalization + assignment lineage (review r15)."""
     seeds = (
         emb.select(
             F.md5(F.col("vec_id").cast("string")).alias("hk"), "vec_id", "embedding"
@@ -866,9 +873,14 @@ def _hashed_seed(emb: DataFrame, k: int = N_CENTROIDS) -> DataFrame:
         .limit(k)
     )
     w = Window.orderBy("hk", "vec_id")  # K rows — single-partition window is fine
-    return seeds.withColumn("rn", F.row_number().over(w)).select(
-        (F.col("rn") - 1).cast("bigint").alias("cid"), F.col("embedding").alias("c_emb")
-    )
+    ranked = seeds.withColumn("rn", F.row_number().over(w))
+    cols = [
+        (F.col("rn") - 1).cast("bigint").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+    ]
+    if with_vec_id:
+        cols.append(F.col("vec_id"))
+    return ranked.select(*cols)
 
 
 def q124_kmeans_hashed_seed_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2162,10 +2174,9 @@ def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.expr(_ADC_EXPR).alias("adc_score"),
-            F.expr(
-                "aggregate(zip_with(qn, n, (x, y) -> x * y),"
-                " CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
-            ).alias("cos_score"),
+            # the shared unit-dot law (defined below with the serving
+            # helpers; resolved at call time)
+            F.expr(_UNIT_DOT_SQL).alias("cos_score"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -2693,31 +2704,19 @@ def q168_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     rsub = _pq_subvecs(res.select("vec_id", "n"))
-    # seed residuals: the hashed-seed law gives (rank cid, raw seed
-    # vector); coarse-assign those 16 vectors (broadcast fold over 16
-    # rows) and take unit(seed) - c_unit — identical rows to the
-    # corpus residuals of the seed ids, which is how the oracle joins
-    seed = _hashed_seed(emb, k=PQ_CODES)
-    seed_cc = _argmax_cosine_packed(
-        seed.select(
-            F.col("cid").alias("vec_id"), F.col("c_emb").alias("embedding")
-        ),
-        cent,
-        k_max_hint=N_CENTROIDS,
-    ).select(F.col("vec_id").alias("scid"), "cid", "embedding")
-    seed_res = (
-        _normalized_corpus(
-            seed_cc.select(F.col("scid").alias("vec_id"), "embedding")
-        )
-        .join(
-            seed_cc.select(F.col("scid").alias("vec_id"), "cid"), "vec_id"
-        )
-        .join(F.broadcast(cu), "cid")
-        .select("vec_id", residual.alias("n"))
+    # cb0 = the corpus residual rows of the hashed-seed ids, keyed by
+    # the seed's hash-rank cid — a broadcast id join against the
+    # already-pinned residual frame, structurally identical to the
+    # oracle's `rcb0 AS (... FROM seed JOIN rsub ...)` (review r15:
+    # the first draft rebuilt the seed residuals through a second
+    # normalization + coarse-assignment lineage and argued row
+    # equality in a comment)
+    seed_ids = _hashed_seed(emb, k=PQ_CODES, with_vec_id=True).select(
+        "vec_id", F.col("cid").alias("scid")
     )
     rcb0 = (
-        _pq_subvecs(seed_res)
-        .select("m", F.col("vec_id").alias("cid"), F.col("s").alias("c"))
+        rsub.join(F.broadcast(seed_ids), "vec_id")
+        .select("m", F.col("scid").alias("cid"), F.col("s").alias("c"))
         .localCheckpoint(eager=True)
     )
     rcb = _pq_lloyd(rsub, rcb0)
@@ -2928,8 +2927,8 @@ QUERIES = {
         q168_ivfadc_residual,
         _q168_sql(),
         "IVFADC residual encoding (Jegou et al. 2011): PQ over "
-        "coarse-cell residuals, per-cell integer LUTs + constant term, "
-        "same re-rank + recall audit shape as q167",
+        "coarse-cell residuals, per-(query, cell) squared-distance "
+        "LUTs ranked ascending, same re-rank + recall audit as q167",
     ),
     "q133_hard_negatives": QuerySpec(
         q133_hard_negatives,
