@@ -670,6 +670,43 @@ def main() -> None:
     # with a deceptively flat pre-sampled axis — the elevation test
     # uses whichever bracket caught the pressure
     cal_python_post = calibration_python(spark)
+    ambient = ambient_check(
+        headline, cal, cal_overhead, max(cal_python, cal_python_post)
+    )
+    # Per-suspect clean retime (VERDICT r15 item 1): when the headline
+    # loop flags suspects or watch entries, re-run ONLY that set
+    # back-to-back — fresh CPU calibration bracket, then the normal
+    # warm-up + best-of-3 protocol — and record the era-normalized
+    # retime ratios IN THE ARTIFACT. The r15 driver window recorded six
+    # queries at 3.1-8.9x whose same-code reruns sat at parity with
+    # DISJOINT suspect sets across runs (the repo's ambient signature);
+    # the official record could not distinguish ambient from real
+    # without the evidence log. This block makes the artifact
+    # self-clearing: a suspect whose immediate retime lands <= 1.5x of
+    # anchor in the retime's own era is ambient-window noise caught
+    # mid-headline-loop; one that STAYS hot on the retime is a real
+    # regression and must be read as such. Cost is bounded: flagged
+    # sets are historically <= 8 sub-second-to-2s queries (~10 s).
+    flagged = sorted(
+        set(ambient["suspects_vs_anchor"]) | set(ambient["watch_vs_anchor"])
+    )
+    suspect_retimes: dict[str, dict] = {}
+    retime_cal = None
+    if flagged:
+        retime_cal = calibration(spark)
+        retime_era = max(0.5, retime_cal / ANCHOR_CAL_SEC)
+        retimed = run(flagged)
+        suspect_retimes = {
+            q: {
+                "sec": retimed[q],
+                "ratio_vs_anchor": round(retimed[q] / (ANCHOR[q] * retime_era), 2),
+            }
+            for q in flagged
+            if q in ANCHOR
+        }
+    suspects_cleared_on_retime = bool(suspect_retimes) and all(
+        v["ratio_vs_anchor"] <= 1.5 for v in suspect_retimes.values()
+    )
     # Write audits: ONE timed run, NO per-audit warm-up (r10; r9 ran
     # warm-up + one). They are IO-dominated full protocol runs — a
     # warm-up duplicates every store write for a bucket that is
@@ -706,7 +743,11 @@ def main() -> None:
     import gc as _gc
 
     _gc.collect()
-    spark.sparkContext._jvm.System.gc()
+    # _jvm is the private py4j gateway — None under Spark Connect
+    # (ADVICE r15): degrade to the Python collect + settle alone
+    jvm = getattr(spark.sparkContext, "_jvm", None)
+    if jvm is not None:
+        jvm.System.gc()
     time.sleep(2.0)
     warm_dir = tempfile.mkdtemp(prefix="bench_write_warm_")
     try:
@@ -790,10 +831,6 @@ def main() -> None:
         if q in WRITE_AUDIT_ANCHOR
         and t > WATCH_RATIO * WRITE_AUDIT_ANCHOR[q] * write_era
     }
-    ambient = ambient_check(
-        headline, cal, cal_overhead, max(cal_python, cal_python_post)
-    )
-
     # Field order is capture-driven (VERDICT r6 item 7 intent): the
     # driver records only the TAIL of stdout (BENCH_r06's artifact has a
     # "tail" field that lost the line's head — metric, value, q01 —
@@ -842,6 +879,15 @@ def main() -> None:
         "bench_build_round": _build_round(),
         "write_watch_vs_anchor": dict(sorted(write_watch.items())),
         **ambient,
+        # per-suspect clean retime (VERDICT r15 item 1): each flagged
+        # query re-run back-to-back after the headline loop with a
+        # fresh calibration bracket; ratio is era-normalized by THAT
+        # bracket. cleared=true means every flagged query retimed
+        # <= 1.5x anchor — the flags were ambient-window noise and the
+        # artifact says so itself.
+        "suspect_retimes": suspect_retimes,
+        "suspect_retime_calibration_sec": retime_cal,
+        "suspects_cleared_on_retime": suspects_cleared_on_retime,
         "value": round(sum(headline.values()), 3),
         "write_audits_total": round(sum(write_audits.values()), 3),
         "calibration_sec": cal,
@@ -884,6 +930,12 @@ def main() -> None:
                 "calibration_python_cooldown_sec": cal_python_cooldown,
                 "anchor_total_ratio": ambient["anchor_total_ratio"],
                 "suspect_ambient": ambient["suspect_ambient"],
+                # survives tail truncation: did the in-artifact retime
+                # clear every flagged query (<=1.5x anchor, fresh era)?
+                # null = nothing was flagged, no retime ran
+                "suspects_cleared_on_retime": (
+                    suspects_cleared_on_retime if flagged else None
+                ),
             },
             separators=(",", ":"),
         )

@@ -2131,12 +2131,125 @@ def _pq_query_luts(nv: DataFrame, cb: DataFrame) -> DataFrame:
 
 # the ADC score: PQ_M integer table lookups summed, codes indexing the
 # key-packed LUT (cid gaps hold 0 and are unreachable — see
-# _pq_pack_lut)
+# _pq_pack_lut). The unreachability invariant (encoder and LUT share
+# ONE codebook, so no stored code addresses a dropped cid) is
+# load-bearing in a direction-dependent way (ADVICE r15 #4): under
+# q166/q167's DESCENDING similarity rank a stray 0 would merely demote
+# a candidate, but q168 ranks ASCENDING distance, where 0 is the best
+# possible score — a reachable gap there would PROMOTE a wrong
+# candidate into the re-rank window. tests/test_pq.py pins the dense
+# packing under code dropout for exactly this reason.
 _ADC_EXPR = (
     f"aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS BIGINT),"
     f" (acc, m) -> acc + element_at(lut,"
     f" CAST(m * {PQ_CODES} + element_at(codes, m + 1) + 1 AS INT)))"
 )
+
+
+# ---------------------------------------------------------- shared state
+# Train-once serving state for the PQ family (VERDICT r15 item 2): an
+# ANN index is BUILT once and SERVED many times — coarse centroids, the
+# corpus coarse assignment, trained codebooks, and the encoded code
+# tables are write-path artifacts, not per-query work, yet r15's lanes
+# each retrained them from scratch on every execution (q167+q168
+# measured ~15.3 s combined at sf0.1, and the bench's warm-up +
+# best-of-3 protocol re-paid the build 4x per lane). This cache keys
+# the PINNED training frames by (applicationId, corpus dir): the
+# second lane and every re-execution inside one application reuse the
+# exact pinned rows. Reuse is sound because every stage is
+# deterministic — hashed-id seeds, integer-scaled Lloyd means, an
+# immutable corpus dir — so a cache hit is bit-identical to a
+# recompute (the DuckDB oracles retrain inline and still hash-match).
+# At production scale this state is parquet in the vector store (built
+# by the ingest pipeline, loaded by the serving tier); localCheckpoint
+# is its single-application twin — O(corpus) codes + O(K·PQ_M)
+# codebook rows, the layout that fits 10^11 vectors in RAM.
+_PQ_SHARED_CACHE: dict = {}
+
+
+def _pq_shared(spark: SparkSession, sf_dir: str) -> dict:
+    """The memoized base frames: pinned nv (normalized corpus), pinned
+    cent (the K coarse centroids), sub (a map-side reshape of pinned
+    nv — recomputed per use, no shuffle), and the lazily-added
+    codebook/index entries the lane helpers below fill in."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    state = _PQ_SHARED_CACHE.get(key)
+    if state is None:
+        # drop entries from other applications: a stopped context's
+        # checkpointed RDDs are unusable and would otherwise leak
+        for k in [k for k in _PQ_SHARED_CACHE if k[0] != key[0]]:
+            del _PQ_SHARED_CACHE[k]
+        emb = load_table_parallel(spark, sf_dir, "embeddings")
+        nv = _pq_nv(emb).localCheckpoint(eager=True)
+        cent = (
+            emb.filter(F.col("vec_id") < N_CENTROIDS)
+            .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+            .localCheckpoint(eager=True)
+        )
+        state = {"emb": emb, "nv": nv, "cent": cent}
+        _PQ_SHARED_CACHE[key] = state
+    return state
+
+
+def _pq_shared_flat(spark: SparkSession, sf_dir: str) -> dict:
+    """Adds the FLAT-PQ artifacts to the shared state: `cb` (trained
+    codebooks, pinned by _pq_lloyd) and `codes` (the encoded corpus,
+    pinned — the (vec_id, codes) table q166 audits and q167 serves
+    from). Also `assigned` (coarse IVF list per vector, pinned) for
+    the serving index."""
+    st = _pq_shared(spark, sf_dir)
+    if "cb" not in st:
+        sub = _pq_subvecs(st["nv"])
+        st["cb"] = _pq_train(st["emb"], sub)
+        st["codes"] = _pq_encode(sub, st["cb"]).localCheckpoint(eager=True)
+    if "assigned" not in st:
+        st["assigned"] = (
+            _argmax_cosine_packed(st["emb"], st["cent"], k_max_hint=N_CENTROIDS)
+            .select("vec_id", "cid")
+            .localCheckpoint(eager=True)
+        )
+    return st
+
+
+def _pq_shared_residual(spark: SparkSession, sf_dir: str) -> dict:
+    """Adds the RESIDUAL artifacts (q168): `res` (the pinned residual
+    corpus n − unit(c_cid), keyed by coarse cell), `rcb` (residual
+    codebooks trained over it), and `rcodes` (the residual-encoded
+    corpus, pinned). Builds on the shared coarse assignment — the
+    stage q167 and q168 used to train twice (VERDICT r15 item 2)."""
+    st = _pq_shared_flat(spark, sf_dir)
+    if "rcb" not in st:
+        cu = _unit_centroids(st["cent"])  # (cid, c_unit), zero-safe
+        residual = F.expr("zip_with(n, c_unit, (x, y) -> x - y)")
+        # PINNED: every Lloyd pass, the encoder, and the index build
+        # consume this frame — without the pin each _pq_assign scan
+        # re-executed the packed coarse-assignment fold plus the
+        # normalization join (pre-pin the sf0.001 selfcheck ran 115 s)
+        st["res"] = (
+            st["nv"]
+            .join(st["assigned"], "vec_id")
+            .join(F.broadcast(cu), "cid")
+            .select("vec_id", "cid", residual.alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        rsub = _pq_subvecs(st["res"].select("vec_id", "n"))
+        # cb0 = the corpus residual rows of the hashed-seed ids, keyed
+        # by the seed's hash-rank cid — a broadcast id join against
+        # the already-pinned residual frame, structurally identical to
+        # the oracle's `rcb0 AS (... FROM seed JOIN rsub ...)`
+        seed_ids = _hashed_seed(st["emb"], k=PQ_CODES, with_vec_id=True).select(
+            "vec_id", F.col("cid").alias("scid")
+        )
+        rcb0 = (
+            rsub.join(F.broadcast(seed_ids), "vec_id")
+            .select("m", F.col("scid").alias("cid"), F.col("s").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        st["rcb"] = _pq_lloyd(rsub, rcb0)
+        st["rcodes"] = _pq_encode(rsub, st["rcb"]).localCheckpoint(eager=True)
+    return st
 
 
 def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2157,14 +2270,16 @@ def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     serve as-is or needs the standard full-precision re-rank of the
     ADC top candidates. Exact scoring is a bounded baseline (PQ_NQ broadcast
     queries), as documented for q48/q128; the production path routes
-    candidates through IVF (q123) first."""
-    emb = load_table_parallel(spark, sf_dir, "embeddings")
-    nv = _pq_nv(emb)
-    sub = _pq_subvecs(nv)
-    cb = _pq_train(emb, sub)
-    # encode: PQ_M codes per vector, ordered by m; carry n for the
-    # exact-cosine side of the audit
-    enc = _pq_encode(sub, cb).join(nv, "vec_id")
+    candidates through IVF (q123) first.
+
+    Training/encoding pull from the shared train-once state
+    (_pq_shared_flat, VERDICT r15 item 2): the codebooks and code
+    table are index-build artifacts, pinned once per application —
+    this body is the SERVING + audit path."""
+    st = _pq_shared_flat(spark, sf_dir)
+    nv, cb = st["nv"], st["cb"]
+    # encoded corpus with n carried for the exact-cosine audit side
+    enc = st["codes"].join(nv, "vec_id")
     q_lut = _pq_query_luts(nv, cb)
     scored = (
         F.broadcast(q_lut)
@@ -2398,6 +2513,11 @@ def _serving_audit(
         .withColumn("rank", F.row_number().over(w_cos))
         .filter(F.col("rank") <= PQ_TOPK)
         .select("query_id", "neighbor_id")
+        # PINNED (PQ_NQ x PQ_TOPK rows): the baseline's full-corpus
+        # crossJoin scan has FOUR consumers below (both hit joins, the
+        # distinct-query anchor, and the mean aggregate's copy of the
+        # per_q subtree) — without the pin each re-executed it
+        .localCheckpoint(eager=True)
     )
     hits = exact.join(
         served,
@@ -2431,12 +2551,18 @@ def _serving_audit(
             F.coalesce("n_hits_adc", F.lit(0)).alias("n_hits_adc"),
         )
     )
-    w_all = Window.partitionBy()
-    mean = (
-        F.sum("n_hits").over(w_all).cast("double")
-        / (F.count(F.lit(1)).over(w_all) * PQ_TOPK).cast("double")
+    # global mean as a ONE-ROW aggregate crossJoined back (the repo's
+    # documented broadcast pattern for global stats, ADVICE r15 #5 —
+    # an unpartitioned window funnels every row through one partition;
+    # bounded here by PQ_NQ but wrong as a template to copy)
+    stats = per_q.agg(
+        (
+            F.sum("n_hits").cast("double")
+            / (F.count(F.lit(1)) * PQ_TOPK).cast("double")
+        ).alias("mean_recall")
     )
-    return per_q.select(
+    mean = F.col("mean_recall")
+    return per_q.crossJoin(F.broadcast(stats)).select(
         "query_id",
         "n_hits",
         "n_hits_adc",
@@ -2487,20 +2613,19 @@ def q167_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH answer sets, plus mean_recall (re-ranked) and the
     meets_target verdict vs IVFPQ_RECALL_TARGET. recall/mean are
     single divisions of exact integer counts, bit-identical across
-    engines."""
-    emb = load_table_parallel(spark, sf_dir, "embeddings")
-    nv = _pq_nv(emb)
-    sub = _pq_subvecs(nv)
-    cb = _pq_train(emb, sub)
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
-    )
-    # the serving index: (neighbor_id, cid, codes) — built in one pass
-    # over the corpus (map-only list assignment + the encode agg)
+    engines.
+
+    The index (coarse assignment + codebooks + code table) comes from
+    the shared train-once state (_pq_shared_flat, VERDICT r15 item 2)
+    — built once per application, reused by q166/q168 and every
+    re-execution; this body is the serving path."""
+    st = _pq_shared_flat(spark, sf_dir)
+    emb, nv, cb, cent = st["emb"], st["nv"], st["cb"], st["cent"]
+    # the serving index: (neighbor_id, cid, codes) — the pinned coarse
+    # assignment joined to the pinned code table
     index = (
-        _argmax_cosine_packed(emb, cent, k_max_hint=N_CENTROIDS)
-        .select("vec_id", "cid")
-        .join(_pq_encode(sub, cb), "vec_id")
+        st["assigned"]
+        .join(st["codes"], "vec_id")
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("cid").alias("list_id"),
@@ -2680,55 +2805,27 @@ def q168_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each pair scores once. ADC top-R gets the same full-precision
     re-rank as q167 (floats for NQ x R rows only); the result reports
     BOTH answer sets vs exact full-corpus cosine and gates the
-    re-ranked mean on IVFPQ_RECALL_TARGET."""
-    emb = load_table_parallel(spark, sf_dir, "embeddings")
-    nv = _pq_nv(emb)
-    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
-    )
+    re-ranked mean on IVFPQ_RECALL_TARGET.
+
+    The residual index (coarse assignment, residual frame, residual
+    codebooks, residual code table) comes from the shared train-once
+    state (_pq_shared_residual, VERDICT r15 item 2): the coarse stage
+    is the SAME pinned assignment q167 serves from — trained once per
+    application instead of once per lane per execution."""
+    st = _pq_shared_residual(spark, sf_dir)
+    emb, nv, cent = st["emb"], st["nv"], st["cent"]
     cu = _unit_centroids(cent)  # (cid, c_unit), zero-safe
-    assigned = _argmax_cosine_packed(emb, cent, k_max_hint=N_CENTROIDS).select(
-        "vec_id", "cid"
-    )
-    residual = F.expr("zip_with(n, c_unit, (x, y) -> x - y)")
-    # PINNED (eager localCheckpoint): every Lloyd pass, the encoder,
-    # and the index build consume this frame — without the pin each
-    # _pq_assign scan re-executes the packed coarse-assignment fold
-    # plus the normalization join (pre-pin the sf0.001 selfcheck ran
-    # 115 s; post-pin the Spark side alone runs ~19 s — the
-    # lsh_candidate_pairs bands-pin lesson applied to residuals)
-    res = (
-        nv.join(assigned, "vec_id")
-        .join(F.broadcast(cu), "cid")
-        .select("vec_id", "cid", residual.alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    rsub = _pq_subvecs(res.select("vec_id", "n"))
-    # cb0 = the corpus residual rows of the hashed-seed ids, keyed by
-    # the seed's hash-rank cid — a broadcast id join against the
-    # already-pinned residual frame, structurally identical to the
-    # oracle's `rcb0 AS (... FROM seed JOIN rsub ...)` (review r15:
-    # the first draft rebuilt the seed residuals through a second
-    # normalization + coarse-assignment lineage and argued row
-    # equality in a comment)
-    seed_ids = _hashed_seed(emb, k=PQ_CODES, with_vec_id=True).select(
-        "vec_id", F.col("cid").alias("scid")
-    )
-    rcb0 = (
-        rsub.join(F.broadcast(seed_ids), "vec_id")
-        .select("m", F.col("scid").alias("cid"), F.col("s").alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    rcb = _pq_lloyd(rsub, rcb0)
     index = (
-        res.select("vec_id", "cid")
-        .join(_pq_encode(rsub, rcb), "vec_id")
+        st["res"]
+        .select("vec_id", "cid")
+        .join(st["rcodes"], "vec_id")
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("cid").alias("list_id"),
             "codes",
         )
     )
+    rcb = st["rcb"]
     nv_q = nv.filter(F.col("vec_id") < PQ_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("n").alias("qn")
     )
