@@ -131,6 +131,7 @@ WRITE_AUDITS = [
     "q159_stream_quality_monitor_audit",
     "q160_day2_chain_audit",
     "q163_sqlite_store_audit",
+    "q169_streaming_events_parity_audit",
 ]
 
 # HEAVY-AUDIT ROTATION (VERDICT r12 item 2 / advisor question 1): the
@@ -157,10 +158,12 @@ HEAVY_AUDIT_ROTATION = {
         "q158_stream_join_ingest_audit",
         "q160_day2_chain_audit",
     ],
-    # odd rounds: the single heaviest (q156) plus q159
+    # odd rounds: the parity-audit pair (q156 docs + q169 events —
+    # one row until the r16 split) plus q159
     1: [
         "q156_streaming_parity_audit",
         "q159_stream_quality_monitor_audit",
+        "q169_streaming_events_parity_audit",
     ],
 }
 
@@ -255,7 +258,9 @@ WRITE_AUDIT_ANCHOR = {
     "q153_band_store_audit": 5.688,
     "q154_bucketed_join_audit": 4.029,
     "q155_partitioned_prune_audit": 1.68,
-    "q156_streaming_parity_audit": 21.939,
+    # q156's r14 anchor (21.939, five lanes) retired r16: the events
+    # lanes split to q169 (VERDICT r15 item 3), so BOTH rows ride
+    # unanchored (write_unanchored) until the next full-bucket refresh
     "q157_bucketed_antijoin_dedup_audit": 1.367,
     "q158_stream_join_ingest_audit": 14.213,
     "q159_stream_quality_monitor_audit": 4.158,

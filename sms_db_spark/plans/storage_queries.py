@@ -1790,7 +1790,7 @@ def _drain(q, what: str) -> None:
 
 
 def q156_streaming_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The five pytest-only streaming lanes under ONE hash-gated audit
+    """The DOCUMENT streaming lanes under ONE hash-gated audit
     (VERDICT r10 item 2 — the recurring promised-but-ungated class that
     produced q153/q154/q155 across two rounds, closed for streaming in
     one row per lane): each lane runs its REAL streaming entry point
@@ -1801,6 +1801,15 @@ def q156_streaming_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream==batch parity through the actual streaming runtime, not just
     the shared expressions the pytest lanes already pin.
 
+    SPLIT r16 (VERDICT r15 item 3): this audit held FIVE lanes and was
+    the single heaviest bench row (25.5 s in the r15 driver window) —
+    one ambient burst poisoned five lanes' timing and a failure was
+    hard to attribute. The two EVENTS lanes (windows, sessions) moved
+    to q169_streaming_events_parity_audit along the staging boundary:
+    this row stages only the document drops, q169 stages only the
+    events drops, coverage unchanged, and each row's timing attributes
+    to its own staging + lanes.
+
     Lanes and their parity laws (one result row each):
       - curation (streaming/curation.py): stream_curate over 3 doc
         drops == q41-gate + q77-split on the raw corpus, checksummed
@@ -1810,37 +1819,23 @@ def q156_streaming_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         recomputed per doc_id-range window against the full-corpus
         reference profile (batch ⊆ corpus, so the merged bucket set is
         exactly the corpus bucket set).
-      - sessions (streaming/sessions.py): applyInPandasWithState closed
-        sessions == q32's lag/gap/cumsum sessionization on ms-truncated
-        timestamps MINUS each user's last (still-open) session.
       - sketches (streaming/sketches.py): the persisted HLL register
         table after streaming the corpus == q102's one-shot registers
         (merge-equals-whole across microbatches).
-      - windows (streaming/windows.py): watermarked append-mode tumbling
-        counts == the batch tumbling aggregate — every real window
-        emitted exactly ONCE, flushed deterministically by two sentinel
-        drops (watermark advances from the PREVIOUS batch's max event
-        time, the cross-run law test_streaming_windows pins: sentinel 1
-        lifts the watermark past every real window end, sentinel 2
-        triggers the batch that flushes under it; the sentinels' own
-        far-future window never emits). A duplicate or lost emission
-        breaks n_rows/checksum_mod against the batch aggregate.
 
     `replay_ok` is measured, not asserted: drift re-appends its last
     batch_id (foreachBatch at-least-once redelivery — the log must
     overwrite, not double), sketches re-merges the full corpus registers
-    into the store (max-merge idempotence), and the three file-sink
-    lanes restart their query on the same checkpoint with no new input
-    (a sink-protocol bug that re-emits on restart flips the flag).
+    into the store (max-merge idempotence), and curation restarts its
+    query on the same checkpoint with no new input (a sink-protocol bug
+    that re-emits on restart flips the flag).
 
     Scale note: every lane is the production shape at 100 TB/day — the
-    drift reference is |features x buckets| rows computed once, session
-    state is 3 scalars per active user, HLL state is 2^p registers
-    independent of history, curation is map-only, and the window state
-    is bounded by the watermark horizon. The driver holds only the
-    5-row lane summary; drops and checkpoints live in scratch.
+    drift reference is |features x buckets| rows computed once, HLL
+    state is 2^p registers independent of history, and curation is
+    map-only. The driver holds only the 3-row lane summary; drops and
+    checkpoints live in scratch.
     """
-    from ..operators.sketches import _h60
     from ..streaming.curation import DOCS_SCHEMA, stream_curate
     from ..streaming.drift import (
         append_drift,
@@ -1848,9 +1843,7 @@ def q156_streaming_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         reference_profile,
         stream_drift_monitor,
     )
-    from ..streaming.sessions import SESSION_SCHEMA, stream_sessions
     from ..streaming.sketches import merge_registers, stream_hll
-    from ..streaming.windows import stream_windowed_counts
 
     # state-store sizing on a CLONE (q152's discipline): 8 partitions fit
     # the audit corpus; the caller's session is never mutated
@@ -1860,7 +1853,6 @@ def q156_streaming_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         *[f.name for f in DOCS_SCHEMA.fields]
     )
-    events = load_table(spark, sf_dir, "events")
     mx = int(docs.agg(F.max("doc_id")).first()[0])
     span = mx + 1
 
@@ -1943,6 +1935,58 @@ def q156_streaming_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         remerged = merge_registers(current, current)
         replay = int(_lane_checksum(remerged, reg_parts) == (n, chk))
         lanes.append(("sketches", n, chk, replay))
+
+    return spark.createDataFrame(
+        sorted(lanes),
+        "lane string, n_rows bigint, checksum_mod bigint, replay_ok int",
+    ).orderBy("lane")
+
+
+def q169_streaming_events_parity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EVENTS streaming lanes under the same hash-gated parity
+    protocol as q156 — split out r16 (VERDICT r15 item 3: five lanes
+    under the r15 q156 made it the heaviest bench row at 25.5 s and
+    blurred per-lane timing attribution; the split follows the staging
+    boundary — q156 stages document drops, this row stages the events
+    corpus + sentinel drops).
+
+    Lanes and their parity laws (one result row each):
+      - windows (streaming/windows.py): watermarked append-mode tumbling
+        counts == the batch tumbling aggregate — every real window
+        emitted exactly ONCE, flushed deterministically by two sentinel
+        drops (watermark advances from the PREVIOUS batch's max event
+        time, the cross-run law test_streaming_windows pins: sentinel 1
+        lifts the watermark past every real window end, sentinel 2
+        triggers the batch that flushes under it; the sentinels' own
+        far-future window never emits). A duplicate or lost emission
+        breaks n_rows/checksum_mod against the batch aggregate.
+      - sessions (streaming/sessions.py): applyInPandasWithState closed
+        sessions == q32's lag/gap/cumsum sessionization on ms-truncated
+        timestamps MINUS each user's last (still-open) session.
+
+    `replay_ok` is measured, not asserted: both file-sink lanes restart
+    their query on the same checkpoint with no new input (a
+    sink-protocol bug that re-emits on restart flips the flag).
+
+    Scale note: session state is 3 scalars per active user and the
+    window state is bounded by the watermark horizon — both are the
+    production shape at 100 TB/day. The driver holds only the 2-row
+    lane summary; drops and checkpoints live in scratch.
+    """
+    from ..streaming.sessions import SESSION_SCHEMA, stream_sessions
+    from ..streaming.windows import stream_windowed_counts
+
+    # state-store sizing on a CLONE (q152's discipline): 8 partitions
+    # fit the audit corpus; the caller's session is never mutated
+    session = clone_tuned_session(spark)
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = session
+    events = load_table(spark, sf_dir, "events")
+
+    with _scratch_dir(spark, "sms_db_spark_stream_events_audit_") as root:
+        lanes: list[tuple[str, int, int, int]] = []
 
         # ---- events drops: real corpus + two far-future sentinels ----
         # Staged rows are restricted to non-NULL (ts, user_id,
@@ -2121,6 +2165,17 @@ def _q156_drift_sql() -> str:
     return " UNION ALL ".join(blocks)
 
 
+def _parity_lane_sql(name: str, src: str, row_expr: str) -> str:
+    """One oracle lane row (lane, n_rows, checksum_mod, replay_ok=1) —
+    the SQL twin of _lane_checksum, shared by the q156/q169 oracles."""
+    return f"""
+SELECT '{name}' AS lane, COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM({_h60_sql(row_expr)}), 0) % {_CHECKSUM_MOD} AS BIGINT)
+         AS checksum_mod,
+       1 AS replay_ok
+FROM ({src})"""
+
+
 def _q156_sql() -> str:
     from ..operators.sketches import HLL_M, _HLL_WBITS, _SHINGLE_ROWS_SQL
     from ..streaming.curation import (
@@ -2132,14 +2187,7 @@ def _q156_sql() -> str:
     )
     from ..operators.curation import TRAIN_UPTO, VALID_UPTO, _sql_bucket
 
-    def lane(name: str, src: str, row_expr: str) -> str:
-        return f"""
-SELECT '{name}' AS lane, COUNT(*) AS n_rows,
-       CAST(COALESCE(SUM({_h60_sql(row_expr)}), 0) % {_CHECKSUM_MOD} AS BIGINT)
-         AS checksum_mod,
-       1 AS replay_ok
-FROM ({src})"""
-
+    lane = _parity_lane_sql
     stop_re = r"\b(" + "|".join(_STOPWORDS) + r")\b"
     curation_src = f"""
   SELECT doc_id, n_tokens, bucket,
@@ -2165,7 +2213,36 @@ FROM ({src})"""
   FROM (SELECT {_h60_sql('gram')} AS h FROM ({_SHINGLE_ROWS_SQL}))
   GROUP BY 1"""
 
-    # the staging predicate, verbatim (see the q156 staging comment)
+    return (
+        lane(
+            "curation",
+            curation_src,
+            "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)"
+            " || ':' || CAST(bucket AS VARCHAR) || ':' || split",
+        )
+        + " UNION ALL "
+        + lane(
+            "drift",
+            _q156_drift_sql(),
+            "CAST(batch_id AS VARCHAR) || ':' || feature"
+            " || ':' || CAST(n_a AS VARCHAR) || ':' || CAST(n_b AS VARCHAR)"
+            " || ':' || CAST(n_buckets AS VARCHAR)"
+            " || ':' || CAST(tvd_milli AS VARCHAR)"
+            " || ':' || COALESCE(top_bucket, chr(1))",
+        )
+        + " UNION ALL "
+        + lane(
+            "sketches",
+            sketches_src,
+            "CAST(bucket AS VARCHAR) || ':' || CAST(max_rho AS VARCHAR)",
+        )
+        + " ORDER BY lane"
+    )
+
+
+def _q169_sql() -> str:
+    lane = _parity_lane_sql
+    # the staging predicate, verbatim (see the q169 staging comment)
     nondegenerate = (
         "ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL"
     )
@@ -2197,33 +2274,10 @@ FROM ({src})"""
 
     return (
         lane(
-            "curation",
-            curation_src,
-            "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)"
-            " || ':' || CAST(bucket AS VARCHAR) || ':' || split",
-        )
-        + " UNION ALL "
-        + lane(
-            "drift",
-            _q156_drift_sql(),
-            "CAST(batch_id AS VARCHAR) || ':' || feature"
-            " || ':' || CAST(n_a AS VARCHAR) || ':' || CAST(n_b AS VARCHAR)"
-            " || ':' || CAST(n_buckets AS VARCHAR)"
-            " || ':' || CAST(tvd_milli AS VARCHAR)"
-            " || ':' || COALESCE(top_bucket, chr(1))",
-        )
-        + " UNION ALL "
-        + lane(
             "sessions",
             sessions_src,
             "CAST(user_id AS VARCHAR) || ':' || CAST(s_ms AS VARCHAR)"
             " || ':' || CAST(e_ms AS VARCHAR) || ':' || CAST(n AS VARCHAR)",
-        )
-        + " UNION ALL "
-        + lane(
-            "sketches",
-            sketches_src,
-            "CAST(bucket AS VARCHAR) || ':' || CAST(max_rho AS VARCHAR)",
         )
         + " UNION ALL "
         + lane(
@@ -3335,7 +3389,12 @@ QUERIES = {
     "q156_streaming_parity_audit": QuerySpec(
         q156_streaming_parity_audit,
         _q156_sql(),
-        "five streaming lanes == their batch twins, one hashed row each",
+        "document streaming lanes == their batch twins, one hashed row each",
+    ),
+    "q169_streaming_events_parity_audit": QuerySpec(
+        q169_streaming_events_parity_audit,
+        _q169_sql(),
+        "events streaming lanes (windows, sessions) == their batch twins",
     ),
     "q157_bucketed_antijoin_dedup_audit": QuerySpec(
         q157_bucketed_antijoin_dedup_audit,

@@ -146,11 +146,12 @@ def test_pruned_listing_count_guards_every_assumption(spark, tmp_path):
 
 
 def test_q156_lanes_and_replay_flags(spark):
-    """The five-lane streaming parity audit (driver-gated q156): every
-    lane produced rows through its real streaming runtime, every
-    measured replay/restart-idempotence flag came back 1, drift logged
-    exactly one report per (batch, feature), and the audit ran on a
-    session CLONE (the caller's shuffle setting is untouched)."""
+    """The document-lane streaming parity audit (driver-gated q156;
+    events lanes split to q169 in r16): every lane produced rows
+    through its real streaming runtime, every measured
+    replay/restart-idempotence flag came back 1, drift logged exactly
+    one report per (batch, feature), and the audit ran on a session
+    CLONE (the caller's shuffle setting is untouched)."""
     from sms_db_spark.plans.storage_queries import (
         _PARITY_DROPS,
         q156_streaming_parity_audit,
@@ -158,10 +159,30 @@ def test_q156_lanes_and_replay_flags(spark):
 
     before = spark.conf.get("spark.sql.shuffle.partitions")
     rows = {r.lane: r for r in q156_streaming_parity_audit(spark, SF_DIR).collect()}
-    assert sorted(rows) == ["curation", "drift", "sessions", "sketches", "windows"]
+    assert sorted(rows) == ["curation", "drift", "sketches"]
     assert all(r.replay_ok == 1 for r in rows.values())
     assert all(r.n_rows > 0 for r in rows.values())
     assert rows["drift"].n_rows == 2 * _PARITY_DROPS  # one row per (batch, feature)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_q169_events_lanes_and_replay_flags(spark):
+    """The events-lane streaming parity audit (split from q156 in r16):
+    windows and sessions each produced rows through their real
+    streaming runtime with replay/restart-idempotence measured 1, on a
+    session clone."""
+    from sms_db_spark.plans.storage_queries import (
+        q169_streaming_events_parity_audit,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    rows = {
+        r.lane: r
+        for r in q169_streaming_events_parity_audit(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == ["sessions", "windows"]
+    assert all(r.replay_ok == 1 for r in rows.values())
+    assert all(r.n_rows > 0 for r in rows.values())
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
