@@ -2290,6 +2290,141 @@ def _q169_sql() -> str:
     )
 
 
+# q170: delete every message whose id % 7 == 3 (~14% — a realistic
+# bulk-delete slice, neither a point delete nor a truncate)
+_DELETE_MOD = 7
+_DELETE_REM = 3
+
+
+def q170_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-side cascade delete under the hash gate (VERDICT r15 item
+    4 — the one real reference-surface gap): the reference schema
+    declares `FOREIGN KEY(message_id) REFERENCES messages(_id) ON
+    DELETE CASCADE` (sms-db.pl:53), so a user deleting messages via
+    sqlite3 gets parts cleanup for free. This audit drives
+    sinks/versioned.delete_cascade through a real two-table versioned
+    store: commit v1 of messages (orders as the message stand-in,
+    keyed _id) and parts (lineitem keyed message_id, the q06 1:N
+    shape), delete every _id % {mod} == {rem}, read BOTH tables back
+    through the commit pointer, and hash the survivors. The oracle
+    recomputes the post-delete store from the raw tables — a match
+    proves the cascade dropped exactly the children of deleted parents
+    and nothing else, through real committed parquet.
+
+    Laws pinned in-result, all computed from the READ-BACK store:
+      - n_orphan_parts: parts ⋉̸ messages on the parent key — MUST be
+        0 (the FK state the reference's constraint forbids; computed
+        from the store, so a cascade bug fails the gate, not a pytest)
+      - versions_ok: both stores advanced v1 → v2 and v2 is live,
+        parts committed BEFORE messages (delete_cascade's crash
+        contract — the version names pin the order indirectly via
+        history, and both heads read back at v00000002)
+      - msg/part checksums + counts vs the oracle's raw recompute
+
+    Scale: the delete list broadcasts (map-side anti-join, zero
+    shuffles of either fact table); the rewrite is the pointer
+    commit's distributed parquet write; only this 1-row summary ever
+    reaches the driver."""
+    from ..operators.sketches import _h60
+    from ..sinks.versioned import delete_cascade, history, read_current
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    msgs = orders.select(
+        F.col("o_orderkey").alias("_id"),
+        F.col("o_custkey").alias("address"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    parts = lineitem.select(
+        F.col("l_orderkey").alias("message_id"),
+        F.col("l_linenumber").alias("seq"),
+        F.col("l_returnflag").alias("ct"),
+    )
+    doomed = msgs.filter(
+        F.col("_id") % _DELETE_MOD == _DELETE_REM
+    ).select("_id")
+    with _scratch_dir(spark, "sms_db_spark_cascade_delete_audit_") as root:
+        from ..sinks.versioned import commit_version
+
+        m_store, p_store = f"{root}/messages", f"{root}/parts"
+        commit_version(spark, m_store, msgs)
+        commit_version(spark, p_store, parts)
+        vs = delete_cascade(spark, m_store, p_store, doomed)
+        m_back = read_current(spark, m_store)
+        p_back = read_current(spark, p_store)
+        n_orphans = p_back.join(
+            m_back.select(F.col("_id").alias("message_id")),
+            "message_id",
+            "left_anti",
+        ).count()
+        m_hist = {h["version"]: h["status"] for h in history(spark, m_store)}
+        p_hist = {h["version"]: h["status"] for h in history(spark, p_store)}
+        versions_ok = int(
+            vs == {"parts_version": "v00000002", "messages_version": "v00000002"}
+            and m_hist == {"v00000001": "old", "v00000002": "live"}
+            and p_hist == {"v00000001": "old", "v00000002": "live"}
+        )
+        mh = _h60(
+            F.concat_ws(
+                ":",
+                F.col("_id").cast("string"),
+                F.col("address").cast("string"),
+                F.col("status"),
+            )
+        )
+        ph = _h60(
+            F.concat_ws(
+                ":",
+                F.col("message_id").cast("string"),
+                F.col("seq").cast("string"),
+                F.col("ct"),
+            )
+        )
+        m_agg = m_back.agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            (F.sum(mh.cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD))
+            .cast("bigint")
+            .alias("msg_checksum_mod"),
+        )
+        p_agg = p_back.agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum(ph.cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD))
+            .cast("bigint")
+            .alias("part_checksum_mod"),
+        )
+        out = (
+            m_agg.crossJoin(p_agg)
+            .withColumn("n_orphan_parts", F.lit(n_orphans).cast("bigint"))
+            .withColumn("versions_ok", F.lit(versions_ok).cast("int"))
+        )
+        return _detached(out)  # 1 driver-held row; scratch dies here
+
+
+def _q170_sql() -> str:
+    mod, rem = _DELETE_MOD, _DELETE_REM
+    mh = _h60_sql(
+        "CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)"
+        " || ':' || o_orderstatus"
+    )
+    ph = _h60_sql(
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+        " || ':' || l_returnflag"
+    )
+    return f"""
+SELECT
+  (SELECT COUNT(*) FROM orders WHERE o_orderkey % {mod} <> {rem})
+    AS n_messages,
+  (SELECT CAST(COALESCE(SUM({mh}), 0) % {_CHECKSUM_MOD} AS BIGINT)
+   FROM orders WHERE o_orderkey % {mod} <> {rem}) AS msg_checksum_mod,
+  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey % {mod} <> {rem})
+    AS n_parts,
+  (SELECT CAST(COALESCE(SUM({ph}), 0) % {_CHECKSUM_MOD} AS BIGINT)
+   FROM lineitem WHERE l_orderkey % {mod} <> {rem}) AS part_checksum_mod,
+  CAST(0 AS BIGINT) AS n_orphan_parts,
+  1 AS versions_ok
+"""
+
+
 # q157 split: store = doc_id % 5 != 0 (80%); delta = the missing fifth
 # (genuinely new) plus every doc_id % 10 == 1 re-delivered from the
 # store (the at-least-once duplicate the anti-join must drop).
@@ -3395,6 +3530,11 @@ QUERIES = {
         q169_streaming_events_parity_audit,
         _q169_sql(),
         "events streaming lanes (windows, sessions) == their batch twins",
+    ),
+    "q170_cascade_delete_audit": QuerySpec(
+        q170_cascade_delete_audit,
+        _q170_sql(),
+        "ON DELETE CASCADE on the versioned store: no orphan parts, hashed",
     ),
     "q157_bucketed_antijoin_dedup_audit": QuerySpec(
         q157_bucketed_antijoin_dedup_audit,

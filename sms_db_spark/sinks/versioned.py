@@ -189,6 +189,50 @@ def commit_version(spark: SparkSession, store: str, df: DataFrame) -> str:
     return name
 
 
+def delete_cascade(
+    spark: SparkSession,
+    msg_store: str,
+    part_store: str,
+    ids: DataFrame,
+    key: str = "_id",
+    fk: str = "message_id",
+) -> dict:
+    """Store-side DELETE with the messages→parts cascade — reference
+    parity for `FOREIGN KEY(message_id) REFERENCES messages(_id) ON
+    DELETE CASCADE` (sms-db.pl:53): a sqlite3 user deleting messages
+    gets parts cleanup for free; this is that contract on the
+    two-table versioned store, committed as new versions of BOTH
+    tables (VERDICT r15 item 4).
+
+    `ids` is the delete list (one column named `key`; extra columns
+    ignored; absent ids are a no-op — DELETE is idempotent). The
+    delete itself is a BROADCAST left_anti join on each table: delete
+    lists are small relative to a 100 TB store, so the rewrite is a
+    map-side filter with zero shuffles — the fact tables never move.
+    At production scale the pointer commit would route through the
+    footer-range-pruned CoW path (sinks/merge.py) to rewrite only
+    affected files; this layer is the total-replacement twin the
+    module header documents.
+
+    COMMIT ORDER is the crash contract: PARTS first, then messages. A
+    crash between the two commits leaves messages whose parts are
+    already gone — a state the schema allows (messages may have zero
+    parts) — and never the reverse: an orphan part row, the exact
+    state the reference's FK constraint exists to forbid, cannot be
+    published by any crash point. Returns both committed version
+    names."""
+    id_col = F.broadcast(ids.select(F.col(key).alias(key)).distinct())
+    recover_head(spark, part_store)
+    recover_head(spark, msg_store)
+    parts_next = read_current(spark, part_store).join(
+        id_col.withColumnRenamed(key, fk), fk, "left_anti"
+    )
+    part_v = commit_version(spark, part_store, parts_next)
+    msgs_next = read_current(spark, msg_store).join(id_col, key, "left_anti")
+    msg_v = commit_version(spark, msg_store, msgs_next)
+    return {"parts_version": part_v, "messages_version": msg_v}
+
+
 def rollback(spark: SparkSession, store: str, version: str) -> str:
     """Point the store back at a previously-published version (the
     restore path, first-class instead of hand-editing `_HEAD`). Only

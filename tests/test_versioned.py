@@ -403,3 +403,40 @@ def test_merge_current_recovers_lost_pointer_at_entry(spark, tmp_path):
     stats = merge_current(spark, store, source, ["id"])
     assert (stats["updated"], stats["inserted"]) == (5, 3)
     assert read_current(spark, store).count() == 8
+
+
+def test_delete_cascade_drops_children_and_is_idempotent(spark, tmp_path):
+    """delete_cascade (sms-db.pl:53 ON DELETE CASCADE parity): children
+    of deleted parents go, children of survivors stay, absent ids are a
+    no-op (DELETE is idempotent), parts commit BEFORE messages (the
+    crash contract: no crash point can publish an orphan part), and a
+    repeat delete commits new versions with identical content."""
+    from sms_db_spark.sinks.versioned import delete_cascade
+
+    m_store, p_store = str(tmp_path / "m"), str(tmp_path / "p")
+    msgs = spark.range(10).select(F.col("id").alias("_id"))
+    parts = (
+        spark.range(30)
+        .select((F.col("id") % 10).alias("message_id"), F.col("id").alias("pid"))
+    )
+    commit_version(spark, m_store, msgs)
+    commit_version(spark, p_store, parts)
+    # delete 2 present ids + 1 absent id
+    doomed = spark.createDataFrame([(3,), (7,), (99,)], "_id bigint")
+    vs = delete_cascade(spark, m_store, p_store, doomed)
+    assert vs == {"parts_version": "v00000002", "messages_version": "v00000002"}
+    m = read_current(spark, m_store)
+    p = read_current(spark, p_store)
+    assert sorted(r._id for r in m.collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+    assert p.count() == 24  # 3 children each for ids 3 and 7 dropped
+    assert p.filter(F.col("message_id").isin(3, 7)).count() == 0
+    # FK law: no orphan parts after the cascade
+    orphans = p.join(
+        m.select(F.col("_id").alias("message_id")), "message_id", "left_anti"
+    )
+    assert orphans.count() == 0
+    # idempotent: same delete again commits v3 with identical content
+    delete_cascade(spark, m_store, p_store, doomed)
+    assert current_version(spark, m_store) == "v00000003"
+    assert read_current(spark, m_store).count() == 8
+    assert read_current(spark, p_store).count() == 24
