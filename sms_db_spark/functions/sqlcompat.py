@@ -1,0 +1,49 @@
+"""SQLite-compat rewrites for the verbatim ad-hoc SQL surface (E3).
+
+The reference promises its users raw SQL over the store
+(querying.md:35-39); those queries run under sqlite3 semantics. One
+documented deviation survives the port to Spark SQL (SURVEY §7g):
+SQLite's LIKE is ASCII case-INsensitive by default ("The LIKE operator
+does case-insensitive matching for ASCII characters" — sqlite3 docs,
+PRAGMA case_sensitive_like off), while Spark's LIKE is case-sensitive.
+The querying.md examples therefore match 'Text/plain' under sqlite3
+and miss it under a naive port.
+
+`sqlite_like_compat` is the OPT-IN rewrite that closes the deviation:
+every LIKE token outside string literals / quoted identifiers becomes
+ILIKE (Spark >= 3.3), which is Spark's case-insensitive LIKE. NOT LIKE
+becomes NOT ILIKE by the same token substitution. The rewrite is
+deliberately token-level, not a SQL parse: the verbatim surface's
+contract is "paste your sqlite3 query", and a tokenizer that only has
+to respect quoting cannot mis-nest an expression it never rebuilds.
+
+Deviation note kept honest: sqlite3's CI is ASCII-only ('Ä' LIKE 'ä'
+is FALSE there), while ILIKE lowercases per Unicode — the rewrite is
+case-insensitive in strictly more cases. For the reference's phone
+numbers, MIME types and ASCII names the two agree exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+# string literals ('' escapes) and quoted identifiers ("" escapes) are
+# opaque: a LIKE inside either is data, not an operator
+_OPAQUE_RE = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
+_LIKE_RE = re.compile(r"\bLIKE\b", re.IGNORECASE)
+# \bLIKE\b cannot match inside ILIKE: the preceding I is a word
+# character, so there is no boundary — the rewrite is idempotent
+
+
+def sqlite_like_compat(sql: str) -> str:
+    """Rewrite LIKE -> ILIKE outside literals/quoted identifiers, so a
+    sqlite3 query's (ASCII-)case-insensitive LIKE behaves identically
+    when pasted into the Spark surface."""
+    out: list[str] = []
+    pos = 0
+    for m in _OPAQUE_RE.finditer(sql):
+        out.append(_LIKE_RE.sub("ILIKE", sql[pos : m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(_LIKE_RE.sub("ILIKE", sql[pos:]))
+    return "".join(out)

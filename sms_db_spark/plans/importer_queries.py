@@ -145,6 +145,37 @@ def q65_sql_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q171_sql_verbatim_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 under the sqlite3 LIKE-compat rewrite (VERDICT r15 item 5):
+    querying.md's examples run case-INsensitively under sqlite3 (its
+    LIKE is ASCII-CI by default), which was the one documented
+    deviation of the verbatim surface (SURVEY §7g, q65). This lane
+    runs the documented query with a deliberately MIXED-CASE pattern
+    ('TEXT%' against the store's 'text/plain' rows) through
+    functions/sqlcompat.sqlite_like_compat — the opt-in LIKE→ILIKE
+    token rewrite — and must return exactly q65's rows: under sqlite3
+    the two spellings are the same query, and now they are here too.
+    Case-sensitive Spark LIKE would return zero rows, so a silent
+    rewrite regression empties the result and fails the row gate."""
+    from ..functions.sqlcompat import sqlite_like_compat
+
+    xm, xp = normalize_xml(*xml_frames(spark))
+    xm, xp = _ckpt(xm, xp)
+    res = finalize_import(xm, xp)
+    res.messages.createOrReplaceTempView("messages")
+    res.parts.createOrReplaceTempView("parts")
+    return spark.sql(
+        sqlite_like_compat(
+            """
+        SELECT messages.timestamp, messages.sender_name, parts.text
+        FROM messages INNER JOIN parts ON messages._id = parts.message_id
+        WHERE parts.content_type LIKE 'TEXT%'
+        ORDER BY messages.timestamp
+        """
+        )
+    )
+
+
 # --- bench-scale import dataflow (oracle-checked, unlike the fixture ones) ---
 
 
@@ -349,6 +380,16 @@ QUERIES = {
         q65_sql_verbatim,
         _values_sql([("timestamp", "BIGINT"), ("sender_name", "VARCHAR"), ("text", "VARCHAR")], Q65_GOLDEN),
         "ad-hoc SQL surface (E3), golden-VALUES oracle",
+    ),
+    # the oracle doubles as the sqlite3-behavior pin: DuckDB ILIKE over
+    # the same golden rows == what sqlite3's CI LIKE returns on them
+    "q171_sql_verbatim_ci": QuerySpec(
+        q171_sql_verbatim_ci,
+        _values_sql(
+            [("timestamp", "BIGINT"), ("sender_name", "VARCHAR"), ("text", "VARCHAR")],
+            Q65_GOLDEN,
+        ),
+        "E3 with sqlite3 LIKE case-insensitivity (LIKE→ILIKE compat)",
     ),
     "q60_import_xml": QuerySpec(
         q60_import_xml,

@@ -179,3 +179,26 @@ class TestSignal:
             [("two pics", "text/plain"), (b"BBBB", "image/jpeg"), (b"AAAA", "image/png")],
         )
         assert row["hash"] == expected
+
+
+def test_sqlite_like_compat_rewrite():
+    """LIKE→ILIKE token rewrite: operators outside quotes rewritten
+    (any case, NOT LIKE included), literal and quoted-identifier
+    content untouched, ILIKE left alone (idempotent)."""
+    from sms_db_spark.functions.sqlcompat import sqlite_like_compat as c
+
+    assert c("a LIKE 'x%'") == "a ILIKE 'x%'"
+    assert c("a like 'x%'") == "a ILIKE 'x%'"
+    assert c("a NOT LIKE 'x%'") == "a NOT ILIKE 'x%'"
+    # data stays data: a literal containing ' LIKE ' and an escaped ''
+    assert c("a = 'I LIKE it' AND b LIKE 'don''t LIKE %'") == (
+        "a = 'I LIKE it' AND b ILIKE 'don''t LIKE %'"
+    )
+    # quoted identifier untouched
+    assert c('"LIKE" LIKE \'x\'') == '"LIKE" ILIKE \'x\''
+    # idempotent: ILIKE has no \bLIKE\b inside
+    assert c("a ILIKE 'x%'") == "a ILIKE 'x%'"
+    # LIKELY / columns named like_x are not operators
+    assert c("SELECT likely, my_like FROM t WHERE x LIKE 'a'") == (
+        "SELECT likely, my_like FROM t WHERE x ILIKE 'a'"
+    )
