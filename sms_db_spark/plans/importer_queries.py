@@ -176,6 +176,82 @@ def q171_sql_verbatim_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q172_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ignored-record quarantine round-trip (VERDICT r15 item 8): the
+    reference dumps each ignored record to the console as it skips it
+    (sms-db.pl:146-147,176 via Data::Dump); the repo counted them
+    (q62's ignored counter) but persisted nothing. This lane writes
+    signal_quarantine_rows — the reject branch WITH reason codes — to
+    a real parquet sink, reads it back, and returns the read-back rows
+    with the import statistics attached plus the reconciliation law
+    computed in-result:
+
+        recon_ok = (stat_total == inserted + duplicates + ignored)
+                   AND (ignored == quarantine row count)
+
+    so a reject-branch drift (quarantine predicate diverging from the
+    counter's) or a lossy sink write flips a gated column. The golden
+    oracle pins the exact four records sms-db.pl would dump on this
+    fixture, reason-coded.
+
+    Scale: the quarantine write is a distributed parquet write of the
+    reject slice (map-side filter of the staging join — no extra
+    shuffle); only the bounded read-back reaches the driver."""
+    from ..sources.signal import signal_quarantine_rows
+    from .storage_queries import _scratch_dir
+
+    frames = signal_frames(spark)
+    sm, sp, ignored = normalize_signal(*frames)
+    sm, sp = _ckpt(sm, sp)
+    res = finalize_import(sm, sp, ignored_count=ignored)
+    q = signal_quarantine_rows(frames[0], frames[1], frames[2])
+    with _scratch_dir(spark, "sms_db_spark_quarantine_audit_") as root:
+        q.write.mode("overwrite").parquet(f"{root}/quarantine")
+        back = spark.read.parquet(f"{root}/quarantine")
+        n_quarantined = back.count()
+        recon_ok = int(
+            res.total == res.inserted + res.duplicates + res.ignored
+            and res.ignored == n_quarantined
+        )
+        out = (
+            back.withColumn("stat_total", F.lit(res.total))
+            .withColumn("stat_inserted", F.lit(res.inserted))
+            .withColumn("stat_duplicates", F.lit(res.duplicates))
+            .withColumn("stat_ignored", F.lit(res.ignored))
+            .withColumn("recon_ok", F.lit(recon_ok).cast("int"))
+            .orderBy("source", "_id")
+        )
+        # bounded read-back: the quarantine is the reject slice of one
+        # import run; materialize before the scratch dir dies
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+_Q172_COLS = [
+    ("source", "VARCHAR"),
+    ("_id", "BIGINT"),
+    ("timestamp", "BIGINT"),
+    ("address", "BIGINT"),
+    ("raw_code", "BIGINT"),
+    ("body", "VARCHAR"),
+    ("reason", "VARCHAR"),
+    ("stat_total", "INTEGER"),
+    ("stat_inserted", "INTEGER"),
+    ("stat_duplicates", "INTEGER"),
+    ("stat_ignored", "INTEGER"),
+    ("recon_ok", "INTEGER"),
+]
+
+# the exact records sms-db.pl:146-147,176 would dump on this fixture
+# (FIXTURES.md §2: sms 3 'is on Signal!'-class unknown code, sms 4 call
+# record, sms 5 unknown code, mms 3 unknown msg_box), reason-coded
+Q172_GOLDEN = [
+    ("mms", 3, 1610003000000, 10, 777, "bad box", "unknown_msg_box_code", 8, 4, 0, 4, 1),
+    ("sms", 3, 1610000200000, 10, 2097156, "joined signal", "unknown_type_code", 8, 4, 0, 4, 1),
+    ("sms", 4, 1610000300000, 11, 2, None, "unknown_type_code", 8, 4, 0, 4, 1),
+    ("sms", 5, 1610000400000, 12, 999, "mystery", "unknown_type_code", 8, 4, 0, 4, 1),
+]
+
+
 # --- bench-scale import dataflow (oracle-checked, unlike the fixture ones) ---
 
 
@@ -390,6 +466,11 @@ QUERIES = {
             Q65_GOLDEN,
         ),
         "E3 with sqlite3 LIKE case-insensitivity (LIKE→ILIKE compat)",
+    ),
+    "q172_quarantine_audit": QuerySpec(
+        q172_quarantine_audit,
+        _values_sql(_Q172_COLS, Q172_GOLDEN),
+        "ignored-record quarantine: persisted rejects + counter recon",
     ),
     "q60_import_xml": QuerySpec(
         q60_import_xml,
