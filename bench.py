@@ -103,6 +103,8 @@ HEADLINE = [
     # unanchored-until-refresh rule
     "q167_ivfpq_serving",
     "q168_ivfadc_residual",
+    # new in r16: BPE encode (map-side linear tokenize)
+    "q173_bpe_tokenize",
 ]
 
 # Write-audit queries run real store writers (shards, versioned commits,

@@ -549,6 +549,111 @@ def bpe_train(spark: SparkSession, sf_dir: str, rounds: int = 8) -> list[str]:
     return merges
 
 
+# The PINNED production vocabulary for the tokenize lane: bpe_train's
+# exact output on the sf0.1 training corpus at rounds=12 (reproduce:
+# bpe_train(spark, <sf0.1 dir>, rounds=12)). Pinning is the realistic
+# shape — a tokenizer is TRAINED once on a reference corpus and then
+# APPLIED everywhere — and it is what makes the apply lane's oracle a
+# pure-SQL twin: both engines chain the same literal merge patterns.
+# Merge symbols are [a-z]+ by construction (BPE_WORD_RE): no regex
+# metacharacters to escape in the patterns built from them.
+BPE_MERGES = [
+    "e r", "i n", "o r", "s t", "o w", "t a",
+    "l u", "m er", "a r", "p ar", "u p", "par k",
+]
+# word separator in the per-doc symbol string: not [a-z ] so no merge
+# pattern can ever fuse symbols across word boundaries
+_BPE_WSEP = " / "
+
+
+def _bpe_merge_steps() -> list[tuple[str, str]]:
+    """(pattern, merged) per merge, in training order — ONE list both
+    engines chain so the laws cannot drift (replacement syntax is the
+    only engine difference: $1..$2 vs \\1..\\2).
+
+    THE BOUNDARY LAW (lookahead-free): symbols are separated by TWO
+    spaces, and each merge pattern `(^| )a  b( |$)` consumes ONE space
+    from each side and re-emits it (`$1ab$2`). A double boundary has
+    capacity for both of its neighbors, so adjacent fusions never
+    compete for the separator — "a  a  a  a" becomes "aa  aa" in one
+    pass, exactly the semantics bpe_train's lookahead form
+    `(^| )a b(?= |$)` implements on single-spaced symbols. The
+    encoding exists because the oracle's regex engine (RE2) supports
+    no lookahead; the capacity-2 boundary is the portable equivalent:
+    a match consumes one space per side, boundaries stay width-2
+    afterward (re-emitted via the captures), and leftmost-greedy
+    order is unchanged. tests/test_ngrams.py pins encode==trainer on
+    adversarial adjacent-fusion chains."""
+    return [
+        (f"(^| ){a}  {b}( |$)", f"{a}{b}")
+        for a, b in (m.split(" ") for m in BPE_MERGES)
+    ]
+
+
+def q173_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE ENCODE — tokenize the corpus with a trained
+    vocabulary (VERDICT r15 item 7: q94/bpe_train produce merges, but
+    the step every training pipeline runs most — tokenize with the
+    trained vocab — had no operator). Applies BPE_MERGES in training
+    order, leftmost-greedy (the _bpe_merge_steps boundary law —
+    provably the trainer's semantics, see its docstring), to every
+    document; emits per-doc token count and a checksum of the full
+    token string.
+
+    Plan shape: LINEAR per doc and fully map-side — lowercase + word
+    extraction + a char-split regexp + one chained regexp_replace per
+    merge, all inside one codegen stage; the only exchange is the
+    final doc_id sort (and at scale you'd drop the sort and write
+    partitioned). At 100 TB this is the ideal operator: zero
+    shuffles, scales with input bytes."""
+    from .sketches import _h60
+
+    docs = _docs(spark, sf_dir)
+    # every char (letter or the word separator '/') gets a two-space
+    # boundary appended; trailing run trimmed by the final collapse
+    sym = F.regexp_replace(
+        F.array_join(
+            F.expr(f"regexp_extract_all(lower(text), '{BPE_WORD_RE}', 0)"),
+            "/",
+        ),
+        "([a-z/])",
+        "$1  ",
+    )
+    for pat, merged in _bpe_merge_steps():
+        sym = F.regexp_replace(sym, pat, f"$1{merged}$2")
+    sym = F.trim(F.regexp_replace(sym, "  +", " "))
+    toks = F.split(sym, " ")
+    n_tokens = F.size(
+        F.filter(toks, lambda x: (x != "/") & (x != ""))
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        _h60(sym).alias("tok_checksum"),
+    ).orderBy("doc_id")
+
+
+def _q173_sql() -> str:
+    from .sketches import _h60_sql
+
+    sym = (
+        "regexp_replace(array_to_string("
+        f"regexp_extract_all(lower(text), '{BPE_WORD_RE}'), '/'),"
+        " '([a-z/])', '\\1  ', 'g')"
+    )
+    for pat, merged in _bpe_merge_steps():
+        sym = f"regexp_replace({sym}, '{pat}', '\\1{merged}\\2', 'g')"
+    sym = f"trim(regexp_replace({sym}, '  +', ' ', 'g'))"
+    return f"""
+WITH enc AS (SELECT doc_id, {sym} AS s FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(string_split(s, ' '),
+                            x -> x <> '/' AND x <> '')) AS BIGINT) AS n_tokens,
+       {_h60_sql('s')} AS tok_checksum
+FROM enc ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q88_dup_ngram_coverage": QuerySpec(
         q88_dup_ngram_coverage,
@@ -570,5 +675,10 @@ QUERIES = {
     ),
     "q94_bpe_pair_counts": QuerySpec(
         q94_bpe_pair_counts, Q94_SQL, "BPE training kernel: top adjacent-pair counts"
+    ),
+    "q173_bpe_tokenize": QuerySpec(
+        q173_bpe_tokenize,
+        _q173_sql(),
+        "BPE encode: tokenize with the trained vocab, map-side linear",
     ),
 }

@@ -125,3 +125,50 @@ def test_dup_spans_cross_checks_q88_and_bounds(spark):
             assert r.max_span_tokens == r.max_dup_run + 7
     # the corpus actually contains multi-gram duplicated runs
     assert any(r.max_dup_run > 1 for r in spans.values())
+
+
+def test_bpe_encode_boundary_law_equals_trainer_lookahead(spark):
+    """The capacity-2 boundary law (_bpe_merge_steps, RE2-portable)
+    must reproduce the trainer's lookahead law `(^| )a b(?= |$)` on
+    adversarial adjacent-fusion chains — the case where a consuming
+    single-space law visibly diverges ('a a a a a a' pairs as
+    aa/aa/aa under the trainer, but aa/a/aa/a under naive consuming
+    replace)."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        "a a a a a a",        # even chain
+        "a a a a a",          # odd chain
+        "x a b a b y",        # interleaved
+        "a b",                # whole string
+        "a b a b a b a b",    # long even chain (merge 'a b')
+        "b a a b",            # adjacent different context
+    ]
+
+    def trainer_apply(s: str, a: str, b: str) -> str:
+        df = spark.createDataFrame([(s,)], "s string")
+        return df.select(
+            F.regexp_replace(
+                "s", f"(^| ){a} {b}(?= |$)", f"$1{a}{b}"
+            ).alias("r")
+        ).first()["r"]
+
+    def encode_apply(s: str, a: str, b: str) -> str:
+        # single-spaced symbols -> capacity-2 encoding -> law -> collapse
+        df = spark.createDataFrame([(s.replace(" ", "  "),)], "s string")
+        out = df.select(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        "s", f"(^| ){a}  {b}( |$)", f"$1{a}{b}$2"
+                    ),
+                    "  +",
+                    " ",
+                )
+            ).alias("r")
+        ).first()["r"]
+        return out
+
+    for s in cases:
+        for a, b in [("a", "a"), ("a", "b")]:
+            assert encode_apply(s, a, b) == trainer_apply(s, a, b), (s, a, b)
