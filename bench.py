@@ -103,8 +103,10 @@ HEADLINE = [
     # unanchored-until-refresh rule
     "q167_ivfpq_serving",
     "q168_ivfadc_residual",
-    # new in r16: BPE encode (map-side linear tokenize)
+    # new in r16: BPE encode (map-side linear tokenize) + the
+    # clustered-fixture residual-vs-flat ADC comparison
     "q173_bpe_tokenize",
+    "q174_ivfadc_clustered",
 ]
 
 # Write-audit queries run real store writers (shards, versioned commits,
