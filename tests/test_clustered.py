@@ -178,9 +178,21 @@ def test_cell_bound_survives_adversarial_skew(spark, tmp_path):
             worst_depth = max(worst_depth, files_overlapping(dr, c, wlo, whi))
     assert worst_cell <= bound, worst_cell
     # and the skew really is adversarial: equi-depth breaches the same
-    # bound on this corpus (if this ever stops holding, the fixture no
-    # longer demonstrates the failure mode the cell writer exists for)
-    assert worst_depth > bound, worst_depth
+    # bound on this corpus — a FIXTURE-VALIDITY check, not a product
+    # law (ADVICE r15 #3: it rides repartitionByRange's reservoir
+    # sampling, so a Spark version or sampling change could flip it
+    # without any cell-writer regression). Skip-with-explanation in
+    # that case instead of failing CI: the cell bound above has
+    # already been asserted; the fixture just stopped DEMONSTRATING
+    # the failure mode and needs a more adversarial corpus.
+    if worst_depth <= bound:
+        import pytest as _pytest
+
+        _pytest.skip(
+            f"equi-depth no longer breaches the prune bound on this "
+            f"corpus (worst_depth={worst_depth} <= bound={bound}) — "
+            f"sampling behavior changed; re-derive the skew fixture"
+        )
 
 
 def test_cell_aligned_zorder_rejects_non_power_of_two(spark, tmp_path):
