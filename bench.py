@@ -701,10 +701,22 @@ def main() -> None:
         set(ambient["suspects_vs_anchor"]) | set(ambient["watch_vs_anchor"])
     )
     suspect_retimes: dict[str, dict] = {}
-    retime_cal = None
+    retime_cal = retime_cal_io = None
     if flagged:
         retime_cal = calibration(spark)
+        # headline queries SCAN parquet, so disk pressure inflates them
+        # like it inflates the write bucket — the retime normalizes by
+        # the WORST lane (cpu or io), the same trade write_watch makes
+        # (a first local validation run showed exactly this shape: cpu
+        # era 0.83 with io era 2.86, and CPU-only normalization left
+        # scan-heavy retimes reading 1.6-1.8x in a window whose own io
+        # probe explained them). Same acknowledged false-negative: a
+        # real regression inside an io-pressured window surfaces one
+        # round late through the anchor trend.
+        retime_cal_io = calibration_io(spark)
         retime_era = max(0.5, retime_cal / ANCHOR_CAL_SEC)
+        if ANCHOR_CAL_IO_SEC:
+            retime_era = max(retime_era, retime_cal_io / ANCHOR_CAL_IO_SEC)
         retimed = run(flagged)
         suspect_retimes = {
             q: {
@@ -897,7 +909,13 @@ def main() -> None:
         # artifact says so itself.
         "suspect_retimes": suspect_retimes,
         "suspect_retime_calibration_sec": retime_cal,
-        "suspects_cleared_on_retime": suspects_cleared_on_retime,
+        "suspect_retime_calibration_io_sec": retime_cal_io,
+        # null = nothing was flagged so no retime ran (matches the
+        # compact line's encoding; a bare false here misread as
+        # "retimed and stayed hot" on a run with zero flags)
+        "suspects_cleared_on_retime": (
+            suspects_cleared_on_retime if flagged else None
+        ),
         "value": round(sum(headline.values()), 3),
         "write_audits_total": round(sum(write_audits.values()), 3),
         "calibration_sec": cal,
