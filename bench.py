@@ -706,16 +706,22 @@ def main() -> None:
     # offenders (by flagged ratio); the skipped names are recorded so
     # a reader sees the cap, never mistakes it for a clean bill.
     RETIME_MAX = 8
+    # rank on ONE scale — raw measured/anchor — for both tiers
+    # (review r16: the suspect dict stores raw ratios while watch
+    # stores era-normalized ones; mixing them let an era-inflated
+    # watch entry outrank a genuine suspect out of the capped set)
     by_ratio = {
-        **ambient["watch_vs_anchor"],
-        **ambient["suspects_vs_anchor"],  # suspects outrank watch
+        q: headline[q] / ANCHOR[q] for q in flagged if q in ANCHOR
     }
-    retime_skipped = []
+    # a flagged-but-unanchored query can't be ratio-checked: count it
+    # skipped (visible) rather than silently dropping it later
+    retime_skipped = [q for q in flagged if q not in ANCHOR]
+    flagged = [q for q in flagged if q in ANCHOR]
     if len(flagged) > RETIME_MAX:
         keep = set(
             sorted(flagged, key=lambda q: -by_ratio.get(q, 0))[:RETIME_MAX]
         )
-        retime_skipped = [q for q in flagged if q not in keep]
+        retime_skipped += [q for q in flagged if q not in keep]
         flagged = sorted(keep)
     suspect_retimes: dict[str, dict] = {}
     retime_cal = retime_cal_io = None
@@ -740,8 +746,7 @@ def main() -> None:
                 "sec": retimed[q],
                 "ratio_vs_anchor": round(retimed[q] / (ANCHOR[q] * retime_era), 2),
             }
-            for q in flagged
-            if q in ANCHOR
+            for q in flagged  # all anchored by the pre-filter above
         }
     suspects_cleared_on_retime = (
         bool(suspect_retimes)

@@ -27,9 +27,18 @@ from __future__ import annotations
 
 import re
 
-# string literals ('' escapes) and quoted identifiers ("" escapes) are
-# opaque: a LIKE inside either is data, not an operator
-_OPAQUE_RE = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
+# string literals ('' escapes) and quoted identifiers are opaque: a
+# LIKE inside either is data, not an operator. sqlite3 accepts FOUR
+# identifier quotings — "double" (standard), [brackets] and `backticks`
+# (MS/MySQL compat, sqlite docs §keywords) — and the verbatim surface's
+# contract is "paste your sqlite3 query", so all four are honored
+# (review r16: the first draft rewrote SELECT [LIKE] / `LIKE`).
+_OPAQUE_RE = re.compile(
+    r"'(?:[^']|'')*'"  # string literal
+    r"|\"(?:[^\"]|\"\")*\""  # "identifier"
+    r"|\[[^\]]*\]"  # [identifier]
+    r"|`(?:[^`]|``)*`"  # `identifier`
+)
 _LIKE_RE = re.compile(r"\bLIKE\b", re.IGNORECASE)
 # \bLIKE\b cannot match inside ILIKE: the preceding I is a word
 # character, so there is no boundary — the rewrite is idempotent

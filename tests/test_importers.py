@@ -194,8 +194,10 @@ def test_sqlite_like_compat_rewrite():
     assert c("a = 'I LIKE it' AND b LIKE 'don''t LIKE %'") == (
         "a = 'I LIKE it' AND b ILIKE 'don''t LIKE %'"
     )
-    # quoted identifier untouched
+    # quoted identifiers untouched — all four sqlite3 quotings
     assert c('"LIKE" LIKE \'x\'') == '"LIKE" ILIKE \'x\''
+    assert c("[LIKE] LIKE 'x'") == "[LIKE] ILIKE 'x'"
+    assert c("`LIKE` LIKE 'x'") == "`LIKE` ILIKE 'x'"
     # idempotent: ILIKE has no \bLIKE\b inside
     assert c("a ILIKE 'x%'") == "a ILIKE 'x%'"
     # LIKELY / columns named like_x are not operators
