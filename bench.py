@@ -859,18 +859,27 @@ def main() -> None:
     # accumulated session/JVM state. Either way the number decomposes
     # the ramp instead of leaving the anchor choice to judgement.
     cal_python_cooldown = calibration_python(spark)
+    # Second io bracket (r16): the bucket-start probe misses ambient
+    # disk bursts ARRIVING mid-bucket — a controlled A/B measured q152
+    # tracking the io axis near-linearly (probe 3.04/1.03/0.82 s →
+    # q152 26.8/16.7/10.5 s, same code back-to-back), and one full
+    # run recorded q152 at 75 s with a CLEAN bucket-start probe
+    # (1.23) plus six watch flags. The bucket is bracketed like the
+    # headline's python axis: the era test uses whichever bracket
+    # caught the pressure.
+    cal_io_post = calibration_io(spark)
     # cold-to-cold watch (reported, never fatal): audits past
     # WATCH_RATIO of their r11 cold-protocol anchor, era-normalized by
     # the ANCHOR RUN'S OWN calibration (ADVICE r11 #2 — normalizing
     # r10-era anchors by the r11 headline cal carried unquantified
     # cross-era bias; the r11 refresh records its run's cal).
-    # era = the WORST lane (cpu or io): an audit flags only when slow
-    # relative to whichever lane ambient pressure landed on (r13's
-    # driver window was pure disk — uniform 2.1-5.7x with a FAST cpu
-    # cal — exactly what the io axis now absorbs)
+    # era = the WORST lane (cpu or io, either io bracket): an audit
+    # flags only when slow relative to whichever lane ambient
+    # pressure landed on (r13's driver window was pure disk — uniform
+    # 2.1-5.7x with a FAST cpu cal — exactly what the io axis absorbs)
     write_era = max(0.5, cal / WRITE_AUDIT_ANCHOR_CAL_SEC)
     if ANCHOR_CAL_IO_SEC:
-        write_era = max(write_era, cal_io / ANCHOR_CAL_IO_SEC)
+        write_era = max(write_era, max(cal_io, cal_io_post) / ANCHOR_CAL_IO_SEC)
     write_watch = {
         q: round(t / (WRITE_AUDIT_ANCHOR[q] * write_era), 2)
         for q, t in write_audits.items()
@@ -945,6 +954,7 @@ def main() -> None:
         "write_audits_total": round(sum(write_audits.values()), 3),
         "calibration_sec": cal,
         "calibration_io_sec": cal_io,
+        "calibration_io_post_sec": cal_io_post,
         "calibration_io_anchor_sec": ANCHOR_CAL_IO_SEC,
         "calibration_overhead_sec": cal_overhead,
         "calibration_python_sec": cal_python,
