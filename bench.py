@@ -636,11 +636,17 @@ def ambient_check(
     }
     anchored_total = sum(t for q, t in headline.items() if q in ANCHOR)
     anchor_total = sum(ANCHOR[q] for q in headline if q in ANCHOR)
+    raw_ratio = round(anchored_total / anchor_total, 3) if anchor_total else None
     return {
         "anchor_round": ANCHOR_ROUND,
-        "anchor_total_ratio": round(anchored_total / anchor_total, 3)
-        if anchor_total
-        else None,
+        "anchor_total_ratio": raw_ratio,
+        # the cross-round COMPARABLE number (r16): raw total divided by
+        # this run's cpu era — a reader no longer has to derive it from
+        # calibration_sec by hand before reading a slow-machine window
+        # as a regression (the era floor matches the suspect tier's)
+        "anchor_total_ratio_era_normalized": (
+            round(raw_ratio / era, 3) if raw_ratio is not None else None
+        ),
         "suspects_vs_anchor": dict(sorted(suspects.items())),
         "watch_vs_anchor": dict(sorted(watch.items())),
         "suspect_ambient": len(suspects) > SUSPECT_COUNT and ambient_signature,
@@ -992,6 +998,9 @@ def main() -> None:
                 "calibration_python_post_sec": cal_python_post,
                 "calibration_python_cooldown_sec": cal_python_cooldown,
                 "anchor_total_ratio": ambient["anchor_total_ratio"],
+                "anchor_total_ratio_era_normalized": ambient[
+                    "anchor_total_ratio_era_normalized"
+                ],
                 "suspect_ambient": ambient["suspect_ambient"],
                 # survives tail truncation: did the in-artifact retime
                 # clear every flagged query (<=1.5x anchor, fresh era)?
