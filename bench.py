@@ -137,6 +137,7 @@ WRITE_AUDITS = [
     "q163_sqlite_store_audit",
     "q169_streaming_events_parity_audit",
     "q170_cascade_delete_audit",
+    "q175_cow_cascade_delete_audit",
 ]
 
 # HEAVY-AUDIT ROTATION (VERDICT r12 item 2 / advisor question 1): the

@@ -2425,6 +2425,185 @@ SELECT
 """
 
 
+# q175: delete the low 2/10ths of the key RANGE — key-clustered stores
+# concentrate that slice into few files, which is what makes the prune
+# demonstrable (a modulo delete list would touch every file)
+_COWDEL_TENTHS = 2
+_N_COWDEL_FILES = 8
+
+
+def q175_cow_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-SCALE cascade delete: q170 proves the semantics
+    through the versioned store's total-rewrite commit; this lane
+    proves the path a 100 TB store actually takes — `delete_cow`
+    (sinks/merge.py), which rewrites ONLY the files whose footer key
+    range overlaps a delete key. Messages (orders) and parts
+    (lineitem) are written as key-range-clustered {n}-file stores, the
+    low {t}/10ths of the key range is deleted (a range delete lands in
+    few files of a clustered store — the realistic bulk-delete shape)
+    plus two absent ids (idempotence), parts BEFORE messages (q170's
+    crash contract). The oracle recomputes both post-delete tables
+    from raw; flags pinned in-result, all computed from the store:
+
+      - prune_msgs_ok / prune_parts_ok: >= half of each store's files
+        physically skipped (the delete really pruned);
+      - untouched_ok: every skipped file of BOTH stores survives under
+        its original name and size (append-new-then-delete-touched
+        means name survival IS physical untouchedness);
+      - n_orphan_parts: read-back parts ⋉̸ read-back messages == 0.
+
+    Scale note: the footer scan, prune join, slice anti-join, and
+    rewrite are distributed; the driver holds max(_id), two stats
+    dicts, the <= {n}-entry file listings, and this 1-row summary."""
+    from ..operators.sketches import _h60
+    from ..sinks.compaction import _data_files
+    from ..sinks.merge import delete_cow
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    msgs = orders.select(
+        F.col("o_orderkey").alias("_id"),
+        F.col("o_custkey").alias("address"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    parts = lineitem.select(
+        F.col("l_orderkey").alias("message_id"),
+        F.col("l_linenumber").alias("seq"),
+        F.col("l_returnflag").alias("ct"),
+    )
+    mx = int(msgs.agg(F.max("_id")).first()[0])
+    doomed = (
+        msgs.filter(10 * F.col("_id") < _COWDEL_TENTHS * mx)
+        .select("_id")
+        .unionByName(
+            spark.createDataFrame([(2 * mx,), (2 * mx + 1,)], "_id bigint")
+        )
+    )
+    with _scratch_dir(spark, "sms_db_spark_cow_cascade_delete_audit_") as root:
+        m_store, p_store = f"{root}/messages", f"{root}/parts"
+        (
+            msgs.repartitionByRange(_N_COWDEL_FILES, "_id")
+            .sortWithinPartitions("_id")
+            .write.parquet(m_store)
+        )
+        (
+            parts.repartitionByRange(_N_COWDEL_FILES, "message_id")
+            .sortWithinPartitions("message_id")
+            .write.parquet(p_store)
+        )
+        before = {
+            f.rsplit("/", 1)[-1]: b
+            for s in (m_store, p_store)
+            for f, b in _data_files(spark, s)
+        }
+        # parts FIRST (the q170 crash contract: no crash point can
+        # leave an orphan part)
+        p_stats = delete_cow(
+            spark, p_store, doomed.withColumnRenamed("_id", "message_id"),
+            "message_id",
+        )
+        m_stats = delete_cow(spark, m_store, doomed, "_id")
+        after = {
+            f.rsplit("/", 1)[-1]: b
+            for s in (m_store, p_store)
+            for f, b in _data_files(spark, s)
+        }
+        survived = set(before) & set(after)
+        untouched_ok = int(
+            len(survived)
+            >= m_stats["files_skipped"] + p_stats["files_skipped"]
+            and all(before[f] == after[f] for f in survived)
+        )
+        m_back = spark.read.parquet(m_store)
+        p_back = spark.read.parquet(p_store)
+        n_orphans = p_back.join(
+            m_back.select(F.col("_id").alias("message_id")),
+            "message_id",
+            "left_anti",
+        ).count()
+        mh = _h60(
+            F.concat_ws(
+                ":",
+                F.col("_id").cast("string"),
+                F.col("address").cast("string"),
+                F.col("status"),
+            )
+        )
+        ph = _h60(
+            F.concat_ws(
+                ":",
+                F.col("message_id").cast("string"),
+                F.col("seq").cast("string"),
+                F.col("ct"),
+            )
+        )
+        m_agg = m_back.agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            (F.sum(mh.cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD))
+            .cast("bigint")
+            .alias("msg_checksum_mod"),
+        )
+        p_agg = p_back.agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum(ph.cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD))
+            .cast("bigint")
+            .alias("part_checksum_mod"),
+        )
+        half = _N_COWDEL_FILES // 2
+        out = (
+            m_agg.crossJoin(p_agg)
+            .withColumn("n_orphan_parts", F.lit(n_orphans).cast("bigint"))
+            .withColumn(
+                "prune_msgs_ok",
+                F.lit(
+                    int(
+                        m_stats["files_rewritten"] >= 1
+                        and m_stats["files_skipped"] >= half
+                    )
+                ).cast("int"),
+            )
+            .withColumn(
+                "prune_parts_ok",
+                F.lit(
+                    int(
+                        p_stats["files_rewritten"] >= 1
+                        and p_stats["files_skipped"] >= half
+                    )
+                ).cast("int"),
+            )
+            .withColumn("untouched_ok", F.lit(untouched_ok).cast("int"))
+        )
+        return _detached(out)  # 1 driver-held row; scratch dies here
+
+
+def _q175_sql() -> str:
+    t = _COWDEL_TENTHS
+    mx = "(SELECT MAX(o_orderkey) FROM orders)"
+    mh = _h60_sql(
+        "CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)"
+        " || ':' || o_orderstatus"
+    )
+    ph = _h60_sql(
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+        " || ':' || l_returnflag"
+    )
+    return f"""
+SELECT
+  (SELECT COUNT(*) FROM orders WHERE 10 * o_orderkey >= {t} * {mx})
+    AS n_messages,
+  (SELECT CAST(COALESCE(SUM({mh}), 0) % {_CHECKSUM_MOD} AS BIGINT)
+   FROM orders WHERE 10 * o_orderkey >= {t} * {mx}) AS msg_checksum_mod,
+  (SELECT COUNT(*) FROM lineitem WHERE 10 * l_orderkey >= {t} * {mx})
+    AS n_parts,
+  (SELECT CAST(COALESCE(SUM({ph}), 0) % {_CHECKSUM_MOD} AS BIGINT)
+   FROM lineitem WHERE 10 * l_orderkey >= {t} * {mx}) AS part_checksum_mod,
+  CAST(0 AS BIGINT) AS n_orphan_parts,
+  1 AS prune_msgs_ok,
+  1 AS prune_parts_ok,
+  1 AS untouched_ok
+"""
+
+
 # q157 split: store = doc_id % 5 != 0 (80%); delta = the missing fifth
 # (genuinely new) plus every doc_id % 10 == 1 re-delivered from the
 # store (the at-least-once duplicate the anti-join must drop).
@@ -3535,6 +3714,11 @@ QUERIES = {
         q170_cascade_delete_audit,
         _q170_sql(),
         "ON DELETE CASCADE on the versioned store: no orphan parts, hashed",
+    ),
+    "q175_cow_cascade_delete_audit": QuerySpec(
+        q175_cow_cascade_delete_audit,
+        _q175_sql(),
+        "file-pruned CoW cascade delete: half the files untouched, hashed",
     ),
     "q157_bucketed_antijoin_dedup_audit": QuerySpec(
         q157_bucketed_antijoin_dedup_audit,

@@ -175,6 +175,82 @@ def merge_into_cow(
     `unchanged` counts only rows INSIDE rewritten files; rows in skipped
     files are untouched by construction and deliberately not counted.
     """
+    jvm, fs, source, touched_set, n_skipped = _cow_prune(
+        spark, target_path, source, key
+    )
+    if touched_set:
+        slice_df = spark.read.parquet(*sorted(touched_set))
+    else:
+        slice_df = spark.read.parquet(target_path).limit(0)
+    result = _resolve(slice_df, source, [key], delete_condition)
+    counts = _action_counts(result)
+    # append-new-then-delete-touched: Spark generates fresh UUID file
+    # names, so the append can never clash with the files being replaced
+    result.filter(F.col("_action") != "delete").drop("_action").write.mode(
+        "append"
+    ).parquet(target_path)
+    _delete_replaced(jvm, fs, touched_set, "merge_into_cow")
+    return {
+        **_merge_stats(counts),
+        "files_rewritten": len(touched_set),
+        "files_skipped": n_skipped,
+    }
+
+
+def _delete_replaced(jvm, fs, touched_set, who: str) -> None:
+    """Checked deletion of the replaced files (shared by the CoW merge
+    and the CoW delete): a silently-failed delete would leave a stale
+    duplicate file that the stats report as replaced."""
+    for f in touched_set:
+        if not fs.delete(jvm.org.apache.hadoop.fs.Path(f), False):
+            raise RuntimeError(
+                f"{who}: failed to delete replaced file {f}; the "
+                "store now holds duplicate key versions — dedup required"
+            )
+
+
+def delete_cow(spark: SparkSession, target_path: str, ids: DataFrame, key: str) -> dict:
+    """Copy-on-write DELETE: remove every row whose `key` appears in
+    `ids`, rewriting ONLY the files whose footer key range overlaps a
+    delete key — the production-scale path q170's versioned
+    delete_cascade documents (deleting 0.01% of a 100 TB store must
+    not rewrite 100 TB). Same prune machinery, commit protocol
+    (append-new-then-delete-touched), and contract limits as
+    merge_into_cow (_cow_prune: flat stores, non-null single-column
+    keys, stats-less files conservatively touched); absent ids are a
+    no-op (DELETE is idempotent). Returns
+    {deleted, files_rewritten, files_skipped}."""
+    jvm, fs, ids, touched_set, n_skipped = _cow_prune(
+        spark, target_path, ids.select(key).distinct(), key
+    )
+    if not touched_set:
+        return {"deleted": 0, "files_rewritten": 0, "files_skipped": n_skipped}
+    slice_df = spark.read.parquet(*sorted(touched_set)).localCheckpoint(
+        eager=True  # three consumers (count, kept, write) + the source
+        # files are about to be physically deleted out from under any
+        # lazy lineage
+    )
+    kept = slice_df.join(F.broadcast(ids), key, "left_anti")
+    n_before = slice_df.count()
+    kept.write.mode("append").parquet(target_path)
+    _delete_replaced(jvm, fs, touched_set, "delete_cow")
+    return {
+        "deleted": n_before - kept.count(),
+        "files_rewritten": len(touched_set),
+        "files_skipped": n_skipped,
+    }
+
+
+def _cow_prune(
+    spark: SparkSession, target_path: str, source: DataFrame, key: str
+):
+    """The shared copy-on-write front half (merge_into_cow + delete_cow):
+    crash recovery, structural refusals, the distributed footer scan,
+    and the broadcast BETWEEN prune join. Returns (jvm, fs,
+    checkpointed_source, touched_set, n_skipped). Every contract note
+    in merge_into_cow's docstring (flat stores only, non-null keys,
+    stats-less files conservatively touched, distributed footer reads)
+    lives HERE."""
     recover_interrupted_swap(spark, target_path)
     jvm, fs = hadoop_fs(spark, target_path)
     # structural refusals FIRST (driver-side metadata only) — no cluster
@@ -308,27 +384,4 @@ def merge_into_cow(
     ]
     touched_set = set(touched)
     n_skipped = sum(1 for f in files if f not in touched_set)
-    if touched:
-        slice_df = spark.read.parquet(*sorted(touched_set))
-    else:
-        slice_df = spark.read.parquet(target_path).limit(0)
-    result = _resolve(slice_df, source, [key], delete_condition)
-    counts = _action_counts(result)
-    # append-new-then-delete-touched: Spark generates fresh UUID file
-    # names, so the append can never clash with the files being replaced
-    result.filter(F.col("_action") != "delete").drop("_action").write.mode(
-        "append"
-    ).parquet(target_path)
-    for f in touched_set:
-        # checked like atomic_swap's renames: a silently-failed delete
-        # would leave a stale duplicate file that stats report as replaced
-        if not fs.delete(jvm.org.apache.hadoop.fs.Path(f), False):
-            raise RuntimeError(
-                f"merge_into_cow: failed to delete replaced file {f}; the "
-                "store now holds duplicate key versions — dedup required"
-            )
-    return {
-        **_merge_stats(counts),
-        "files_rewritten": len(touched_set),
-        "files_skipped": n_skipped,
-    }
+    return jvm, fs, source, touched_set, n_skipped

@@ -165,3 +165,46 @@ def test_cow_refuses_key_type_mismatch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="type mismatch"):
         merge_into_cow(spark, flat_store, src, "o_orderkey")
+
+
+def test_cow_delete_prunes_files_and_is_idempotent(spark, tmp_path):
+    """delete_cow: rows whose key is in the delete list go, every file
+    whose footer range misses the list survives byte-identical (same
+    name, same size), absent ids are a no-op, and a second identical
+    delete deletes nothing. The key-clustered write makes the prune
+    deterministic: 8 range-sorted files, delete keys confined to the
+    low range."""
+    from pyspark.sql import functions as F
+
+    from sms_db_spark.sinks.compaction import _data_files
+    from sms_db_spark.sinks.merge import delete_cow
+
+    store = str(tmp_path / "store")
+    (
+        spark.range(800)
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+        .write.parquet(store)
+    )
+    before = {f.rsplit("/", 1)[-1]: b for f, b in _data_files(spark, store)}
+    # low-range keys (clustered into the first file(s)) + absent ids
+    ids = spark.createDataFrame(
+        [(k,) for k in list(range(0, 60)) + [5000, 6000]], "k bigint"
+    )
+    stats = delete_cow(spark, store, ids, "k")
+    assert stats["deleted"] == 60
+    assert stats["files_rewritten"] >= 1
+    assert stats["files_skipped"] >= 4, stats
+    back = spark.read.parquet(store)
+    assert back.count() == 740
+    assert back.filter(F.col("k") < 60).count() == 0
+    # untouched files survive under their original name and size
+    after = {f.rsplit("/", 1)[-1]: b for f, b in _data_files(spark, store)}
+    survived = set(before) & set(after)
+    assert len(survived) >= stats["files_skipped"]
+    assert all(before[f] == after[f] for f in survived)
+    # idempotent: the same delete again removes nothing
+    stats2 = delete_cow(spark, store, ids, "k")
+    assert stats2["deleted"] == 0
+    assert spark.read.parquet(store).count() == 740
