@@ -107,6 +107,7 @@ HEADLINE = [
     # clustered-fixture residual-vs-flat ADC comparison
     "q173_bpe_tokenize",
     "q174_ivfadc_clustered",
+    "q176_tokenizer_fertility",
 ]
 
 # Write-audit queries run real store writers (shards, versioned commits,

@@ -31,7 +31,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import QuerySpec
@@ -590,6 +590,38 @@ def _bpe_merge_steps() -> list[tuple[str, str]]:
     ]
 
 
+def _bpe_sym_col() -> "Column":
+    """The final tokenized symbol string as a Spark Column over `text`
+    — char-split into the capacity-2 encoding, every merge applied in
+    training order, boundaries collapsed to single spaces. ONE home
+    for the encode expression (q173 emits it per doc; q176 aggregates
+    fertility and the round-trip law over it)."""
+    sym = F.regexp_replace(
+        F.array_join(
+            F.expr(f"regexp_extract_all(lower(text), '{BPE_WORD_RE}', 0)"),
+            "/",
+        ),
+        "([a-z/])",
+        "$1  ",
+    )
+    for pat, merged in _bpe_merge_steps():
+        sym = F.regexp_replace(sym, pat, f"$1{merged}$2")
+    return F.trim(F.regexp_replace(sym, "  +", " "))
+
+
+def _bpe_sym_sql() -> str:
+    """The SQL twin of _bpe_sym_col (same literal patterns, RE2
+    replacement syntax)."""
+    sym = (
+        "regexp_replace(array_to_string("
+        f"regexp_extract_all(lower(text), '{BPE_WORD_RE}'), '/'),"
+        " '([a-z/])', '\\1  ', 'g')"
+    )
+    for pat, merged in _bpe_merge_steps():
+        sym = f"regexp_replace({sym}, '{pat}', '\\1{merged}\\2', 'g')"
+    return f"trim(regexp_replace({sym}, '  +', ' ', 'g'))"
+
+
 def q173_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE ENCODE — tokenize the corpus with a trained
     vocabulary (VERDICT r15 item 7: q94/bpe_train produce merges, but
@@ -609,19 +641,7 @@ def q173_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketches import _h60
 
     docs = _docs(spark, sf_dir)
-    # every char (letter or the word separator '/') gets a two-space
-    # boundary appended; trailing run trimmed by the final collapse
-    sym = F.regexp_replace(
-        F.array_join(
-            F.expr(f"regexp_extract_all(lower(text), '{BPE_WORD_RE}', 0)"),
-            "/",
-        ),
-        "([a-z/])",
-        "$1  ",
-    )
-    for pat, merged in _bpe_merge_steps():
-        sym = F.regexp_replace(sym, pat, f"$1{merged}$2")
-    sym = F.trim(F.regexp_replace(sym, "  +", " "))
+    sym = _bpe_sym_col()
     toks = F.split(sym, " ")
     n_tokens = F.size(
         F.filter(toks, lambda x: (x != "/") & (x != ""))
@@ -636,14 +656,7 @@ def q173_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q173_sql() -> str:
     from .sketches import _h60_sql
 
-    sym = (
-        "regexp_replace(array_to_string("
-        f"regexp_extract_all(lower(text), '{BPE_WORD_RE}'), '/'),"
-        " '([a-z/])', '\\1  ', 'g')"
-    )
-    for pat, merged in _bpe_merge_steps():
-        sym = f"regexp_replace({sym}, '{pat}', '\\1{merged}\\2', 'g')"
-    sym = f"trim(regexp_replace({sym}, '  +', ' ', 'g'))"
+    sym = _bpe_sym_sql()
     return f"""
 WITH enc AS (SELECT doc_id, {sym} AS s FROM documents)
 SELECT doc_id,
@@ -651,6 +664,99 @@ SELECT doc_id,
                             x -> x <> '/' AND x <> '')) AS BIGINT) AS n_tokens,
        {_h60_sql('s')} AS tok_checksum
 FROM enc ORDER BY doc_id
+"""
+
+
+def q176_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — chars per token, THE
+    operational health metric for a trained tokenizer (a language
+    whose fertility balloons is under-served by the vocabulary and
+    trains at a token-budget penalty) — plus the encoder's
+    reversibility law gated in-result:
+
+      - fertility_milli: floor(1000 · word_chars / n_tokens) per lang,
+        computed as one exact integer division of exact int64 sums
+        (no float ratios in the gate — the repo's DSIR discipline);
+      - roundtrip_violations / roundtrip_ok: BPE merges only ever
+        CONCATENATE adjacent symbols, so stripping the token
+        separators must reproduce the normalized input exactly
+        (strip_spaces(encode(text)) == words joined on '/'). A merge
+        law that dropped, duplicated, or reordered a character — the
+        classic off-by-one in a replace chain — breaks equality on
+        some doc, and the count is gated to 0 per language.
+
+    Plan: the shared encode expression (_bpe_sym_col — q173's exact
+    law) plus two string lengths per doc, all map-side; ONE groupBy
+    on `lang` (a handful of keys) with map-side partial aggregation.
+    Linear in input bytes, one tiny shuffle — the 100 TB shape."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    expected = F.array_join(
+        F.expr(f"regexp_extract_all(lower(text), '{BPE_WORD_RE}', 0)"), "/"
+    )
+    sym = _bpe_sym_col()
+    toks = F.split(sym, " ")
+    n_tokens = F.size(
+        F.filter(toks, lambda x: (x != "/") & (x != ""))
+    ).cast("bigint")
+    word_chars = F.length(F.regexp_replace(expected, "/", "")).cast("bigint")
+    violation = (
+        F.regexp_replace(sym, " ", "") != expected
+    ).cast("bigint")
+    per_doc = docs.select(
+        "lang",
+        n_tokens.alias("t"),
+        word_chars.alias("c"),
+        violation.alias("v"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+            F.sum("c").alias("n_word_chars"),
+            F.sum("v").alias("roundtrip_violations"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_word_chars",
+            F.when(F.col("n_tokens") > 0, F.expr("(1000 * n_word_chars) DIV n_tokens"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("fertility_milli"),
+            "roundtrip_violations",
+            (F.col("roundtrip_violations") == 0).alias("roundtrip_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q176_sql() -> str:
+    sym = _bpe_sym_sql()
+    return f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(s, ' '),
+                              x -> x <> '/' AND x <> '')) AS BIGINT) AS t,
+         CAST(length(replace(expected, '/', '')) AS BIGINT) AS c,
+         CAST(CASE WHEN replace(s, ' ', '') <> expected THEN 1 ELSE 0 END
+              AS BIGINT) AS v
+  FROM (
+    SELECT lang, {sym} AS s,
+           array_to_string(regexp_extract_all(lower(text), '{BPE_WORD_RE}'),
+                           '/') AS expected
+    FROM documents
+  )
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS n_tokens,
+       CAST(SUM(c) AS BIGINT) AS n_word_chars,
+       CAST(CASE WHEN SUM(t) > 0 THEN (1000 * SUM(c)) // SUM(t)
+                 ELSE 0 END AS BIGINT) AS fertility_milli,
+       CAST(SUM(v) AS BIGINT) AS roundtrip_violations,
+       (SUM(v) = 0) AS roundtrip_ok
+FROM per_doc GROUP BY lang ORDER BY lang
 """
 
 
@@ -680,5 +786,10 @@ QUERIES = {
         q173_bpe_tokenize,
         _q173_sql(),
         "BPE encode: tokenize with the trained vocab, map-side linear",
+    ),
+    "q176_tokenizer_fertility": QuerySpec(
+        q176_tokenizer_fertility,
+        _q176_sql(),
+        "tokenizer fertility by language + gated encode round-trip law",
     ),
 }
