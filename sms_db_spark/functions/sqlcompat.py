@@ -27,17 +27,26 @@ from __future__ import annotations
 
 import re
 
-# string literals ('' escapes) and quoted identifiers are opaque: a
-# LIKE inside either is data, not an operator. sqlite3 accepts FOUR
-# identifier quotings — "double" (standard), [brackets] and `backticks`
-# (MS/MySQL compat, sqlite docs §keywords) — and the verbatim surface's
-# contract is "paste your sqlite3 query", so all four are honored
-# (review r16: the first draft rewrote SELECT [LIKE] / `LIKE`).
+# string literals ('' escapes), quoted identifiers and COMMENTS are
+# opaque: a LIKE inside any of them is data, not an operator. sqlite3
+# accepts FOUR identifier quotings — "double" (standard), [brackets]
+# and `backticks` (MS/MySQL compat, sqlite docs §keywords) — and the
+# verbatim surface's contract is "paste your sqlite3 query", so all
+# four are honored (review r16: the first draft rewrote SELECT [LIKE]
+# / `LIKE`). Comments matter for a subtler reason (ADVICE r16 #1): an
+# apostrophe inside `-- don't` would otherwise open a phantom string
+# literal and desynchronize the scanner, silently leaving a LATER
+# operator LIKE case-sensitive. sqlite3 supports both `--` to
+# end-of-line (an unterminated final line is a whole comment) and
+# `/* */` block comments (unterminated runs to end of input, no
+# nesting — sqlite docs §comments).
 _OPAQUE_RE = re.compile(
     r"'(?:[^']|'')*'"  # string literal
     r"|\"(?:[^\"]|\"\")*\""  # "identifier"
     r"|\[[^\]]*\]"  # [identifier]
     r"|`(?:[^`]|``)*`"  # `identifier`
+    r"|--[^\n]*(?:\n|$)"  # -- line comment
+    r"|/\*(?:[^*]|\*(?!/))*(?:\*/|$)"  # /* block comment */
 )
 _LIKE_RE = re.compile(r"\bLIKE\b", re.IGNORECASE)
 # \bLIKE\b cannot match inside ILIKE: the preceding I is a word

@@ -2161,10 +2161,41 @@ _ADC_EXPR = (
 # immutable corpus dir — so a cache hit is bit-identical to a
 # recompute (the DuckDB oracles retrain inline and still hash-match).
 # At production scale this state is parquet in the vector store (built
-# by the ingest pipeline, loaded by the serving tier); localCheckpoint
-# is its single-application twin — O(corpus) codes + O(K·PQ_M)
-# codebook rows, the layout that fits 10^11 vectors in RAM.
+# by the ingest pipeline, loaded by the serving tier — sinks/pqstore.py
+# is that path, q177); localCheckpoint is its single-application twin —
+# O(corpus) codes + O(K·PQ_M) codebook rows, the layout that fits 10^11
+# vectors in RAM.
+#
+# Eviction (ADVICE r16 #2): each entry pins ~5 corpus-sized
+# checkpointed frames on the executors, so the cache is bounded to the
+# _PQ_CACHE_MAX most recent (dir, variant) entries within one
+# application (insertion order; a re-hit is not reordered — entries are
+# few and short-lived). Evicted entries' block storage is reclaimed by
+# Spark's ContextCleaner once the driver-side references die: PySpark
+# has no public unpersist for a localCheckpoint's backing RDD, so
+# eviction drops every reference and forces a gc.collect() — py4j then
+# detaches the JVM Datasets, making their checkpoint RDDs collectable,
+# and the ContextCleaner unpersists the blocks. Prompt-enough for a
+# cache whose entries each took seconds to build; the hard bound is
+# what matters (before it, a long-lived app pinned every corpus it
+# ever touched, forever).
 _PQ_SHARED_CACHE: dict = {}
+_PQ_CACHE_MAX = 2  # (dir, variant) entries kept per application
+
+
+def _pq_cache_evict(keys) -> None:
+    """Drop cache entries and release their driver-side references so
+    the ContextCleaner can reclaim the checkpointed blocks."""
+    import gc
+
+    evicted = False
+    for k in list(keys):
+        state = _PQ_SHARED_CACHE.pop(k, None)
+        if state is not None:
+            state.clear()  # kill the frame references inside the dict too
+            evicted = True
+    if evicted:
+        gc.collect()
 
 
 # clustered-fixture law (q174): scale·center + eps·(low-rank offset).
@@ -2225,10 +2256,13 @@ def _pq_shared(spark: SparkSession, sf_dir: str, variant: str = "base") -> dict:
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), variant)
     state = _PQ_SHARED_CACHE.get(key)
     if state is None:
-        # drop entries from other applications: a stopped context's
-        # checkpointed RDDs are unusable and would otherwise leak
-        for k in [k for k in _PQ_SHARED_CACHE if k[0] != key[0]]:
-            del _PQ_SHARED_CACHE[k]
+        # drop entries from other applications (a stopped context's
+        # checkpointed RDDs are unusable), then bound THIS application
+        # to the newest _PQ_CACHE_MAX - 1 entries so the insert below
+        # never exceeds the cap (ADVICE r16 #2)
+        _pq_cache_evict(k for k in _PQ_SHARED_CACHE if k[0] != key[0])
+        mine = [k for k in _PQ_SHARED_CACHE if k[0] == key[0]]
+        _pq_cache_evict(mine[: max(0, len(mine) - (_PQ_CACHE_MAX - 1))])
         if variant == "clustered":
             # PINNED: the base corpus is a bare parquet scan, but the
             # fixture is a corpus-wide broadcast join + DIM-wide

@@ -2491,11 +2491,17 @@ def q175_cow_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             .sortWithinPartitions("message_id")
             .write.parquet(p_store)
         )
-        before = {
-            f.rsplit("/", 1)[-1]: b
-            for s in (m_store, p_store)
-            for f, b in _data_files(spark, s)
-        }
+        # keyed by store-relative path, not bare basename (ADVICE r16
+        # #4): a basename collision across the two stores would
+        # silently overwrite a dict entry and weaken untouched_ok
+        def _file_map():
+            return {
+                f"{s.rsplit('/', 1)[-1]}/{f.rsplit('/', 1)[-1]}": b
+                for s in (m_store, p_store)
+                for f, b in _data_files(spark, s)
+            }
+
+        before = _file_map()
         # parts FIRST (the q170 crash contract: no crash point can
         # leave an orphan part)
         p_stats = delete_cow(
@@ -2503,11 +2509,7 @@ def q175_cow_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             "message_id",
         )
         m_stats = delete_cow(spark, m_store, doomed, "_id")
-        after = {
-            f.rsplit("/", 1)[-1]: b
-            for s in (m_store, p_store)
-            for f, b in _data_files(spark, s)
-        }
+        after = _file_map()
         survived = set(before) & set(after)
         untouched_ok = int(
             len(survived)

@@ -233,6 +233,28 @@ def delete_cow(spark: SparkSession, target_path: str, ids: DataFrame, key: str) 
     kept = slice_df.join(F.broadcast(ids), key, "left_anti")
     n_before = slice_df.count()
     kept.write.mode("append").parquet(target_path)
+    # Full-delete guard (ADVICE r16 #3): when the delete empties every
+    # touched file AND no file was skipped, the store's entire row set
+    # is gone — readability then hangs on the append having produced a
+    # schema-bearing empty file. Spark does write one (FileFormatWriter
+    # emits a single empty part file for an empty write, verified on
+    # this runtime), but that is an engine detail, not a contract —
+    # so CHECK it: refuse to delete the replaced files if doing so
+    # would leave zero data files (an unreadable directory that even a
+    # repeat idempotent delete could no longer open).
+    if n_skipped == 0:
+        from .compaction import _data_files
+
+        survivors = {
+            f for f, _ in _data_files(spark, target_path)
+        } - touched_set
+        if not survivors:
+            raise RuntimeError(
+                "delete_cow: deleting the final row set would leave the "
+                "store with no data files (schema unreadable); the append "
+                "of the empty kept set produced none on this filesystem — "
+                "drop the store directory instead of row-deleting it empty"
+            )
     _delete_replaced(jvm, fs, touched_set, "delete_cow")
     return {
         "deleted": n_before - kept.count(),

@@ -204,3 +204,22 @@ def test_sqlite_like_compat_rewrite():
     assert c("SELECT likely, my_like FROM t WHERE x LIKE 'a'") == (
         "SELECT likely, my_like FROM t WHERE x ILIKE 'a'"
     )
+    # comments are opaque (ADVICE r16 #1): a LIKE inside one is data,
+    # and an apostrophe inside one must not open a phantom literal
+    # that desynchronizes the scanner for a LATER operator LIKE
+    assert c("x LIKE 'a' -- comments may say LIKE\n AND y LIKE 'b'") == (
+        "x ILIKE 'a' -- comments may say LIKE\n AND y ILIKE 'b'"
+    )
+    assert c("-- don't\nx LIKE 'a'") == "-- don't\nx ILIKE 'a'"
+    assert c("/* don't LIKE this */ x LIKE 'a'") == (
+        "/* don't LIKE this */ x ILIKE 'a'"
+    )
+    # unterminated trailing comments swallow the rest of the input
+    assert c("x LIKE 'a' -- trailing don't") == "x ILIKE 'a' -- trailing don't"
+    assert c("x LIKE 'a' /* open don't") == "x ILIKE 'a' /* open don't"
+    # a quote character ends a line comment's opacity at the newline
+    assert c("-- it's fine\nSELECT 'a LIKE b' WHERE x LIKE 'c'") == (
+        "-- it's fine\nSELECT 'a LIKE b' WHERE x ILIKE 'c'"
+    )
+    # block comments do not nest (sqlite semantics): the first */ closes
+    assert c("/* a /* b */ x LIKE 'c'") == "/* a /* b */ x ILIKE 'c'"

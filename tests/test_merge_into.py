@@ -208,3 +208,40 @@ def test_cow_delete_prunes_files_and_is_idempotent(spark, tmp_path):
     stats2 = delete_cow(spark, store, ids, "k")
     assert stats2["deleted"] == 0
     assert spark.read.parquet(store).count() == 740
+
+
+def test_cow_delete_full_store_stays_readable(spark, tmp_path):
+    """Full delete (every row of every file) must leave a READABLE
+    empty store — the checked invariant from ADVICE r16 #3: either the
+    empty-kept append preserved a schema-bearing file (this runtime's
+    behavior, so the delete succeeds and a repeat delete is a no-op),
+    or delete_cow refuses before making the directory unreadable. An
+    unreadable store after a successful return is the one forbidden
+    outcome."""
+    from pyspark.sql import functions as F
+
+    from sms_db_spark.sinks.merge import delete_cow
+
+    store = str(tmp_path / "store")
+    (
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        .repartitionByRange(4, "k")
+        .write.parquet(store)
+    )
+    ids = spark.range(100).select(F.col("id").alias("k"))
+    try:
+        stats = delete_cow(spark, store, ids, "k")
+    except RuntimeError as e:
+        # the documented refusal path: store untouched and readable
+        assert "final row set" in str(e)
+        assert spark.read.parquet(store).count() == 100
+        return
+    assert stats["deleted"] == 100
+    back = spark.read.parquet(store)  # schema survives the full delete
+    assert back.count() == 0
+    assert set(back.columns) == {"k", "v"}
+    # repeat idempotent delete still works on the emptied store
+    stats2 = delete_cow(spark, store, ids, "k")
+    assert stats2["deleted"] == 0
+    assert spark.read.parquet(store).count() == 0
