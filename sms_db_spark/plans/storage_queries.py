@@ -2748,56 +2748,49 @@ FROM surv
 _JOIN_DROP_CUT = "2024-01-16"
 
 
-def q158_stream_join_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The last two pytest-only streaming modules under the hash gate
-    (q156 gated five lanes; joins and ingest kept pytest rows because
-    their RUNTIME features are exercised by q152/q146/q149 — this row
-    gates the modules themselves, closing the promised-but-ungated
-    class completely). One hashed row per lane:
-
-    - joins (`streaming/joins.py`): `stream_attribution_join` over two
-      ts-ordered drops per side (views = event_type 'view', purchases =
-      'purchase'; cut at _JOIN_DROP_CUT, run-per-drop). The oracle is
-      the batch range join — every (view, same-user purchase within
-      ATTRIBUTION_WINDOW after it) pair exactly once. The emitted set
-      is provably complete under the 2-drop protocol: a view evicted
-      during run 1 has ts < maxA - watermark - window, so its matchable
-      purchases end before maxA — all already in drop A — while drop
-      B's purchases start at the cut ≥ maxA; symmetric-hash state can
-      therefore never lose a cross-drop pair, and inner-join emission
-      never waits on a watermark. `replay_ok` = a third run with no
-      new input emits nothing (file-sink restart idempotence).
-    - ingest (`streaming/ingest.py`): `stream_ingest` (the reference's
-      re-run-per-backup accumulation, README.md:39-43) over THREE
-      drops with deliberate redundancy — A = 60% of staged messages,
-      B = 60% overlapping A by a fifth, C = A re-delivered whole (the
-      'same backup imported twice' case). Final store must hold every
-      staged message exactly once, which the oracle recomputes from
-      the raw events table with the same column derivations (the
-      dedup hash is row-unique by construction, so the surviving row
-      per hash is unambiguous; the hash itself stays OUT of the
-      checksum — no cross-engine hash parity is needed to check the
-      dedup LAW). `replay_ok` here is the stronger law: drop C (full
-      re-delivery) added ZERO rows, measured as count-before ==
-      count-after.
-
-    Scale note: the join buffers only watermark-horizon state per side
-    keyed by user_id; ingest state is one hash per message inside the
-    watermark with the store-side anti-join catching older dups
-    (SCALE.md §6). Only the 2-row lane summary reaches the driver.
-    """
-    from ..streaming.ingest import stream_ingest
-    from ..streaming.joins import stream_attribution_join
-
+def _stream_audit_session(spark: SparkSession, sf_dir: str):
+    """Shared staging for the q158/q178 streaming audits (one body
+    until the r17 split — VERDICT r16 item 4: two separable lanes on
+    one row meant one ambient burst poisoned both and attribution was
+    lost): a low-shuffle cloned session plus the nondegenerate events
+    frame both protocols stage from."""
     session = clone_tuned_session(spark)
     session.conf.set("spark.sql.shuffle.partitions", "8")
-    spark = session
     nondegenerate = (
         F.col("ts").isNotNull()
         & F.col("user_id").isNotNull()
         & F.col("event_type").isNotNull()
     )
-    events = load_table(spark, sf_dir, "events").filter(nondegenerate)
+    return session, load_table(session, sf_dir, "events").filter(nondegenerate)
+
+
+def q158_stream_join_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming attribution JOIN under the hash gate (one of the last
+    two pytest-only streaming modules; its r16 row also carried the
+    ingest lane — split to q178 in r17 so each lane's timing and
+    failure attribute independently, the same seam that split q156).
+    The registered name keeps its history; the row set is now the
+    joins lane alone.
+
+    `stream_attribution_join` (streaming/joins.py) over two ts-ordered
+    drops per side (views = event_type 'view', purchases = 'purchase';
+    cut at _JOIN_DROP_CUT, run-per-drop). The oracle is the batch
+    range join — every (view, same-user purchase within
+    ATTRIBUTION_WINDOW after it) pair exactly once. The emitted set
+    is provably complete under the 2-drop protocol: a view evicted
+    during run 1 has ts < maxA - watermark - window, so its matchable
+    purchases end before maxA — all already in drop A — while drop
+    B's purchases start at the cut ≥ maxA; symmetric-hash state can
+    therefore never lose a cross-drop pair, and inner-join emission
+    never waits on a watermark. `replay_ok` = a third run with no
+    new input emits nothing (file-sink restart idempotence).
+
+    Scale note: the join buffers only watermark-horizon state per side
+    keyed by user_id (SCALE.md §6). Only the 1-row lane summary
+    reaches the driver."""
+    from ..streaming.joins import stream_attribution_join
+
+    spark, events = _stream_audit_session(spark, sf_dir)
     lanes: list[tuple[str, int, int, int]] = []
 
     with _scratch_dir(spark, "sms_db_spark_join_ingest_audit_") as root:
@@ -2869,7 +2862,40 @@ def q158_stream_join_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         replay = int(_lane_checksum(join_frame(), join_parts) == (n, chk))
         lanes.append(("joins", n, chk, replay))
 
-        # ---- ingest lane: staged messages, 3 drops with redundancy ----
+    return spark.createDataFrame(
+        sorted(lanes),
+        "lane string, n_rows bigint, checksum_mod bigint, replay_ok int",
+    ).orderBy("lane")
+
+
+def q178_stream_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INGEST under the hash gate (split from q158 in r17 —
+    VERDICT r16 item 4 — so the redundant-delivery protocol times and
+    fails independently of the attribution join).
+
+    `stream_ingest` (streaming/ingest.py — the reference's
+    re-run-per-backup accumulation, README.md:39-43) over THREE
+    drops with deliberate redundancy — A = 60% of staged messages,
+    B = 60% overlapping A by a fifth, C = A re-delivered whole (the
+    'same backup imported twice' case). Final store must hold every
+    staged message exactly once, which the oracle recomputes from
+    the raw events table with the same column derivations (the
+    dedup hash is row-unique by construction, so the surviving row
+    per hash is unambiguous; the hash itself stays OUT of the
+    checksum — no cross-engine hash parity is needed to check the
+    dedup LAW). `replay_ok` here is the stronger law: drop C (full
+    re-delivery) added ZERO rows, measured as count-before ==
+    count-after.
+
+    Scale note: ingest state is one hash per message inside the
+    watermark with the store-side anti-join catching older dups
+    (SCALE.md §6). Only the 1-row lane summary reaches the driver."""
+    from ..streaming.ingest import stream_ingest
+
+    spark, events = _stream_audit_session(spark, sf_dir)
+    lanes: list[tuple[str, int, int, int]] = []
+
+    with _scratch_dir(spark, "sms_db_spark_ingest_audit_") as root:
         staged = events.select(
             F.col("event_id").alias("local_id"),
             F.unix_millis("ts").alias("timestamp"),
@@ -2929,12 +2955,27 @@ def q158_stream_join_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("lane")
 
 
+_STREAM_NONDEGENERATE_SQL = (
+    "ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL"
+)
+
+
+def _stream_lane_sql(name: str, src: str, row_expr: str) -> str:
+    """One hashed lane row — the shared oracle shape of the q158/q178
+    streaming audits (replay_ok is the protocol law both lanes assert;
+    the oracle pins its expected value 1)."""
+    return f"""
+SELECT '{name}' AS lane, COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM({_h60_sql(row_expr)}), 0) % {_CHECKSUM_MOD} AS BIGINT)
+         AS checksum_mod,
+       1 AS replay_ok
+FROM ({src}) ORDER BY lane"""
+
+
 def _q158_sql() -> str:
     from ..streaming.joins import ATTRIBUTION_WINDOW
 
-    nondegenerate = (
-        "ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL"
-    )
+    nondegenerate = _STREAM_NONDEGENERATE_SQL
     joins_src = f"""
   SELECT v.event_id AS view_id, p.event_id AS purchase_id,
          v.user_id AS user_id,
@@ -2947,6 +2988,17 @@ def _q158_sql() -> str:
    AND p.ts >= v.ts
    AND p.ts <= v.ts + INTERVAL '{ATTRIBUTION_WINDOW}'"""
 
+    return _stream_lane_sql(
+        "joins",
+        joins_src,
+        "CAST(view_id AS VARCHAR) || ':' || CAST(purchase_id AS VARCHAR)"
+        " || ':' || CAST(user_id AS VARCHAR) || ':' || CAST(v_ms AS VARCHAR)"
+        " || ':' || CAST(p_ms AS VARCHAR)"
+        " || ':' || COALESCE(CAST(cents AS VARCHAR), chr(1))",
+    )
+
+
+def _q178_sql() -> str:
     ingest_src = f"""
   SELECT event_id AS local_id,
          epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
@@ -2956,37 +3008,17 @@ def _q158_sql() -> str:
          'store' AS recipient_name,
          user_id % 2 + 1 AS msg_box,
          1 AS message_type, 2 AS source_format
-  FROM events WHERE {nondegenerate}"""
+  FROM events WHERE {_STREAM_NONDEGENERATE_SQL}"""
 
-    def lane(name: str, src: str, row_expr: str) -> str:
-        return f"""
-SELECT '{name}' AS lane, COUNT(*) AS n_rows,
-       CAST(COALESCE(SUM({_h60_sql(row_expr)}), 0) % {_CHECKSUM_MOD} AS BIGINT)
-         AS checksum_mod,
-       1 AS replay_ok
-FROM ({src})"""
-
-    return (
-        lane(
-            "ingest",
-            ingest_src,
-            "CAST(local_id AS VARCHAR) || ':' || CAST(ts_ms AS VARCHAR)"
-            " || ':' || sender_address || ':' || sender_name"
-            " || ':' || recipient_address || ':' || recipient_name"
-            " || ':' || CAST(msg_box AS VARCHAR)"
-            " || ':' || CAST(message_type AS VARCHAR)"
-            " || ':' || CAST(source_format AS VARCHAR)",
-        )
-        + " UNION ALL "
-        + lane(
-            "joins",
-            joins_src,
-            "CAST(view_id AS VARCHAR) || ':' || CAST(purchase_id AS VARCHAR)"
-            " || ':' || CAST(user_id AS VARCHAR) || ':' || CAST(v_ms AS VARCHAR)"
-            " || ':' || CAST(p_ms AS VARCHAR)"
-            " || ':' || COALESCE(CAST(cents AS VARCHAR), chr(1))",
-        )
-        + " ORDER BY lane"
+    return _stream_lane_sql(
+        "ingest",
+        ingest_src,
+        "CAST(local_id AS VARCHAR) || ':' || CAST(ts_ms AS VARCHAR)"
+        " || ':' || sender_address || ':' || sender_name"
+        " || ':' || recipient_address || ':' || recipient_name"
+        " || ':' || CAST(msg_box AS VARCHAR)"
+        " || ':' || CAST(message_type AS VARCHAR)"
+        " || ':' || CAST(source_format AS VARCHAR)",
     )
 
 
@@ -3730,7 +3762,12 @@ QUERIES = {
     "q158_stream_join_ingest_audit": QuerySpec(
         q158_stream_join_ingest_audit,
         _q158_sql(),
-        "stream-stream attribution join + idempotent ingest == batch twins",
+        "stream-stream attribution join == batch range-join twin",
+    ),
+    "q178_stream_ingest_audit": QuerySpec(
+        q178_stream_ingest_audit,
+        _q178_sql(),
+        "idempotent redundant-delivery ingest == batch dedup twin",
     ),
     "q159_stream_quality_monitor_audit": QuerySpec(
         q159_stream_quality_monitor_audit,

@@ -203,17 +203,29 @@ def test_q157_flags_are_measured(spark):
     assert 0 < r.n_survivors < r.n_delta
 
 
-def test_q158_lanes_and_laws(spark):
-    """The joins+ingest parity audit: both lanes produced rows through
-    their real streaming runtimes and both measured laws came back 1 —
-    the join restart emitted nothing new, and the full re-delivery drop
-    added zero store rows (the reference's same-backup-twice case)."""
+def test_q158_join_lane_laws(spark):
+    """The attribution-join parity audit (joins lane alone since the
+    r17 split): rows produced through the real streaming runtime and
+    the measured law came back 1 — the join restart emitted nothing
+    new."""
     from sms_db_spark.plans.storage_queries import q158_stream_join_ingest_audit
 
-    rows = {r.lane: r for r in q158_stream_join_ingest_audit(spark, SF_DIR).collect()}
-    assert sorted(rows) == ["ingest", "joins"]
-    assert all(r.replay_ok == 1 for r in rows.values())
-    assert all(r.n_rows > 0 for r in rows.values())
+    (r,) = q158_stream_join_ingest_audit(spark, SF_DIR).collect()
+    assert r.lane == "joins"
+    assert r.replay_ok == 1
+    assert r.n_rows > 0
+
+
+def test_q178_ingest_lane_laws(spark):
+    """The redundant-delivery ingest audit (split from q158 in r17):
+    the full re-delivery drop added zero store rows (the reference's
+    same-backup-twice case)."""
+    from sms_db_spark.plans.storage_queries import q178_stream_ingest_audit
+
+    (r,) = q178_stream_ingest_audit(spark, SF_DIR).collect()
+    assert r.lane == "ingest"
+    assert r.replay_ok == 1
+    assert r.n_rows > 0
 
 
 def test_scratch_dir_honors_configured_root(spark, tmp_path):
