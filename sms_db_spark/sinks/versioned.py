@@ -283,6 +283,20 @@ def read_current(spark: SparkSession, store: str) -> DataFrame:
     return spark.read.parquet(f"{root}/{_VERSIONS}/{v}")
 
 
+def read_version(spark: SparkSession, store: str, version: str) -> DataFrame:
+    """A NAMED committed version's data — the time-travel read that lets
+    a metadata document pin an exact version set (sinks/pqstore.py: a
+    multi-table artifact stays consistent even if a later commit moves
+    a table's head between the pin and the read). Refuses uncommitted
+    names: a dir without its marker is a crashed write, never data."""
+    root = _root(spark, store)
+    if not _is_committed(spark, root, version):
+        raise FileNotFoundError(
+            f"{store}: no committed version named {version!r}"
+        )
+    return spark.read.parquet(f"{root}/{_VERSIONS}/{version}")
+
+
 def rewrite_current(spark: SparkSession, store: str, transform) -> str:
     """Maintenance without a missing-store window: read the live
     version, apply `transform` (compaction's coalesce, a Z-order sort,
