@@ -139,6 +139,9 @@ WRITE_AUDITS = [
     "q169_streaming_events_parity_audit",
     "q170_cascade_delete_audit",
     "q175_cow_cascade_delete_audit",
+    "q177_pq_index_store_audit",
+    "q178_stream_ingest_audit",
+    "q179_bpe_store_tokenize",
 ]
 
 # HEAVY-AUDIT ROTATION (VERDICT r12 item 2 / advisor question 1): the
@@ -160,17 +163,21 @@ WRITE_AUDITS = [
 # a reader never mistakes a rotated-out audit for a dropped one.
 HEAVY_AUDIT_ROTATION = {
     # even rounds: the r11-anchored heavyweights q152+q158 plus q160
+    # (q158 is the joins lane alone since the r17 split — its ingest
+    # half became q178, rotated on the opposite parity for balance)
     0: [
         "q152_stream_neardup_audit",
         "q158_stream_join_ingest_audit",
         "q160_day2_chain_audit",
     ],
     # odd rounds: the parity-audit pair (q156 docs + q169 events —
-    # one row until the r16 split) plus q159
+    # one row until the r16 split) plus q159 and the ingest half of
+    # the r17 q158 split
     1: [
         "q156_streaming_parity_audit",
         "q159_stream_quality_monitor_audit",
         "q169_streaming_events_parity_audit",
+        "q178_stream_ingest_audit",
     ],
 }
 
@@ -269,7 +276,9 @@ WRITE_AUDIT_ANCHOR = {
     # lanes split to q169 (VERDICT r15 item 3), so BOTH rows ride
     # unanchored (write_unanchored) until the next full-bucket refresh
     "q157_bucketed_antijoin_dedup_audit": 1.367,
-    "q158_stream_join_ingest_audit": 14.213,
+    # q158's r14 anchor (14.213, joins+ingest on one row) retired r17:
+    # the ingest lane split to q178 (VERDICT r16 item 4), so both rows
+    # ride unanchored until the r17 full-bucket refresh
     "q159_stream_quality_monitor_audit": 4.158,
     "q160_day2_chain_audit": 7.847,
     "q163_sqlite_store_audit": 3.122,

@@ -172,3 +172,37 @@ def test_bpe_encode_boundary_law_equals_trainer_lookahead(spark):
     for s in cases:
         for a, b in [("a", "a"), ("a", "b")]:
             assert encode_apply(s, a, b) == trainer_apply(s, a, b), (s, a, b)
+
+
+def test_q179_store_roundtrip_and_q173_parity(spark):
+    """The store-served tokenize lane: the candidate vocabulary
+    round-trips train -> commit -> pinned read exactly, the served
+    vocabulary is the promoted production artifact, and the per-doc
+    output is hash-identical to q173 (the VERDICT r16 item 5 done
+    bar — merges reached the encoder via a store read-back, not the
+    source constant)."""
+    rows = ngrams.q179_bpe_store_tokenize(spark, SF_DIR).collect()
+    assert rows and all(r.train_roundtrip_ok for r in rows)
+    assert all(r.vocab_n_merges == len(ngrams.BPE_MERGES) for r in rows)
+    q173 = ngrams.q173_bpe_tokenize(spark, SF_DIR).collect()
+    assert [(r.doc_id, r.n_tokens, r.tok_checksum) for r in rows] == [
+        tuple(r) for r in q173
+    ]
+
+
+def test_q176_coverage_measured(spark, monkeypatch):
+    """coverage_milli measures the fraction of input chars that reach
+    the encoder (VERDICT r16 item 6): '[a-z]-only' text covers fully;
+    digits/punctuation dilute it by exactly their char share."""
+    docs = spark.createDataFrame(
+        [(0, "en", "abcd"), (1, "en", "ab 12!@"), (2, "xx", "1234")],
+        "doc_id long, lang string, text string",
+    )
+    monkeypatch.setattr(ngrams, "_docs", lambda _s, _d: docs.select("doc_id", "lang", "text"))
+    rows = {r.lang: r for r in ngrams.q176_tokenizer_fertility(spark, "unused").collect()}
+    # en: word chars 4 + 2 = 6, text chars 4 + 7 = 11
+    assert rows["en"].n_word_chars == 6 and rows["en"].n_text_chars == 11
+    assert rows["en"].coverage_milli == (1000 * 6) // 11
+    # xx: nothing reaches the encoder — measured as 0, not a crash
+    assert rows["xx"].n_tokens == 0 and rows["xx"].coverage_milli == 0
+    assert all(r.roundtrip_ok for r in rows.values())
