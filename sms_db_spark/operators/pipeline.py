@@ -528,15 +528,25 @@ def q123_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= ANN_TOPK)
         .select("query_id", "neighbor_id")
     )
+    # both audit frames are bounded at NQ x ANN_TOPK rows (≤25 here, a
+    # query-sample x k at scale) — without the hints Spark planned
+    # SortMergeJoins for these, paying two shuffle exchanges + sorts on
+    # row counts a broadcast ships in one block (r17 plan audit)
     hits = exact.join(
-        served,
+        F.broadcast(served),
         (exact.query_id == served.aqid) & (exact.neighbor_id == served.aid),
         "left_semi",
     )
     per_q = (
         exact.select("query_id")
         .distinct()
-        .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")), "query_id", "left")
+        .join(
+            F.broadcast(
+                hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+            ),
+            "query_id",
+            "left",
+        )
         .select("query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
     )
     w_all = Window.partitionBy()

@@ -2063,43 +2063,76 @@ def _pq_train(emb: DataFrame, sub: DataFrame) -> DataFrame:
     over the subspace-exploded corpus. Returns the (m, cid, c)
     codebook, localCheckpointed each round (K x PQ_M rows — the q86
     lineage cut). One keyed pass trains all PQ_M codebooks."""
-    cb = (
-        _pq_subvecs(
-            _normalized_corpus(
-                _hashed_seed(emb, k=PQ_CODES).select(
-                    F.col("cid").alias("vec_id"),
-                    F.col("c_emb").alias("embedding"),
-                )
+    # the seed codebook is consumed exactly ONCE (round 1's packed
+    # broadcast), so it stays lazy: its K-row subtree executes inside
+    # that broadcast build instead of paying a dedicated eager
+    # checkpoint job (r17 — fresh-per-invocation builds made every
+    # saved job count; an eager pin here bought nothing)
+    cb = _pq_subvecs(
+        _normalized_corpus(
+            _hashed_seed(emb, k=PQ_CODES).select(
+                F.col("cid").alias("vec_id"),
+                F.col("c_emb").alias("embedding"),
             )
         )
-        .select("m", F.col("vec_id").alias("cid"), F.col("s").alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    ).select("m", F.col("vec_id").alias("cid"), F.col("s").alias("c"))
     return _pq_lloyd(sub, cb)
 
 
 def _pq_lloyd(sub: DataFrame, cb0: DataFrame) -> DataFrame:
-    """PQ_ITERS assign→update rounds from an already-checkpointed
-    seed codebook — the Lloyd loop shared by the raw-vector trainer
-    (_pq_train) and the residual trainer (q168)."""
+    """PQ_ITERS assign→update rounds from a (lazy or pinned) seed
+    codebook — the Lloyd loop shared by the raw-vector trainer
+    (_pq_train) and the residual trainer (q168). Only the FINAL
+    codebook is checkpointed (r17): each intermediate round's K×PQ_M
+    rows are consumed exactly once, by the next round's packed
+    broadcast, so the rounds chain through nested broadcast builds
+    inside the final pin's one job — same number of corpus sub-passes,
+    PQ_ITERS-1 fewer eager jobs per training call. The final codebook
+    IS pinned: every consumer (encoder, query LUTs, audits) broadcasts
+    it, and a lazy final cb would re-run the whole loop per consumer."""
     cb = cb0
     for _ in range(PQ_ITERS):
-        cb = _pq_update(_pq_assign(sub, cb)).localCheckpoint(eager=True)
-    return cb
+        cb = _pq_update(_pq_assign(sub, cb))
+    return cb.localCheckpoint(eager=True)
 
 
-def _pq_encode(sub: DataFrame, cb: DataFrame) -> DataFrame:
+def _pq_encode(nvframe: DataFrame, cb: DataFrame) -> DataFrame:
     """(vec_id, codes): every vector collapsed to PQ_M small ints
     ordered by m — the 64-bit serving representation (64x compression;
-    floats never consulted again on the ADC path)."""
-    return (
-        _pq_assign(sub, cb)
-        .groupBy("vec_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(m, cid))), p -> p.cid)"
-            ).alias("codes")
-        )
+    floats never consulted again on the ADC path).
+
+    MAP-SIDE (r17, guide §2.4): the PQ_M codebooks pack into ONE
+    broadcast row (m → cid-sorted (cid, c, h) structs) and each
+    vector's codes fold as a single expression over its own subspace
+    slices — the former shape exploded the corpus to M×N (vec_id, m)
+    rows, broadcast-joined, then re-collapsed with a groupBy(vec_id),
+    i.e. a corpus-sized shuffle that existed only to undo the explode.
+    Arithmetic and tie-break are byte-identical to _pq_assign (score =
+    subspace dot − half self-dot, argmax of (score, −cid)); input is
+    the UN-exploded (vec_id, n) frame."""
+    packed = cb.groupBy("m").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cid"),
+                    F.col("c"),
+                    (_dot("c", "c") / F.lit(2.0)).alias("h"),
+                )
+            )
+        ).alias("codes")
+    )
+    bym = packed.agg(
+        F.map_from_entries(F.collect_list(F.struct("m", "codes"))).alias("bym")
+    )
+    code_expr = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> CAST(-array_max("
+        f"transform(element_at(bym, m), c -> struct("
+        f"aggregate(zip_with(slice(n, m * {PQ_DSUB} + 1, {PQ_DSUB}), c.c,"
+        f" (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v) - c.h"
+        f" AS score, -c.cid AS ncid))).ncid AS BIGINT))"
+    )
+    return nvframe.crossJoin(F.broadcast(bym)).select(
+        "vec_id", code_expr.alias("codes")
     )
 
 
@@ -2147,55 +2180,24 @@ _ADC_EXPR = (
 
 
 # ---------------------------------------------------------- shared state
-# Train-once serving state for the PQ family (VERDICT r15 item 2): an
-# ANN index is BUILT once and SERVED many times — coarse centroids, the
-# corpus coarse assignment, trained codebooks, and the encoded code
-# tables are write-path artifacts, not per-query work, yet r15's lanes
-# each retrained them from scratch on every execution (q167+q168
-# measured ~15.3 s combined at sf0.1, and the bench's warm-up +
-# best-of-3 protocol re-paid the build 4x per lane). This cache keys
-# the PINNED training frames by (applicationId, corpus dir): the
-# second lane and every re-execution inside one application reuse the
-# exact pinned rows. Reuse is sound because every stage is
-# deterministic — hashed-id seeds, integer-scaled Lloyd means, an
-# immutable corpus dir — so a cache hit is bit-identical to a
-# recompute (the DuckDB oracles retrain inline and still hash-match).
-# At production scale this state is parquet in the vector store (built
-# by the ingest pipeline, loaded by the serving tier — sinks/pqstore.py
-# is that path, q177); localCheckpoint is its single-application twin —
-# O(corpus) codes + O(K·PQ_M) codebook rows, the layout that fits 10^11
-# vectors in RAM.
-#
-# Eviction (ADVICE r16 #2): each entry pins ~5 corpus-sized
-# checkpointed frames on the executors, so the cache is bounded to the
-# _PQ_CACHE_MAX most recent (dir, variant) entries within one
-# application (insertion order; a re-hit is not reordered — entries are
-# few and short-lived). Evicted entries' block storage is reclaimed by
-# Spark's ContextCleaner once the driver-side references die: PySpark
-# has no public unpersist for a localCheckpoint's backing RDD, so
-# eviction drops every reference and forces a gc.collect() — py4j then
-# detaches the JVM Datasets, making their checkpoint RDDs collectable,
-# and the ContextCleaner unpersists the blocks. Prompt-enough for a
-# cache whose entries each took seconds to build; the hard bound is
-# what matters (before it, a long-lived app pinned every corpus it
-# ever touched, forever).
-_PQ_SHARED_CACHE: dict = {}
-_PQ_CACHE_MAX = 2  # (dir, variant) entries kept per application
-
-
-def _pq_cache_evict(keys) -> None:
-    """Drop cache entries and release their driver-side references so
-    the ContextCleaner can reclaim the checkpointed blocks."""
-    import gc
-
-    evicted = False
-    for k in list(keys):
-        state = _PQ_SHARED_CACHE.pop(k, None)
-        if state is not None:
-            state.clear()  # kill the frame references inside the dict too
-            evicted = True
-    if evicted:
-        gc.collect()
+# PER-INVOCATION training state for the PQ family. History: r16 kept
+# these frames in a module-level cache keyed by (applicationId, corpus
+# dir) so a lane's re-executions and its sibling lanes reused one
+# build (VERDICT r15 item 2's train-once reading). The r17 optimization
+# round REMOVED that memo: under the bench's warm-up + best-of-N
+# protocol a cache hit meant the TIMED runs of q166/q167/q168/q174/
+# q177 were serving pre-built state from an earlier invocation — the
+# measured number excluded the very training the query declares, and
+# the round's measurement rules forbid any cross-invocation memo of
+# intermediates keyed on the corpus dir. Every call of _pq_shared now
+# builds from the parquet inputs; the localCheckpoint pins below give
+# INTRA-query reuse only (each query invocation trains once, then its
+# serving/audit body reads the pinned frames — frames die with the
+# invocation's references, so nothing persists across timed runs).
+# The train-once SERVING architecture lives where it belongs: in the
+# store (sinks/pqstore.py — q177 commits the trained index as a
+# versioned artifact and reloads it in a fresh session; at production
+# scale the ingest pipeline builds once and the serving tier loads).
 
 
 # clustered-fixture law (q174): scale·center + eps·(low-rank offset).
@@ -2244,64 +2246,83 @@ def _pq_clustered_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_shared(spark: SparkSession, sf_dir: str, variant: str = "base") -> dict:
-    """The memoized base frames: pinned nv (normalized corpus), pinned
-    cent (the K coarse centroids), sub (a map-side reshape of pinned
-    nv — recomputed per use, no shuffle), and the lazily-added
+    """The per-invocation base frames: pinned nv (normalized corpus),
+    pinned cent (the K coarse centroids), and the lazily-added
     codebook/index entries the lane helpers below fill in. `variant`
     selects the corpus ("base" = the embeddings table, "clustered" =
-    the derived mixture fixture) and is part of the cache key — the
-    two corpora must never share trained state."""
-    import os as _os
-
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), variant)
-    state = _PQ_SHARED_CACHE.get(key)
-    if state is None:
-        # drop entries from other applications (a stopped context's
-        # checkpointed RDDs are unusable), then bound THIS application
-        # to the newest _PQ_CACHE_MAX - 1 entries so the insert below
-        # never exceeds the cap (ADVICE r16 #2)
-        _pq_cache_evict(k for k in _PQ_SHARED_CACHE if k[0] != key[0])
-        mine = [k for k in _PQ_SHARED_CACHE if k[0] == key[0]]
-        _pq_cache_evict(mine[: max(0, len(mine) - (_PQ_CACHE_MAX - 1))])
-        if variant == "clustered":
-            # PINNED: the base corpus is a bare parquet scan, but the
-            # fixture is a corpus-wide broadcast join + DIM-wide
-            # transform — every downstream consumer (seeding's
-            # orderBy, the coarse-assignment fold, the query filters)
-            # would re-derive it per scan otherwise (review r16)
-            emb = _pq_clustered_emb(spark, sf_dir).localCheckpoint(eager=True)
-        else:
-            emb = load_table_parallel(spark, sf_dir, "embeddings")
-        nv = _pq_nv(emb).localCheckpoint(eager=True)
-        cent = (
+    the derived mixture fixture); the two corpora never share trained
+    state because each invocation's dict is its own (see the block
+    comment above — no cross-invocation memo)."""
+    if variant == "clustered":
+        # PINNED: the base corpus is a bare parquet scan, but the
+        # fixture is a corpus-wide broadcast join + DIM-wide
+        # transform — every downstream consumer (seeding's
+        # orderBy, the coarse-assignment fold, the query filters)
+        # would re-derive it per scan otherwise (review r16)
+        emb = _pq_clustered_emb(spark, sf_dir).localCheckpoint(eager=True)
+    else:
+        emb = load_table_parallel(spark, sf_dir, "embeddings")
+    # nv and cent are independent reductions of emb: their eager pins
+    # run as CONCURRENT jobs (guide §2.6 — actions are only sequential
+    # because driver code calls them sequentially; the K-row cent job
+    # back-fills executors the nv job leaves idle)
+    nv_f, cent_f = _pq_parallel(
+        lambda: _pq_nv(emb).localCheckpoint(eager=True),
+        lambda: (
             emb.filter(F.col("vec_id") < N_CENTROIDS)
             .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
             .localCheckpoint(eager=True)
-        )
-        state = {"emb": emb, "nv": nv, "cent": cent}
-        _PQ_SHARED_CACHE[key] = state
-    return state
+        ),
+    )
+    return {"emb": emb, "nv": nv_f, "cent": cent_f}
+
+
+def _pq_parallel(*thunks):
+    """Run independent eager-checkpoint builds as concurrent driver
+    threads (job descriptions and scheduling are per-thread; FIFO
+    back-fill keeps the cluster busy through each job's tail). Returns
+    the thunk results in order; any failure propagates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return (thunks[0](),)
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return tuple(f.result() for f in futures)
 
 
 def _pq_shared_flat(
-    spark: SparkSession, sf_dir: str, variant: str = "base"
+    spark: SparkSession,
+    sf_dir: str,
+    variant: str = "base",
+    with_assigned: bool = True,
 ) -> dict:
     """Adds the FLAT-PQ artifacts to the shared state: `cb` (trained
     codebooks, pinned by _pq_lloyd) and `codes` (the encoded corpus,
     pinned — the (vec_id, codes) table q166 audits and q167 serves
-    from). Also `assigned` (coarse IVF list per vector, pinned) for
-    the serving index."""
+    from). `assigned` (coarse IVF list per vector, pinned) is built
+    only for the IVF consumers (with_assigned; q166's flat-ADC audit
+    never reads it — r17 dropped its wasted corpus fold there). The
+    codebook→codes chain and the coarse-assignment fold are
+    independent given (nv, cent): they build as concurrent jobs."""
     st = _pq_shared(spark, sf_dir, variant)
-    if "cb" not in st:
-        sub = _pq_subvecs(st["nv"])
+    sub = _pq_subvecs(st["nv"])
+
+    def build_codes():
         st["cb"] = _pq_train(st["emb"], sub)
-        st["codes"] = _pq_encode(sub, st["cb"]).localCheckpoint(eager=True)
-    if "assigned" not in st:
-        st["assigned"] = (
+        return _pq_encode(st["nv"], st["cb"]).localCheckpoint(eager=True)
+
+    def build_assigned():
+        return (
             _argmax_cosine_packed(st["emb"], st["cent"], k_max_hint=N_CENTROIDS)
             .select("vec_id", "cid")
             .localCheckpoint(eager=True)
         )
+
+    if with_assigned:
+        st["codes"], st["assigned"] = _pq_parallel(build_codes, build_assigned)
+    else:
+        st["codes"] = build_codes()
     return st
 
 
@@ -2340,13 +2361,17 @@ def _pq_shared_residual(
         seed_ids = _hashed_seed(st["emb"], k=PQ_CODES, with_vec_id=True).select(
             "vec_id", F.col("cid").alias("scid")
         )
-        rcb0 = (
-            rsub.join(F.broadcast(seed_ids), "vec_id")
-            .select("m", F.col("scid").alias("cid"), F.col("s").alias("c"))
-            .localCheckpoint(eager=True)
+        # rcb0 is consumed exactly once (round 1's packed broadcast) —
+        # lazy, same rationale as _pq_train's seed (r17): rsub reads
+        # from the pinned res frame, so the broadcast-build replay is a
+        # map pass over checkpointed blocks, not a lineage re-train
+        rcb0 = rsub.join(F.broadcast(seed_ids), "vec_id").select(
+            "m", F.col("scid").alias("cid"), F.col("s").alias("c")
         )
         st["rcb"] = _pq_lloyd(rsub, rcb0)
-        st["rcodes"] = _pq_encode(rsub, st["rcb"]).localCheckpoint(eager=True)
+        st["rcodes"] = _pq_encode(
+            st["res"].select("vec_id", "n"), st["rcb"]
+        ).localCheckpoint(eager=True)
     return st
 
 
@@ -2374,7 +2399,7 @@ def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_pq_shared_flat, VERDICT r15 item 2): the codebooks and code
     table are index-build artifacts, pinned once per application —
     this body is the SERVING + audit path."""
-    st = _pq_shared_flat(spark, sf_dir)
+    st = _pq_shared_flat(spark, sf_dir, with_assigned=False)
     nv, cb = st["nv"], st["cb"]
     # encoded corpus with n carried for the exact-cosine audit side
     enc = st["codes"].join(nv, "vec_id")
@@ -2578,17 +2603,39 @@ def _ivf_probes(q: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _exact_topk(nv: DataFrame, nv_q: DataFrame) -> DataFrame:
+    """The exact full-corpus top-PQ_TOPK baseline (bounded broadcast of
+    the PQ_NQ query set, q48's documented shape) — UN-pinned; callers
+    checkpoint it, in parallel with their ADC candidate pin (the two
+    are independent given nv, so their eager jobs overlap — r17). The
+    pin matters because the baseline's crossJoin scan has FOUR
+    consumers in _serving_audit (both hit joins, the distinct-query
+    anchor, and the mean aggregate's copy of the per_q subtree)."""
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(nv_q)
+        .crossJoin(nv.withColumnRenamed("vec_id", "neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.expr(_UNIT_DOT_SQL).alias("cos_score"))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def _serving_audit(
-    adc_ranked: DataFrame, nv: DataFrame, nv_q: DataFrame
+    adc_ranked: DataFrame, nv: DataFrame, nv_q: DataFrame, exact: DataFrame
 ) -> DataFrame:
     """THE dual-recall serving audit, shared by q167/q168 so the two
     lanes stay directly comparable by construction: given the ADC
     top-IVFPQ_RERANK_R candidate window (query_id, neighbor_id,
-    rank_adc — pinned by the caller), re-rank it by exact unit-dot
-    (floats fetched for only NQ x R rows), compare BOTH answer sets
-    against the exact full-corpus top-PQ_TOPK (the bounded broadcast
-    baseline), and emit per-query n_hits/n_hits_adc/recalls plus the
-    mean_recall/meets_target verdict vs IVFPQ_RECALL_TARGET."""
+    rank_adc — pinned by the caller) and the pinned exact baseline
+    (_exact_topk), re-rank the candidates by exact unit-dot (floats
+    fetched for only NQ x R rows), compare BOTH answer sets against
+    the baseline, and emit per-query n_hits/n_hits_adc/recalls plus
+    the mean_recall/meets_target verdict vs IVFPQ_RECALL_TARGET."""
     served_adc = adc_ranked.filter(F.col("rank_adc") <= PQ_TOPK).select(
         F.col("query_id").alias("bqid"), F.col("neighbor_id").alias("bid")
     )
@@ -2603,27 +2650,18 @@ def _serving_audit(
         .filter(F.col("rank") <= PQ_TOPK)
         .select(F.col("query_id").alias("aqid"), F.col("neighbor_id").alias("aid"))
     )
-    exact = (
-        F.broadcast(nv_q)
-        .crossJoin(nv.withColumnRenamed("vec_id", "neighbor_id"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.expr(_UNIT_DOT_SQL).alias("cos_score"))
-        .withColumn("rank", F.row_number().over(w_cos))
-        .filter(F.col("rank") <= PQ_TOPK)
-        .select("query_id", "neighbor_id")
-        # PINNED (PQ_NQ x PQ_TOPK rows): the baseline's full-corpus
-        # crossJoin scan has FOUR consumers below (both hit joins, the
-        # distinct-query anchor, and the mean aggregate's copy of the
-        # per_q subtree) — without the pin each re-executed it
-        .localCheckpoint(eager=True)
-    )
+    # every frame below is bounded at PQ_NQ x PQ_TOPK (≤100) rows; the
+    # hints matter because Spark planned SortMergeJoins for this tail —
+    # 16 of them in the r17 q167 plan, each paying shuffle+sort rounds
+    # a one-block broadcast replaces (guide §3.1: estimates after
+    # windows/aggregates are unreliable, hint what you know is small)
     hits = exact.join(
-        served,
+        F.broadcast(served),
         (exact.query_id == served.aqid) & (exact.neighbor_id == served.aid),
         "left_semi",
     )
     hits_adc = exact.join(
-        served_adc,
+        F.broadcast(served_adc),
         (exact.query_id == served_adc.bqid)
         & (exact.neighbor_id == served_adc.bid),
         "left_semi",
@@ -2632,13 +2670,17 @@ def _serving_audit(
         exact.select("query_id")
         .distinct()
         .join(
-            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            F.broadcast(
+                hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+            ),
             "query_id",
             "left",
         )
         .join(
-            hits_adc.groupBy("query_id").agg(
-                F.count(F.lit(1)).alias("n_hits_adc")
+            F.broadcast(
+                hits_adc.groupBy("query_id").agg(
+                    F.count(F.lit(1)).alias("n_hits_adc")
+                )
             ),
             "query_id",
             "left",
@@ -2755,7 +2797,7 @@ def _ivfpq_audit(
     # the ADC pass over the probed cells, ranked once; the top-PQ_TOPK
     # prefix is the serve-as-is answer, the top-RERANK_R prefix feeds
     # the full-precision re-rank
-    adc_ranked = (
+    adc_frame = (
         F.broadcast(probes.join(q_lut.drop("qn"), "query_id"))
         .join(index, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -2764,11 +2806,15 @@ def _ivfpq_audit(
         )
         .withColumn("rank_adc", F.row_number().over(w_adc))
         .filter(F.col("rank_adc") <= IVFPQ_RERANK_R)
-        .localCheckpoint(eager=True)  # feeds both answer sets, one pass
     )
-    return _serving_audit(
-        adc_ranked, nv, q_lut.select("query_id", "qn")
+    nv_q = q_lut.select("query_id", "qn")
+    # the ADC candidate window (feeds both answer sets, one pass) and
+    # the exact baseline are independent — pin them concurrently (r17)
+    adc_ranked, exact = _pq_parallel(
+        lambda: adc_frame.localCheckpoint(eager=True),
+        lambda: _exact_topk(nv, nv_q).localCheckpoint(eager=True),
     )
+    return _serving_audit(adc_ranked, nv, nv_q, exact)
 
 
 def _sql_serving_audit_tail() -> str:
@@ -3087,7 +3133,7 @@ def q168_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id")
     )
-    adc_ranked = (
+    adc_frame = (
         F.broadcast(q_lut)
         .join(index, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -3096,9 +3142,13 @@ def q168_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank_adc", F.row_number().over(w_adc))
         .filter(F.col("rank_adc") <= IVFPQ_RERANK_R)
-        .localCheckpoint(eager=True)
     )
-    return _serving_audit(adc_ranked, nv, nv_q)
+    # candidate window and exact baseline pin concurrently (r17)
+    adc_ranked, exact = _pq_parallel(
+        lambda: adc_frame.localCheckpoint(eager=True),
+        lambda: _exact_topk(nv, nv_q).localCheckpoint(eager=True),
+    )
+    return _serving_audit(adc_ranked, nv, nv_q, exact)
 
 
 def _q168_sql() -> str:

@@ -242,10 +242,21 @@ def q104_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket hash bytes are identical.
     """
     docs = load_table_parallel(spark, sf_dir, "documents")
+    # counts feeds BOTH the sketch build and the true-top-K probe;
+    # unpinned, each branch re-ran the shingle explode + count from the
+    # scan (two Generate→2-stage-agg subtrees in the r17 plan — exchange
+    # reuse does not fire across the broadcast boundary). Pin the
+    # |distinct grams|-row aggregate once, q114's compute-once
+    # discipline: one corpus shingle pass instead of two. At sf0.1 the
+    # wall is flat (1.68→1.71 s — the saved pass ≈ the added eager job
+    # at toy scale); the win is the plan shape at 100 TB, where the
+    # duplicated subtree is a second full corpus explode while the
+    # pinned state is only the vocabulary count table.
     counts = (
         _gram_rows(docs)
         .groupBy(F.col("gram").alias("token"))
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
     rows = F.sequence(F.lit(0), F.lit(CMS_D - 1))
     cells = (

@@ -117,34 +117,27 @@ def test_normalized_corpus_survives_zero_vector(spark):
     assert got[1][0] == 1.0 and got[1][1:] == [0.0] * (DIM - 1)
 
 
-def test_pq_shared_cache_is_bounded_per_application(spark, tmp_path):
-    """The shared-state cache keeps at most _PQ_CACHE_MAX (dir, variant)
-    entries per application, evicting oldest-first, and an evicted
-    entry's state dict is emptied so its frame references die with it
-    (ADVICE r16 #2: before the bound, a long-lived application pinned
-    every corpus it ever touched forever)."""
+def test_pq_shared_builds_fresh_state_per_invocation(spark, tmp_path):
+    """No cross-invocation memo (r17 optimization round): every
+    _pq_shared call returns its OWN state dict built from the parquet
+    inputs — two calls over the same corpus dir share nothing, so a
+    timed re-execution can never serve pre-built training state from an
+    earlier invocation, and no module-level structure keyed on the
+    corpus dir survives the call."""
     from sms_db_spark.operators import similarity as S
 
-    dirs = []
-    for i in range(S._PQ_CACHE_MAX + 2):
-        d = tmp_path / f"corpus{i}"
-        d.mkdir()
-        spark.createDataFrame(
-            [(j, [float(j + i)] * S.DIM) for j in range(4)],
-            "vec_id long, embedding array<double>",
-        ).write.parquet(str(d / "embeddings.parquet"))
-        dirs.append(str(d))
+    d = tmp_path / "corpus"
+    d.mkdir()
+    spark.createDataFrame(
+        [(j, [float(j)] * S.DIM) for j in range(4)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(str(d / "embeddings.parquet"))
 
-    S._PQ_SHARED_CACHE.clear()
-    states = [S._pq_shared(spark, d) for d in dirs]
-    assert len(S._PQ_SHARED_CACHE) <= S._PQ_CACHE_MAX
-    # newest entries survive, oldest were evicted and their dicts emptied
-    kept_dirs = {k[1] for k in S._PQ_SHARED_CACHE}
-    import os
-
-    assert kept_dirs == {os.path.abspath(d) for d in dirs[-S._PQ_CACHE_MAX:]}
-    for st in states[: -S._PQ_CACHE_MAX]:
-        assert st == {}
-    # survivors still serve their pinned frames
-    assert states[-1]["nv"].count() == 4
-    S._PQ_SHARED_CACHE.clear()
+    s1 = S._pq_shared(spark, str(d))
+    s2 = S._pq_shared(spark, str(d))
+    assert s1 is not s2
+    # distinct pinned frames, not shared references to one build
+    assert s1["nv"] is not s2["nv"]
+    assert s1["nv"].count() == s2["nv"].count() == 4
+    # the module holds no cache structure at all
+    assert not hasattr(S, "_PQ_SHARED_CACHE")
