@@ -388,6 +388,21 @@ ANCHOR_ROUND = 17
 # era, so the era divisor anchors at the quietest observed CPU window
 # — eras read >= 1 in a typical r17-era run and normalization only
 # ever FORGIVES, the repo's documented never-flag-on-ambient direction
+#
+# r17 OPTIMIZATION-round re-base of FOUR entries only (q166/q167/q168/
+# q174 — a measurement-honesty fix, not a drift refresh): their r17
+# anchors (1.019 / 3.373 / 2.93 / 2.775) were recorded while
+# _PQ_SHARED_CACHE memoized trained index state across invocations, so
+# the timed runs measured serve-only cost — the training the queries
+# declare was excluded. The memo is removed (every invocation now
+# builds from parquet; OPTIMIZATION_r17.md "PQ family"), and the new
+# anchors are the honest fresh-build numbers measured in the round's
+# A/B session, divided by that session's unchanged-47-query ratio vs
+# this anchor table (0.69) so they sit on the same era scale as their
+# neighbors: q166 2.897→4.2, q167 4.194→6.08, q168 6.063→8.78,
+# q174 7.073→10.25. Old values kept here for the record; every other
+# entry is untouched (the round's improved queries read <1 vs their
+# standing anchors, which only ever under-flags).
 ANCHOR_CAL_SEC = 0.496
 ANCHOR = {
     "q01_eq_filter_sort": 0.596, "q06_join_meta_data": 1.912,
@@ -418,9 +433,9 @@ ANCHOR = {
     "q144_planned_join": 3.037, "q147_salted_planned_join": 2.078,
     "q161_image_phash_neardup": 2.209, "q162_audio_fingerprint_neardup": 2.001,
     "q164_video_frame_neardup": 3.715, "q165_gopher_repetition": 1.923,
-    "q166_pq_adc_recall": 1.019, "q167_ivfpq_serving": 3.373,
-    "q168_ivfadc_residual": 2.93, "q173_bpe_tokenize": 1.156,
-    "q174_ivfadc_clustered": 2.775, "q176_tokenizer_fertility": 0.876,
+    "q166_pq_adc_recall": 4.2, "q167_ivfpq_serving": 6.08,
+    "q168_ivfadc_residual": 8.78, "q173_bpe_tokenize": 1.156,
+    "q174_ivfadc_clustered": 10.25, "q176_tokenizer_fertility": 0.876,
 }
 # a query must exceed this multiple of its anchor to count as a suspect
 SUSPECT_RATIO = 3.0

@@ -414,16 +414,36 @@ def dhash_bands_bytes(px: bytes) -> tuple[int, ...]:
     )
 
 
-def _fingerprint_frame(media: DataFrame, kernel) -> DataFrame:
+def _fingerprint_frame(media: DataFrame, kernel, batch_kernel=None) -> DataFrame:
     """ONE Arrow-batched pass turning payload bytes into banded
     fingerprints (doc_id, b0..b3) via a payload→bands callable — the
     shared mapInPandas body of the image and audio lanes (a second
     Arrow stage per lane would pay a round trip for nothing; the
     production Pillow/PCM pipelines are likewise one Python pass per
-    blob). Constant task memory; payloads never leave the executors."""
+    blob). Constant task memory; payloads never leave the executors.
+
+    batch_kernel (r17, guide §4.2): an optional whole-batch vectorized
+    twin — payload list → (n, DHASH_BANDS) int ndarray — used when the
+    lane's per-payload math vectorizes (the default dHash/energy
+    kernels do: byte compares and big-endian packing over a fixed-size
+    grid are three numpy expressions). The per-row `kernel` remains
+    the semantic reference and the injection point for production
+    decoders; tests pin batch == per-row on the same payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if batch_kernel is not None:
+                m = batch_kernel(list(pdf["payload"]))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        **{
+                            f"b{i}": pd.Series(m[:, i], dtype="int32")
+                            for i in range(DHASH_BANDS)
+                        },
+                    }
+                )
+                continue
             bands = [kernel(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
@@ -440,10 +460,56 @@ def _fingerprint_frame(media: DataFrame, kernel) -> DataFrame:
     return media.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
+def _pack_bands_matrix(cmp):
+    """Vectorized _pack_bands: (n, 64) boolean bit matrix (bit t in
+    column t) → (n, DHASH_BANDS) int32 band values — the identical
+    big-endian-within-band packing law (bit k of band b is global bit
+    16b + k at weight 2^(15-k))."""
+    import numpy as np
+
+    weights = (1 << (15 - np.arange(16))).astype(np.int32)
+    return np.stack(
+        [
+            (cmp[:, 16 * b : 16 * (b + 1)].astype(np.int32) * weights).sum(axis=1)
+            for b in range(DHASH_BANDS)
+        ],
+        axis=1,
+    )
+
+
+def _dhash_bands_batch(payloads: list) -> "object":
+    """Whole-batch dHash over fake_resize'd payloads: truncate/zero-pad
+    every payload to the DHASH_W x DHASH_H grid (one bytes-join +
+    frombuffer — no per-byte Python), then bit t = 16b + k fires when
+    the right pixel beats the left within the t//8-th row (the same
+    (t//8)*DHASH_W + t%8 indexing as dhash_bands_bytes, expressed as
+    one shifted comparison over the (n, H, W) grid). Bit-identical to
+    [dhash_bands_bytes(fake_resize(p, DHASH_W, DHASH_H)) for p in
+    payloads] — pinned by tests/test_multimodal.py."""
+    import numpy as np
+
+    n_px = DHASH_W * DHASH_H
+    buf = b"".join(
+        p[:n_px] + b"\x00" * (n_px - len(p)) if len(p) < n_px else p[:n_px]
+        for p in payloads
+    )
+    a = np.frombuffer(buf, dtype=np.uint8).reshape(len(payloads), DHASH_H, DHASH_W)
+    cmp = (a[:, :, 1 : DHASH_W] > a[:, :, 0 : DHASH_W - 1]).reshape(
+        len(payloads), DHASH_BANDS * 16
+    )
+    return _pack_bands_matrix(cmp)
+
+
 def image_phash(media: DataFrame, resizer=fake_resize) -> DataFrame:
-    """decode→resize→dHash in one Arrow pass (see _fingerprint_frame)."""
+    """decode→resize→dHash in one Arrow pass (see _fingerprint_frame).
+    Under the default resizer the whole batch runs vectorized
+    (_dhash_bands_batch); an injected production resizer keeps the
+    per-payload path, whose row loop is then dominated by the real
+    resample anyway."""
     return _fingerprint_frame(
-        media, lambda p: dhash_bands_bytes(resizer(p, DHASH_W, DHASH_H))
+        media,
+        lambda p: dhash_bands_bytes(resizer(p, DHASH_W, DHASH_H)),
+        batch_kernel=_dhash_bands_batch if resizer is fake_resize else None,
     )
 
 
@@ -693,10 +759,40 @@ def _audio_kernel(p: bytes) -> tuple[int, ...]:
     return energy_bands_bytes(p[44 : 44 + AUDIO_DATA_BYTES])
 
 
+def _audio_bands_batch(payloads: list) -> "object":
+    """Whole-batch energy fingerprint with the SAME fail-loud gate as
+    _audio_kernel: the canonical WAV layout makes every valid payload
+    byte-identical in its first 44 bytes and exactly 44 +
+    AUDIO_DATA_BYTES long, so validation is one all-equal check — any
+    deviation re-runs the per-row kernel, which raises the identical
+    diagnostic on the first bad payload (vectorization never trades
+    away the 'raises instead of fingerprinting garbage' contract).
+    Frame energies and gradient bits are the same integer arithmetic
+    as energy_bands_bytes, batched."""
+    import numpy as np
+
+    header = _wav_header(AUDIO_DATA_BYTES)
+    total = 44 + AUDIO_DATA_BYTES
+    if any(len(p) != total or p[:44] != header for p in payloads):
+        # identical error surface to the row path — and if every
+        # payload is row-valid anyway (e.g. trailing bytes after the
+        # declared data chunk, which the row kernel tolerates), its
+        # results are the answer
+        return np.asarray([_audio_kernel(p) for p in payloads], dtype=np.int32)
+    buf = b"".join(p[44:total] for p in payloads)
+    a = np.frombuffer(buf, dtype=np.uint8).reshape(
+        len(payloads), AUDIO_FRAMES, AUDIO_FRAME_SIZE
+    )
+    e = a.astype(np.int32).sum(axis=2)
+    cmp = e[:, 1:AUDIO_FRAMES] > e[:, 0 : AUDIO_FRAMES - 1]
+    return _pack_bands_matrix(cmp[:, : DHASH_BANDS * 16])
+
+
 def audio_fingerprint(media: DataFrame) -> DataFrame:
     """decode→fingerprint in one Arrow pass (see _fingerprint_frame);
-    _audio_kernel fail-louds on malformed or truncated containers."""
-    return _fingerprint_frame(media, _audio_kernel)
+    the batch kernel validates the canonical layout wholesale and
+    fails loud through the per-row kernel on any malformed payload."""
+    return _fingerprint_frame(media, _audio_kernel, batch_kernel=_audio_bands_batch)
 
 
 def q162_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -787,10 +787,12 @@ def _lloyd(emb: DataFrame, cent: DataFrame) -> DataFrame:
     and the standard iterative-algorithm lineage cut (same move as the
     q83 star-contraction loop)."""
     cent = cent.localCheckpoint(eager=True)
-    # one cheap count on the pinned K-row table bounds EVERY round's K
-    # (clusters only ever vanish in _update) — so no assignment pass
-    # pays the fits-in-one-array probe job (review r11)
-    k0 = cent.count()
+    # N_CENTROIDS statically bounds EVERY round's K: both seeds are
+    # built ≤ N_CENTROIDS rows by construction and clusters only ever
+    # vanish in _update — an upper bound is all _n_pack_chunks needs
+    # (r17: the former cent.count() paid a whole job for a number the
+    # construction already guarantees)
+    k0 = N_CENTROIDS
     for _ in range(KMEANS_ITERS):
         cent = _update(_assign(emb, cent, k_max_hint=k0)).localCheckpoint(
             eager=True
@@ -1823,8 +1825,11 @@ def q138_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= RECALL_K)
         .select("query_id", F.col("neighbor_id").alias("approx_id"))
     )
+    # bounded audit frames (RECALL_QUERIES x RECALL_K rows): hint the
+    # broadcasts — Spark planned SortMergeJoins here (r17 plan audit),
+    # paying shuffle+sort rounds on rows that fit one broadcast block
     hits = exact.join(
-        approx,
+        F.broadcast(approx),
         (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.approx_id),
         "left_semi",
     )
@@ -1832,7 +1837,9 @@ def q138_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.select("query_id")
         .distinct()
         .join(
-            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+            F.broadcast(
+                hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+            ),
             "query_id",
             "left",
         )
@@ -2649,6 +2656,12 @@ def _serving_audit(
         .withColumn("rank", F.row_number().over(w_cos))
         .filter(F.col("rank") <= PQ_TOPK)
         .select(F.col("query_id").alias("aqid"), F.col("neighbor_id").alias("aid"))
+        # PIN the PQ_NQ x PQ_TOPK re-rank answer: the mean aggregate's
+        # crossJoin duplicates the whole per_q subtree in the final
+        # plan, and without this pin served's corpus-sized re-rank
+        # probe executed TWICE per run (r17 plan audit; the pinned
+        # frame is ≤100 rows, the saved branch scans the corpus)
+        .localCheckpoint(eager=True)
     )
     # every frame below is bounded at PQ_NQ x PQ_TOPK (≤100) rows; the
     # hints matter because Spark planned SortMergeJoins for this tail —

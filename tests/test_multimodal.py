@@ -366,3 +366,52 @@ def test_video_neardup_hamming_tolerance_engages(spark):
     }
     # fa~fb (Hamming<=3) plus the exact fother pair -> 2 votes
     assert got == {(1, 2, 2)}
+
+
+def test_batch_kernels_match_row_kernels():
+    """The r17 vectorized batch kernels are bit-identical to the
+    per-payload reference kernels over representative payloads
+    (short/empty/oversized for dHash; canonical WAVs for audio) — the
+    vectorization must never move a single fingerprint bit."""
+    import numpy as np
+
+    from sms_db_spark.operators.multimodal import (
+        AUDIO_DATA_BYTES,
+        DHASH_H,
+        DHASH_W,
+        _audio_bands_batch,
+        _audio_kernel,
+        _dhash_bands_batch,
+        _wav_header,
+        dhash_bands_bytes,
+        fake_resize,
+    )
+
+    payloads = [
+        b"",  # all-pad
+        b"a",  # one byte
+        bytes(range(DHASH_W * DHASH_H)),  # exact grid
+        (b"xyz" * 100),  # oversized -> truncate
+        b"The quick brown fox jumps over the lazy dog 0123456789!!",
+    ]
+    want = np.asarray(
+        [dhash_bands_bytes(fake_resize(p, DHASH_W, DHASH_H)) for p in payloads],
+        dtype=np.int32,
+    )
+    got = _dhash_bands_batch(payloads)
+    assert (got == want).all()
+
+    wavs = [
+        _wav_header(AUDIO_DATA_BYTES)
+        + bytes((i * 7 + j * 13) % 251 for j in range(AUDIO_DATA_BYTES))
+        for i in range(4)
+    ]
+    want_a = np.asarray([_audio_kernel(p) for p in wavs], dtype=np.int32)
+    got_a = _audio_bands_batch(wavs)
+    assert (got_a == want_a).all()
+
+    # a malformed payload still fails loud through the batch path
+    import pytest
+
+    with pytest.raises(ValueError):
+        _audio_bands_batch(wavs + [b"RIFFgarbage"])
