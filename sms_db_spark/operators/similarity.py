@@ -2402,10 +2402,10 @@ def q166_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries), as documented for q48/q128; the production path routes
     candidates through IVF (q123) first.
 
-    Training/encoding pull from the shared train-once state
-    (_pq_shared_flat, VERDICT r15 item 2): the codebooks and code
-    table are index-build artifacts, pinned once per application —
-    this body is the SERVING + audit path."""
+    Training/encoding pull from the per-invocation build
+    (_pq_shared_flat; no cross-invocation memo since r17): the
+    codebooks and code table are index-build artifacts, pinned for
+    this invocation — this body is the SERVING + audit path."""
     st = _pq_shared_flat(spark, sf_dir, with_assigned=False)
     nv, cb = st["nv"], st["cb"]
     # encoded corpus with n carried for the exact-cosine audit side
@@ -2769,9 +2769,9 @@ def q167_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     The index (coarse assignment + codebooks + code table) comes from
-    the shared train-once state (_pq_shared_flat, VERDICT r15 item 2)
-    — built once per application, reused by q166/q168 and every
-    re-execution; this body is the serving path."""
+    the per-invocation build (_pq_shared_flat; every execution trains
+    from the parquet inputs — the r17 rule; the persisted train-once
+    architecture is q177's store); this body is the serving path."""
     st = _pq_shared_flat(spark, sf_dir)
     return _ivfpq_audit(
         st["emb"], st["nv"], st["cb"], st["cent"], st["assigned"], st["codes"]
@@ -2975,8 +2975,8 @@ def q177_pq_index_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         from-scratch training — the strongest cross-engine form of
         "the store serves what was trained".
 
-    Plan: the build is the shared train-once state (cache-hit when the
-    PQ family already ran this application); the commit writes K,
+    Plan: the build is the per-invocation training chain
+    (_pq_shared_flat — this audit trains, commits, reloads); the commit writes K,
     K·PQ_M, corpus, and corpus-sized tables (the ~(8 + PQ_M) bytes per
     vector serving layout); the serve session re-derives nothing but
     the corpus normalization (floats stay in the corpus table — the
@@ -3316,9 +3316,9 @@ def q174_ivfadc_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_res 0.58 vs mean_flat 0.29 — gated by the pytest's
     mean_res >= mean_flat + 0.1 margin.)
 
-    All training state rides the variant-keyed shared cache
-    (_pq_shared_residual(variant="clustered")) — built once, never
-    mixed with the base corpus's state."""
+    All training state is the per-invocation variant-keyed build
+    (_pq_shared_residual(variant="clustered")) — its state dict is
+    this invocation's own, never mixed with the base corpus's."""
     st = _pq_shared_residual(spark, sf_dir, variant="clustered")
     emb, nv, cent = st["emb"], st["nv"], st["cent"]
     q = emb.filter(F.col("vec_id") < PQ_NQ).select(
