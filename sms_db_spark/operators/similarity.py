@@ -2334,15 +2334,40 @@ def _pq_shared_flat(
 
 
 def _pq_shared_residual(
-    spark: SparkSession, sf_dir: str, variant: str = "base"
+    spark: SparkSession,
+    sf_dir: str,
+    variant: str = "base",
+    with_flat: bool = True,
 ) -> dict:
     """Adds the RESIDUAL artifacts (q168): `res` (the pinned residual
     corpus n − unit(c_cid), keyed by coarse cell), `rcb` (residual
     codebooks trained over it), and `rcodes` (the residual-encoded
     corpus, pinned). Builds on the shared coarse assignment — the
-    stage q167 and q168 used to train twice (VERDICT r15 item 2)."""
-    st = _pq_shared_flat(spark, sf_dir, variant)
-    if "rcb" not in st:
+    stage q167 and q168 used to train twice (VERDICT r15 item 2).
+
+    with_flat=False skips the flat codebook/code build entirely:
+    q168's declared computation (its oracle twin's CTE list) has no
+    flat-PQ stage — per-invocation builds (r17) made that train+encode
+    a pure throwaway there. with_flat=True (q174 compares both coders)
+    builds the flat chain CONCURRENTLY with the residual chain
+    (guide §2.6): the two are independent given (nv, cent) — flat
+    reads (sub, nv), residual reads (assigned → res) — and previously
+    ran back-to-back."""
+    st = _pq_shared(spark, sf_dir, variant)
+    sub = _pq_subvecs(st["nv"])
+
+    def build_flat():
+        st["cb"] = _pq_train(st["emb"], sub)
+        st["codes"] = _pq_encode(st["nv"], st["cb"]).localCheckpoint(
+            eager=True
+        )
+
+    def build_residual():
+        st["assigned"] = (
+            _argmax_cosine_packed(st["emb"], st["cent"], k_max_hint=N_CENTROIDS)
+            .select("vec_id", "cid")
+            .localCheckpoint(eager=True)
+        )
         # (cid, c_unit), zero-safe — stored so the serving bodies
         # (q168/q174 query-residual mapping) use the SAME frame the
         # residual corpus was built from (review r16: three
@@ -2379,6 +2404,11 @@ def _pq_shared_residual(
         st["rcodes"] = _pq_encode(
             st["res"].select("vec_id", "n"), st["rcb"]
         ).localCheckpoint(eager=True)
+
+    if with_flat:
+        _pq_parallel(build_flat, build_residual)
+    else:
+        build_residual()
     return st
 
 
@@ -3084,8 +3114,11 @@ def q168_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks, residual code table) comes from the shared train-once
     state (_pq_shared_residual, VERDICT r15 item 2): the coarse stage
     is the SAME pinned assignment q167 serves from — trained once per
-    application instead of once per lane per execution."""
-    st = _pq_shared_residual(spark, sf_dir)
+    application instead of once per lane per execution. with_flat=False
+    (r17): this lane's declared computation has no flat-PQ stage (no
+    flat CTE in its oracle twin), so the flat train+encode the shared
+    builder used to run here was built and never read."""
+    st = _pq_shared_residual(spark, sf_dir, with_flat=False)
     emb, nv, cent = st["emb"], st["nv"], st["cent"]
     cu = st["cu"]  # (cid, c_unit), zero-safe — the residual frame's own
     index = (
