@@ -670,6 +670,7 @@ def q148_sharded_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile
 
+    from ..operators.similarity import _pq_parallel
     from ..operators.sketches import _h60
     from ..schemas import MSG_SMS
     from ..sinks.xml_export import export_xml, export_xml_sharded
@@ -712,16 +713,21 @@ def q148_sharded_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) as tmp:
         single = _os.path.join(tmp, "single.xml")
         sharded = _os.path.join(tmp, "sharded.xml")
-        n_single = export_xml(messages, parts, single, "sms")
-        n_sharded = export_xml_sharded(
-            messages, parts, sharded, "sms", fragments_dir=frag_root
+        # the single-writer export is DRIVER-bound (per-row ElementTree
+        # serialization off toLocalIterator) while the sharded export is
+        # cluster-bound — run them as concurrent driver jobs (guide
+        # §2.6; r17). They write distinct files; each persists its own
+        # export frames, and the shared cache entry a finishing side
+        # unpersists just falls back to a deterministic recompute.
+        n_single, n_sharded = _pq_parallel(
+            lambda: export_xml(messages, parts, single, "sms"),
+            lambda: export_xml_sharded(
+                messages, parts, sharded, "sms", fragments_dir=frag_root
+            ),
         )
         bytes_equal = int(digest(single) == digest(sharded))
-        rows = []
-        for label, fpath, n_exported in (
-            ("sharded", sharded, n_sharded),
-            ("single", single, n_single),
-        ):
+
+        def reimport(label: str, fpath: str, n_exported: int) -> tuple:
             sms, _mms, _addr, _part = read_xml_staging_distributed(spark, fpath)
             agg = sms.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -742,9 +748,18 @@ def q148_sharded_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("chk"),
             ).collect()[0]
-            rows.append(
-                (label, int(n_exported), int(agg["n"]), int(agg["chk"]), bytes_equal)
+            return (
+                label, int(n_exported), int(agg["n"]), int(agg["chk"]), bytes_equal
             )
+
+        # the two re-import parse+agg jobs read distinct finished files —
+        # independent, so they also run concurrently
+        rows = list(
+            _pq_parallel(
+                lambda: reimport("sharded", sharded, n_sharded),
+                lambda: reimport("single", single, n_single),
+            )
+        )
     return spark.createDataFrame(
         rows,
         "path string, n_exported bigint, n_reimported bigint,"
@@ -1458,23 +1473,31 @@ def q154_bucketed_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_orders, t_line = f"orders_q154_{run}", f"lineitem_q154_{run}"
     with _scratch_dir(spark, "sms_db_spark_bucketed_join_audit_") as root:
         try:
-            write_bucketed(
-                orders.select("o_orderkey", "o_orderstatus"),
-                t_orders,
-                "o_orderkey",
-                N_JOIN_BUCKETS,
-                path=f"{root}/orders",
-            )
-            write_bucketed(
-                lineitem.select(
-                    F.col("l_orderkey").alias("o_orderkey"),
-                    "l_linenumber",
-                    "l_quantity",
+            from ..operators.similarity import _pq_parallel
+
+            # two independent bucketed writes (distinct tables, distinct
+            # paths, in-memory catalog) — concurrent driver jobs (guide
+            # §2.6; r17): the lineitem shuffle+sort no longer waits for
+            # the orders one to drain
+            _pq_parallel(
+                lambda: write_bucketed(
+                    orders.select("o_orderkey", "o_orderstatus"),
+                    t_orders,
+                    "o_orderkey",
+                    N_JOIN_BUCKETS,
+                    path=f"{root}/orders",
                 ),
-                t_line,
-                "o_orderkey",
-                N_JOIN_BUCKETS,
-                path=f"{root}/lineitem",
+                lambda: write_bucketed(
+                    lineitem.select(
+                        F.col("l_orderkey").alias("o_orderkey"),
+                        "l_linenumber",
+                        "l_quantity",
+                    ),
+                    t_line,
+                    "o_orderkey",
+                    N_JOIN_BUCKETS,
+                    path=f"{root}/lineitem",
+                ),
             )
             ob, lb = spark.table(t_orders), spark.table(t_line)
             joined = ob.hint("merge").join(lb, "o_orderkey")
@@ -2344,11 +2367,17 @@ def q170_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_id") % _DELETE_MOD == _DELETE_REM
     ).select("_id")
     with _scratch_dir(spark, "sms_db_spark_cascade_delete_audit_") as root:
+        from ..operators.similarity import _pq_parallel
         from ..sinks.versioned import commit_version
 
         m_store, p_store = f"{root}/messages", f"{root}/parts"
-        commit_version(spark, m_store, msgs)
-        commit_version(spark, p_store, parts)
+        # the two v1 commits target independent store dirs — concurrent
+        # driver jobs (guide §2.6; r17). The DELETE stays ordered (parts
+        # before messages, the crash contract) inside delete_cascade.
+        _pq_parallel(
+            lambda: commit_version(spark, m_store, msgs),
+            lambda: commit_version(spark, p_store, parts),
+        )
         vs = delete_cascade(spark, m_store, p_store, doomed)
         m_back = read_current(spark, m_store)
         p_back = read_current(spark, p_store)
@@ -2480,16 +2509,23 @@ def q175_cow_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     with _scratch_dir(spark, "sms_db_spark_cow_cascade_delete_audit_") as root:
+        from ..operators.similarity import _pq_parallel
+
         m_store, p_store = f"{root}/messages", f"{root}/parts"
-        (
-            msgs.repartitionByRange(_N_COWDEL_FILES, "_id")
-            .sortWithinPartitions("_id")
-            .write.parquet(m_store)
-        )
-        (
-            parts.repartitionByRange(_N_COWDEL_FILES, "message_id")
-            .sortWithinPartitions("message_id")
-            .write.parquet(p_store)
+        # the two clustered-store seed writes target independent dirs —
+        # concurrent driver jobs (guide §2.6; r17). The DELETEs below
+        # stay ordered: parts before messages is the crash contract.
+        _pq_parallel(
+            lambda: (
+                msgs.repartitionByRange(_N_COWDEL_FILES, "_id")
+                .sortWithinPartitions("_id")
+                .write.parquet(m_store)
+            ),
+            lambda: (
+                parts.repartitionByRange(_N_COWDEL_FILES, "message_id")
+                .sortWithinPartitions("message_id")
+                .write.parquet(p_store)
+            ),
         )
         # keyed by store-relative path, not bare basename (ADVICE r16
         # #4): a basename collision across the two stores would
