@@ -3038,15 +3038,22 @@ def q177_pq_index_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pqstore.commit_pq_index(spark, store, built, params)
         serve = clone_tuned_session(spark)
         loaded = pqstore.load_pq_index(serve, store, expect_params=params)
-        matches = all(
-            _pq_table_checksum(built[name]) == _pq_table_checksum(loaded[name])
-            for name in pqstore.PQ_INDEX_TABLES
-        )
         emb = load_table_parallel(serve, sf_dir, "embeddings")
-        # PINNED like q167's shared nv: the audit consumes the
+        # the eight per-table checksum collects (built side + loaded
+        # side) and the nv pin are independent jobs — previously nine
+        # sequential driver round-trips (guide §2.6; r17). nv stays
+        # PINNED like q167's shared frame: the audit consumes the
         # normalized corpus from several stages (LUTs, re-rank, exact
-        # baseline)
-        nv = _pq_nv(emb).localCheckpoint(eager=True)
+        # baseline).
+        names = pqstore.PQ_INDEX_TABLES
+        *sums, nv = _pq_parallel(
+            *[lambda f=built[n]: _pq_table_checksum(f) for n in names],
+            *[lambda f=loaded[n]: _pq_table_checksum(f) for n in names],
+            lambda: _pq_nv(emb).localCheckpoint(eager=True),
+        )
+        matches = all(
+            sums[i] == sums[len(names) + i] for i in range(len(names))
+        )
         audit = _ivfpq_audit(
             emb,
             nv,

@@ -92,10 +92,21 @@ def commit_pq_index(
             f"(missing {sorted(missing)}, unexpected {sorted(extra)})"
         )
     root = store.rstrip("/")
-    versions = {
-        name: versioned.commit_version(spark, f"{root}/{name}", tables[name])
-        for name in PQ_INDEX_TABLES
-    }
+    # the four table commits target four independent sub-stores — they
+    # run as concurrent driver jobs (guide §2.6; r17). The module
+    # contract is untouched: the meta document still lands LAST, in one
+    # atomic write, after every table version exists.
+    from ..operators.similarity import _pq_parallel
+
+    results = _pq_parallel(
+        *[
+            lambda n=name: versioned.commit_version(
+                spark, f"{root}/{n}", tables[n]
+            )
+            for name in PQ_INDEX_TABLES
+        ]
+    )
+    versions = dict(zip(PQ_INDEX_TABLES, results))
     meta = {"params": params, "tables": versions}
     write_text_atomic(spark, _meta_path(store), json.dumps(meta, sort_keys=True))
     return meta
