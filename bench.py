@@ -714,6 +714,59 @@ def ambient_check(
     }
 
 
+def _per_query_lines(headline: dict, write_audits: dict) -> list[str]:
+    """Compact per-query JSON lines sized for the driver's ~2 KB stdout
+    tail capture (VERDICT r17 item 3: PERF per_query/geomean/scaling
+    were empty because the full line's `queries` dict falls off the
+    tail and only the totals-only final line survives whole). The tail
+    is last-N-bytes, so a line survives only if it fits ENTIRELY inside
+    the window together with everything printed after it — one 1.8 KB
+    headline line plus the 431-byte totals line cannot both fit in
+    2 KB. Strategy: chunk the headline dict into self-contained ~500
+    byte lines, ordered by ascending anchor so the LAST chunks — the
+    ones guaranteed to survive with the totals line — carry the
+    multi-second queries that drive geomean/watch comparisons, and the
+    sub-second scheduler-bound rows are what truncation sacrifices.
+    The `part` field makes any truncation visible to a reader. Values
+    are rounded to 1 decimal (full precision stays in the main JSON
+    line and BENCH_local*.json). The write-audit line prints FIRST
+    (most sacrificial): the write bucket is once-run and io-noisy, so
+    its per-query detail matters least of the three."""
+    out = [
+        json.dumps(
+            {
+                "metric": "per_query_write_audits",
+                "write_audits": {
+                    q: round(t, 1) for q, t in sorted(write_audits.items())
+                },
+            },
+            separators=(",", ":"),
+        )
+    ]
+    ordered = sorted(headline, key=lambda q: (ANCHOR.get(q, 0.0), q))
+    chunks: list[dict] = []
+    cur: dict = {}
+    for q in ordered:
+        cur[q] = round(headline[q], 1)
+        if len(json.dumps(cur, separators=(",", ":"))) > 420:
+            chunks.append(cur)
+            cur = {}
+    if cur:
+        chunks.append(cur)
+    for k, ch in enumerate(chunks):
+        out.append(
+            json.dumps(
+                {
+                    "metric": "per_query_headline",
+                    "part": f"{k + 1}/{len(chunks)}",
+                    "queries": ch,
+                },
+                separators=(",", ":"),
+            )
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -924,7 +977,41 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
     audits_this_round, audits_rotated_out = rotated_write_audits()
-    write_audits = run(audits_this_round, best_of=1, warm=False)
+    # io-variance hardening (VERDICT r17 item 7, the q153/q155 finding —
+    # twice-diagnosed once-run io bursts reading as regressions):
+    # sub-10s-anchor NON-streaming audits get a CONDITIONAL best-of-2 —
+    # a second timed run only when the first lands past
+    # WRITE_RETRY_RATIO x anchor x era (the burst signature; the watch
+    # bar is 2.0, so a cleared rerun can never flag). Unconditional
+    # best-of-2 on all 16 eligible lanes would add ~50s to every run
+    # and push the artifact toward the driver's bench window; the
+    # conditional form costs zero in a clean window and re-runs exactly
+    # the burst-hit lanes in a noisy one. First-run values are KEPT in
+    # write_audit_first_runs (the old methodology's number, on record
+    # per the optimization-round rules). Streaming lanes are excluded
+    # (multi-drop replay protocols — a rerun doubles a 10-20s protocol
+    # for a bucket the rotation exists to keep inside the window), as
+    # are >=10s anchors.
+    WRITE_RETRY_RATIO = 1.25
+    write_era_now = max(0.5, cal / WRITE_AUDIT_ANCHOR_CAL_SEC)
+    if ANCHOR_CAL_IO_SEC:
+        write_era_now = max(write_era_now, cal_io / ANCHOR_CAL_IO_SEC)
+    write_audits: dict[str, float] = {}
+    write_audit_first_runs: dict[str, float] = {}
+    for _name in audits_this_round:
+        t1 = run([_name], best_of=1, warm=False)[_name]
+        _anchor = WRITE_AUDIT_ANCHOR.get(_name)
+        if (
+            _anchor is not None
+            and _anchor < 10.0
+            and "stream" not in _name
+            and t1 > WRITE_RETRY_RATIO * _anchor * write_era_now
+        ):
+            t2 = run([_name], best_of=1, warm=False)[_name]
+            write_audit_first_runs[_name] = t1
+            write_audits[_name] = min(t1, t2)
+        else:
+            write_audits[_name] = t1
     # Third python bracket (VERDICT r11 item 6 / advisor question 1):
     # the post-headline bracket is systematically ~1.5-2x the pre in
     # every clean run, cause unidentified (worker-pool warmth vs JVM
@@ -980,6 +1067,10 @@ def main() -> None:
         "(write audits: ONE timed run, no warm-up, since r10 — "
         "IO-dominated protocol runs, bucket kept out of the headline "
         "trend and the artifact must fit the driver's bench window; "
+        "since r18, a sub-10s-anchor NON-streaming audit whose first "
+        "run exceeds 1.25x anchor x era re-runs ONCE and reports the "
+        "min — io-variance hardening per VERDICT r17 item 7; first-run "
+        "values kept in write_audit_first_runs; "
         "the five heavy streaming/protocol audits rotate half-per-round "
         "by build-round parity since r13, skipped names in "
         "write_audits_rotated_out, each timed at most 2 rounds stale); "
@@ -999,6 +1090,12 @@ def main() -> None:
         "(the r13 driver window) no longer reads as a write regression",
         "queries": headline,
         "write_audits": write_audits,
+        # first-run times of audits the conditional best-of-2 re-ran
+        # (empty in a clean window): the once-run methodology's value,
+        # kept on record next to the reported min
+        "write_audit_first_runs": {
+            k: round(v, 3) for k, v in sorted(write_audit_first_runs.items())
+        },
         "write_audit_anchor_round": WRITE_AUDIT_ANCHOR_ROUND,
         # derived, never hand-listed (ADVICE r11 #4: a prose comment
         # undersold which audits ride outside the watch tier)
@@ -1039,13 +1136,23 @@ def main() -> None:
         "calibration_python_post_sec": cal_python_post,
         "calibration_python_cooldown_sec": cal_python_cooldown,
     }
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+    doc["cpus"] = int(cpus) if cpus.isdigit() else None
     line = json.dumps(doc)
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
-        "w",
-    ) as fh:
-        fh.write(line + "\n")
+    here = os.path.dirname(os.path.abspath(__file__))
+    # BENCH_local.json keeps its historical name; a cpus-stamped copy
+    # additionally survives a later run at a different core count
+    # (VERDICT r17 item 3: the c8 scaling run silently overwrote the
+    # c32 artifact the round's forensics needed)
+    for fname in ("BENCH_local.json", f"BENCH_local_c{cpus or 'na'}.json"):
+        with open(os.path.join(here, fname), "w") as fh:
+            fh.write(line + "\n")
     print(line)
+    # Compact per-query lines for the driver's tail capture (see
+    # _per_query_lines); the totals-only line still prints LAST so a
+    # truncated capture always ends on an intact totals parse.
+    for pq_line in _per_query_lines(headline, write_audits):
+        print(pq_line)
     # One compact totals-only FINAL line (~115 chars): the driver keeps
     # only the tail of stdout and its JSON parse needs an intact line —
     # the full line above can lose its head to the capture window, but

@@ -442,21 +442,30 @@ def _oriented(e: DataFrame, big: str, small: str) -> DataFrame:
     return e.select(F.col(big).alias("src"), F.col(small).alias("dst"))
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """One large-star round: every node connects its strictly-larger
     neighbors to the minimum of its neighborhood. ONE window shuffle on
-    src (full-partition min, no ordering) + a distinct."""
+    src (full-partition min, no ordering) + a distinct.
+
+    dedup=False (r18, guide §2.4 — remove shuffles outright): when the
+    output feeds _small_star directly (_star_round), the trailing
+    distinct buys nothing — the small star's min-window is duplicate-
+    insensitive and its own trailing distinct restores set semantics —
+    yet costs a full Exchange + two-stage aggregate per round. The
+    multiset handed on is bounded by the same <= 2|E| rows the filter
+    leaves, so the traded shuffle volume is at most the duplicate
+    rewires, while a whole exchange round-trip leaves the plan."""
     from pyspark.sql import Window
 
     sym = edges.union(_oriented(edges, "dst", "src"))
     m = F.least(F.col("src"), F.min("dst").over(Window.partitionBy("src")))
-    return (
+    out = (
         sym.withColumn("m", m)
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -505,7 +514,9 @@ def q83_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev = checksum(edges)
     for _ in range(15):  # ~log2(components span); tiny for real graphs
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges, dedup=False)).localCheckpoint(
+            eager=True
+        )
         cur = checksum(edges)
         if cur == prev:
             break
@@ -976,7 +987,9 @@ def q117_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev = checksum(edges)
     for _ in range(15):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges, dedup=False)).localCheckpoint(
+            eager=True
+        )
         cur = checksum(edges)
         if cur == prev:
             break

@@ -434,9 +434,13 @@ def _fingerprint_frame(media: DataFrame, kernel, batch_kernel=None) -> DataFrame
         for pdf in batches:
             if batch_kernel is not None:
                 m = batch_kernel(list(pdf["payload"]))
+                # positional assembly (ADVICE r17): doc_id as a bare
+                # ndarray, so a non-default-indexed batch can never
+                # misalign against the fresh default-indexed band
+                # columns via pandas index alignment
                 yield pd.DataFrame(
                     {
-                        "doc_id": pdf["doc_id"],
+                        "doc_id": pdf["doc_id"].to_numpy(),
                         **{
                             f"b{i}": pd.Series(m[:, i], dtype="int32")
                             for i in range(DHASH_BANDS)

@@ -3118,10 +3118,11 @@ def q168_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ranked mean on IVFPQ_RECALL_TARGET.
 
     The residual index (coarse assignment, residual frame, residual
-    codebooks, residual code table) comes from the shared train-once
-    state (_pq_shared_residual, VERDICT r15 item 2): the coarse stage
-    is the SAME pinned assignment q167 serves from — trained once per
-    application instead of once per lane per execution. with_flat=False
+    codebooks, residual code table) comes from the shared builder
+    (_pq_shared_residual), which since r17 trains from parquet ONCE PER
+    INVOCATION (the cross-invocation memo is gone — q166/q167's
+    wording); the coarse stage is the same pinned assignment q167's
+    builder produces within one invocation. with_flat=False
     (r17): this lane's declared computation has no flat-PQ stage (no
     flat CTE in its oracle twin), so the flat train+encode the shared
     builder used to run here was built and never read."""

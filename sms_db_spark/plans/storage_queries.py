@@ -219,17 +219,22 @@ def q139_fold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match proves the fold changed the physical layout without
     moving a single row or count — the additive-collapse law as a
     driver-gated row, exercised through crash-protocol code paths."""
-    from ..streaming.shards import fold_cold_batches
+    from ..streaming.shards import fold_cold_batches_all
 
-    docs = load_table(spark, sf_dir, "documents")
+    # pinned once: the three landing batches and the replay below all
+    # slice this scan (r18 — one corpus read instead of four)
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint(eager=True)
     with _scratch_dir(spark, "sms_db_spark_fold_audit_") as sdir:
         for bid, k in enumerate((0, 1, 2)):
             apply_shard_batch(
                 docs.filter(F.col("doc_id") % 3 == k), bid, sdir,
                 N_AUDIT_SHARDS, "doc_id",
             )
-        for sid in range(N_AUDIT_SHARDS):
-            fold_cold_batches(spark, sdir, sid)
+        # stage all shards' folds concurrently, commit serially — the
+        # fold protocol's data half is manifest-free and disjoint per
+        # shard (guide §2.6; VERDICT r17 item 5, without the layout
+        # change: the shared manifest keeps single-writer commits)
+        fold_cold_batches_all(spark, sdir, range(N_AUDIT_SHARDS))
         # the hot tail must still absorb an at-least-once replay
         apply_shard_batch(
             docs.filter(F.col("doc_id") % 3 == 2), 2, sdir, N_AUDIT_SHARDS, "doc_id"
@@ -597,7 +602,10 @@ def q146_gated_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.quality import quality_gated_upsert_batch, read_metrics
 
     ev = load_table(spark, sf_dir, "events")
-    clean = _clean_events(ev)
+    # pinned once: the four epoch batches and the poisoned count below
+    # all slice this frame (q149's discipline — one scan + dedup-window
+    # shuffle instead of five)
+    clean = _clean_events(ev).localCheckpoint(eager=True)
 
     def part(k: int) -> DataFrame:
         return clean.filter(F.col("event_id") % 4 == k)
@@ -613,11 +621,18 @@ def q146_gated_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         poisoned = part(2).withColumn("value", F.col("value") + F.lit(2000.0))
         v0 = quality_gated_upsert_batch(poisoned, 0, log_dir, store_dir)
         v1 = quality_gated_upsert_batch(part(3), 1, log_dir, store_dir)
+        from ..operators.similarity import _pq_parallel
+
+        # the settled log's read-back and the poisoned-slice count are
+        # independent read-only jobs — concurrent (guide §2.6; r18)
+        log_rows, n_poisoned = _pq_parallel(
+            lambda: read_metrics(spark, log_dir).collect(),  # 8 rows
+            lambda: poisoned.count(),
+        )
         log = {
             (r.batch_id, r.check_name): (r.violations, r.passed)
-            for r in read_metrics(spark, log_dir).collect()  # 8 rows
+            for r in log_rows
         }
-        n_poisoned = poisoned.count()
         protocol_ok = int(
             v0 == {"applied": False, "failed_checks": ["range_value"], "total": n_poisoned}
             and v1["applied"] is True
@@ -816,7 +831,10 @@ def q149_stream_gated_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.quality import VALUE_CAP, read_metrics, stream_gated_upsert
 
     ev = load_table(spark, sf_dir, "events")
-    clean = _clean_events(ev)
+    # pin the clean slice ONCE (guide §1.2/§5 — intra-query reuse): the
+    # four drop writes below each sliced this frame, re-paying the scan
+    # + event_id dedup-window shuffle per drop; the pin pays it once
+    clean = _clean_events(ev).localCheckpoint(eager=True)
     with _scratch_dir(spark, "sms_db_spark_stream_upsert_audit_") as root:
         drop = f"{root}/drop"
         log_dir, store_dir, ckpt = f"{root}/log", f"{root}/store", f"{root}/ckpt"
@@ -1211,7 +1229,9 @@ def q152_stream_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     session = clone_tuned_session(spark)
     session.conf.set("spark.sql.shuffle.partitions", "8")
     spark = session
-    docs = load_table(spark, sf_dir, "documents")
+    # pinned once: the max probe and the three drop writes below all
+    # consume this scan (r18 — one corpus read instead of four)
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint(eager=True)
     mx = int(docs.agg(F.max("doc_id")).first()[0])
     span = mx + 1
     with _scratch_dir(spark, "sms_db_spark_stream_neardup_audit_") as root:
@@ -1870,21 +1890,32 @@ def q156_streaming_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # state-store sizing on a CLONE (q152's discipline): 8 partitions fit
     # the audit corpus; the caller's session is never mutated
+    from ..operators.similarity import _pq_parallel
+
     session = clone_tuned_session(spark)
     session.conf.set("spark.sql.shuffle.partitions", "8")
     spark = session
-    docs = load_table(spark, sf_dir, "documents").select(
-        *[f.name for f in DOCS_SCHEMA.fields]
+    # pinned once: the reference profile, the max probe, and the three
+    # drop writes below all consume this projection (one scan, not five)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(*[f.name for f in DOCS_SCHEMA.fields])
+        .localCheckpoint(eager=True)
     )
-    mx = int(docs.agg(F.max("doc_id")).first()[0])
-    span = mx + 1
 
     with _scratch_dir(spark, "sms_db_spark_stream_parity_audit_") as root:
         doc_drop = f"{root}/docs"
-        lanes: list[tuple[str, int, int, int]] = []
 
-        # ---- drift: run-per-drop (batch numbering is the contract) ----
-        ref = reference_profile(docs)
+        # the reference profile and the span probe are independent
+        # read-only jobs over the pin — concurrent (guide §2.6; r18)
+        ref, mx = _pq_parallel(
+            lambda: reference_profile(docs),
+            lambda: int(docs.agg(F.max("doc_id")).first()[0]),
+        )
+        span = mx + 1
+
+        # ---- drift: run-per-drop (batch numbering is the contract;
+        # the staged-drop/stream-run interleave is inherently serial) ----
         slices = []
         for k in range(_PARITY_DROPS):
             lo, hi = k * span // _PARITY_DROPS, (k + 1) * span // _PARITY_DROPS
@@ -1897,67 +1928,83 @@ def q156_streaming_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "drift",
             )
-        drift_parts = [
-            F.col("batch_id").cast("string"),
-            F.col("feature"),
-            F.col("n_a").cast("string"),
-            F.col("n_b").cast("string"),
-            F.col("n_buckets").cast("string"),
-            F.col("tvd_milli").cast("string"),
-            F.coalesce(F.col("top_bucket"), F.lit("\x01")),
-        ]
-        n, chk = _lane_checksum(read_drift_log(spark, f"{root}/driftlog"), drift_parts)
-        # at-least-once redelivery of the LAST batch: overwrite, not double
-        append_drift(slices[-1], _PARITY_DROPS - 1, ref, f"{root}/driftlog")
-        replay = int(
-            _lane_checksum(read_drift_log(spark, f"{root}/driftlog"), drift_parts)
-            == (n, chk)
-        )
-        lanes.append(("drift", n, chk, replay))
 
-        # ---- curation: one run over all drops; stateless parity ----
-        def run_curation():
-            q = (
-                stream_curate(spark, doc_drop)
-                .writeStream.format("parquet")
-                .option("path", f"{root}/curated")
-                .option("checkpointLocation", f"{root}/ckpt_cur")
-                .partitionBy("split")
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
+        # ---- once every drop is staged, the three lanes' remaining
+        # protocols are independent chains (distinct checkpoints, sinks
+        # and logs; all read the now-static doc_drop) — run them as
+        # concurrent driver-job chains (guide §2.6; VERDICT r17 item 1)
+        def drift_lane() -> tuple[str, int, int, int]:
+            drift_parts = [
+                F.col("batch_id").cast("string"),
+                F.col("feature"),
+                F.col("n_a").cast("string"),
+                F.col("n_b").cast("string"),
+                F.col("n_buckets").cast("string"),
+                F.col("tvd_milli").cast("string"),
+                F.coalesce(F.col("top_bucket"), F.lit("\x01")),
+            ]
+            n, chk = _lane_checksum(
+                read_drift_log(spark, f"{root}/driftlog"), drift_parts
             )
-            _drain(q, "curation")
+            # at-least-once redelivery of the LAST batch: overwrite,
+            # not double
+            append_drift(slices[-1], _PARITY_DROPS - 1, ref, f"{root}/driftlog")
+            replay = int(
+                _lane_checksum(read_drift_log(spark, f"{root}/driftlog"), drift_parts)
+                == (n, chk)
+            )
+            return ("drift", n, chk, replay)
 
-        run_curation()
-        cur_parts = [
-            F.col("doc_id").cast("string"),
-            F.col("n_tokens").cast("string"),
-            F.col("bucket").cast("string"),
-            F.col("split"),
-        ]
-        curated = spark.read.parquet(f"{root}/curated")
-        n, chk = _lane_checksum(curated, cur_parts)
-        run_curation()  # restart, no new input: the sink must not re-emit
-        replay = int(
-            _lane_checksum(spark.read.parquet(f"{root}/curated"), cur_parts) == (n, chk)
-        )
-        lanes.append(("curation", n, chk, replay))
+        def curation_lane() -> tuple[str, int, int, int]:
+            def run_curation():
+                q = (
+                    stream_curate(spark, doc_drop)
+                    .writeStream.format("parquet")
+                    .option("path", f"{root}/curated")
+                    .option("checkpointLocation", f"{root}/ckpt_cur")
+                    .partitionBy("split")
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                _drain(q, "curation")
 
-        # ---- sketches: one run; merge-equals-whole + idempotent merge ----
-        _drain(
-            stream_hll(spark, doc_drop, f"{root}/regs", f"{root}/ckpt_hll"), "sketches"
-        )
-        reg_parts = [F.col("bucket").cast("string"), F.col("max_rho").cast("string")]
-        current = spark.read.parquet(f"{root}/regs/current")
-        n, chk = _lane_checksum(current, reg_parts)
-        # redelivery safety = max-merge idempotence: any redelivered
-        # batch's registers are pointwise-dominated by the store, and
-        # self-merge is the strongest dominated case (q106's law) —
-        # without re-paying the corpus banding a real re-band would cost
-        remerged = merge_registers(current, current)
-        replay = int(_lane_checksum(remerged, reg_parts) == (n, chk))
-        lanes.append(("sketches", n, chk, replay))
+            run_curation()
+            cur_parts = [
+                F.col("doc_id").cast("string"),
+                F.col("n_tokens").cast("string"),
+                F.col("bucket").cast("string"),
+                F.col("split"),
+            ]
+            curated = spark.read.parquet(f"{root}/curated")
+            n, chk = _lane_checksum(curated, cur_parts)
+            run_curation()  # restart, no new input: the sink must not re-emit
+            replay = int(
+                _lane_checksum(spark.read.parquet(f"{root}/curated"), cur_parts)
+                == (n, chk)
+            )
+            return ("curation", n, chk, replay)
+
+        def sketches_lane() -> tuple[str, int, int, int]:
+            _drain(
+                stream_hll(spark, doc_drop, f"{root}/regs", f"{root}/ckpt_hll"),
+                "sketches",
+            )
+            reg_parts = [
+                F.col("bucket").cast("string"),
+                F.col("max_rho").cast("string"),
+            ]
+            current = spark.read.parquet(f"{root}/regs/current")
+            n, chk = _lane_checksum(current, reg_parts)
+            # redelivery safety = max-merge idempotence: any redelivered
+            # batch's registers are pointwise-dominated by the store, and
+            # self-merge is the strongest dominated case (q106's law) —
+            # without re-paying the corpus banding a real re-band would cost
+            remerged = merge_registers(current, current)
+            replay = int(_lane_checksum(remerged, reg_parts) == (n, chk))
+            return ("sketches", n, chk, replay)
+
+        lanes = list(_pq_parallel(drift_lane, curation_lane, sketches_lane))
 
     return spark.createDataFrame(
         sorted(lanes),
@@ -2070,7 +2117,6 @@ def q169_streaming_events_parity_audit(
 
         run_windows()  # real + sentinel 1: watermark ends past every real window
         sentinel(-2, "1 MILLISECOND").coalesce(1).write.mode("append").parquet(ev_drop)
-        run_windows()  # sentinel 2's batch flushes every real window
 
         win_schema = (
             "window_start timestamp, window_end timestamp, event_type string,"
@@ -2099,10 +2145,13 @@ def q169_streaming_events_parity_audit(
             F.col("n_events").cast("string"),
             F.col("cents").cast("string"),
         ]
-        n, chk = _lane_checksum(win_frame(), win_parts)
-        run_windows()  # restart, no new input
-        replay = int(_lane_checksum(win_frame(), win_parts) == (n, chk))
-        lanes.append(("windows", n, chk, replay))
+
+        def windows_lane() -> tuple[str, int, int, int]:
+            run_windows()  # sentinel 2's batch flushes every real window
+            n, chk = _lane_checksum(win_frame(), win_parts)
+            run_windows()  # restart, no new input
+            replay = int(_lane_checksum(win_frame(), win_parts) == (n, chk))
+            return ("windows", n, chk, replay)
 
         # ---- sessions: one stateful run over all three files ----
         def run_sessions():
@@ -2117,8 +2166,6 @@ def q169_streaming_events_parity_audit(
             )
             _drain(q, "sessions")
 
-        run_sessions()
-
         def sess_frame():
             return (
                 spark.read.schema(SESSION_SCHEMA)
@@ -2132,10 +2179,20 @@ def q169_streaming_events_parity_audit(
             F.col("session_end_ms").cast("string"),
             F.col("n_events").cast("string"),
         ]
-        n, chk = _lane_checksum(sess_frame(), sess_parts)
-        run_sessions()  # restart, no new input
-        replay = int(_lane_checksum(sess_frame(), sess_parts) == (n, chk))
-        lanes.append(("sessions", n, chk, replay))
+
+        def sessions_lane() -> tuple[str, int, int, int]:
+            run_sessions()
+            n, chk = _lane_checksum(sess_frame(), sess_parts)
+            run_sessions()  # restart, no new input
+            replay = int(_lane_checksum(sess_frame(), sess_parts) == (n, chk))
+            return ("sessions", n, chk, replay)
+
+        # both lanes consume the fully-staged (static) drop dir through
+        # their own checkpoints/sinks — independent chains, run as
+        # concurrent driver jobs (guide §2.6; VERDICT r17 item 1)
+        from ..operators.similarity import _pq_parallel
+
+        lanes.extend(_pq_parallel(windows_lane, sessions_lane))
 
     return spark.createDataFrame(
         sorted(lanes),
@@ -2381,11 +2438,13 @@ def q170_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         vs = delete_cascade(spark, m_store, p_store, doomed)
         m_back = read_current(spark, m_store)
         p_back = read_current(spark, p_store)
-        n_orphans = p_back.join(
+        # the FK probe rides the final detach job as a third aggregate
+        # (r18 — it was its own count() driver round-trip)
+        orphan_agg = p_back.join(
             m_back.select(F.col("_id").alias("message_id")),
             "message_id",
             "left_anti",
-        ).count()
+        ).agg(F.count(F.lit(1)).alias("n_orphan_parts"))
         m_hist = {h["version"]: h["status"] for h in history(spark, m_store)}
         p_hist = {h["version"]: h["status"] for h in history(spark, p_store)}
         versions_ok = int(
@@ -2423,7 +2482,7 @@ def q170_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = (
             m_agg.crossJoin(p_agg)
-            .withColumn("n_orphan_parts", F.lit(n_orphans).cast("bigint"))
+            .crossJoin(orphan_agg)
             .withColumn("versions_ok", F.lit(versions_ok).cast("int"))
         )
         return _detached(out)  # 1 driver-held row; scratch dies here
@@ -2554,11 +2613,13 @@ def q175_cow_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         m_back = spark.read.parquet(m_store)
         p_back = spark.read.parquet(p_store)
-        n_orphans = p_back.join(
+        # the FK probe rides the final detach job as a third aggregate
+        # (r18 — it was its own count() driver round-trip)
+        orphan_agg = p_back.join(
             m_back.select(F.col("_id").alias("message_id")),
             "message_id",
             "left_anti",
-        ).count()
+        ).agg(F.count(F.lit(1)).alias("n_orphan_parts"))
         mh = _h60(
             F.concat_ws(
                 ":",
@@ -2590,7 +2651,7 @@ def q175_cow_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         half = _N_COWDEL_FILES // 2
         out = (
             m_agg.crossJoin(p_agg)
-            .withColumn("n_orphan_parts", F.lit(n_orphans).cast("bigint"))
+            .crossJoin(orphan_agg)
             .withColumn(
                 "prune_msgs_ok",
                 F.lit(
@@ -2840,10 +2901,21 @@ def q158_stream_join_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         # ever stops straddling the cut (a regenerated TESTDATA with a
         # different date span), one drop is empty and the gate would
         # keep passing while no longer testing what it claims (review
-        # r11): refuse loudly instead
-        for side_name, side_df in (("views", views), ("purchases", purchases)):
-            for drop_name, pred in (("before-cut", cut), ("after-cut", ~cut)):
-                if side_df.filter(pred).limit(1).count() == 0:
+        # r11): refuse loudly instead. ONE aggregate computes all four
+        # cell counts (r18, guide §2.6 — this was four sequential
+        # limit(1).count() driver round-trips over the same scan).
+        probe = events.agg(
+            *[
+                F.sum(
+                    ((F.col("event_type") == et) & pred).cast("int")
+                ).alias(f"{side_name}_{drop_name}")
+                for side_name, et in (("views", "view"), ("purchases", "purchase"))
+                for drop_name, pred in (("before-cut", cut), ("after-cut", ~cut))
+            ]
+        ).first()
+        for side_name in ("views", "purchases"):
+            for drop_name in ("before-cut", "after-cut"):
+                if not probe[f"{side_name}_{drop_name}"]:
                     raise ValueError(
                         f"q158 join lane: no {side_name} rows {drop_name} "
                         f"({_JOIN_DROP_CUT}) — the two-drop protocol no "
@@ -2856,11 +2928,26 @@ def q158_stream_join_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame
                 "attribution join",
             )
 
-        for side_df, side_dir in ((views, vdir), (purchases, pdir)):
-            side_df.filter(cut).coalesce(1).write.mode("append").parquet(side_dir)
+        from ..operators.similarity import _pq_parallel
+
+        def stage(pred):
+            # the two sides' drop writes target distinct dirs —
+            # concurrent driver jobs (guide §2.6; r18)
+            _pq_parallel(
+                *[
+                    lambda side_df=side_df, side_dir=side_dir: (
+                        side_df.filter(pred)
+                        .coalesce(1)
+                        .write.mode("append")
+                        .parquet(side_dir)
+                    )
+                    for side_df, side_dir in ((views, vdir), (purchases, pdir))
+                ]
+            )
+
+        stage(cut)
         run_join()
-        for side_df, side_dir in ((views, vdir), (purchases, pdir)):
-            side_df.filter(~cut).coalesce(1).write.mode("append").parquet(side_dir)
+        stage(~cut)
         run_join()
 
         join_schema = (
@@ -2947,7 +3034,9 @@ def q178_stream_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # rows are byte-identical and the survivor is unambiguous
             "hash",
             F.sha2(F.col("local_id").cast("string"), 256),
-        )
+        ).localCheckpoint(
+            eager=True
+        )  # pinned once: three drop writes slice this frame (r18)
         drop_i, store_i, ckpt_i = f"{root}/staged", f"{root}/msgstore", f"{root}/ckpt_ing"
         in_a = F.col("local_id") % 5 < 3  # 60%
         in_b = F.col("local_id") % 5 >= 2  # 60%, overlaps A at %5==2
@@ -2967,7 +3056,6 @@ def q178_stream_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged.filter(in_a).coalesce(1).write.mode("append").parquet(drop_i)
         run_ingest()  # drop C: the same backup re-delivered whole
         store = spark.read.parquet(store_i)
-        redelivery_noop = int(store.count() == n_before_c)
         ing_parts = [
             F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
             for c in (
@@ -2982,7 +3070,10 @@ def q178_stream_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "source_format",
             )
         ]
+        # ONE read-back job: the checksum's count IS the post-C row
+        # count, so the redelivered-noop law needs no separate count()
         n, chk = _lane_checksum(store, ing_parts)
+        redelivery_noop = int(n == n_before_c)
         lanes.append(("ingest", n, chk, redelivery_noop))
 
     return spark.createDataFrame(
@@ -3109,8 +3200,12 @@ def q159_stream_quality_monitor_audit(spark: SparkSession, sf_dir: str) -> DataF
     session = clone_tuned_session(spark)
     session.conf.set("spark.sql.shuffle.partitions", "8")
     spark = session
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
+    # pinned once: the span probe, three drop writes, and the replay
+    # re-append all consume this projection (r18 — one scan, not five)
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .localCheckpoint(eager=True)
     )
     span = int(events.agg(F.max("event_id")).first()[0]) + 1
 
@@ -3259,7 +3354,11 @@ def q160_day2_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     session = clone_tuned_session(spark)
     session.conf.set("spark.sql.shuffle.partitions", "8")
     spark = session
-    clean = _clean_events(load_table(spark, sf_dir, "events"))
+    # pinned once: three epoch batches + the poisoned count all slice
+    # this frame (q149's discipline — one scan + dedup-window shuffle)
+    clean = _clean_events(load_table(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )
 
     def part(k: int) -> DataFrame:
         s = clean.filter(F.col("event_id") % _Q160_SLICES == k)
@@ -3286,11 +3385,35 @@ def q160_day2_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             quality_gated_upsert_batch(part(k), k, log_dir, store_dir)
             for k in range(_Q160_SLICES)
         ]
+        from ..operators.similarity import _pq_parallel
+
+        # Stage-boundary concurrency (guide §2.6; VERDICT r17 item 4):
+        # once the gated batches have settled, the log read-back, the
+        # poisoned count, the gate checksum, and the serving-view pin
+        # are four independent read-only jobs — run them concurrently.
+        # Each later batch below likewise overlaps a stage's
+        # conservation read-back with the NEXT stage's write: both only
+        # READ the finished stage's (static) output, so no read races a
+        # rewrite — the in-place rewrite (compact) stays serial.
+        gate_parts = [
+            F.col("batch_id").cast("string"),
+            F.col("check_name"),
+            F.col("violations").cast("string"),
+            F.col("total").cast("string"),
+            F.col("passed").cast("string"),
+        ]
+        log_rows, n_poisoned, (gn, gchk), snapshot = _pq_parallel(
+            lambda: read_metrics(spark, log_dir).collect(),  # 12 rows
+            lambda: part(1).count(),
+            lambda: _lane_checksum(read_metrics(spark, log_dir), gate_parts),
+            lambda: read_upsert_store(spark, store_dir).localCheckpoint(
+                eager=True
+            ),
+        )
         log = {
             (r.batch_id, r.check_name): (r.violations, r.total, r.passed)
-            for r in read_metrics(spark, log_dir).collect()  # 12 rows
+            for r in log_rows
         }
-        n_poisoned = part(1).count()
         gate_ok = int(
             [v["applied"] for v in verdicts] == [True, False, True]
             and verdicts[1]
@@ -3307,35 +3430,33 @@ def q160_day2_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not (b == 1 and c == "range_value")
             )
         )
-        gate_parts = [
-            F.col("batch_id").cast("string"),
-            F.col("check_name"),
-            F.col("violations").cast("string"),
-            F.col("total").cast("string"),
-            F.col("passed").cast("string"),
-        ]
-        n, chk = _lane_checksum(read_metrics(spark, log_dir), gate_parts)
-        rows.append(("gate", n, chk, gate_ok))
+        rows.append(("gate", gn, gchk, gate_ok))
 
-        snapshot = read_upsert_store(spark, store_dir).localCheckpoint(eager=True)
-        n, chk = _lane_checksum(snapshot, state_parts)
+        # upsert checksum reads the PINNED snapshot; the fragmented
+        # landing write reads the same pin — independent, concurrent
+        frag = f"{root}/landing"
+        (n, chk), _ = _pq_parallel(
+            lambda: _lane_checksum(snapshot, state_parts),
+            lambda: snapshot.repartition(16).write.parquet(frag),
+        )
         rows.append(("upsert", n, chk, int(n > 0)))
 
-        # land the snapshot FRAGMENTED, then compact: content must ride
-        frag = f"{root}/landing"
-        snapshot.repartition(16).write.parquet(frag)
+        # compact rewrites the landing IN PLACE — serial by necessity
         report = compact(spark, frag, target_bytes=1 << 30)
-        compact_ok = int(
-            report["compacted"] is True
-            and fragmentation_report(spark, frag, 1 << 30)["n_files"] < 16
+        # post-compact the landing is static: its conservation checksum,
+        # the fragmentation probe, and the NEXT stage's z-order write
+        # (which only READS the landing) run concurrently
+        zdir = f"{root}/zorder"
+        (n, chk), frag_files, _ = _pq_parallel(
+            lambda: _lane_checksum(spark.read.parquet(frag), state_parts),
+            lambda: fragmentation_report(spark, frag, 1 << 30)["n_files"],
+            lambda: write_zordered_cells(
+                spark.read.parquet(frag), zdir, "user_id", "n_changes", n_files=4
+            ),
         )
-        n, chk = _lane_checksum(spark.read.parquet(frag), state_parts)
+        compact_ok = int(report["compacted"] is True and frag_files < 16)
         rows.append(("compact", n, chk, compact_ok))
 
-        zdir = f"{root}/zorder"
-        write_zordered_cells(
-            spark.read.parquet(frag), zdir, "user_id", "n_changes", n_files=4
-        )
         zed = read_zordered_cells(spark, zdir)
         # the clustering claim, measured on the CURVE the writer cells
         # on: per-file Z-VALUE intervals are pairwise disjoint (a
@@ -3345,17 +3466,24 @@ def q160_day2_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # identical data, so the bounds agree by construction.
         from ..sinks.clustered import _zframe
 
-        spans = (
-            _zframe(
-                zed.select(
-                    F.input_file_name().alias("f"), "user_id", "n_changes"
-                ),
-                "user_id",
-                "n_changes",
-            )
-            .groupBy("f")
-            .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
-            .collect()  # <= 4 rows: one per clustered file
+        # three independent consumers of the (static) z-ordered store:
+        # span probe, conservation checksum, and the shard stage's write
+        sdir = f"{root}/shards"
+        spans, (n, chk), manifest = _pq_parallel(
+            lambda: (
+                _zframe(
+                    zed.select(
+                        F.input_file_name().alias("f"), "user_id", "n_changes"
+                    ),
+                    "user_id",
+                    "n_changes",
+                )
+                .groupBy("f")
+                .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
+                .collect()  # <= 4 rows: one per clustered file
+            ),
+            lambda: _lane_checksum(zed, state_parts),
+            lambda: write_training_shards(zed, sdir, N_AUDIT_SHARDS, key="user_id"),
         )
         ivs = sorted((r.lo, r.hi) for r in spans)
         # <= not < even under the cell writer: distinct z-values in
@@ -3368,16 +3496,16 @@ def q160_day2_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             len(ivs) <= 4
             and all(ivs[i][1] <= ivs[i + 1][0] for i in range(len(ivs) - 1))
         )
-        n, chk = _lane_checksum(zed, state_parts)
         rows.append(("zorder", n, chk, z_ok))
 
-        sdir = f"{root}/shards"
-        manifest = write_training_shards(zed, sdir, N_AUDIT_SHARDS, key="user_id")
         back = spark.read.parquet(sdir).drop("_shard")
-        n, chk = _lane_checksum(back, state_parts)
-        shard_ok = int(
-            manifest["total_rows"] == n and bool(verify_shards(spark, sdir)["ok"])
+        # conservation checksum and the manifest verify both read the
+        # finished shard store — concurrent
+        (n, chk), verify = _pq_parallel(
+            lambda: _lane_checksum(back, state_parts),
+            lambda: verify_shards(spark, sdir),
         )
+        shard_ok = int(manifest["total_rows"] == n and bool(verify["ok"]))
         rows.append(("shards", n, chk, shard_ok))
 
     return spark.createDataFrame(

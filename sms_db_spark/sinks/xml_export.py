@@ -311,7 +311,14 @@ def export_xml(messages: DataFrame, parts: DataFrame, path: str, message_type: s
             for frame, build in ((sms_frame, _sms_element), (mms_frame, _mms_element)):
                 if frame is None:
                     continue
-                for row in frame.toLocalIterator():
+                # prefetchPartitions: without it the driver serializes
+                # partition k while the cluster idles, then waits a full
+                # job round-trip for partition k+1 (32 sequential mini
+                # jobs under the 32-partition sort). Prefetch overlaps
+                # the fetch with the ElementTree work; memory stays
+                # O(partitions in flight), never O(document) (guide
+                # §2.6 — r18). Iteration order is unchanged.
+                for row in frame.toLocalIterator(prefetchPartitions=True):
                     e = build(row)
                     ET.indent(e, level=1)
                     fh.write(b"  ")

@@ -122,12 +122,19 @@ def quality_gated_upsert_batch(
 
     Returns {'applied', 'failed_checks', 'total'} — bounded metadata.
     """
+    from ..operators.similarity import _pq_parallel
     from .upsert import apply_batch, skip_upsert_batch
 
     sess = batch.sparkSession
     report = audit_batch(batch).localCheckpoint(eager=True)  # audited once
-    append_batch_report(sess, log_dir, batch_id, report)
-    rows = report.collect()  # 4 rows: one per constraint
+    # the log append and the verdict collect both read the PINNED report
+    # and neither depends on the other — concurrent driver jobs (guide
+    # §2.6; r18). Both complete before the apply/skip decision below, so
+    # the log-before-merge crash contract is unchanged.
+    rows, _ = _pq_parallel(
+        lambda: report.collect(),  # 4 rows: one per constraint
+        lambda: append_batch_report(sess, log_dir, batch_id, report),
+    )
     failed = sorted(r.check_name for r in rows if r.passed != 1)
     verdict = {
         "applied": not failed,

@@ -286,6 +286,101 @@ def recover_interrupted_fold(
     return out
 
 
+def _stage_fold(
+    spark: SparkSession,
+    shard_dir: str,
+    shard_id: int,
+    manifest: dict,
+    target_bytes: int | None,
+) -> str | None:
+    """The DATA half of a cold fold: rewrite one shard's cold `_batch=B`
+    dirs into a staged `.fold_*` dir and write its commit marker —
+    no deletes, no renames, no manifest writes. Touches only this
+    shard's own staged dir, so stages of DIFFERENT shards are disjoint
+    and safe to run concurrently (fold_cold_batches_all); the shared
+    manifest is only READ here. Returns the staged path, or None when
+    the shard has fewer than two cold batches (nothing to fold)."""
+    bids = sorted(
+        int(b) for b, e in manifest["batches"].items() if str(shard_id) in e
+    )
+    cold = bids[:-1]  # newest stays: it is the at-least-once replay unit
+    if len(cold) < 2:
+        return None
+    tgt = cold[0]
+    shard_path = os.path.join(shard_dir, f"_shard={shard_id}")
+    cold_dirs = [os.path.join(shard_path, f"_batch={b}") for b in cold]
+    staged = os.path.join(shard_dir, _fold_dirname(shard_id, tgt))
+    jvm, fs = hadoop_fs(spark, shard_dir)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)  # stale attempt
+    # the fold IS this layout's compaction, so it uses compaction's
+    # sizing: ceil(cold_bytes / target) output files, measured from the
+    # actual listing. A hardcoded coalesce(1) funneled a shard's whole
+    # cold history through ONE task into one unbounded file — a
+    # single-task bottleneck exactly at the scale this layout targets.
+    from ..sinks.compaction import DEFAULT_TARGET_BYTES, _data_files
+
+    target = DEFAULT_TARGET_BYTES if target_bytes is None else target_bytes
+    cold_bytes = sum(b for d in cold_dirs for _, b in _data_files(spark, d))
+    n_files = max(1, math.ceil(cold_bytes / target))
+    (
+        spark.read.parquet(*cold_dirs)
+        .coalesce(n_files)  # merge-only: no shuffle, whole input files per task
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    meta = {"shard": int(shard_id), "target": int(tgt), "cold": [int(b) for b in cold]}
+    write_text_atomic(spark, os.path.join(staged, _FOLD_META), json.dumps(meta))
+    return staged
+
+
+def fold_cold_batches_all(
+    spark: SparkSession,
+    shard_dir: str,
+    shard_ids,
+    target_bytes: int | None = None,
+) -> list[dict]:
+    """Fold every listed shard's cold batches: stage CONCURRENTLY,
+    commit SERIALLY (guide §2.6; r18 — q139 ran eight whole folds
+    back-to-back although only the manifest collapse is serial).
+
+    The per-store concurrency contract on fold_cold_batches exists
+    because the manifest collapse is a read-modify-write of one shared
+    file. Splitting the fold honors it exactly: the stage half touches
+    only the shard's own `.fold_*` dir (disjoint across shards — the
+    heavy data rewrite, parallelized as concurrent driver jobs), and
+    every manifest-touching step (_commit_fold) runs serially here.
+    Crash-safe at any point: each staged dir carries its marker, so
+    recover_interrupted_fold finishes any subset of pending commits —
+    the same replay path a single fold's crash uses.
+
+    Call from a maintenance window with no landing in flight (the same
+    precondition serial folds had). Returns the committed fold metas.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    recover_interrupted_fold(spark, shard_dir)  # nothing else is in flight
+    manifest = _load_manifest(spark, shard_dir)
+    ids = list(shard_ids)
+    if not ids:
+        return []
+    with ThreadPoolExecutor(max_workers=min(8, len(ids))) as pool:
+        staged = list(
+            pool.map(
+                lambda sid: _stage_fold(
+                    spark, shard_dir, sid, manifest, target_bytes
+                ),
+                ids,
+            )
+        )
+    out = []
+    for s in staged:
+        if s is not None:
+            meta = _commit_fold(spark, shard_dir, s)
+            if meta is not None:
+                out.append(meta)
+    return out
+
+
 def fold_cold_batches(
     spark: SparkSession, shard_dir: str, shard_id: int,
     target_bytes: int | None = None,
@@ -307,53 +402,25 @@ def fold_cold_batches(
     rename: scans in that instant miss the cold rows; recovery closes
     it on next entry, same contract as fsutil.atomic_swap.
 
-    Concurrency contract: folds of DIFFERENT shards may not run in
-    parallel either — the manifest collapse is a read-modify-write of
-    one shared file (last writer wins), so concurrent finalizes can
-    lose each other's update. Run folds serially per store, in the
-    same maintenance window as compaction; entry-time recovery is
-    scoped to this shard so a disobeyed contract at least cannot
-    commit another shard's in-flight stage.
+    Concurrency contract: whole folds of DIFFERENT shards may not run
+    in parallel — the manifest collapse is a read-modify-write of one
+    shared file (last writer wins), so concurrent finalizes can lose
+    each other's update. Run folds serially per store, in the same
+    maintenance window as compaction (or use fold_cold_batches_all,
+    which parallelizes only the manifest-free stage half and keeps
+    every commit serial); entry-time recovery is scoped to this shard
+    so a disobeyed contract at least cannot commit another shard's
+    in-flight stage.
 
     Returns the fold meta {shard, target, cold}, or None when the shard
     has fewer than two cold batches (nothing to fold).
     """
     recover_interrupted_fold(spark, shard_dir, shard_id)
     manifest = _load_manifest(spark, shard_dir)
-    bids = sorted(
-        int(b) for b, e in manifest["batches"].items() if str(shard_id) in e
-    )
-    cold = bids[:-1]  # newest stays: it is the at-least-once replay unit
-    if len(cold) < 2:
+    staged = _stage_fold(spark, shard_dir, shard_id, manifest, target_bytes)
+    if staged is None:
         return None
-    tgt = cold[0]
-    shard_path = os.path.join(shard_dir, f"_shard={shard_id}")
-    cold_dirs = [os.path.join(shard_path, f"_batch={b}") for b in cold]
-    staged = os.path.join(shard_dir, _fold_dirname(shard_id, tgt))
-    jvm, fs = hadoop_fs(spark, shard_dir)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)  # stale attempt
-    # the fold IS this layout's compaction, so it uses compaction's
-    # sizing: ceil(cold_bytes / target) output files, measured from the
-    # actual listing. A hardcoded coalesce(1) funneled a shard's whole
-    # cold history through ONE task into one unbounded file — a
-    # single-task bottleneck exactly at the scale this layout targets.
-    from ..sinks.compaction import DEFAULT_TARGET_BYTES, _data_files
-
-    target = DEFAULT_TARGET_BYTES if target_bytes is None else target_bytes
-    cold_bytes = sum(
-        b for d in cold_dirs for _, b in _data_files(spark, d)
-    )
-    n_files = max(1, math.ceil(cold_bytes / target))
-    (
-        spark.read.parquet(*cold_dirs)
-        .coalesce(n_files)  # merge-only: no shuffle, whole input files per task
-        .write.mode("overwrite")
-        .parquet(staged)
-    )
-    meta = {"shard": int(shard_id), "target": int(tgt), "cold": [int(b) for b in cold]}
-    write_text_atomic(spark, os.path.join(staged, _FOLD_META), json.dumps(meta))
-    _commit_fold(spark, shard_dir, staged)
-    return meta
+    return _commit_fold(spark, shard_dir, staged)
 
 
 def merged_manifest(spark: SparkSession, shard_dir: str) -> dict:

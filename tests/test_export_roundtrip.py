@@ -280,3 +280,49 @@ def test_sharded_export_identical_bytes_with_tied_keys(spark, tmp_path):
     assert export_xml(messages, parts, str(single)) == n
     assert export_xml_sharded(messages, parts, str(sharded)) == n
     assert _strip_stamp(single.read_bytes()) == _strip_stamp(sharded.read_bytes())
+
+
+def test_export_bytes_stable_under_concurrent_unpersist(spark, tmp_path, monkeypatch):
+    """q148 runs export_xml and export_xml_sharded as CONCURRENT driver
+    jobs; both persist logically-identical export frames, which Spark's
+    CacheManager maps to ONE shared cache entry — so whichever side
+    finishes first unpersists the entry while the other may still be
+    iterating (VERDICT r17 item 3). The claimed safety property: the
+    fallback is a deterministic recompute, so the exported bytes do not
+    change. Forced deterministically here: the single-writer's iterator
+    drops the shared cache entry (via a logically-identical twin frame)
+    after the first row, mid-export."""
+    import sms_db_spark.sinks.xml_export as xe
+
+    res = _store(spark)
+    ref = tmp_path / "ref.xml"
+    export_xml(res.messages, res.parts, str(ref), "sms")
+
+    def _body(path):
+        with open(path, "rb") as fh:
+            return b"".join(
+                ln for ln in fh if not ln.startswith(b"<!--File Created By")
+            )
+
+    twin = xe.sms_export_frame(res.messages, res.parts)
+    orig_frame = xe.sms_export_frame
+
+    def sabotaged(messages, parts):
+        f = orig_frame(messages, parts)
+        real = f.toLocalIterator
+
+        def dropping_iter(prefetchPartitions=False):
+            first = True
+            for row in real(prefetchPartitions=prefetchPartitions):
+                yield row
+                if first:
+                    twin.unpersist(blocking=True)  # the "other side" finished
+                    first = False
+
+        f.toLocalIterator = dropping_iter
+        return f
+
+    monkeypatch.setattr(xe, "sms_export_frame", sabotaged)
+    out = tmp_path / "out.xml"
+    export_xml(res.messages, res.parts, str(out), "sms")
+    assert _body(out) == _body(ref)

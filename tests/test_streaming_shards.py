@@ -281,3 +281,75 @@ def test_reset_purges_staged_fold(spark, tmp_path):
     assert recover_interrupted_fold(spark, shard_dir) == []
     assert verify_stream_shards(spark, shard_dir)["ok"]
     assert spark.read.parquet(shard_dir).count() == docs.count()
+
+
+def test_fold_cold_batches_all_matches_serial_folds(spark, tmp_path):
+    """fold_cold_batches_all (r18: concurrent stages, serial commits)
+    must land the exact state the serial per-shard folds produce —
+    manifest, integrity gate, rows, and per-shard directory shape."""
+    import os
+
+    from sms_db_spark.streaming.shards import (
+        fold_cold_batches,
+        fold_cold_batches_all,
+    )
+
+    serial_dir, all_dir = str(tmp_path / "serial"), str(tmp_path / "all")
+    docs = _three_batches(spark, serial_dir)
+    _three_batches(spark, all_dir)
+    before = merged_manifest(spark, serial_dir)
+
+    serial_metas = [
+        m
+        for sid in range(N)
+        if (m := fold_cold_batches(spark, serial_dir, sid)) is not None
+    ]
+    all_metas = fold_cold_batches_all(spark, all_dir, range(N))
+    key = lambda m: m["shard"]  # noqa: E731
+    assert sorted(all_metas, key=key) == sorted(serial_metas, key=key)
+    assert merged_manifest(spark, all_dir) == before  # additive = exact
+    assert merged_manifest(spark, all_dir) == merged_manifest(spark, serial_dir)
+    assert verify_stream_shards(spark, all_dir)["ok"]
+    assert spark.read.parquet(all_dir).count() == docs.count()
+    for sid in {m["shard"] for m in all_metas}:
+        assert sorted(os.listdir(os.path.join(all_dir, f"_shard={sid}"))) == sorted(
+            os.listdir(os.path.join(serial_dir, f"_shard={sid}"))
+        )
+    # idempotent: nothing left to fold on a second pass
+    assert fold_cold_batches_all(spark, all_dir, range(N)) == []
+
+
+def test_fold_cold_batches_all_crash_between_commits_recovers(spark, tmp_path):
+    """Death AFTER some serial commits with other shards still staged:
+    every staged dir carries its marker, so recovery finishes exactly
+    the pending subset and converges to the fully-folded state."""
+    from sms_db_spark.streaming.shards import (
+        _load_manifest,
+        _stage_fold,
+        fold_cold_batches,
+        recover_interrupted_fold,
+    )
+
+    shard_dir = str(tmp_path / "stream")
+    docs = _three_batches(spark, shard_dir)
+    before = merged_manifest(spark, shard_dir)
+    manifest = _load_manifest(spark, shard_dir)
+    # stage every shard (the parallel half), commit only the first —
+    # the crash point fold_cold_batches_all's docstring claims is safe
+    staged = {
+        sid: s
+        for sid in range(N)
+        if (s := _stage_fold(spark, shard_dir, sid, manifest, None)) is not None
+    }
+    assert len(staged) >= 2, "fixture needs at least two foldable shards"
+    first = sorted(staged)[0]
+    from sms_db_spark.streaming.shards import _commit_fold
+
+    _commit_fold(spark, shard_dir, staged[first])
+    done = recover_interrupted_fold(spark, shard_dir)
+    assert sorted(m["shard"] for m in done) == sorted(set(staged) - {first})
+    assert merged_manifest(spark, shard_dir) == before
+    assert verify_stream_shards(spark, shard_dir)["ok"]
+    assert spark.read.parquet(shard_dir).count() == docs.count()
+    # every shard folded: a full pass finds nothing pending
+    assert [fold_cold_batches(spark, shard_dir, s) for s in range(N)] == [None] * N
