@@ -506,8 +506,14 @@ def bpe_train(spark: SparkSession, sf_dir: str, rounds: int = 8) -> list[str]:
     1-row `first()` to pick the argmax (deterministic tie-break), and a
     map-side literal replace applying the merge leftmost-first —
     `regexp_replace` with word-boundary anchors so symbol "a b" never
-    fuses inside the merged symbol "ab". Lineage is cut per round with
-    localCheckpoint (same discipline as q83/q86).
+    fuses inside the merged symbol "ab".
+
+    Lineage: only the INITIAL symbol table is pinned; the per-round
+    replaces chain lazily (r18, guide §1.2 — the PQ-loop regime, not
+    the corpus-Lloyd one: the looped table is vocab-sized, so round
+    k's aggregate re-running k cheap map-side replaces over the pin
+    costs far less than the per-round eager-checkpoint job each round
+    paid; A/B in OPTIMIZATION_r18.md, merges byte-identical).
     """
     wf = _word_freqs(spark, sf_dir)
     syms = (
@@ -545,7 +551,7 @@ def bpe_train(spark: SparkSession, sf_dir: str, rounds: int = 8) -> list[str]:
         syms = syms.select(
             "freq",
             F.regexp_replace(F.col("sym_str"), pat, rep).alias("sym_str"),
-        ).localCheckpoint(eager=True)
+        )
     return merges
 
 

@@ -188,22 +188,34 @@ def q135_stream_shard_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFr
     same corpus (batch_eq) — the additive merge law as a driver-gated
     row, not only a pytest. Oracle identical to q134's: the law says
     streaming == batch == raw-corpus recompute."""
-    docs = load_table(spark, sf_dir, "documents")
+    # pinned once: four landings + the batch reference all slice it (r18)
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint(eager=True)
     with _scratch_dir(spark, "sms_db_spark_stream_audit_") as sdir, _scratch_dir(
         spark, "sms_db_spark_batch_ref_"
     ) as bdir:
-        for bid, k in enumerate((2, 0, 1)):  # out-of-order arrival
+
+        def stream_side() -> tuple[dict, dict]:
+            for bid, k in enumerate((2, 0, 1)):  # out-of-order arrival
+                apply_shard_batch(
+                    docs.filter(F.col("doc_id") % 3 == k), bid, sdir,
+                    N_AUDIT_SHARDS, "doc_id",
+                )
+            # at-least-once delivery: the LAST batch is re-delivered
             apply_shard_batch(
-                docs.filter(F.col("doc_id") % 3 == k), bid, sdir,
+                docs.filter(F.col("doc_id") % 3 == 1), 2, sdir,
                 N_AUDIT_SHARDS, "doc_id",
             )
-        # at-least-once delivery: the LAST batch is re-delivered
-        apply_shard_batch(
-            docs.filter(F.col("doc_id") % 3 == 1), 2, sdir, N_AUDIT_SHARDS, "doc_id"
+            return merged_manifest(spark, sdir), _shard_stats(spark, sdir)
+
+        # the one-shot batch reference writes a DIFFERENT store dir and
+        # shares nothing with the streaming landings — concurrent driver
+        # jobs (guide §2.6; r18: it ran after the whole landing chain)
+        from ..operators.similarity import _pq_parallel
+
+        (merged, disk), batch_ref = _pq_parallel(
+            stream_side,
+            lambda: write_training_shards(docs, bdir, N_AUDIT_SHARDS, key="doc_id"),
         )
-        merged = merged_manifest(spark, sdir)
-        disk = _shard_stats(spark, sdir)
-        batch_ref = write_training_shards(docs, bdir, N_AUDIT_SHARDS, key="doc_id")
     return _audit_frame(spark, merged["shards"], disk, extra=batch_ref["shards"])
 
 
@@ -1113,27 +1125,10 @@ def q151_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         z_files_ok = int(0 < len(ranges) == n_cells <= _LAYOUT_Z_FILES)
         zdf = read_zordered_cells(spark, zstore)
-        bounds = zdf.agg(
-            F.min("doc_id"), F.max("doc_id"), F.min("n_chars"), F.max("n_chars")
-        ).first()
-        lo_id, hi_id, lo_ch, hi_ch = (int(v) for v in bounds)
-
-        def window(lo: int, hi: int) -> tuple[int, int]:
-            span = hi - lo
-            return (
-                lo + span * _LAYOUT_WIN_LO_TENTHS // 10,
-                lo + span * _LAYOUT_WIN_HI_TENTHS // 10,
-            )
-
-        prune_id_ok = int(
-            files_overlapping(ranges, "doc_id", *window(lo_id, hi_id))
-            <= _LAYOUT_PRUNE_MAX
-        )
-        prune_chars_ok = int(
-            files_overlapping(ranges, "n_chars", *window(lo_ch, hi_ch))
-            <= _LAYOUT_PRUNE_MAX
-        )
-        out = zdf.agg(
+        # ONE read-back job (r18, guide §2.6): the axis bounds ride the
+        # same aggregate as count+checksum — the bounds probe was its
+        # own full-store scan before the prune flags could be computed
+        agg = zdf.agg(
             F.count(F.lit(1)).alias("n_rows"),
             (
                 F.sum(
@@ -1154,17 +1149,48 @@ def q151_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("checksum_mod"),
-        ).select(
-            "n_rows",
-            "checksum_mod",
-            F.lit(frag_flagged).cast("int").alias("frag_flagged"),
-            F.lit(compact_ok).cast("int").alias("compact_ok"),
-            F.lit(z_files_ok).cast("int").alias("z_files_ok"),
-            F.lit(prune_id_ok).cast("int").alias("prune_id_ok"),
-            F.lit(prune_chars_ok).cast("int").alias("prune_chars_ok"),
+            F.min("doc_id").alias("lo_id"),
+            F.max("doc_id").alias("hi_id"),
+            F.min("n_chars").alias("lo_ch"),
+            F.max("n_chars").alias("hi_ch"),
+        ).first()
+
+        def window(lo: int, hi: int) -> tuple[int, int]:
+            span = hi - lo
+            return (
+                lo + span * _LAYOUT_WIN_LO_TENTHS // 10,
+                lo + span * _LAYOUT_WIN_HI_TENTHS // 10,
+            )
+
+        prune_id_ok = int(
+            files_overlapping(
+                ranges, "doc_id", *window(int(agg["lo_id"]), int(agg["hi_id"]))
+            )
+            <= _LAYOUT_PRUNE_MAX
+        )
+        prune_chars_ok = int(
+            files_overlapping(
+                ranges, "n_chars", *window(int(agg["lo_ch"]), int(agg["hi_ch"]))
+            )
+            <= _LAYOUT_PRUNE_MAX
         )
         # 1 driver-held row; the scratch stores die with the context
-        return _detached(out)
+        return spark.createDataFrame(
+            [
+                (
+                    int(agg["n_rows"]),
+                    int(agg["checksum_mod"]),
+                    frag_flagged,
+                    compact_ok,
+                    z_files_ok,
+                    prune_id_ok,
+                    prune_chars_ok,
+                )
+            ],
+            "n_rows bigint, checksum_mod bigint, frag_flagged int,"
+            " compact_ok int, z_files_ok int, prune_id_ok int,"
+            " prune_chars_ok int",
+        )
 
 
 _Q151_SQL = f"""
@@ -3687,9 +3713,12 @@ def q163_sqlite_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             con.close()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    frame_joined = r_msgs.join(
-        r_parts, r_msgs["_id"] == r_parts["message_id"]
-    ).count()
+    # the CLI-parity count rides the final detach job as a crossJoined
+    # aggregate (r18 — it was its own count() driver round-trip)
+    frame_joined_agg = (
+        r_msgs.join(r_parts, r_msgs["_id"] == r_parts["message_id"])
+        .agg(F.count(F.lit(1)).alias("_frame_joined"))
+    )
     from ..operators.sketches import _h60
 
     null0 = F.lit("\x00")
@@ -3746,10 +3775,13 @@ def q163_sqlite_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _detached(
         msg_agg.join(part_agg, "msg_box")
+        .crossJoin(frame_joined_agg)
         .withColumn("user_version", F.lit(int(user_version)))
         .withColumn(
-            "cli_ok", F.lit(1 if cli_joined == frame_joined else 0)
+            "cli_ok",
+            (F.col("_frame_joined") == F.lit(int(cli_joined))).cast("int"),
         )
+        .drop("_frame_joined")
         .orderBy("msg_box")
     )
 
